@@ -1,0 +1,365 @@
+"""Reference-faithful text tokenizer / term normalizer.
+
+Re-implements, from scratch, the observable semantics of the reference
+tokenizer pipeline (``/root/reference/parser_module.py``: ``parse_sentence``
+:61-117, ``cleanEdgeChars`` :43-59, ``clearNonASCII`` :34-41,
+``CheckIfNumber`` :22-32, ``parseNumber`` + helpers :120-262,
+``parseCapitalLetterWord``/``SaveCapital`` :264-292, ``SaveTerm`` :294-317,
+``parseHashTag`` :333-345, ``parseTag`` :347-350, ``parseURL`` :319-331).
+
+This is the root of rank-identity for the BM25 engine: the single-node
+oracle and the Spark ``mapInPandas`` tokenizer UDF both call
+:func:`tokenize`, and its outputs are golden-tested against the *executed*
+reference parser (``tests/goldens/tokenizer_goldens.jsonl``).
+
+Notable reference quirks that are deliberately reproduced (verified
+empirically against the executed reference, see tests):
+
+* ``cleanEdgeChars`` strips a fixed punctuation set from token edges one
+  char per iteration until fixpoint; the leading-edge set excludes ``.``
+  and ``^`` is never stripped (the ``^`` in the reference regex is an
+  unescaped anchor).
+* ``CheckIfNumber`` only accepts digit/comma strings carrying *exactly one*
+  leading-or-trailing symbol char out of ``%$.`` — so bare integers
+  (``297``), comma numbers (``140,000``) and plain decimals (``1.5``) are
+  NOT numbers and are stored verbatim (lowercased).
+* Number rewriting divides through ``float`` (``int(int(x)/divisor)``,
+  parser_module.py:260) — precision loss for huge ints is part of the
+  semantics.
+* Capitalized runs emit each word uppercased plus every cumulative
+  multi-word prefix phrase; a term already present lowercase is counted
+  into the lowercase key instead (``SaveCapital``).
+* ``SaveTerm`` folds an existing ALL-UPPER key into a newly arriving
+  lowercase twin (count merge), parser_module.py:313-315.
+
+All functions are pure (no class state); the only cross-document state in
+the reference is its global ``Doc_ID`` counter, which the Spark engine
+replaces with a deterministic dense rank (SURVEY.md §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+
+from searchengine_spark.functions._stopwords_data import NLTK_ENGLISH
+
+# parser_module.py:11-13 — NLTK english + four contractions.
+STOP_WORDS = frozenset(NLTK_ENGLISH) | {"i'll", "i'd", "i'm", "i've"}
+
+# Empirically derived from the reference's three edge regexes
+# (parser_module.py:51-56): the leading-edge pattern starts with an empty
+# alternative yet still strips (Python re.sub empty-match semantics) but
+# lacks ``\.``; ``^`` is an anchor in all three, so literal ``^`` survives.
+_EDGE_TRAIL = frozenset(".,;'\\\":()\r\n~+{}=&_[]")
+_EDGE_LEAD = _EDGE_TRAIL - {"."}
+
+_SPLIT_RE = re.compile(r"[ \n]")
+_CAMEL_RE = re.compile(r"(?=[A-Z])")
+_URL_SPLIT_RE = re.compile(r"[:/?=&+-]")
+_URL_STOP = ("status", "web", "i", "p")  # parser_module.py:320
+_MAGNITUDE_WORDS = frozenset(
+    ["thousand", "million", "billion", "percent", "percentage", "buck", "dollar"]
+)
+
+
+def clean_edges(term: str) -> str:
+    """Strip edge punctuation to fixpoint (parser_module.py:43-59)."""
+    while True:
+        if len(term) < 2:
+            # len<2 branch applies the full pattern to the whole (≤1 char) token
+            return "" if term in _EDGE_TRAIL else term
+        head = "" if term[0] in _EDGE_LEAD else term[0]
+        tail = "" if term[-1] in _EDGE_TRAIL else term[-1]
+        new = head + term[1:-1] + tail
+        if new == term:
+            return term
+        term = new
+
+
+def strip_non_ascii(s: str) -> str:
+    """parser_module.py:34-41."""
+    return s.encode("ascii", "ignore").decode()
+
+
+def accept_number(term: str) -> str | None:
+    """parser_module.py:22-32 — digits/commas + exactly one edge symbol.
+
+    Returns the comma-stripped token (symbol still attached) or None.
+    """
+    no_commas = term.replace(",", "")
+    bare = no_commas.replace("%", "").replace("$", "").replace(".", "")
+    if bare.isnumeric() and (bare == no_commas[:-1] or bare == no_commas[1:]):
+        return no_commas
+    return None
+
+
+def _save_term(term: str, d: dict) -> None:
+    """parser_module.py:294-317 (stemming off, as in reference main.py:8)."""
+    term = term.replace("?", "").replace("!", "")
+    if term == "":
+        return
+    lo = term.lower()
+    if lo in STOP_WORDS:
+        return
+    up = term.upper()
+    was_capital = term.isalpha() and term[0] == up[0]
+    term = up if was_capital else lo
+    if term in d:
+        d[term] += 1
+    elif up in d and term == lo:
+        # lowercase twin arrives: fold the ALL-UPPER count into lowercase
+        d[term] = d[up] + 1
+        del d[up]
+    else:
+        d[term] = 1
+
+
+def _save_capital(term: str, d: dict) -> None:
+    """parser_module.py:286-292."""
+    lo = term.lower()
+    if lo in d:
+        d[lo] += 1
+        return
+    _save_term(term.upper(), d)
+
+
+def _magnitude_suffix(next_word: str | None, digits: str) -> str:
+    """parser_module.py:120-130."""
+    n = len(digits)
+    if 3 < n < 7 or next_word == "thousand":
+        return "K"
+    if 6 < n < 10 or next_word == "million":
+        return "M"
+    if n > 9 or next_word == "billion":
+        return "B"
+    return ""
+
+
+def _unit_suffix(next_word: str | None, parts: list) -> str:
+    """parser_module.py:132-147."""
+    second = len(parts) > 1 and len(parts[1]) > 0
+    if (
+        parts[0][0] == "%"
+        or parts[0][-1] == "%"
+        or (second and parts[1][-1] == "%")
+        or next_word in ("percent", "percentage")
+    ):
+        return "%"
+    if (
+        parts[0][0] == "$"
+        or parts[0][-1] == "$"
+        or (second and parts[1][-1] == "$")
+        or next_word in ("buck", "dollar")
+    ):
+        return "$"
+    return ""
+
+
+def _divisor(digits: str) -> int:
+    """parser_module.py:149-156."""
+    n = len(digits)
+    if n < 4:
+        return 1
+    if n < 7:
+        return 1000
+    if n < 10:
+        return 1000000
+    return 1000000000
+
+
+def _remainder(parts: list, size_suffix: str) -> str:
+    """parser_module.py:158-176 (note the [:digits+1] 4-digit quirk)."""
+    if size_suffix != "" and len(parts[0]) > 3:
+        mod = 3 if len(parts[0]) % 3 == 0 else len(parts[0]) % 3
+        return "0." + parts[0][mod : mod + 3]
+    n_digits = 0
+    if len(parts) > 1:
+        n_digits = min(3, len(parts[1]))
+    if n_digits != 0:
+        return "0." + parts[1][: n_digits + 1]
+    return "0"
+
+
+def _fold_unicode_numeric(number: str, fraction: str, d: dict):
+    """parser_module.py:187-217 — unicode-fraction handling.
+
+    Returns (number, fraction, saved_directly).
+    """
+    all_decimal = True
+    until_last_decimal = True
+    for i, ch in enumerate(number):
+        if unicodedata.category(ch) != "Nd":
+            all_decimal = False
+            if i != len(number) - 1:
+                until_last_decimal = False
+            break
+    if all_decimal:
+        return number, fraction, False
+    if until_last_decimal and len(number) != 1:
+        corrected = str(float(number[:-1]) + float(unicodedata.numeric(number[-1])))
+        whole, frac = corrected.split(".", 1)
+        return whole, frac, False
+    # reference's loop `for i in range(len(number), 0)` is empty → result 0
+    _save_term(str(0), d)
+    return str(0), fraction, True
+
+
+def _parse_number(number: str, next_raw: str | None, d: dict) -> bool:
+    """parser_module.py:219-262. Returns True iff the next token was consumed."""
+    if next_raw is not None:
+        # parser_module.py:222 strips a trailing 's' via `is 's'` — which is
+        # always False on modern CPython (single-char cache ≠ code-object
+        # literal), so the plural strip never fires; goldens confirm.
+        nxt = next_raw.lower()
+        consumed = nxt in _MAGNITUDE_WORDS
+    else:
+        consumed = False
+        nxt = None
+    parts = re.split(r"[./]", number)
+    if parts[0] == "":
+        parts[0] = "0"
+    unit = _unit_suffix(nxt, parts)
+    if unit != "":
+        parts[0] = parts[0].replace(unit, "")
+        if parts[0] == "":
+            parts[0] = "0"
+        if len(parts) > 1:
+            parts[1] = parts[1].replace(unit, "")
+    if len(parts) == 1:
+        parts.append("")
+    parts[0], parts[1], saved = _fold_unicode_numeric(parts[0], parts[1], d)
+    if saved:
+        return consumed
+    size = _magnitude_suffix(nxt, parts[0])
+    div = _divisor(parts[0])
+    rem = _remainder(parts, size)
+    rem_val = float(rem) if float(rem) != 0 else 0
+    try:
+        int(parts[0])
+    except ValueError:
+        try:
+            corrected = str(float(parts[0][:-1]) + unicodedata.numeric(parts[0][-1]))
+        except (ValueError, TypeError):
+            try:
+                corrected = str(unicodedata.numeric(parts[0]))
+            except (ValueError, TypeError):
+                _save_term(parts[0], d)
+                return consumed
+        return _parse_number(corrected, next_raw, d)
+    out = str(int(int(parts[0]) / div) + rem_val) + size + unit
+    _save_term(out, d)
+    return consumed
+
+
+def _parse_capital_run(tokens: list, index: int, d: dict) -> int:
+    """parser_module.py:264-284, recursion unrolled to a loop.
+
+    Consumes a run of Capitalized tokens; emits each word uppercased plus
+    every cumulative multi-word prefix phrase. Returns the next index.
+    """
+    phrase = ""
+    while (
+        index < len(tokens)
+        and len(tokens[index]) != 0
+        and tokens[index][0].isalpha()
+        and not tokens[index][0].islower()
+    ):
+        tokens[index] = clean_edges(tokens[index])
+        _save_capital(tokens[index], d)
+        phrase = tokens[index] if phrase == "" else phrase + " " + tokens[index]
+        if " " in phrase:
+            _save_capital(phrase, d)
+        index += 1
+    return index
+
+
+def _parse_hashtag(term: str, d: dict) -> None:
+    """parser_module.py:333-345."""
+    term = term.replace("#", "")
+    if term == "":
+        return
+    joined = "#"
+    for seg in term.split("_"):
+        for word in _CAMEL_RE.split(seg):
+            joined += word.lower()
+            tokenize(word, d)
+    _save_term(joined, d)
+
+
+def _parse_mention(term: str, d: dict) -> None:
+    """parser_module.py:347-350."""
+    if term[-1] == ":":
+        term = term[:-1]
+    _save_term(term, d)
+
+
+def parse_url_field(text: str, d: dict) -> None:
+    """parser_module.py:319-331 — tweet ``url`` field (JSON-ish string)."""
+    parsed = text.split('"')
+    if len(parsed) > 3:
+        pieces = _URL_SPLIT_RE.split(parsed[3])
+        host = pieces[3]
+        _save_term(host[4:] if host[:3] == "www" else host, d)
+        for piece in pieces[4:]:
+            if piece not in _URL_STOP:
+                _save_term(piece, d)
+
+
+def tokenize(text: str, d: dict | None = None) -> dict:
+    """Text → ``{term: tf}`` (parse_sentence, parser_module.py:61-117)."""
+    if d is None:
+        d = {}
+    tokens = _SPLIT_RE.split(text)
+    index = 1 if tokens[0] == "RT" else 0
+    while index < len(tokens):
+        tok = tokens[index]
+        if (
+            tok == ""
+            or tok[:13] == "https://t.co/"
+            or any(unicodedata.category(c) == "Lo" for c in tok)
+        ):
+            index += 1
+            continue
+        if unicodedata.category(tok[-1]) != "No":
+            tok = strip_non_ascii(tok)
+        tok = clean_edges(tok)
+        tokens[index] = tok
+        if tok == "":
+            index += 1
+            continue
+        if tok.lower() in STOP_WORDS:
+            index += 1
+            continue
+        if tok[0].isupper() and tok[0].isalpha():
+            index = _parse_capital_run(tokens, index, d)
+            continue
+        num = accept_number(tok)
+        if num is not None:
+            nxt = (
+                None
+                if index == len(tokens) - 1 or tokens[index + 1] == ""
+                else tokens[index + 1]
+            )
+            index += 2 if _parse_number(num, nxt, d) else 1
+            continue
+        if tok[0] == "@":
+            _parse_mention(tok, d)
+        elif tok[0] == "#":
+            _parse_hashtag(tok[1:], d)
+        else:
+            _save_term(tok, d)
+        index += 1
+    return d
+
+
+def tokenize_tweet(full_text: str, url: str | None, retweet_url: str | None) -> dict:
+    """Tweet-record parity path (parse_doc, parser_module.py:352-388):
+    url fields first, then the full text, sharing one term dict."""
+    d: dict = {}
+    if url is not None and url != "{}":
+        parse_url_field(url, d)
+    if retweet_url is not None:
+        parse_url_field(retweet_url, d)
+    return tokenize(full_text, d)

@@ -1,0 +1,65 @@
+"""Tokenizer parity vs goldens produced by EXECUTING the reference parser
+(`tools/gen_goldens.py`; reference parser_module.py:61-117 et al.).
+
+These goldens are the root of BM25 rank-identity (SURVEY.md §5.1)."""
+
+import json
+import os
+
+from searchengine_spark.functions.tokenizer import (
+    STOP_WORDS,
+    accept_number,
+    clean_edges,
+    tokenize,
+)
+
+GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "tokenizer_goldens.jsonl")
+
+
+def test_golden_parity():
+    n = 0
+    with open(GOLDENS) as f:
+        for line in f:
+            rec = json.loads(line)
+            assert tokenize(rec["text"]) == rec["terms"], repr(rec["text"][:120])
+            n += 1
+    assert n > 1000
+
+
+def test_edge_cleaning():
+    # trailing punct peeled to fixpoint; leading '.' survives; '^' never stripped
+    assert clean_edges("tokenize(text):") == "tokenize(text"
+    assert clean_edges("word...") == "word"
+    assert clean_edges(".word") == ".word"
+    assert clean_edges(",word") == "word"
+    assert clean_edges("x^") == "x^"
+    assert clean_edges(")") == ""
+    assert clean_edges("") == ""
+
+
+def test_number_acceptance():
+    # parser_module.py:22-32 — exactly one edge symbol of %$. required
+    assert accept_number("35%") == "35%"
+    assert accept_number("$3,500,000") == "$3500000"
+    assert accept_number("297") is None
+    assert accept_number("140,000") is None
+    assert accept_number("1.5") is None
+    assert accept_number("3.5%") is None
+
+
+def test_stopwords_and_caps():
+    assert "the" in STOP_WORDS and "i'll" in STOP_WORDS
+    assert tokenize("Being from the US right now") == {
+        "US": 1,
+        "right": 1,
+    }
+    t = tokenize("United States: 140,000")
+    assert t == {"UNITED": 1, "STATES": 1, "united states": 1, "140,000": 1}
+
+
+def test_money_rewrite():
+    assert tokenize("raised $3,500,000 or 35% more") == {
+        "raised": 1,
+        "3.5m$": 1,
+        "35%": 1,
+    }

@@ -1,0 +1,178 @@
+"""Generate tokenizer golden files by EXECUTING the reference parser.
+
+Runs ``/root/reference/parser_module.Parse.parse_sentence`` (with a stubbed
+``nltk`` module feeding it the same public english stopword list it bundles
+in its venv) over:
+
+  * every ``full_text`` in the reference's own sample parquet fixtures,
+  * a battery of hand-written edge cases covering every tokenizer branch
+    (SURVEY.md §2.2 P2–P11),
+  * a seeded fuzz corpus.
+
+Output: ``tests/goldens/tokenizer_goldens.jsonl`` with lines
+``{"text": ..., "terms": {term: tf}}``. The reference code is only
+*executed* here to capture behavior — never copied.
+
+Usage: python tools/gen_goldens.py [--fuzz N]
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import types
+
+sys.path.insert(0, "/root/repo")
+
+from searchengine_spark.functions._stopwords_data import NLTK_ENGLISH
+
+
+def load_reference_parser():
+    """Import the reference Parse class with nltk stubbed out."""
+    nltk = types.ModuleType("nltk")
+    corpus = types.ModuleType("nltk.corpus")
+
+    class _Stopwords:
+        @staticmethod
+        def words(lang):
+            assert lang == "english"
+            return list(NLTK_ENGLISH)
+
+    corpus.stopwords = _Stopwords()
+    stem = types.ModuleType("nltk.stem")
+
+    class _NoStemmer:  # never used: stemming off
+        def stem(self, t):
+            raise NotImplementedError
+
+    stem.PorterStemmer = _NoStemmer
+    stem.SnowballStemmer = lambda *a, **k: _NoStemmer()
+    snowball = types.ModuleType("nltk.stem.snowball")
+    snowball.SnowballStemmer = stem.SnowballStemmer
+    tok_mod = types.ModuleType("nltk.tokenize")
+    tok_mod.sent_tokenize = lambda *a, **k: None
+    tok_mod.word_tokenize = lambda *a, **k: None
+    nltk.corpus = corpus
+    nltk.stem = stem
+    nltk.tokenize = tok_mod
+    nltk.__path__ = []  # mark as package so submodule imports resolve
+    sys.modules.update(
+        {
+            "nltk": nltk,
+            "nltk.corpus": corpus,
+            "nltk.stem": stem,
+            "nltk.stem.snowball": snowball,
+            "nltk.tokenize": tok_mod,
+        }
+    )
+    sys.path.insert(0, "/root/reference")
+    import parser_module  # noqa: E402  (reference module)
+
+    return parser_module.Parse
+
+
+EDGE_CASES = [
+    "RT @alsoto_7: Being from the US right now is literally an embarrassment https://t.co/6ypNr91AS0",
+    "#Cowboys move WR Jon'Vea Johnson to the new NFL Reserve/COVID-19 list",
+    "The company raised $3,500,000 or 35% more, 1.5 million dollars",
+    "DEATHS FROM COVID-19 South Korea: 297 United States: 140,000+",
+    "def tokenize(text): return text.split()  # python source line",
+    "",
+    "RT",
+    "RT RT RT",
+    "   ",
+    "a b c",
+    "Hello World",
+    "HELLO WORLD",
+    "Hello, World! How Are You?",
+    "35% 100$ $100 100% 5,000 thousand 7 billion 2.5 3/4 2/3 $1,000,000",
+    "1 dollar 2 dollars 3 bucks 4 percent 5 percentages 6 thousands",
+    "123 456,789 1,234,567 12,345,678,901 999 1000 9999 10000",
+    "$5 5$ %5 5% $5,000 5,000$ .5 5. ,5 5,",
+    "#hashtag #CamelCase #snake_case_tag #Mixed_CamelTag ## #",
+    "@user @user: @UPPER @a",
+    "https://t.co/abc123 https://example.com/path not-a-url http://x",
+    "word... ...word ..word.. (parens) [brackets] {braces} 'quotes' \"dquotes\"",
+    "a.b.c a,b,c a;b;c a:b:c a_b_c a-b-c a+b+c a=b=c",
+    "x\ny\nz tab\ttab",
+    "café naïve résumé 中文 日本語 mixed中 text",
+    "½ ¾ 1½ $1½ 7½% ⅓",
+    "don't can't won't i'll i'd i'm i've it's",
+    "A B C D E F",
+    "The Quick Brown fox Jumps Over",
+    "NASA launched Apollo 11 in 1969",
+    "x" * 500,
+    "A" + "a" * 300,
+    "!!! ??? !?! ^^^ *** ||| ~~~",
+    "end. end, end; end: end) end] end} end' end\" end~ end+ end= end& end_",
+    ".start ,start ;start :start (start [start {start 'start \"start",
+    "UPPER lower UPPER lower Upper Lower",
+    "COVID-19 COVID-19 covid-19",
+    "U.S.A. U.S. e.g. i.e. etc.",
+    "1st 2nd 3rd 21st 'quoted' number 42",
+    "def main(): pass",
+    "import numpy as np",
+    "class FooBar(Baz): self.x = [1, 2, 3]",
+    "for i in range(10): print(i)",
+    "x += 1; y -= 2; z *= 3",
+    "return {'key': 'value', 'n': 100}",
+    "SELECT * FROM table WHERE id = 5",
+    "// comment /* block */ <!-- html -->",
+    "foo_bar baz_qux __init__ __main__",
+    "CONSTANT_NAME MixedCase camelCase",
+]
+
+
+def fuzz_corpus(n: int, seed: int = 1234) -> list:
+    rng = random.Random(seed)
+    pieces = [
+        "Hello", "WORLD", "The", "quick", "brown", "Fox", "JUMPS",
+        "@user", "@User:", "#Tag", "#camel_Case", "#snake_case",
+        "https://t.co/xyz", "https://example.com/a", "RT",
+        "100", "1,000", "35%", "$5,000", "2.5", "3/4", "$3,500,000",
+        "thousand", "million", "dollars", "percent", "bucks",
+        "don't", "it's", "i'll", "the", "and", "of",
+        "word.", ".word", "(word)", "[word]", "word!", "word?",
+        "café", "中文", "½", "1½", "7½%",
+        "a", "I", "A", "", " ", "x-y", "x_y", "x=y", "x+y",
+        "def", "return", "class", "import", "self.x", "f(x)",
+        "U.S.", "COVID-19", "NASA", "McDonald's", "O'Brien",
+    ]
+    out = []
+    for _ in range(n):
+        k = rng.randint(1, 15)
+        out.append(" ".join(rng.choice(pieces) for _ in range(k)))
+    return out
+
+
+def main():
+    n_fuzz = 300
+    if "--fuzz" in sys.argv:
+        n_fuzz = int(sys.argv[sys.argv.index("--fuzz") + 1])
+    Parse = load_reference_parser()
+
+    texts = list(EDGE_CASES)
+    import pandas as pd
+
+    for f in ("sample.parquet", "sample2.parquet", "sample3.parquet"):
+        df = pd.read_parquet(f"/root/reference/{f}", engine="pyarrow")
+        texts.extend(str(t) for t in df["full_text"].tolist())
+    texts.extend(fuzz_corpus(n_fuzz))
+
+    out_path = "/root/repo/tests/goldens/tokenizer_goldens.jsonl"
+    n_ok, n_err = 0, 0
+    with open(out_path, "w") as f:
+        for text in texts:
+            try:
+                terms = Parse(False).parse_sentence(text, {})
+            except Exception as e:  # reference crashes on some inputs; skip those
+                n_err += 1
+                continue
+            f.write(json.dumps({"text": text, "terms": terms}, ensure_ascii=False) + "\n")
+            n_ok += 1
+    print(f"wrote {n_ok} goldens ({n_err} reference crashes skipped) -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
