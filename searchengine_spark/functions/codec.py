@@ -1,0 +1,127 @@
+"""Posting-list compression codecs: delta-gap + LEB128 varint, block-max.
+
+Replaces the reference's whole-dict pickle persistence (utils.py:5-23,
+indexer.py:63-66) with compressed per-term posting blocks per the north-star
+design: postings are split into blocks of ``BLOCK_SIZE`` docs; each block
+stores doc-id *gaps*, term frequencies, and per-doc token lengths as
+vectorized LEB128 varints (numpy encode/decode — no per-value Python), plus
+the block's first/last doc id and an idf-free block-max BM25 partial so
+query-time WAND can upper-bound a block as ``idf * block_max_tf`` without
+decoding it.
+
+Storing integer (tf, dl) rather than floats keeps scores exactly
+recomputable: the scorer re-derives float64 BM25 from the same integers the
+oracle sees, so rank-identity is bit-stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+K1 = 1.2
+B = 0.75
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, vectorized (no per-value Python loop)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = np.ones(v.size, dtype=np.int64)
+    t = v >> np.uint64(7)
+    while t.any():
+        nbytes += (t > 0).astype(np.int64)
+        t = t >> np.uint64(7)
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    max_groups = int(nbytes.max())
+    for g in range(max_groups):
+        mask = nbytes > g
+        chunk = ((v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
+        more = ((nbytes[mask] > g + 1).astype(np.uint8)) << 7
+        out[starts[mask] + g] = chunk | more
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes, n: int) -> np.ndarray:
+    """Decode ``n`` LEB128 varints from ``buf`` into a uint64 array."""
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(buf, dtype=np.uint8)
+    is_start = np.empty(b.size, dtype=bool)
+    is_start[0] = True
+    np.less(b[:-1], 0x80, out=is_start[1:])  # byte after a final (cont=0) byte
+    val_idx = np.cumsum(is_start) - 1
+    start_pos = np.flatnonzero(is_start)
+    shift = (np.arange(b.size) - start_pos[val_idx]).astype(np.uint64) * np.uint64(7)
+    vals = np.zeros(n, dtype=np.uint64)
+    np.bitwise_or.at(vals, val_idx, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
+    return vals
+
+
+def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
+    """Sorted doc ids → gaps (first value kept absolute)."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    out = d.copy()
+    out[1:] = d[1:] - d[:-1]
+    return out
+
+
+def delta_decode(gaps: np.ndarray) -> np.ndarray:
+    return np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
+
+
+def bm25_tf_part(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """Idf-free BM25 term factor: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
+
+    Shared by the oracle, the build-time block-max computation, and the
+    query-time scorer so float64 results are identical everywhere.
+    """
+    tf = tf.astype(np.float64)
+    dl = dl.astype(np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * (dl / avgdl)))
+
+
+def bm25_idf(df, n_docs: int):
+    """Lucene-style BM25 idf: ln(1 + (N - df + 0.5)/(df + 0.5)).
+
+    The reference has no BM25 constants (it scores cosine tf-idf,
+    ranker.py:33-45); SURVEY.md §6 fixes k1=1.2, b=0.75 and this idf as the
+    oracle-defined golden.
+    """
+    df = np.asarray(df, dtype=np.float64)
+    return np.log1p((float(n_docs) - df + 0.5) / (df + 0.5))
+
+
+def pack_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float):
+    """Split one term's postings (doc_id-sorted) into compressed blocks.
+
+    Yields dicts: block_seq, n, first_doc, last_doc, block_max_tf,
+    gaps/tfs/dls (varint bytes).
+    """
+    n = len(doc_ids)
+    tf_part = bm25_tf_part(tfs, dls, avgdl)
+    for seq, lo in enumerate(range(0, n, BLOCK_SIZE)):
+        hi = min(lo + BLOCK_SIZE, n)
+        ids = doc_ids[lo:hi]
+        yield {
+            "block_seq": seq,
+            "n": hi - lo,
+            "first_doc": int(ids[0]),
+            "last_doc": int(ids[-1]),
+            "block_max_tf": float(tf_part[lo:hi].max()),
+            "gaps": varint_encode(delta_encode(ids)),
+            "tfs": varint_encode(tfs[lo:hi].astype(np.uint64)),
+            "dls": varint_encode(dls[lo:hi].astype(np.uint64)),
+        }
+
+
+def unpack_block(gaps: bytes, tfs: bytes, dls: bytes, n: int):
+    """Inverse of pack_blocks for one block → (doc_ids, tfs, dls)."""
+    return (
+        delta_decode(varint_decode(gaps, n)),
+        varint_decode(tfs, n),
+        varint_decode(dls, n),
+    )

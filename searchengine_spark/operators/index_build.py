@@ -1,0 +1,243 @@
+"""Distributed inverted-index build (SURVEY.md §3.1 Spark shape).
+
+Replaces the reference's single-threaded build loop (search_engine.py:93-123
++ indexer.add_new_doc) with a staged, resumable Spark pipeline over a
+document-range-sharded index:
+
+  stage docs      read corpus → dense doc ids (one range shuffle)
+                  → vectorized tokenize (narrow) → write doc_map /
+                  doc_terms (partitioned by resume group) / doc_stats
+  stage fold_map  global case-fold table: a term folds to lowercase iff its
+                  lowercase twin occurs anywhere (order-free fixpoint of
+                  indexer.py:44-62; SURVEY.md §7 hard-part 1)
+  stage term_dict (term, df, cf) global aggregate (map-side partials)
+  stage postings  per partition-group: shuffle by doc-range → per-range
+                  delta+varint block packing with block-max BM25 partials
+
+Partitioning strategy (the "explicit skew handling" of the north rule):
+postings are sharded by *document range* (``rng = doc_id // range_width``),
+the classic document-partitioned IR layout. A high-df term (``def`` in code
+appears in ~every file) is automatically spread across all ranges — its
+postings never concentrate on one task, with zero reliance on AQE skew
+splitting. Every range is a bounded unit (≤ range_width docs), the
+parallelism unit of both the build and block-max WAND query fan-out, and
+the checkpoint/resume unit (grouped into ``n_groups`` committed jobs).
+
+At 1000-executor / 100 TB scale the same plan holds: range count scales
+with corpus size (fixed range_width), group count scales with desired
+commit granularity, and the only wide exchanges are (a) the doc-id range
+shuffle, (b) the term_dict aggregate (tiny after map-side combine), and
+(c) one hash shuffle of doc_terms by rng per group.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from searchengine_spark.functions.codec import BLOCK_SIZE, pack_blocks
+from searchengine_spark.operators.doc_ids import assign_doc_ids
+from searchengine_spark.operators.tokenize import tokenize_docs
+from searchengine_spark.plans.manifest import Manifest
+
+POSTINGS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("rng", T.IntegerType(), False),
+        T.StructField("block_seq", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("block_max_tf", T.DoubleType(), False),
+        T.StructField("gaps", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+    ]
+)
+
+
+def _fold_expr(fold_map: DataFrame, doc_terms: DataFrame) -> DataFrame:
+    """Apply the global case-fold: term → canonical."""
+    fm = F.broadcast(fold_map)  # |fold_map| ≤ #uppercase-terms ≪ vocab
+    return (
+        doc_terms.join(fm.withColumnRenamed("term", "_ft"), doc_terms["term"] == F.col("_ft"), "left")
+        .withColumn("term", F.coalesce(F.col("canon"), F.col("term")))
+        .drop("_ft", "canon")
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    range_width: int | None = None,
+    n_groups: int = 4,
+    resume: bool = True,
+) -> Manifest:
+    """Build (or resume building) the index for ``docs`` into ``index_dir``."""
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest(index_dir)
+    if not resume:
+        man.data = {"stages": {}, "posting_groups": {}, "scalars": {}}
+
+    # ---- stage: docs (ids + tokenize + doc_map/doc_terms/doc_stats) --------
+    if not man.stage_done("docs"):
+        t0 = time.time()
+        with_id = assign_doc_ids(docs)
+        n_docs = with_id._source_persisted.count()
+        if range_width is None:
+            target_ranges = max(4 * spark.sparkContext.defaultParallelism, n_groups)
+            range_width = max(64, math.ceil(n_docs / target_ranges))
+        n_ranges = math.ceil(n_docs / range_width) if n_docs else 0
+
+        doc_map = with_id.select(
+            "doc_id",
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+        )
+        doc_map.write.mode("overwrite").parquet(f"{index_dir}/doc_map")
+
+        doc_terms = (
+            tokenize_docs(with_id)
+            .withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
+            .withColumn("grp", (F.col("rng") % F.lit(n_groups)).cast("int"))
+        )
+        doc_terms.write.mode("overwrite").partitionBy("grp").parquet(
+            f"{index_dir}/doc_terms"
+        )
+        with_id._source_persisted.unpersist()
+
+        dt = spark.read.parquet(f"{index_dir}/doc_terms")
+        doc_stats = dt.groupBy("doc_id").agg(
+            F.first("dl").alias("dl"),
+            F.count("*").alias("n_distinct"),
+            F.max("tf").alias("max_f"),
+        )
+        doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+        stats = spark.read.parquet(f"{index_dir}/doc_stats").agg(
+            F.sum("dl").alias("n_tokens"), F.count("*").alias("n_nonempty")
+        ).collect()[0]
+        n_tokens = int(stats["n_tokens"] or 0)
+        secs = time.time() - t0
+        man.set_scalars(
+            n_docs=n_docs,
+            n_tokens=n_tokens,
+            avgdl=(n_tokens / n_docs) if n_docs else 0.0,
+            range_width=range_width,
+            n_ranges=n_ranges,
+            n_groups=n_groups,
+            block_size=BLOCK_SIZE,
+        )
+        man.mark_stage(
+            "docs",
+            secs,
+            n_docs=n_docs,
+            n_tokens=n_tokens,
+            docs_per_sec=round(n_docs / secs, 1) if secs else None,
+        )
+
+    range_width = man.scalars["range_width"]
+    avgdl = man.scalars["avgdl"]
+    n_docs = man.scalars["n_docs"]
+
+    # ---- stage: fold_map ----------------------------------------------------
+    if not man.stage_done("fold_map"):
+        t0 = time.time()
+        vocab = spark.read.parquet(f"{index_dir}/doc_terms").select("term").distinct()
+        lowers = vocab.where(F.col("term") == F.lower(F.col("term")))
+        uppers = vocab.where(F.col("term") != F.lower(F.col("term")))
+        fold = (
+            uppers.withColumn("canon", F.lower(F.col("term")))
+            .join(lowers.withColumnRenamed("term", "canon"), "canon", "left_semi")
+            .select("term", "canon")
+        )
+        fold.write.mode("overwrite").parquet(f"{index_dir}/fold_map")
+        n_folded = spark.read.parquet(f"{index_dir}/fold_map").count()
+        man.mark_stage("fold_map", time.time() - t0, n_folded=n_folded)
+
+    # ---- stage: term_dict ---------------------------------------------------
+    if not man.stage_done("term_dict"):
+        t0 = time.time()
+        dt = spark.read.parquet(f"{index_dir}/doc_terms")
+        fold = spark.read.parquet(f"{index_dir}/fold_map")
+        td = (
+            _fold_expr(fold, dt)
+            .groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"), F.sum("tf").alias("cf"))
+        )
+        td.write.mode("overwrite").parquet(f"{index_dir}/term_dict")
+        n_terms = spark.read.parquet(f"{index_dir}/term_dict").count()
+        man.set_scalars(n_terms=n_terms)
+        man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
+
+    # ---- stage: postings (per partition group, resumable) -------------------
+    fold = spark.read.parquet(f"{index_dir}/fold_map")
+
+    def pack_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        # fold duplicates: same (term, doc) may appear twice post-case-fold
+        g = (
+            pdf.groupby(["term", "doc_id"], sort=False)
+            .agg(tf=("tf", "sum"), dl=("dl", "first"))
+            .reset_index()
+            .sort_values(["term", "doc_id"], kind="mergesort")
+        )
+        rows = []
+        for term, sub in g.groupby("term", sort=True):
+            ids = sub["doc_id"].to_numpy(np.uint64)
+            tfs = sub["tf"].to_numpy(np.uint64)
+            dls = sub["dl"].to_numpy(np.uint64)
+            for blk in pack_blocks(ids, tfs, dls, avgdl):
+                rows.append(
+                    (
+                        term,
+                        rng,
+                        blk["block_seq"],
+                        blk["n"],
+                        blk["first_doc"],
+                        blk["last_doc"],
+                        blk["block_max_tf"],
+                        blk["gaps"],
+                        blk["tfs"],
+                        blk["dls"],
+                    )
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    for g in range(man.scalars["n_groups"]):
+        if man.group_done(g):
+            continue
+        t0 = time.time()
+        dt_g = spark.read.parquet(f"{index_dir}/doc_terms").where(F.col("grp") == g)
+        packed = (
+            _fold_expr(fold, dt_g)
+            .select("term", "doc_id", "tf", "dl", "rng")
+            .groupBy("rng")
+            .applyInPandas(pack_range, POSTINGS_SCHEMA)
+        )
+        out = f"{index_dir}/postings/grp={g}"
+        packed.write.mode("overwrite").parquet(out)
+        written = spark.read.parquet(out).agg(
+            F.sum("n").alias("n_postings"), F.count("*").alias("n_blocks")
+        ).collect()[0]
+        secs = time.time() - t0
+        n_post = int(written["n_postings"] or 0)
+        man.mark_group(
+            g,
+            secs,
+            n_postings=n_post,
+            n_blocks=int(written["n_blocks"] or 0),
+            postings_per_sec=round(n_post / secs, 1) if secs else None,
+        )
+
+    return man

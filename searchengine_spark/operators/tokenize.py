@@ -1,0 +1,58 @@
+"""Vectorized tokenizer stage: docs → long-form ``doc_terms``.
+
+Replaces the reference's per-row driver loop (search_engine.py:106-115 →
+parser_module.parse_doc) with an Arrow-batched ``mapInPandas`` UDTF-shaped
+stage (SURVEY.md §2.2 P2): one input row (a document) explodes to one output
+row per distinct term, pre-aggregated to (term, tf) inside the batch — the
+per-doc aggregation A1 (parser_module.py:311-317) happens inside the UDF, so
+Spark never shuffles raw tokens. ``dl`` (Σtf) rides along so BM25 needs no
+extra join against doc stats on the hot path.
+
+No per-row Python at the Spark API level (input_hint): the loop over
+documents inside a pandas batch is the standard Arrow-vectorized idiom.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from searchengine_spark.functions.tokenizer import tokenize
+
+DOC_TERMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("tf", T.IntegerType(), False),
+        T.StructField("dl", T.IntegerType(), False),
+    ]
+)
+
+
+def tokenize_docs(docs_with_id: DataFrame, text_col: str = "content") -> DataFrame:
+    """(doc_id, content, ...) → (doc_id, term, tf, dl) exploded long-form."""
+
+    def run(batches):
+        for b in batches:
+            doc_ids, terms, tfs, dls = [], [], [], []
+            for doc_id, text in zip(b["doc_id"].values, b[text_col].values):
+                d = tokenize(text or "")
+                if not d:
+                    continue
+                dl = sum(d.values())
+                doc_ids.extend([doc_id] * len(d))
+                terms.extend(d.keys())
+                tfs.extend(d.values())
+                dls.extend([dl] * len(d))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(doc_ids, dtype=np.int64),
+                    "term": pd.array(terms, dtype="str"),
+                    "tf": np.asarray(tfs, dtype=np.int32),
+                    "dl": np.asarray(dls, dtype=np.int32),
+                }
+            )
+
+    return docs_with_id.select("doc_id", text_col).mapInPandas(run, DOC_TERMS_SCHEMA)

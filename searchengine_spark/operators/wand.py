@@ -1,0 +1,251 @@
+"""Query-time top-k retrieval over the range-sharded compressed index.
+
+Re-expresses the reference's query path (searcher.py:101-116 boolean
+matrices + ranker.py:22-46 scoring + ranker.py:48-56 top-k) as:
+
+  term_dict lookup (tiny, predicate-pushed parquet read)
+    → postings scan filtered to the query terms (pushed filter on `term`)
+    → per-document-range scorer (`applyInPandas` keyed by ``rng``): decode
+      delta+varint blocks, dense float64 BM25 accumulation in lexicographic
+      term order (identical addend order to the oracle), per-range top-k
+      with explicit (score desc, doc_id asc) tiebreak
+    → global TakeOrderedAndProject(k) — Spark's distributed top-k.
+
+Block-max pruning: within a range, a term's blocks are skipped wholesale
+when ``qtf·idf·block_max_tf`` (the exact upper bound on that term's
+contribution anywhere in the block) cannot lift any document into the
+range-local top-k given the other terms' bounds; the dense upper-bound pass
+costs O(#blocks) with no decoding. Safety: a block is only skipped when
+every doc in it is provably below the running range threshold, so surviving
+scores stay exact.
+
+The single-term fast path (searcher.py:108-110) falls out naturally: one
+term ⇒ no intersection, blocks stream straight into top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from searchengine_spark.functions.codec import bm25_idf, bm25_tf_part, unpack_block
+from searchengine_spark.functions.tokenizer import tokenize
+from searchengine_spark.plans.manifest import Manifest
+
+RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def fold_query_terms(spark: SparkSession, index_dir: str, query: str) -> dict:
+    """Tokenize the query and resolve casing vs the index vocabulary
+    (ranker.get_correct_term, ranker.py:7-16: lower first, then upper).
+
+    Returns {canonical_term: (qtf, df)} — empty dict if nothing matches.
+    """
+    qdict = tokenize(query)
+    if not qdict:
+        return {}
+    variants = sorted({v for t in qdict for v in (t.lower(), t.upper())})
+    rows = (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .where(F.col("term").isin(variants))
+        .collect()
+    )
+    vocab = {r["term"]: int(r["df"]) for r in rows}
+    out: dict = {}
+    for t, qtf in qdict.items():
+        lo, up = t.lower(), t.upper()
+        canon = lo if lo in vocab else up if up in vocab else None
+        if canon is not None:
+            qtf_prev, _ = out.get(canon, (0, 0))
+            out[canon] = (qtf_prev + qtf, vocab[canon])
+    return out
+
+
+CHUNK = 4096  # docs per pruning chunk within a range
+
+
+def _score_range_factory(qweights: dict, n_docs: int, avgdl: float,
+                         range_width: int, k: int):
+    """Build the per-range pandas scorer. qweights: {term: (qtf, df)}.
+
+    Chunked block-max WAND: the range is cut into doc chunks; each chunk's
+    score upper bound is Σ_t w_t · max(block_max of t's blocks overlapping
+    the chunk), computed from block metadata alone. Chunks are visited in
+    descending bound order; once the bound falls strictly below the running
+    k-th best exact score θ, every remaining chunk (and its undecoded
+    blocks) is skipped. Docs inside surviving chunks are scored exactly
+    (float64, lexicographic term order — same addend order as the oracle),
+    so skipping can never emit a partial score.
+    """
+    terms_sorted = sorted(qweights)
+    weight = {
+        t: qweights[t][0] * float(bm25_idf(qweights[t][1], n_docs))
+        for t in terms_sorted
+    }
+
+    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(key[0]) * range_width
+        n_chunks = (range_width + CHUNK - 1) // CHUNK
+        per_term = []  # (term, first[], last[], ubs[], raw block rows)
+        chunk_ub = np.zeros(n_chunks, dtype=np.float64)
+        for t, sub in pdf.groupby("term", sort=True):
+            sub = sub.sort_values("first_doc")
+            first = sub["first_doc"].to_numpy(np.int64) - base
+            last = sub["last_doc"].to_numpy(np.int64) - base
+            ubs = weight[t] * sub["block_max_tf"].to_numpy(np.float64)
+            t_ub = np.zeros(n_chunks, dtype=np.float64)
+            for f, l, u in zip(first // CHUNK, last // CHUNK, ubs):
+                np.maximum(t_ub[f : l + 1], u, out=t_ub[f : l + 1])
+            chunk_ub += t_ub
+            per_term.append(
+                (t, first, last, list(sub["gaps"]), list(sub["tfs"]),
+                 list(sub["dls"]), sub["n"].to_numpy(np.int64))
+            )
+        decoded: dict = {}  # (term_idx, block_idx) -> (offsets, contrib)
+        out_ids, out_scores = [], []
+        theta = -np.inf
+        order = np.argsort(-chunk_ub, kind="stable")
+        for c in order:
+            if chunk_ub[c] == 0.0 or chunk_ub[c] < theta:
+                break  # descending bounds: nothing further can reach top-k
+            lo, hi = c * CHUNK, min((c + 1) * CHUNK, range_width)
+            scores = np.zeros(hi - lo, dtype=np.float64)
+            seen = np.zeros(hi - lo, dtype=bool)
+            for ti, (t, first, last, gaps, tfs, dls, ns) in enumerate(per_term):
+                b0 = int(np.searchsorted(last, lo, side="left"))
+                b1 = int(np.searchsorted(first, hi, side="left"))
+                for bi in range(b0, b1):
+                    blk = decoded.get((ti, bi))
+                    if blk is None:
+                        ids, tf, dl = unpack_block(gaps[bi], tfs[bi], dls[bi], int(ns[bi]))
+                        blk = (
+                            ids.astype(np.int64) - base,
+                            weight[t] * bm25_tf_part(tf, dl, avgdl),
+                        )
+                        decoded[(ti, bi)] = blk
+                    off, contrib = blk
+                    s0 = int(np.searchsorted(off, lo, side="left"))
+                    s1 = int(np.searchsorted(off, hi, side="left"))
+                    if s0 < s1:
+                        sel = off[s0:s1] - lo
+                        scores[sel] += contrib[s0:s1]
+                        seen[sel] = True
+            cand = np.flatnonzero(seen)
+            if cand.size == 0:
+                continue
+            out_ids.append(cand + lo)
+            out_scores.append(scores[cand])
+            if sum(len(a) for a in out_scores) >= k:
+                allsc = np.concatenate(out_scores)
+                theta = np.partition(allsc, -k)[-k] if allsc.size >= k else -np.inf
+        if not out_ids:
+            return pd.DataFrame({"doc_id": np.array([], np.int64), "score": []})
+        ids = np.concatenate(out_ids)
+        sc = np.concatenate(out_scores)
+        top = np.lexsort((ids, -sc))[:k]
+        return pd.DataFrame(
+            {"doc_id": (ids[top] + base).astype(np.int64), "score": sc[top]}
+        )
+
+    return score_range
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally ordered."""
+    man = Manifest(index_dir)
+    s = man.scalars
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    scorer = _score_range_factory(
+        qweights, s["n_docs"], s["avgdl"], s["range_width"], k
+    )
+    posts = spark.read.parquet(f"{index_dir}/postings").where(
+        F.col("term").isin(sorted(qweights))
+    )
+    per_range = posts.groupBy("rng").applyInPandas(scorer, RESULT_SCHEMA)
+    return per_range.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def search_join(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+) -> DataFrame:
+    """Cross-check scorer: pure DataFrame-join BM25 over decoded postings.
+
+    Semantics J5 (SURVEY.md §2.5): candidates ⋈ postings ⋈ query weights →
+    groupBy(doc_id).sum — exercises the codec through a fully declarative
+    plan; used in tests to confirm the WAND path and as the driver-oracle
+    comparable shape.
+    """
+    man = Manifest(index_dir)
+    s = man.scalars
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    n_docs, avgdl = s["n_docs"], s["avgdl"]
+
+    decode_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tf", T.LongType()),
+            T.StructField("dl", T.LongType()),
+        ]
+    )
+
+    def decode(batches):
+        for b in batches:
+            outs = []
+            for term, gaps, tfs, dls, n in zip(b["term"], b["gaps"], b["tfs"], b["dls"], b["n"]):
+                ids, tf, dl = unpack_block(gaps, tfs, dls, int(n))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": ids.astype(np.int64),
+                            "tf": tf.astype(np.int64),
+                            "dl": dl.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"term": [], "doc_id": [], "tf": [], "dl": []}
+            )
+
+    qdf = spark.createDataFrame(
+        [(t, float(qtf * bm25_idf(df, n_docs))) for t, (qtf, df) in qweights.items()],
+        "term string, w double",
+    )
+    posts = spark.read.parquet(f"{index_dir}/postings").where(
+        F.col("term").isin(sorted(qweights))
+    )
+    long_form = posts.mapInPandas(decode, decode_schema)
+    k1, b_ = 1.2, 0.75
+    scored = (
+        long_form.join(F.broadcast(qdf), "term")
+        .withColumn(
+            "contrib",
+            F.col("w")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b_ + b_ * (F.col("dl") / F.lit(float(avgdl))))),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -1,0 +1,28 @@
+"""High-level facade: build + query (the reference's ``main``/`run_engine``
+/``search_and_rank_query`` surface, search_engine.py:93-167, re-expressed
+as two calls over a persistent on-disk index)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.wand import search, search_join
+from searchengine_spark.plans.manifest import Manifest
+
+
+class SparkSearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+
+    def build(self, docs: DataFrame, **kw) -> Manifest:
+        return build_index(self.spark, docs, self.index_dir, **kw)
+
+    def search(self, query: str, k: int = 10, method: str = "wand") -> DataFrame:
+        fn = search if method == "wand" else search_join
+        return fn(self.spark, self.index_dir, query, k)
+
+    @property
+    def manifest(self) -> Manifest:
+        return Manifest(self.index_dir)

@@ -1,0 +1,69 @@
+"""Index build manifest: per-stage / per-partition-group lineage + metrics.
+
+Replaces the reference's bare pickle dumps (utils.py:5-23) with a JSON
+manifest recording, for every build stage and every postings partition
+group: status, wall seconds, row counts and derived throughput (docs/sec,
+postings/sec). ``build_index`` consults it to skip committed work — the
+north-rule's "resumable from per-partition checkpoints with lineage and
+per-stage metrics".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+class Manifest:
+    FILE = "manifest.json"
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.path = os.path.join(index_dir, self.FILE)
+        self.data: dict = {"stages": {}, "posting_groups": {}, "scalars": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.data = json.load(f)
+
+    def save(self) -> None:
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.data, f, indent=2, sort_keys=True)
+        os.replace(tmp, self.path)
+
+    # -- stages ------------------------------------------------------------
+    def stage_done(self, name: str) -> bool:
+        return self.data["stages"].get(name, {}).get("status") == "done"
+
+    def mark_stage(self, name: str, seconds: float, **metrics) -> None:
+        self.data["stages"][name] = {
+            "status": "done",
+            "seconds": round(seconds, 3),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            **metrics,
+        }
+        self.save()
+
+    # -- postings partition groups ------------------------------------------
+    def group_done(self, g: int) -> bool:
+        return self.data["posting_groups"].get(str(g), {}).get("status") == "done"
+
+    def mark_group(self, g: int, seconds: float, **metrics) -> None:
+        self.data["posting_groups"][str(g)] = {
+            "status": "done",
+            "seconds": round(seconds, 3),
+            "finished_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            **metrics,
+        }
+        self.save()
+
+    # -- scalars -------------------------------------------------------------
+    def set_scalars(self, **kv) -> None:
+        self.data["scalars"].update(kv)
+        self.save()
+
+    @property
+    def scalars(self) -> dict:
+        return self.data["scalars"]

@@ -1,0 +1,96 @@
+"""Single-process oracle: reference-faithful tokenizer + exact BM25.
+
+Defines the golden semantics the Spark engine must be rank-identical to
+(BASELINE.md "BM25 top-10 rank identity"). It shares with the engine:
+
+* the tokenizer (:mod:`searchengine_spark.functions.tokenizer`, golden-tested
+  against the executed reference parser),
+* the BM25 kernels (:func:`codec.bm25_tf_part`, :func:`codec.bm25_idf`),
+* the deterministic reformulations of the reference's order-dependent
+  behaviors (SURVEY.md §7 hard-part 1):
+  - doc_id := dense rank over (repo, path, commit) ascending — replaces the
+    parser's arrival-order global counter (parser_module.py:14,385-387);
+  - cross-document case folding := a term is stored lowercase iff its
+    lowercase form occurs anywhere in the corpus, else as-is — the
+    order-free fixpoint of the reference indexer's incremental UPPER↔lower
+    merging (indexer.py:44-62);
+* query-term casing fallback: lower form if indexed, else upper, else drop
+  (ranker.get_correct_term, ranker.py:7-16);
+* scoring accumulation in lexicographic query-term order, float64, with an
+  explicit (score desc, doc_id asc) tiebreak (SURVEY.md §2.6 R4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from searchengine_spark.functions.codec import bm25_idf, bm25_tf_part
+from searchengine_spark.functions.tokenizer import tokenize
+
+
+class OracleIndex:
+    def __init__(self, corpus: pd.DataFrame):
+        corpus = corpus.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+        self.corpus = corpus
+        docs = [tokenize(c) for c in corpus["content"]]
+        lower_vocab = {t for d in docs for t in d if t == t.lower()}
+        self.folded = []
+        for d in docs:
+            out: dict = {}
+            for t, tf in d.items():
+                lo = t.lower()
+                canon = lo if lo in lower_vocab else t
+                out[canon] = out.get(canon, 0) + tf
+            self.folded.append(out)
+        self.n_docs = len(docs)
+        self.dl = np.array([sum(d.values()) for d in self.folded], dtype=np.int64)
+        self.avgdl = float(self.dl.sum()) / self.n_docs if self.n_docs else 0.0
+        self.df: dict = {}
+        self.cf: dict = {}
+        for d in self.folded:
+            for t, tf in d.items():
+                self.df[t] = self.df.get(t, 0) + 1
+                self.cf[t] = self.cf.get(t, 0) + tf
+        # postings: term -> (doc_ids array, tfs array), doc_id-sorted
+        tmp: dict = {}
+        for doc_id, d in enumerate(self.folded):
+            for t, tf in d.items():
+                tmp.setdefault(t, []).append((doc_id, tf))
+        self.postings = {
+            t: (
+                np.array([p[0] for p in plist], dtype=np.int64),
+                np.array([p[1] for p in plist], dtype=np.int64),
+            )
+            for t, plist in tmp.items()
+        }
+
+    def fold_query(self, query: str) -> dict:
+        """Tokenize + casing fallback vs the index vocabulary
+        (ranker.py:7-16: lower first, then upper, else drop)."""
+        out: dict = {}
+        for t, qtf in tokenize(query).items():
+            lo, up = t.lower(), t.upper()
+            canon = lo if lo in self.df else up if up in self.df else None
+            if canon is not None:
+                out[canon] = out.get(canon, 0) + qtf
+        return out
+
+    def search(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Exact BM25 top-k → DataFrame(doc_id, score), tiebreak doc_id asc."""
+        q = self.fold_query(query)
+        if not q:
+            return pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "score": []})
+        scores = np.zeros(self.n_docs, dtype=np.float64)
+        seen = np.zeros(self.n_docs, dtype=bool)
+        for t in sorted(q):  # fixed lexicographic accumulation order
+            qtf = q[t]
+            ids, tfs = self.postings[t]
+            idf = float(bm25_idf(self.df[t], self.n_docs))
+            contrib = qtf * idf * bm25_tf_part(tfs, self.dl[ids], self.avgdl)
+            scores[ids] += contrib
+            seen[ids] = True
+        cand = np.flatnonzero(seen)
+        order = np.lexsort((cand, -scores[cand]))[:k]
+        top = cand[order]
+        return pd.DataFrame({"doc_id": top.astype(np.int64), "score": scores[top]})

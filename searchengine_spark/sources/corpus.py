@@ -1,0 +1,163 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1).
+
+The engine's primary input per BASELINE.json ``input_hint``: a table of
+source-code repositories with columns ``(repo, path, commit, lang,
+content)``. In production this is an Iceberg table; in this sandbox (no
+iceberg-runtime jar ships with pyspark) the same schema is materialized as
+parquet behind a format flag — the engine only consumes a DataFrame, so the
+catalog is a config switch (SURVEY.md §7 M0).
+
+Every row is a pure function of (seed, row index): generation is
+partition-order independent, so the Spark path (``spark.range`` →
+``mapInPandas``) and the local pandas path produce byte-identical corpora —
+that is what makes the per-row ``sha256(content)`` invariant against the
+oracle checkable.
+
+Content deliberately exercises every tokenizer branch (SURVEY.md §2.2
+P2–P11: numbers like ``$3,500,000``/``35%``/``1.5``, CapitalizedPhrases,
+``#CamelCase_tags``, ``@mentions``, URLs, stop words) and carries a heavy
+tail: ~20 code keywords appear in >80% of docs (exercises high-DF skew
+splitting), while long-tail identifiers are rare.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+
+LANG_OF_EXT = {"py": "python", "java": "java", "c": "c", "md": "markdown", "txt": "text"}
+EXTS = list(LANG_OF_EXT)
+
+# >80%-of-docs head vocabulary (code keywords / stop-like tokens)
+HEAD = [
+    "def", "return", "class", "import", "self", "value", "data", "result",
+    "index", "node", "key", "list", "item", "count", "size", "next",
+    "first", "last", "flag", "state",
+]
+
+TAIL_IDENT = [
+    "tokenizer", "posting", "shard", "varint", "lexicon", "scorer", "merger",
+    "heap", "cursor", "segment", "manifest", "compressor", "pipeline",
+    "bucket", "replica", "wand", "quantile", "digest", "spill", "fanout",
+    "codec", "payload", "offset", "stride", "vector", "window", "batch",
+    "buffer", "column", "stripe", "footer", "header", "schema", "catalog",
+]
+
+PHRASES = [
+    "Apache Spark", "Block Max Wand", "Inverted Index", "Query Engine",
+    "South Korea", "United States", "New York City", "Machine Learning",
+    "Open Source", "Pull Request",
+]
+
+NUMBERS = [
+    "$3,500,000", "35%", "1.5", "140,000", "297", "5,000", "$5", "7%",
+    "1,000,000", "42", "2.5 million", "90% sure", "$12", "100$",
+]
+
+HASHTAGS = ["#BigData", "#spark_sql", "#CamelCase_tag", "#ml", "#OpenSource"]
+MENTIONS = ["@committer", "@reviewer:", "@bot", "@Maintainer"]
+URLS = ["https://t.co/abc123", "https://example.com/docs", "https://github.com/org/repo"]
+STOPS = ["the", "and", "of", "to", "in", "is", "for", "with", "on", "at"]
+
+
+def _content(rng: random.Random, n_tokens: int) -> str:
+    toks = []
+    while len(toks) < n_tokens:
+        r = rng.random()
+        if r < 0.45:
+            toks.append(rng.choice(HEAD))
+        elif r < 0.65:
+            toks.append(rng.choice(TAIL_IDENT) + (str(rng.randint(0, 30)) if rng.random() < 0.3 else ""))
+        elif r < 0.75:
+            toks.append(rng.choice(STOPS))
+        elif r < 0.82:
+            toks.extend(rng.choice(PHRASES).split())
+        elif r < 0.89:
+            toks.append(rng.choice(NUMBERS))
+        elif r < 0.93:
+            toks.append(rng.choice(HASHTAGS))
+        elif r < 0.96:
+            toks.append(rng.choice(MENTIONS))
+        else:
+            toks.append(rng.choice(URLS))
+        if rng.random() < 0.12:
+            toks.append("\n")
+    return " ".join(toks[:n_tokens])
+
+
+def make_row(seed: int, i: int) -> dict:
+    """Pure function of (seed, i) → one corpus row."""
+    rng = random.Random(f"{seed}:{i}")
+    repo = f"org{i % 7}/repo{i % 97}"
+    ext = rng.choice(EXTS)
+    path = f"src/dir{rng.randint(0, 19)}/file{i}.{ext}"
+    commit = hashlib.sha1(f"{seed}:{repo}".encode()).hexdigest()
+    if i % 211 == 0:  # a few empty docs
+        content = ""
+    elif i % 197 == 0:  # a few giant docs
+        content = _content(rng, 4000)
+    else:
+        content = _content(rng, rng.randint(50, 400))
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": LANG_OF_EXT[ext],
+        "content": content,
+    }
+
+
+def corpus_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Local pandas corpus (oracle input)."""
+    return pd.DataFrame([make_row(seed, i) for i in range(n)])
+
+
+def corpus_df(spark, n: int, seed: int = 42, partitions: int = 8):
+    """Distributed corpus: spark.range → mapInPandas over the same pure
+    row function; identical bytes to corpus_pdf for any partitioning."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for b in batches:
+            yield pd.DataFrame([make_row(seed, int(i)) for i in b["id"]])
+
+    return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema)
+
+
+# FIXTURES.md F3 — the reference query set: single/multi-term, numbers,
+# capitalized phrase, hashtag, mention, stop-words-only (→ empty result,
+# search_engine.py:133-134), and out-of-vocabulary terms.
+REFERENCE_QUERIES = [
+    "tokenizer",
+    "def return",
+    "posting shard merge",
+    "Apache Spark",
+    "United States",
+    "$3,500,000",
+    "35%",
+    "140,000",
+    "#CamelCase_tag",
+    "@committer",
+    "the and of",
+    "zzz_out_of_vocabulary",
+    "varint codec block",
+    "Machine Learning pipeline",
+    "RT @reviewer: scorer heap",
+    "index",
+    "value data result count",
+    "New York City",
+    "wand scorer 42",
+    "segment manifest spill fanout cursor",
+]

@@ -1,0 +1,50 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from pyspark.sql import SparkSession
+
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("searchengine-spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def small_corpus_pdf():
+    from searchengine_spark.sources.corpus import corpus_pdf
+
+    return corpus_pdf(1000, seed=42)
+
+
+@pytest.fixture(scope="session")
+def oracle_1k(small_corpus_pdf):
+    from searchengine_spark.plans.oracle import OracleIndex
+
+    return OracleIndex(small_corpus_pdf)
+
+
+@pytest.fixture(scope="session")
+def index_1k(spark, tmp_path_factory):
+    """Build the 1k-doc index once per session; returns its directory."""
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("index1k"))
+    docs = corpus_df(spark, 1000, seed=42, partitions=6)
+    build_index(spark, docs, d, range_width=128, n_groups=3)
+    return d

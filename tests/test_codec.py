@@ -1,0 +1,67 @@
+"""Property tests for posting codecs (SURVEY.md §5.2, FIXTURES.md F5)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.functions.codec import (
+    bm25_tf_part,
+    delta_decode,
+    delta_encode,
+    pack_blocks,
+    unpack_block,
+    varint_decode,
+    varint_encode,
+)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), max_size=2000)
+)
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(arr), len(arr)), arr)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=500)
+)
+@settings(max_examples=100, deadline=None)
+def test_delta_roundtrip(vals):
+    ids = np.array(sorted(set(vals)), dtype=np.uint64)
+    assert np.array_equal(delta_decode(delta_encode(ids)), ids)
+
+
+def test_varint_edge_sizes():
+    for arr in (
+        np.zeros(0, np.uint64),
+        np.array([0], np.uint64),
+        np.array([127, 128, 16383, 16384, 2**35, 2**63 - 1], np.uint64),
+        np.arange(10**4, dtype=np.uint64) * 3571,
+    ):
+        assert np.array_equal(varint_decode(varint_encode(arr), len(arr)), arr)
+
+
+def test_block_roundtrip_and_blockmax_invariant():
+    rng = np.random.default_rng(7)
+    n = 1000
+    doc_ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.uint64)
+    tfs = rng.integers(1, 50, n).astype(np.uint64)
+    dls = rng.integers(1, 400, n).astype(np.uint64)
+    avgdl = 123.4
+    blocks = list(pack_blocks(doc_ids, tfs, dls, avgdl))
+    assert sum(b["n"] for b in blocks) == n
+    out_ids, out_tfs, out_dls = [], [], []
+    for b in blocks:
+        ids, t, d = unpack_block(b["gaps"], b["tfs"], b["dls"], b["n"])
+        assert ids[0] == b["first_doc"] and ids[-1] == b["last_doc"]
+        # block-max dominates every member's idf-free score exactly
+        assert (bm25_tf_part(t, d, avgdl) <= b["block_max_tf"] + 0).all()
+        assert np.isclose(bm25_tf_part(t, d, avgdl).max(), b["block_max_tf"])
+        out_ids.append(ids)
+        out_tfs.append(t)
+        out_dls.append(d)
+    assert np.array_equal(np.concatenate(out_ids), doc_ids)
+    assert np.array_equal(np.concatenate(out_tfs), tfs)
+    assert np.array_equal(np.concatenate(out_dls), dls)

@@ -1,0 +1,88 @@
+"""Index-build correctness vs the single-process oracle (SURVEY.md §5.2/§5.4)."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_corpus_generation_deterministic(spark, small_corpus_pdf):
+    """Spark corpus == pandas corpus byte-for-byte (sha256 per row)."""
+    from searchengine_spark.sources.corpus import corpus_df
+
+    sdf = corpus_df(spark, 1000, seed=42, partitions=7).toPandas()
+    sdf = sdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pdf = small_corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(sdf, pdf)
+
+
+def test_scalars_match_oracle(spark, index_1k, oracle_1k):
+    from searchengine_spark.plans.manifest import Manifest
+
+    s = Manifest(index_1k).scalars
+    assert s["n_docs"] == oracle_1k.n_docs == 1000
+    assert s["n_tokens"] == int(oracle_1k.dl.sum())
+    assert abs(s["avgdl"] - oracle_1k.avgdl) < 1e-12
+    assert s["n_terms"] == len(oracle_1k.df)
+
+
+def test_doc_map_sha_integrity(spark, index_1k, oracle_1k):
+    """Per-row content sha256 equality vs oracle corpus (input_hint invariant)."""
+    import hashlib
+
+    dm = spark.read.parquet(f"{index_1k}/doc_map").orderBy("doc_id").toPandas()
+    assert len(dm) == 1000
+    assert dm["doc_id"].tolist() == list(range(1000))
+    expected = [
+        hashlib.sha256(c.encode()).hexdigest() for c in oracle_1k.corpus["content"]
+    ]
+    assert dm["content_sha256"].tolist() == expected
+    # dense rank over (repo, path, commit): doc_map must be key-sorted by id
+    keys = list(zip(dm["repo"], dm["path"], dm["commit"]))
+    assert keys == sorted(keys)
+
+
+def test_doc_stats_match_oracle(spark, index_1k, oracle_1k):
+    ds = spark.read.parquet(f"{index_1k}/doc_stats").orderBy("doc_id").toPandas()
+    nonempty = {i for i, d in enumerate(oracle_1k.folded) if d}
+    assert set(ds["doc_id"]) == nonempty
+    for doc_id, dl, n_distinct, max_f in ds.itertuples(index=False):
+        d = oracle_1k.folded[doc_id]
+        assert dl == sum(d.values())
+        assert n_distinct == len(d)
+        assert max_f == max(d.values())
+
+
+def test_term_dict_matches_oracle(spark, index_1k, oracle_1k):
+    td = spark.read.parquet(f"{index_1k}/term_dict").toPandas()
+    got_df = dict(zip(td["term"], td["df"]))
+    got_cf = dict(zip(td["term"], td["cf"]))
+    assert got_df == oracle_1k.df
+    assert got_cf == oracle_1k.cf
+
+
+def test_postings_roundtrip_match_oracle(spark, index_1k, oracle_1k):
+    """Decoded postings == oracle postings for every term (full equality)."""
+    from searchengine_spark.functions.codec import unpack_block
+
+    posts = spark.read.parquet(f"{index_1k}/postings").toPandas()
+    by_term: dict = {}
+    for row in posts.itertuples(index=False):
+        ids, tfs, _dls = unpack_block(row.gaps, row.tfs, row.dls, row.n)
+        by_term.setdefault(row.term, []).append((row.first_doc, ids, tfs))
+    assert set(by_term) == set(oracle_1k.postings)
+    for term, chunks in by_term.items():
+        chunks.sort(key=lambda c: c[0])
+        ids = np.concatenate([c[1] for c in chunks]).astype(np.int64)
+        tfs = np.concatenate([c[2] for c in chunks]).astype(np.int64)
+        oids, otfs = oracle_1k.postings[term]
+        assert np.array_equal(ids, oids), term
+        assert np.array_equal(tfs, otfs), term
+
+
+def test_case_folding(spark, index_1k, oracle_1k):
+    """No term may remain UPPER if its lowercase twin is indexed."""
+    td = spark.read.parquet(f"{index_1k}/term_dict").toPandas()
+    vocab = set(td["term"])
+    for t in vocab:
+        if t != t.lower():
+            assert t.lower() not in vocab, t

@@ -1,0 +1,34 @@
+"""End-to-end BM25 rank-identity vs the oracle (BASELINE.md headline gate):
+top-10 docIDs identical AND scores equal to 1e-9 on the reference query set,
+for both the chunked block-max WAND scorer and the join-based scorer."""
+
+import numpy as np
+import pytest
+
+from searchengine_spark.operators.wand import search, search_join
+from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+
+@pytest.mark.parametrize("query", REFERENCE_QUERIES)
+def test_wand_rank_identity(spark, index_1k, oracle_1k, query):
+    golden = oracle_1k.search(query, k=10)
+    got = search(spark, index_1k, query, k=10).toPandas()
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+    assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+def test_join_scorer_agrees_with_wand(spark, index_1k, oracle_1k):
+    for query in ["def return", "posting shard merge", "Apache Spark", "index"]:
+        golden = oracle_1k.search(query, k=10)
+        got = search_join(spark, index_1k, query, k=10).toPandas()
+        assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+def test_stopword_only_query_empty(spark, index_1k):
+    # search_engine.py:133-134 — empty parsed query → no results
+    assert search(spark, index_1k, "the and of", k=10).count() == 0
+
+
+def test_out_of_vocabulary_empty(spark, index_1k):
+    assert search(spark, index_1k, "zzz_out_of_vocabulary", k=10).count() == 0
