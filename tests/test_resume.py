@@ -1,0 +1,59 @@
+"""Checkpoint/resume: the build must skip committed stages/partition groups
+and rebuild only what's missing, producing an identical index (SURVEY.md §5.5)."""
+
+import os
+import shutil
+
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.wand import search
+from searchengine_spark.plans.manifest import Manifest
+from searchengine_spark.sources.corpus import corpus_df
+
+
+def _mtimes(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            p = os.path.join(root, f)
+            out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_resume_skips_committed_groups(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    docs = corpus_df(spark, 400, seed=7, partitions=4)
+    build_index(spark, docs, d, range_width=64, n_groups=3)
+    golden = search(spark, d, "def return posting", k=10).toPandas()
+
+    # wipe one postings group + its manifest entry (simulated mid-build crash)
+    man = Manifest(d)
+    del man.data["posting_groups"]["1"]
+    man.save()
+    shutil.rmtree(f"{d}/postings/grp=1")
+
+    before = _mtimes(f"{d}/postings/grp=0") | _mtimes(f"{d}/postings/grp=2")
+    before_stage = _mtimes(f"{d}/doc_terms") | _mtimes(f"{d}/term_dict")
+
+    build_index(spark, corpus_df(spark, 400, seed=7, partitions=4), d, n_groups=3)
+
+    # untouched groups and completed stages were NOT rebuilt
+    assert _mtimes(f"{d}/postings/grp=0") | _mtimes(f"{d}/postings/grp=2") == before
+    assert _mtimes(f"{d}/doc_terms") | _mtimes(f"{d}/term_dict") == before_stage
+    assert Manifest(d).group_done(1)
+
+    # rebuilt index answers identically
+    got = search(spark, d, "def return posting", k=10).toPandas()
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist()
+    assert got["score"].tolist() == golden["score"].tolist()
+
+
+def test_full_rerun_is_noop(spark, tmp_path):
+    d = str(tmp_path / "idx2")
+    docs = corpus_df(spark, 200, seed=11, partitions=3)
+    build_index(spark, docs, d, range_width=64, n_groups=2)
+    before = _mtimes(d)
+    del before[f"{d}/manifest.json"]
+    build_index(spark, corpus_df(spark, 200, seed=11, partitions=3), d, n_groups=2)
+    after = _mtimes(d)
+    del after[f"{d}/manifest.json"]
+    assert after == before
