@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the real engine end-to-end (index build over the sf0.001
+``documents`` table with the reference-faithful tokenizer, then a BM25
+block-max-WAND search). ``queries()``/``oracle_sql()`` expose every
+SQL-checkable operator from SURVEY.md §2 plus the training-data-pipeline
+extensions (dedup, similarity search, text analysis); implementations live
+in ``searchengine_spark.plans.driver_queries``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents (treated as
+    the code-corpus ``content`` column) and answer a BM25 top-10 query."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+    )
+    index_dir = os.path.join(tempfile.gettempdir(), "se_spark_smoke_idx")
+    build_index(spark, docs, index_dir, range_width=128, n_groups=2)
+    return search(spark, index_dir, "fast key order", k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from searchengine_spark.plans.driver_queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from searchengine_spark.plans.driver_queries import ORACLES
+
+    return dict(ORACLES)

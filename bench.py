@@ -1,0 +1,103 @@
+"""Benchmark harness (driver contract): runs the engine's headline work at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Headline set: full inverted-index build over the documents table with the
+reference-faithful tokenizer (the north-star metric is build docs/sec),
+three block-max-WAND BM25 searches, and the main driver queries (dedup,
+similarity, text stats, relational aggregates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("searchengine-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search
+    from searchengine_spark.plans.driver_queries import QUERIES
+    from searchengine_spark.plans.manifest import Manifest
+
+    timings: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- headline: index build over documents (fresh, no resume) ----------
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+    )
+    index_dir = os.path.join(tempfile.gettempdir(), "se_spark_bench_idx")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    timed("index_build", lambda: build_index(spark, docs, index_dir, n_groups=2))
+    n_docs = Manifest(index_dir).scalars["n_docs"]
+
+    for i, q in enumerate(["fast key order", "slow merge", "customer query value data"]):
+        timed(f"bm25_search_{i}", lambda q=q: search(spark, index_dir, q, k=10).collect())
+
+    bench_queries = [
+        "doc_terms", "term_dict", "bm25_topk", "exact_dedup",
+        "minhash_signatures", "near_dup_jaccard", "simhash", "text_quality",
+        "language_id", "ann_cosine_topk", "lineitem_pricing", "top_customers",
+        "events_hourly",
+    ]
+    for name in bench_queries:
+        timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_plus_queries_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "docs_per_sec_build": round(n_docs / timings["index_build"], 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

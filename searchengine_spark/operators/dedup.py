@@ -1,0 +1,205 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are declarative DataFrame ops (JVM/whole-stage-codegen); the
+only hashing primitive is a deterministic 32-bit integer derived from an
+md5 prefix, chosen because the exact same bytes are computable in any ANSI
+SQL engine (the DuckDB oracle uses ``('0x'||substr(md5(x),1,8))::BIGINT``)
+— no engine-specific hash functions, so results are portable and checkable.
+
+Scale notes (100 TB corpus):
+* exact dedup: one hash-aggregate on a 16-byte digest — shuffle is by
+  digest, uniformly distributed, no skew.
+* minhash: explode to (doc, distinct term) then ``groupBy(doc)`` min-agg
+  per permutation — map-side partial min keeps the shuffle at one row per
+  doc per permutation.
+* LSH banding: band signature = hash of the band's minhashes; candidate
+  pairs come from a self-join on (band, signature) — bucket sizes are the
+  only skew source; near-identical boilerplate docs can flood one bucket,
+  so the join is guarded by a per-bucket size cap (``max_bucket``),
+  dropping degenerate buckets instead of letting one task own n² pairs.
+* n-gram Jaccard: candidate pairs restricted to pairs sharing a *rare*
+  term (df ≤ rare_df_max) — the frequent-term n² explosion never enters
+  the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_int(col, salt: str):
+    """Deterministic 32-bit int hash shared with the SQL oracle."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def tokens(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Simple analysis tokenizer (lower + non-alnum split), SQL-portable."""
+    return (
+        df.select(
+            id_col,
+            F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup → (content_hash, canonical_id, dup_count)."""
+    return (
+        df.select(id_col, F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc minhash over the distinct-unigram shingle set.
+
+    Output: (doc_id, minhash_0..minhash_{n-1}). Permutation i is the salted
+    hash family h_i(t) = md5_int('mh{i}:' || t).
+    """
+    toks = tokens(df, id_col, text_col).distinct()
+    aggs = [
+        F.min(md5_int(F.col("term"), f"mh{i}:")).alias(f"minhash_{i}")
+        for i in range(n_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any band of minhashes.
+
+    shingle → minhash → band → bucket self-join (SURVEY-extension dedup op).
+    Returns (doc_a, doc_b, n_bands_matched), doc_a < doc_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(df, n_hashes, id_col, text_col)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"minhash_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
+    ).select(id_col, "bs.band", "bs.sig")
+    # guard degenerate buckets (boilerplate floods) before the n² self-join
+    sizes = banded.groupBy("band", "sig").count().where(F.col("count") <= max_bucket)
+    banded = banded.join(sizes.select("band", "sig"), ["band", "sig"], "left_semi")
+    a = banded.withColumnRenamed(id_col, "doc_a")
+    b = banded.withColumnRenamed(id_col, "doc_b")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_bands_matched"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    rare_df_max: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact unigram-set Jaccard for pairs sharing a rare term.
+
+    Candidate generation by rare-term co-occurrence (df ≤ rare_df_max)
+    bounds the self-join fanout: a term shared by d docs contributes
+    ≤ d(d-1)/2 ≤ rare_df_max² pairs. Returns (doc_a, doc_b, jaccard≥θ).
+    """
+    toks = tokens(df, id_col, text_col).distinct()
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_terms"))
+    rare = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= rare_df_max)
+        .where(F.col("df") >= 2)
+    )
+    rt = toks.join(rare.select("term"), "term", "left_semi")
+    pairs = (
+        rt.alias("x")
+        .join(rt.alias("y"), "term")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    inter = (
+        toks.alias("x")
+        .join(toks.alias("y"), "term")
+        .join(
+            pairs,
+            (F.col(f"x.{id_col}") == F.col("doc_a"))
+            & (F.col(f"y.{id_col}") == F.col("doc_b")),
+            "left_semi",
+        )
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .groupBy(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_terms", "na")
+    sb = sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_terms", "nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """tf-weighted simhash over ``bits`` bits of the term hash.
+
+    Bit b of the fingerprint is 1 iff Σ_t tf(t)·(±1 by bit b of h(t)) > 0.
+    """
+    tf = tokens(df, id_col, text_col).groupBy(id_col, "term").agg(
+        F.count("*").alias("tf")
+    )
+    h = tf.withColumn("h", md5_int(F.col("term"), "sim:"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = h.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return sums.select(id_col, fp.cast("long").alias("simhash"))

@@ -1,0 +1,82 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+* :func:`cosine_topk` — exact brute-force cosine top-k, fully declarative
+  (``aggregate``/``zip_with`` array expressions, JVM-side, codegen). The
+  correctness baseline; at 100 TB it is one narrow scan + TakeOrdered(k),
+  embarrassingly parallel, no shuffle.
+* :func:`lsh_cosine_topk` — random-hyperplane (sign) LSH: deterministic
+  seeded hyperplanes, bucket by signature, probe only the query's bucket
+  (optionally multi-probe by Hamming-1 neighbors), exact re-rank inside
+  the candidate set. The scale path: candidate set shrinks by ~2^bits.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector → (vec_id, cos)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    cos = F.round(
+        _dot(F.col(vec_col), q) / (F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.lit(qn)),
+        6,
+    )
+    return (
+        emb.select(id_col, cos.alias("cos"))
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 1234) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((bits, dim))
+
+
+def lsh_signature_col(vec_col, planes: np.ndarray):
+    """Sign-LSH signature as an int column: bit i = 1 iff v·p_i > 0."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        sig = sig + F.when(_dot(vec_col, plane) > 0, F.lit(1 << i)).otherwise(0)
+    return sig
+
+
+def lsh_cosine_topk(
+    emb: DataFrame,
+    query_vec: list,
+    k: int = 20,
+    bits: int = 8,
+    seed: int = 1234,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: probe the query's LSH bucket (+Hamming-1
+    neighbors when multiprobe), exact re-rank inside. → (vec_id, cos)."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
+    probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
+    bucketed = emb.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
+    cands = bucketed.where(F.col("_sig").isin(probes))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)

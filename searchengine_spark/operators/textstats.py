@@ -1,0 +1,86 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All pure DataFrame expressions (JVM-side,
+whole-stage codegen; zero Python in the hot path) so they hold at 100 TB
+and are reproducible by the ANSI-SQL oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.dedup import tokens
+
+# tiny marker sets per language for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se"],
+    "de": ["der", "die", "und", "das", "ein", "zu", "nicht", "mit"],
+    "fr": ["le", "les", "et", "des", "une", "est", "pour", "dans"],
+}
+LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic tie order
+
+EN_STOP = LANG_MARKERS["en"]
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, avg_token_len, stop_ratio, quality).
+
+    quality = distinct_ratio * (1 - stop_ratio): a cheap fluency/diversity
+    proxy of the kind used to filter web-scale training corpora.
+    """
+    t = tokens(df, id_col, text_col)
+    stats = t.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.countDistinct("term").cast("long").alias("n_distinct"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("term").isin(EN_STOP), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("stop_ratio"),
+    )
+    return stats.withColumn(
+        "quality",
+        F.round((F.col("n_distinct") / F.col("n_tokens")) * (1 - F.col("stop_ratio")), 6),
+    )
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-token counts,
+    ties broken by LANG_ORDER, no markers → 'und'. (doc_id, pred_lang)."""
+    t = tokens(df, id_col, text_col)
+    aggs = [
+        F.sum(F.when(F.col("term").isin(LANG_MARKERS[lang]), 1).otherwise(0)).alias(
+            f"c_{lang}"
+        )
+        for lang in LANG_ORDER
+    ]
+    counts = t.groupBy(id_col).agg(*aggs)
+    best = F.greatest(*[F.col(f"c_{lang}") for lang in LANG_ORDER])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:  # first language hitting the max wins
+        pred = pred.when(F.col(f"c_{lang}") == best, F.lit(lang))
+    return counts.select(id_col, pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized 64-bit content fingerprint (doc_id, fp)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " ")
+    return df.select(id_col, F.substring(F.md5(norm), 1, 16).alias("fp"))
+
+
+def token_count_bpe_ish(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Approximate LLM-token count: whitespace tokens, plus a BPE-ish count
+    where letter runs are one token, digits split per character, and each
+    punctuation mark counts alone (the common BPE digit/punct behavior).
+    (doc_id, n_ws_tokens, n_subword_tokens). Pattern avoids lookaheads so
+    the RE2-based SQL oracle matches byte-for-byte."""
+    ws = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != ""))
+    sub = F.size(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+|[0-9]|[^a-z0-9 ]"), F.lit(0))
+    )
+    return df.select(
+        id_col,
+        ws.cast("long").alias("n_ws_tokens"),
+        sub.cast("long").alias("n_subword_tokens"),
+    )

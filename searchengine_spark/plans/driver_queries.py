@@ -1,0 +1,428 @@
+"""Driver-contract queries: every SURVEY.md §2 operator family expressed
+over the provisioned testdata tables, each with a DuckDB-runnable ANSI-SQL
+oracle producing identical column names, types, and (rounded) values.
+
+Text queries use the *analysis* tokenizer (lower + split on non-alnum) so
+the oracle is SQL-expressible; the reference-faithful tokenizer is instead
+golden-tested in pytest (tests/test_tokenizer.py) and drives the real
+engine (tests/test_rank_identity.py), whose semantics aren't ANSI-SQL.
+
+Conventions keeping Spark and DuckDB hash-identical:
+* every aggregate/computed column aliased the same on both sides;
+* float results rounded to 6 dp on both sides;
+* BIGINT casts on aggregates (DuckDB SUM would widen to HUGEINT);
+* top-k queries carry a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import dedup, similarity, textstats
+
+K1, B = 1.2, 0.75
+QTERMS = ["fast", "key", "order"]  # fixed query for BM25/intersection entries
+MINHASHES = 4
+SIMHASH_BITS = 16
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+SQL_TOKENS = (
+    "SELECT doc_id, term FROM ("
+    "SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term"
+    " FROM documents) WHERE term <> ''"
+)
+SQL_DOC_TERMS = (
+    f"SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ({SQL_TOKENS}) "
+    "GROUP BY doc_id, term"
+)
+_QLIST = ",".join(f"'{t}'" for t in QTERMS)
+
+
+def _md5int_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_terms(spark, sf_dir):
+    """A1: per-doc term frequency (parser_module.py:311-317 as groupBy)."""
+    return (
+        dedup.tokens(_docs(spark, sf_dir))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    """A2: doc length / distinct terms / max tf (indexer.py:36-41)."""
+    return q_doc_terms(spark, sf_dir).groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("tf").cast("long").alias("max_f"),
+    )
+
+
+def q_term_dict(spark, sf_dir):
+    """A3/A5: per-term document frequency and corpus frequency."""
+    return q_doc_terms(spark, sf_dir).groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def q_tfidf(spark, sf_dir):
+    """A7: reference tf-idf (tf/n_distinct · log2(N/df), search_engine.py:18-35)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dt = q_doc_terms(spark, sf_dir)
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "n_distinct")
+    td = q_term_dict(spark, sf_dir).select("term", "df")
+    return (
+        dt.join(stats, "doc_id")
+        .join(td, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("tf") / F.col("n_distinct")) * F.log2(F.lit(float(n)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """R1-R4 as BM25 top-20 for the fixed query, declarative join plan."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dt = q_doc_terms(spark, sf_dir)
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
+    avgdl = stats.agg(F.avg("dl")).collect()[0][0]
+    td = q_term_dict(spark, sf_dir).select("term", "df")
+    contrib = (
+        dt.where(F.col("term").isin(QTERMS))
+        .join(stats, "doc_id")
+        .join(F.broadcast(td), "term")
+        .withColumn(
+            "c",
+            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_candidates(spark, sf_dir):
+    """J2: k-of-n posting intersection (searcher.py:30-61) — docs holding
+    ≥2 of the query terms, with match count."""
+    return (
+        q_doc_terms(spark, sf_dir)
+        .where(F.col("term").isin(QTERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .where(F.col("n_matched") >= 2)
+    )
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+
+def q_minhash(spark, sf_dir):
+    return dedup.minhash_signatures(_docs(spark, sf_dir), n_hashes=MINHASHES)
+
+
+def q_near_dup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), rare_df_max=3, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
+
+
+def q_text_quality(spark, sf_dir):
+    return textstats.token_stats(_docs(spark, sf_dir))
+
+
+def q_langid(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir):
+    return textstats.token_count_bpe_ish(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.cosine_topk(emb, qvec, k=20)
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    """Join + agg + top-k: highest-revenue customers."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 6).alias("revenue"),
+            F.count("*").cast("long").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def q_customer_best_order(spark, sf_dir):
+    """Window function: each customer's single largest order."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice"), 6).alias("best_price"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-windowed aggregation over the event stream (batch shape of the
+    streaming pipeline in searchengine_spark.streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+QUERIES = {
+    "doc_terms": q_doc_terms,
+    "doc_stats": q_doc_stats,
+    "term_dict": q_term_dict,
+    "tfidf": q_tfidf,
+    "bm25_topk": q_bm25_topk,
+    "candidates_k_of_n": q_candidates,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signatures": q_minhash,
+    "near_dup_jaccard": q_near_dup_jaccard,
+    "simhash": q_simhash,
+    "text_quality": q_text_quality,
+    "language_id": q_langid,
+    "fingerprint": q_fingerprint,
+    "token_counts": q_token_counts,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "lineitem_pricing": q_lineitem_pricing,
+    "top_customers": q_top_customers,
+    "customer_best_order": q_customer_best_order,
+    "events_hourly": q_events_hourly,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _simhash_sql() -> str:
+    h = _md5int_sql("'sim:' || term")
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN (h >> {b}) & 1 = 1 THEN tf ELSE -tf END) AS BIGINT) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))
+    return (
+        f"SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM ("
+        f"SELECT doc_id, {sums} FROM ("
+        f"SELECT doc_id, term, tf, {h} AS h FROM ({SQL_DOC_TERMS})"
+        f") GROUP BY doc_id)"
+    )
+
+
+def _langid_sql() -> str:
+    counts = ", ".join(
+        "sum(CASE WHEN term IN ({}) THEN 1 ELSE 0 END) AS c_{}".format(
+            ",".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang]), lang
+        )
+        for lang in textstats.LANG_ORDER
+    )
+    best = "greatest(" + ", ".join(f"c_{l}" for l in textstats.LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN c_{l} = {best} THEN '{l}'" for l in textstats.LANG_ORDER
+    )
+    return (
+        f"SELECT doc_id, CASE WHEN {best} = 0 THEN 'und' {whens} END AS pred_lang "
+        f"FROM (SELECT doc_id, {counts} FROM ({SQL_TOKENS}) GROUP BY doc_id)"
+    )
+
+
+ORACLES = {
+    "doc_terms": SQL_DOC_TERMS,
+    "doc_stats": (
+        f"SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl, CAST(count(*) AS BIGINT)"
+        f" AS n_distinct, CAST(max(tf) AS BIGINT) AS max_f FROM ({SQL_DOC_TERMS})"
+        " GROUP BY doc_id"
+    ),
+    "term_dict": (
+        f"SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT)"
+        f" AS cf FROM ({SQL_DOC_TERMS}) GROUP BY term"
+    ),
+    "tfidf": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " nd AS (SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents)"
+        " SELECT dt.doc_id, dt.term,"
+        " round((tf / CAST(n_distinct AS DOUBLE)) * log2(CAST(n.n AS DOUBLE) / df), 6) AS tfidf"
+        " FROM dt JOIN nd USING (doc_id) JOIN td USING (term) CROSS JOIN n"
+    ),
+    "bm25_topk": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+        f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+        ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+    ),
+    "candidates_k_of_n": (
+        f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched FROM ({SQL_DOC_TERMS})"
+        f" WHERE term IN ({_QLIST}) GROUP BY doc_id HAVING count(*) >= 2"
+    ),
+    "exact_dedup": (
+        "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id,"
+        " CAST(count(*) AS BIGINT) AS dup_count FROM documents GROUP BY md5(text)"
+    ),
+    "minhash_signatures": (
+        "SELECT doc_id, "
+        + ", ".join(
+            "min({h}) AS minhash_{i}".format(h=_md5int_sql(f"'mh{i}:' || term"), i=i)
+            for i in range(MINHASHES)
+        )
+        + f" FROM (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})) GROUP BY doc_id"
+    ),
+    "near_dup_jaccard": (
+        f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
+        " sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),"
+        " rare AS (SELECT term FROM toks GROUP BY term"
+        "          HAVING count(*) BETWEEN 2 AND 3),"
+        " rt AS (SELECT toks.* FROM toks JOIN rare USING (term)),"
+        " pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b"
+        "           FROM rt x JOIN rt y USING (term) WHERE x.doc_id < y.doc_id),"
+        " inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i"
+        "           FROM toks x JOIN toks y USING (term)"
+        "           JOIN pairs ON x.doc_id = pairs.doc_a AND y.doc_id = pairs.doc_b"
+        "           WHERE x.doc_id < y.doc_id GROUP BY 1, 2)"
+        " SELECT doc_a, doc_b, round(i / CAST(sa.n_terms + sb.n_terms - i AS DOUBLE), 6) AS jaccard"
+        " FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b"
+        " WHERE i / CAST(sa.n_terms + sb.n_terms - i AS DOUBLE) >= 0.5"
+    ),
+    "simhash": _simhash_sql(),
+    "text_quality": (
+        "SELECT doc_id, n_tokens, n_distinct, avg_token_len, stop_ratio,"
+        " round((n_distinct / CAST(n_tokens AS DOUBLE)) * (1 - stop_ratio), 6) AS quality"
+        " FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " CAST(count(DISTINCT term) AS BIGINT) AS n_distinct,"
+        " round(avg(length(term)), 6) AS avg_token_len,"
+        " round(sum(CASE WHEN term IN ({stops}) THEN 1 ELSE 0 END)"
+        "   / CAST(count(*) AS DOUBLE), 6) AS stop_ratio"
+        " FROM ({toks}) GROUP BY doc_id)"
+    ).format(stops=",".join(f"'{w}'" for w in textstats.EN_STOP), toks=SQL_TOKENS),
+    "language_id": _langid_sql(),
+    "fingerprint": (
+        "SELECT doc_id, substr(md5(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 16)"
+        " AS fp FROM documents"
+    ),
+    "token_counts": (
+        "SELECT doc_id,"
+        " CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)"
+        " AS n_ws_tokens,"
+        " CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9 ]')) AS BIGINT)"
+        " AS n_subword_tokens FROM documents"
+    ),
+    "ann_cosine_topk": (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+        " SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv)"
+        " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
+        " FROM embeddings CROSS JOIN q ORDER BY cos DESC, vec_id ASC LIMIT 20"
+    ),
+    "lineitem_pricing": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty,"
+        " round(sum(l_extendedprice), 6) AS sum_price,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,"
+        " round(avg(l_discount), 6) AS avg_disc,"
+        " CAST(count(*) AS BIGINT) AS count_order"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "top_customers": (
+        "SELECT c_custkey, c_name, round(sum(o_totalprice), 6) AS revenue,"
+        " CAST(count(*) AS BIGINT) AS n_orders"
+        " FROM orders JOIN customer ON o_custkey = c_custkey"
+        " GROUP BY c_custkey, c_name ORDER BY revenue DESC, c_custkey ASC LIMIT 10"
+    ),
+    "customer_best_order": (
+        "SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS best_price FROM ("
+        " SELECT *, row_number() OVER (PARTITION BY o_custkey"
+        " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)"
+        " WHERE rn = 1"
+    ),
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type,"
+        " CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value"
+        " FROM events GROUP BY 1, 2"
+    ),
+}

@@ -1,0 +1,54 @@
+"""Local replica of the driver's correctness gate: every queries() entry vs
+its DuckDB oracle on the provisioned testdata — row count, column names,
+dtypes-compatible values, exact after the shared 6-dp rounding."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from searchengine_spark.plans.driver_queries import ORACLES, QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    got = _normalize(QUERIES[name](spark, SF_DIR).toPandas())
+    want = _normalize(duck.sql(ORACLES[name]).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if pd.api.types.is_float_dtype(g):
+            assert np.allclose(g, w, atol=1e-9, rtol=0, equal_nan=True), f"{name}.{c}"
+            exact = (g.values == w.values) | (pd.isna(g.values) & pd.isna(w.values))
+            assert exact.all(), f"{name}.{c}: rounded floats differ (hash risk)"
+        else:
+            assert g.tolist() == w.tolist(), f"{name}.{c}"
