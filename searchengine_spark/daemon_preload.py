@@ -1,0 +1,37 @@
+"""Python-worker daemon with heavy imports preloaded before fork.
+
+PySpark forks one worker per concurrent task from ``pyspark.daemon``; each
+fresh worker then pays the full import cost of numpy / pandas / pyarrow and
+this package (~1.5 s each, multiplied by every core on every executor on a
+cold start — minutes of aggregate latency on a 1000-executor cluster, and
+the dominant cost of small benchmark runs).
+
+Importing those modules in the daemon *parent* process instead means every
+forked worker inherits the already-initialized modules through
+copy-on-write memory: cold-start cost is paid once per executor, not once
+per core.
+
+Enable with::
+
+    .config("spark.python.daemon.module", "searchengine_spark.daemon_preload")
+
+(the package must be importable by the executor Python — same requirement
+as any ``--py-files`` deployment). Used by ``session.py``, ``bench.py``
+and the spark-submit jobs.
+"""
+
+# Ordered roughly by import cost; all are worker-side imports the first
+# pandas-UDF task would otherwise trigger post-fork.
+import numpy  # noqa: F401
+import pandas  # noqa: F401
+import pyarrow  # noqa: F401
+import pyspark.sql.pandas.serializers  # noqa: F401  (worker Arrow path)
+import pyspark.worker  # noqa: F401
+
+import searchengine_spark.functions.codec  # noqa: F401
+import searchengine_spark.functions.tokenizer  # noqa: F401
+
+import pyspark.daemon
+
+if __name__ == "__main__":
+    pyspark.daemon.manager()

@@ -1,4 +1,4 @@
-"""Scalable dense doc-id assignment.
+"""Scalable dense doc-id assignment — JVM-only plan, no Python stage.
 
 The reference assigns doc ids from a single-process arrival-order counter
 (parser_module.py:14,385-387) — not reproducible under parallel execution.
@@ -6,34 +6,40 @@ Deterministic reformulation (SURVEY.md §7 hard-part 1): doc_id := dense rank
 over the natural key (repo, path, commit) ascending.
 
 A naive ``row_number() over (order by ...)`` collapses to ONE partition — a
-non-starter at 10^12 rows. Instead the classic two-pass scheme:
+non-starter at 10^12 rows. Instead the classic two-pass scheme, entirely in
+JVM expressions (no Python worker on this path):
 
 1. range-repartition + sort within partitions by the key (one shuffle,
-   contiguous ordered ranges per partition id),
-2. count rows per partition (cheap agg), prefix-sum the counts on the
-   driver (#partitions scalars, not rows),
-3. a stateful ``mapInPandas`` assigns ``offset[pid] + running_index``.
+   contiguous ordered key ranges per partition id),
+2. ``monotonically_increasing_id()`` = ``pid·2^33 + local_row`` gives a
+   dense 0-based row number *within* each sorted partition
+   (``mid − pid·2^33``),
+3. count rows per partition (cheap agg), prefix-sum the counts on the
+   driver (#partitions scalars, not rows), broadcast-join the offsets:
+   ``doc_id = offset[pid] + local_row``.
 
-Total cost: one range shuffle of the full rows + one lightweight count job.
+Total cost: one range shuffle of the full rows + one lightweight count job;
+the offset join is a broadcast hash join over #partitions rows.
 Deterministic under retries because every step is a pure function of the
-sorted order.
+sorted partition contents.
 """
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 DOC_KEY = ["repo", "path", "commit"]
+
+_PARTITION_SHIFT = 33  # monotonically_increasing_id(): pid << 33 | local row
 
 
 def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Return ``docs`` with a dense ``doc_id`` column (0..N-1) by key order.
 
-    The returned DataFrame is persisted (MEMORY_AND_DISK); caller unpersists.
+    The returned DataFrame is narrow over a persisted (MEMORY_AND_DISK)
+    shuffle result; call :func:`unpersist_doc_ids` when done.
     """
     spark = docs.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
@@ -41,34 +47,25 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
         docs.repartitionByRange(p, *[F.col(c) for c in DOC_KEY])
         .sortWithinPartitions(*DOC_KEY)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r["_pid"]: r["cnt"] for r in arranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in arranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += counts[pid]
-    b_offsets = spark.sparkContext.broadcast(offsets)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
 
-    out_schema = T.StructType(
-        [T.StructField("doc_id", T.LongType(), False)]
-        + [f for f in docs.schema.fields]
+    local_row = F.col("_mid") - F.shiftleft(F.col("_pid").cast("long"), _PARTITION_SHIFT)
+    out = (
+        arranged.join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + local_row).cast("long"))
+        .select("doc_id", *docs.columns)
     )
-
-    def assign(batches):
-        consumed = 0
-        start = None
-        for b in batches:
-            if len(b) == 0:
-                continue
-            if start is None:
-                start = b_offsets.value[int(b["_pid"].iloc[0])]
-            ids = np.arange(start + consumed, start + consumed + len(b), dtype=np.int64)
-            consumed += len(b)
-            b = b.drop(columns=["_pid"])
-            b.insert(0, "doc_id", ids)
-            yield b
-
-    out = arranged.mapInPandas(assign, out_schema)
     out._source_persisted = arranged  # handle for caller to unpersist
+    out._n_docs = acc  # total row count, already known from the offset pass
     return out

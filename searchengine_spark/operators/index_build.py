@@ -91,7 +91,7 @@ def build_index(
     if not man.stage_done("docs"):
         t0 = time.time()
         with_id = assign_doc_ids(docs)
-        n_docs = with_id._source_persisted.count()
+        n_docs = with_id._n_docs
         if range_width is None:
             target_ranges = max(4 * spark.sparkContext.defaultParallelism, n_groups)
             range_width = max(64, math.ceil(n_docs / target_ranges))

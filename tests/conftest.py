@@ -8,17 +8,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 @pytest.fixture(scope="session")
 def spark():
-    from pyspark.sql import SparkSession
+    from searchengine_spark.session import get_session
 
-    s = (
-        SparkSession.builder.master("local[4]")
-        .appName("searchengine-spark-tests")
-        .config("spark.sql.shuffle.partitions", "8")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
-        .getOrCreate()
+    s = get_session(
+        master="local[4]",
+        app_name="searchengine-spark-tests",
+        shuffle_partitions=8,
+        driver_memory="4g",
     )
     yield s
     s.stop()
