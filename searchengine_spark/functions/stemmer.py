@@ -1,0 +1,184 @@
+"""Optional Porter stemming (SURVEY.md §2.2 P12; reference stemmer.py:5-16,
+toggled by parser_module.py:15-17 / configuration.py:7, OFF by default as in
+the reference's main.py:8).
+
+Self-contained implementation of the original Porter algorithm (M.F.
+Porter, "An algorithm for suffix stripping", Program 14(3) 1980) — the
+sandbox has no NLTK. The reference delegates to
+``nltk.PorterStemmer().stem``, whose default NLTK_EXTENSIONS mode deviates
+from the published algorithm in a handful of documented cases (e.g. special
+pool words); production parity with that exact variant would swap this
+module for the NLTK call — the integration contract (:func:`stem_terms`)
+is unchanged.
+
+Integration follows SaveTerm (parser_module.py:302-309): the stem replaces
+the term, re-cased by the pre-stem capitalization class (UPPER if the raw
+term was Capitalized alpha, else lower), then the usual UPPER↔lower fold
+applies. :func:`stem_terms` is the order-free fixpoint of that insertion
+loop, applied to an already-tokenized ``{term: tf}`` dict.
+"""
+
+from __future__ import annotations
+
+_VOWELS = frozenset("aeiou")
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """The m in [C](VC){m}[V]."""
+    m, i, n = 0, 0, len(stem)
+    while i < n and _is_cons(stem, i):
+        i += 1
+    while i < n:
+        while i < n and not _is_cons(stem, i):
+            i += 1
+        if i >= n:
+            break
+        m += 1
+        while i < n and _is_cons(stem, i):
+            i += 1
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    """*o: stem ends cvc, second c not w/x/y."""
+    if len(word) < 3:
+        return False
+    return (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def porter_stem(word: str) -> str:
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed"):
+        if _has_vowel(w[:-2]):
+            w, flag = w[:-2], True
+    elif w.endswith("ing"):
+        if _has_vowel(w[:-3]):
+            w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2 (m>0)
+    step2 = [
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"),
+    ]
+    for suf, rep in step2:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # step 3 (m>0)
+    step3 = [
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ]
+    for suf, rep in step3:
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if _measure(stem) > 0:
+                w = stem + rep
+            break
+
+    # step 4 (m>1)
+    step4 = [
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ]
+    for suf in sorted(step4, key=len, reverse=True):
+        if w.endswith(suf):
+            stem = w[: len(w) - len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                continue
+            if _measure(stem) > 1:
+                w = stem
+            break
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        m = _measure(stem)
+        if m > 1 or (m == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def stem_terms(term_dict: dict) -> dict:
+    """Apply SaveTerm's stemming integration (parser_module.py:302-309) to a
+    tokenized ``{term: tf}`` dict, order-free:
+
+    * each term is stemmed on its lowercase form; the stem is stored UPPER
+      iff the original key was stored UPPER (Capitalized alpha class);
+    * counts merging on collision;
+    * an UPPER stem folds into a lowercase twin when both exist (the global
+      fixpoint of parser_module.py:311-316).
+    """
+    out: dict = {}
+    for term, tf in term_dict.items():
+        stem = porter_stem(term.lower())
+        key = stem.upper() if term.isupper() and term.isalpha() else stem
+        out[key] = out.get(key, 0) + tf
+    for key in [k for k in out if k.isupper() and k.lower() in out]:
+        out[key.lower()] += out.pop(key)
+    return out

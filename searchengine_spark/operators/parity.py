@@ -1,0 +1,269 @@
+"""Reference-parity extras (SURVEY.md §7 M4), all behind explicit calls —
+the BM25/WAND path stays the primary engine.
+
+Implements, as declarative DataFrame plans over the built index:
+
+* the reference's cosine tf-idf scorer (ranker.py:22-46 +
+  search_engine.py:18-35): per-doc weight ``tfidf = tf/n_distinct ·
+  log2(N/df)``, score = Σ_{t∈q} qtf·tfidf_d(t) / (‖d‖·‖q‖) with ‖d‖ over
+  the doc's FULL vector and ‖q‖ over the raw query tf vector (including
+  query terms absent from the index — norm() of query_as_dict.values());
+* df==1 pruning (clearSingleEntities, search_engine.py:37-90): drop a
+  df==1 term from its single doc iff that doc has ≥5 distinct terms or the
+  term is an entity (" " in term and term.isupper(), parser_module.py:19-20);
+* association-matrix query expansion (local_method.py:6-76): Jaccard
+  ``Cij/(Cii+Cjj−Cij)`` between query-term postings and the vocabulary of
+  the pass-1 top-100 docs; per query term append the 2nd-ranked associate
+  (the 1st is the term itself at similarity 1.0), 3rd-ranked if the 2nd is
+  the reference's special-cased ``twitter.com``; appended terms get +1
+  query tf.
+
+Deterministic reformulations (SURVEY.md §7 hard-part 1 discipline — the
+reference behaviors are order-dependent, ours are order-free fixpoints; the
+oracle implements the identical rules so rank-identity is well-defined):
+
+* prune condition evaluates against PRE-prune ``n_distinct`` (the reference
+  mutates the doc dict while iterating an insertion-ordered list,
+  search_engine.py:76-79, so its outcome depends on arrival order);
+* doc vectors are built over globally case-folded terms with summed tf
+  (the reference overwrites ``vectorsDict[doc][0][corrected_term]`` on
+  collision, search_engine.py:35 — last-write-wins in arrival order);
+* expansion candidates rank by (similarity desc, term asc) — the
+  reference's ``sorted(values)[-2]`` + ``.index()`` scheme inherits Python
+  set iteration order (local_method.py:13-31) and has an index/value bug
+  for ≤1 candidates that we do not reproduce;
+* the reference's early-return-when-no-df==1-terms bug (vectorsFile never
+  written → query path crash, search_engine.py:57-59) is not reproduced.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.tokenizer import tokenize
+from searchengine_spark.operators.index_build import _fold_expr
+from searchengine_spark.plans.manifest import Manifest
+
+PRUNE_MIN_DISTINCT = 5  # search_engine.py:76
+EXPANSION_POOL = 100  # search_engine.py:140
+SPECIAL_CASED_TERM = "twitter.com"  # local_method.py:37
+
+
+def folded_doc_terms(spark: SparkSession, index_dir: str) -> DataFrame:
+    """doc_terms with the global case-fold applied and tf re-summed —
+    (doc_id, term, tf)."""
+    dt = spark.read.parquet(f"{index_dir}/doc_terms")
+    fold = spark.read.parquet(f"{index_dir}/fold_map")
+    return (
+        _fold_expr(fold, dt)
+        .groupBy("doc_id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+
+
+def pruned_doc_terms(spark: SparkSession, index_dir: str) -> DataFrame:
+    """A8: folded doc_terms minus prunable df==1 terms (see module doc)."""
+    dt = folded_doc_terms(spark, index_dir)
+    stats = dt.groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
+    df1 = (
+        dt.groupBy("term")
+        .agg(F.count("*").alias("df"), F.first("doc_id").alias("doc_id"))
+        .where(F.col("df") == 1)
+        .join(stats, "doc_id")
+        .where(
+            (F.col("n_distinct") >= PRUNE_MIN_DISTINCT)
+            | (F.col("term").contains(" ") & (F.col("term") == F.upper("term")))
+        )
+        .select("doc_id", "term")
+    )
+    # df1 is small relative to the corpus (≤1 doc per term) — broadcast the
+    # anti-join so pruning is a narrow scan over doc_terms.
+    return dt.join(F.broadcast(df1), ["doc_id", "term"], "left_anti")
+
+
+def build_cosine_tables(
+    spark: SparkSession, index_dir: str, prune: bool = True
+) -> None:
+    """Materialize ``cosine/tfidf`` (doc_id, term, tfidf) and
+    ``cosine/doc_norms`` (doc_id, norm) once per index — the parity
+    analogue of the reference's ``vectorsFile`` build
+    (updateVectorsFile, search_engine.py:18-35), resumable via the
+    manifest like every build stage."""
+    man = Manifest(index_dir)
+    stage = "cosine_pruned" if prune else "cosine"
+    if man.stage_done(stage):
+        return
+    import time as _t
+
+    t0 = _t.time()
+    n_docs = man.scalars["n_docs"]
+    dt = (
+        pruned_doc_terms(spark, index_dir)
+        if prune
+        else folded_doc_terms(spark, index_dir)
+    )
+    stats = dt.groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
+    tdict = dt.groupBy("term").agg(F.count("*").alias("df"))
+    tfidf = (
+        dt.join(stats, "doc_id")
+        .join(tdict, "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") / F.col("n_distinct"))
+                * F.log2(F.lit(float(n_docs)) / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    tfidf.write.mode("overwrite").parquet(f"{index_dir}/cosine/tfidf")
+    norms = (
+        spark.read.parquet(f"{index_dir}/cosine/tfidf")
+        .groupBy("doc_id")
+        .agg(F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm"))
+    )
+    norms.write.mode("overwrite").parquet(f"{index_dir}/cosine/doc_norms")
+    man.mark_stage(stage, _t.time() - t0, pruned=prune)
+
+
+def _fold_query(spark: SparkSession, index_dir: str, query_dict: dict) -> dict:
+    """Query-term casing fallback vs the cosine vocab (ranker.py:7-16);
+    returns {canonical_term: qtf} for matched terms only."""
+    variants = sorted(
+        {v for t in query_dict for v in (t.lower(), t.upper())}
+    )
+    if not variants:
+        return {}
+    vocab = {
+        r["term"]
+        for r in spark.read.parquet(f"{index_dir}/cosine/tfidf")
+        .select("term")
+        .where(F.col("term").isin(variants))
+        .distinct()
+        .collect()
+    }
+    out: dict = {}
+    for t, qtf in query_dict.items():
+        lo, up = t.lower(), t.upper()
+        canon = lo if lo in vocab else up if up in vocab else None
+        if canon is not None:
+            out[canon] = out.get(canon, 0) + qtf
+    return out
+
+
+def cosine_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    query_dict: dict | None = None,
+) -> DataFrame:
+    """Reference cosine scorer → DataFrame(doc_id, score) top-k.
+
+    Candidates = docs sharing ≥1 term with the query (the k=1 floor of the
+    reference's adaptive intersection, searcher.py:63-87; the reference
+    only raises k to SHRINK a >threshold candidate pool before ranking —
+    final ordering of the survivors is the same cosine score).
+    ‖q‖ includes ALL parsed query terms (ranker.py:33), matched or not.
+    """
+    qd = tokenize(query) if query_dict is None else dict(query_dict)
+    norm_q = math.sqrt(sum(v * v for v in qd.values()))
+    matched = _fold_query(spark, index_dir, qd)
+    if not matched or norm_q == 0:
+        return spark.createDataFrame([], "doc_id long, score double")
+    qdf = spark.createDataFrame(
+        [(t, float(qtf)) for t, qtf in matched.items()], "term string, qtf double"
+    )
+    tfidf = spark.read.parquet(f"{index_dir}/cosine/tfidf")
+    norms = spark.read.parquet(f"{index_dir}/cosine/doc_norms")
+    return (
+        tfidf.join(F.broadcast(qdf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("qtf") * F.col("tfidf")).alias("qd"))
+        .join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("norm") == 0, F.lit(0.0))
+            .otherwise(F.col("qd") / (F.col("norm") * F.lit(norm_q)))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def expand_query(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    pool: int = EXPANSION_POOL,
+) -> dict:
+    """Q2: association-matrix expansion → expanded {term: qtf}.
+
+    Pass 1 cosine top-``pool`` docs feed the candidate vocabulary; Jaccard
+    similarity uses GLOBAL postings (np.intersect1d over full posting
+    lists, local_method.py:21-23), not just the pool docs.
+    """
+    from pyspark.sql import Window
+
+    qd = tokenize(query)
+    matched = _fold_query(spark, index_dir, qd)
+    if not matched:
+        return qd
+    top = cosine_search(spark, index_dir, query, k=pool, query_dict=qd).select(
+        "doc_id"
+    )
+    dt = spark.read.parquet(f"{index_dir}/cosine/tfidf").select("doc_id", "term")
+    vocab = dt.join(F.broadcast(top), "doc_id").select("term").distinct()
+    qdf = spark.createDataFrame(
+        [(t,) for t in sorted(matched)], "q_term string"
+    )
+    q_post = dt.join(
+        F.broadcast(qdf), dt["term"] == F.col("q_term")
+    ).select("q_term", "doc_id")
+    v_post = dt.join(F.broadcast(vocab), "term").select(
+        F.col("term").alias("v_term"), "doc_id"
+    )
+    dfs = dt.groupBy("term").agg(F.count("*").alias("df"))
+    cij = (
+        q_post.join(v_post, "doc_id")
+        .groupBy("q_term", "v_term")
+        .agg(F.count("*").alias("cij"))
+    )
+    sim = (
+        cij.join(dfs.withColumnRenamed("term", "q_term").withColumnRenamed("df", "cii"), "q_term")
+        .join(dfs.withColumnRenamed("term", "v_term").withColumnRenamed("df", "cjj"), "v_term")
+        .withColumn("sim", F.col("cij") / (F.col("cii") + F.col("cjj") - F.col("cij")))
+    )
+    w = Window.partitionBy("q_term").orderBy(F.desc("sim"), F.asc("v_term"))
+    picks = (
+        sim.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk").isin(2, 3))
+        .select("q_term", "v_term", "rnk")
+        .collect()
+    )
+    by_q: dict = {}
+    for r in picks:
+        by_q.setdefault(r["q_term"], {})[r["rnk"]] = r["v_term"]
+    expanded = dict(qd)
+    for q_term in sorted(matched):
+        ranks = by_q.get(q_term, {})
+        pick = ranks.get(2)
+        if pick == SPECIAL_CASED_TERM:
+            pick = ranks.get(3)
+        if pick is not None:
+            expanded[pick] = expanded.get(pick, 0) + 1
+    return expanded
+
+
+def two_pass_search(
+    spark: SparkSession, index_dir: str, query: str, k: int = 10
+) -> DataFrame:
+    """Q3: the reference's full query orchestration
+    (search_and_rank_query, search_engine.py:129-151): parse → cosine
+    top-100 → expand → cosine top-k with the expanded query."""
+    expanded = expand_query(spark, index_dir, query)
+    return cosine_search(spark, index_dir, query, k=k, query_dict=expanded)

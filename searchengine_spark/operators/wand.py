@@ -43,119 +43,209 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
-def fold_query_terms(spark: SparkSession, index_dir: str, query: str) -> dict:
-    """Tokenize the query and resolve casing vs the index vocabulary
+def fold_query_terms_batch(
+    spark: SparkSession, index_dir: str, queries: list[str]
+) -> list[dict]:
+    """Tokenize each query and resolve casing vs the index vocabulary
     (ranker.get_correct_term, ranker.py:7-16: lower first, then upper).
 
-    Returns {canonical_term: (qtf, df)} — empty dict if nothing matches.
+    One predicate-pushed ``term_dict`` read for the whole batch. Returns one
+    ``{canonical_term: (qtf, df)}`` dict per query (empty if no term hits).
     """
-    qdict = tokenize(query)
-    if not qdict:
-        return {}
-    variants = sorted({v for t in qdict for v in (t.lower(), t.upper())})
+    qdicts = [tokenize(q) for q in queries]
+    variants = sorted(
+        {v for d in qdicts for t in d for v in (t.lower(), t.upper())}
+    )
+    if not variants:
+        return [{} for _ in queries]
     rows = (
         spark.read.parquet(f"{index_dir}/term_dict")
         .where(F.col("term").isin(variants))
         .collect()
     )
     vocab = {r["term"]: int(r["df"]) for r in rows}
-    out: dict = {}
-    for t, qtf in qdict.items():
-        lo, up = t.lower(), t.upper()
-        canon = lo if lo in vocab else up if up in vocab else None
-        if canon is not None:
-            qtf_prev, _ = out.get(canon, (0, 0))
-            out[canon] = (qtf_prev + qtf, vocab[canon])
-    return out
+    out_all = []
+    for qdict in qdicts:
+        out: dict = {}
+        for t, qtf in qdict.items():
+            lo, up = t.lower(), t.upper()
+            canon = lo if lo in vocab else up if up in vocab else None
+            if canon is not None:
+                qtf_prev, _ = out.get(canon, (0, 0))
+                out[canon] = (qtf_prev + qtf, vocab[canon])
+        out_all.append(out)
+    return out_all
+
+
+def fold_query_terms(spark: SparkSession, index_dir: str, query: str) -> dict:
+    return fold_query_terms_batch(spark, index_dir, [query])[0]
 
 
 CHUNK = 4096  # docs per pruning chunk within a range
 
+BATCH_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
 
-def _score_range_factory(qweights: dict, n_docs: int, avgdl: float,
-                         range_width: int, k: int):
-    """Build the per-range pandas scorer. qweights: {term: (qtf, df)}.
 
-    Chunked block-max WAND: the range is cut into doc chunks; each chunk's
-    score upper bound is Σ_t w_t · max(block_max of t's blocks overlapping
-    the chunk), computed from block metadata alone. Chunks are visited in
-    descending bound order; once the bound falls strictly below the running
-    k-th best exact score θ, every remaining chunk (and its undecoded
-    blocks) is skipped. Docs inside surviving chunks are scored exactly
-    (float64, lexicographic term order — same addend order as the oracle),
-    so skipping can never emit a partial score.
+def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
+                               range_width: int, k: int):
+    """Build the per-range pandas scorer for a BATCH of queries.
+    ``qmap``: {query_id: {term: (qtf, df)}}.
+
+    Chunked block-max WAND per query: the range is cut into doc chunks; a
+    chunk's score upper bound is Σ_t w_t · max(block_max of t's blocks
+    overlapping the chunk), computed from block metadata alone. Chunks are
+    visited in descending bound order; once the bound falls strictly below
+    the running k-th best exact score θ, every remaining chunk (and its
+    undecoded blocks) is skipped. Docs inside surviving chunks are scored
+    exactly (float64, lexicographic term order — same addend order as the
+    oracle), so skipping can never emit a partial score.
+
+    Batching amortizes the dominant shared costs across queries: one
+    postings scan + one shuffle + one Python stage per BATCH (not per
+    query), and decoded blocks (doc offsets + query-independent BM25 tf
+    part) are cached once per (term, block) for all queries that touch
+    them.
     """
-    terms_sorted = sorted(qweights)
-    weight = {
-        t: qweights[t][0] * float(bm25_idf(qweights[t][1], n_docs))
-        for t in terms_sorted
+    weights = {
+        qid: {t: qw[t][0] * float(bm25_idf(qw[t][1], n_docs)) for t in sorted(qw)}
+        for qid, qw in qmap.items()
     }
 
     def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
         base = int(key[0]) * range_width
         n_chunks = (range_width + CHUNK - 1) // CHUNK
-        per_term = []  # (term, first[], last[], ubs[], raw block rows)
-        chunk_ub = np.zeros(n_chunks, dtype=np.float64)
+        per_term: dict = {}  # term -> (first, last, bmax, gaps, tfs, dls, ns)
         for t, sub in pdf.groupby("term", sort=True):
             sub = sub.sort_values("first_doc")
-            first = sub["first_doc"].to_numpy(np.int64) - base
-            last = sub["last_doc"].to_numpy(np.int64) - base
-            ubs = weight[t] * sub["block_max_tf"].to_numpy(np.float64)
-            t_ub = np.zeros(n_chunks, dtype=np.float64)
-            for f, l, u in zip(first // CHUNK, last // CHUNK, ubs):
-                np.maximum(t_ub[f : l + 1], u, out=t_ub[f : l + 1])
-            chunk_ub += t_ub
-            per_term.append(
-                (t, first, last, list(sub["gaps"]), list(sub["tfs"]),
-                 list(sub["dls"]), sub["n"].to_numpy(np.int64))
+            per_term[t] = (
+                sub["first_doc"].to_numpy(np.int64) - base,
+                sub["last_doc"].to_numpy(np.int64) - base,
+                sub["block_max_tf"].to_numpy(np.float64),
+                list(sub["gaps"]), list(sub["tfs"]), list(sub["dls"]),
+                sub["n"].to_numpy(np.int64),
             )
-        decoded: dict = {}  # (term_idx, block_idx) -> (offsets, contrib)
-        out_ids, out_scores = [], []
-        theta = -np.inf
-        order = np.argsort(-chunk_ub, kind="stable")
-        for c in order:
-            if chunk_ub[c] == 0.0 or chunk_ub[c] < theta:
-                break  # descending bounds: nothing further can reach top-k
-            lo, hi = c * CHUNK, min((c + 1) * CHUNK, range_width)
-            scores = np.zeros(hi - lo, dtype=np.float64)
-            seen = np.zeros(hi - lo, dtype=bool)
-            for ti, (t, first, last, gaps, tfs, dls, ns) in enumerate(per_term):
-                b0 = int(np.searchsorted(last, lo, side="left"))
-                b1 = int(np.searchsorted(first, hi, side="left"))
-                for bi in range(b0, b1):
-                    blk = decoded.get((ti, bi))
-                    if blk is None:
-                        ids, tf, dl = unpack_block(gaps[bi], tfs[bi], dls[bi], int(ns[bi]))
-                        blk = (
-                            ids.astype(np.int64) - base,
-                            weight[t] * bm25_tf_part(tf, dl, avgdl),
-                        )
-                        decoded[(ti, bi)] = blk
-                    off, contrib = blk
-                    s0 = int(np.searchsorted(off, lo, side="left"))
-                    s1 = int(np.searchsorted(off, hi, side="left"))
-                    if s0 < s1:
-                        sel = off[s0:s1] - lo
-                        scores[sel] += contrib[s0:s1]
-                        seen[sel] = True
-            cand = np.flatnonzero(seen)
-            if cand.size == 0:
+        decoded: dict = {}  # (term, block_idx) -> (local_offsets, tf_part)
+        out_qids, out_ids, out_scores = [], [], []
+        for qid in sorted(weights):
+            w = {t: wv for t, wv in weights[qid].items() if t in per_term}
+            if not w:
                 continue
-            out_ids.append(cand + lo)
-            out_scores.append(scores[cand])
-            if sum(len(a) for a in out_scores) >= k:
-                allsc = np.concatenate(out_scores)
-                theta = np.partition(allsc, -k)[-k] if allsc.size >= k else -np.inf
+            chunk_ub = np.zeros(n_chunks, dtype=np.float64)
+            for t, wv in w.items():
+                first, last, bmax = per_term[t][:3]
+                t_ub = np.zeros(n_chunks, dtype=np.float64)
+                for f, l, u in zip(first // CHUNK, last // CHUNK, wv * bmax):
+                    np.maximum(t_ub[f : l + 1], u, out=t_ub[f : l + 1])
+                chunk_ub += t_ub
+            q_ids, q_scores = [], []
+            theta = -np.inf
+            order = np.argsort(-chunk_ub, kind="stable")
+            for c in order:
+                if chunk_ub[c] == 0.0 or chunk_ub[c] < theta:
+                    break  # descending bounds: nothing further reaches top-k
+                lo, hi = c * CHUNK, min((c + 1) * CHUNK, range_width)
+                scores = np.zeros(hi - lo, dtype=np.float64)
+                seen = np.zeros(hi - lo, dtype=bool)
+                for t in sorted(w):
+                    first, last, _bmax, gaps, tfs, dls, ns = per_term[t]
+                    b0 = int(np.searchsorted(last, lo, side="left"))
+                    b1 = int(np.searchsorted(first, hi, side="left"))
+                    for bi in range(b0, b1):
+                        blk = decoded.get((t, bi))
+                        if blk is None:
+                            ids, tf, dl = unpack_block(
+                                gaps[bi], tfs[bi], dls[bi], int(ns[bi])
+                            )
+                            blk = (
+                                ids.astype(np.int64) - base,
+                                bm25_tf_part(tf, dl, avgdl),
+                            )
+                            decoded[(t, bi)] = blk
+                        off, tf_part = blk
+                        s0 = int(np.searchsorted(off, lo, side="left"))
+                        s1 = int(np.searchsorted(off, hi, side="left"))
+                        if s0 < s1:
+                            sel = off[s0:s1] - lo
+                            scores[sel] += w[t] * tf_part[s0:s1]
+                            seen[sel] = True
+                cand = np.flatnonzero(seen)
+                if cand.size == 0:
+                    continue
+                q_ids.append(cand + lo)
+                q_scores.append(scores[cand])
+                if sum(len(a) for a in q_scores) >= k:
+                    allsc = np.concatenate(q_scores)
+                    theta = (
+                        np.partition(allsc, -k)[-k] if allsc.size >= k else -np.inf
+                    )
+            if not q_ids:
+                continue
+            ids = np.concatenate(q_ids)
+            sc = np.concatenate(q_scores)
+            top = np.lexsort((ids, -sc))[:k]
+            out_qids.append(np.full(len(top), qid, dtype=np.int32))
+            out_ids.append((ids[top] + base).astype(np.int64))
+            out_scores.append(sc[top])
         if not out_ids:
-            return pd.DataFrame({"doc_id": np.array([], np.int64), "score": []})
-        ids = np.concatenate(out_ids)
-        sc = np.concatenate(out_scores)
-        top = np.lexsort((ids, -sc))[:k]
+            return pd.DataFrame(
+                {"query_id": np.array([], np.int32),
+                 "doc_id": np.array([], np.int64), "score": []}
+            )
         return pd.DataFrame(
-            {"doc_id": (ids[top] + base).astype(np.int64), "score": sc[top]}
+            {
+                "query_id": np.concatenate(out_qids),
+                "doc_id": np.concatenate(out_ids),
+                "score": np.concatenate(out_scores),
+            }
         )
 
     return score_range
+
+
+def search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """BM25 top-k for a batch of queries in ONE distributed job →
+    DataFrame(query_id, doc_id, score) with per-query (score desc, doc_id
+    asc) order, query_id = position in ``queries``.
+
+    This is the server/throughput shape of the query engine: the postings
+    scan (pushed ``term IN (...)`` filter over the union of all query
+    terms), the shuffle, the Python scorer stage, and the final top-k are
+    all amortized over the batch.
+    """
+    from pyspark.sql import Window
+
+    man = Manifest(index_dir)
+    s = man.scalars
+    folded = fold_query_terms_batch(spark, index_dir, queries)
+    qmap = {i: qw for i, qw in enumerate(folded) if qw}
+    if not qmap:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+    scorer = _score_range_batch_factory(
+        qmap, s["n_docs"], s["avgdl"], s["range_width"], k
+    )
+    all_terms = sorted({t for qw in qmap.values() for t in qw})
+    posts = spark.read.parquet(f"{index_dir}/postings").where(
+        F.col("term").isin(all_terms)
+    )
+    per_range = posts.groupBy("rng").applyInPandas(scorer, BATCH_RESULT_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_range.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
 
 
 def search(
@@ -170,14 +260,18 @@ def search(
     qweights = fold_query_terms(spark, index_dir, query)
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    scorer = _score_range_factory(
-        qweights, s["n_docs"], s["avgdl"], s["range_width"], k
+    scorer = _score_range_batch_factory(
+        {0: qweights}, s["n_docs"], s["avgdl"], s["range_width"], k
     )
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(qweights))
     )
-    per_range = posts.groupBy("rng").applyInPandas(scorer, RESULT_SCHEMA)
-    return per_range.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    per_range = posts.groupBy("rng").applyInPandas(scorer, BATCH_RESULT_SCHEMA)
+    return (
+        per_range.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
 
 
 def search_join(

@@ -94,3 +94,122 @@ class OracleIndex:
         order = np.lexsort((cand, -scores[cand]))[:k]
         top = cand[order]
         return pd.DataFrame({"doc_id": top.astype(np.int64), "score": scores[top]})
+
+    # ---- reference-parity extras (cosine / prune / expansion), sharing the
+    # deterministic reformulations of operators/parity.py ------------------
+
+    def pruned_docs(self) -> list:
+        """A8 (clearSingleEntities, search_engine.py:37-90): drop df==1
+        terms whose single doc has ≥5 distinct terms (PRE-prune count) or
+        which are entities (' ' in term and isupper)."""
+        if not hasattr(self, "_pruned"):
+            docs = [dict(d) for d in self.folded]
+            for t, df in self.df.items():
+                if df != 1:
+                    continue
+                (doc_id,) = self.postings[t][0].tolist()
+                d = docs[doc_id]
+                if len(self.folded[doc_id]) >= 5 or (" " in t and t.isupper()):
+                    d.pop(t, None)
+            self._pruned = docs
+        return self._pruned
+
+    def cosine_vectors(self, prune: bool = True):
+        """Per-doc {term: tfidf} + norms (updateVectorsFile,
+        search_engine.py:18-35): tfidf = tf/n_distinct · log2(N/df), df and
+        n_distinct measured on the (optionally pruned) corpus."""
+        import math
+
+        key = "_cos_pruned" if prune else "_cos_raw"
+        if not hasattr(self, key):
+            docs = self.pruned_docs() if prune else self.folded
+            df: dict = {}
+            for d in docs:
+                for t in d:
+                    df[t] = df.get(t, 0) + 1
+            vecs, norms = [], []
+            for d in docs:
+                nd = len(d)
+                v = {
+                    t: (tf / nd) * math.log2(self.n_docs / df[t])
+                    for t, tf in d.items()
+                }
+                vecs.append(v)
+                norms.append(math.sqrt(sum(x * x for x in v.values())))
+            setattr(self, key, (vecs, norms, df))
+        return getattr(self, key)
+
+    def _fold_query_vs(self, query_dict: dict, vocab) -> dict:
+        out: dict = {}
+        for t, qtf in query_dict.items():
+            lo, up = t.lower(), t.upper()
+            canon = lo if lo in vocab else up if up in vocab else None
+            if canon is not None:
+                out[canon] = out.get(canon, 0) + qtf
+        return out
+
+    def cosine_search(
+        self, query: str, k: int = 10, query_dict: dict | None = None,
+        prune: bool = True,
+    ) -> pd.DataFrame:
+        """Reference cosine scorer (ranker.py:22-46): candidates share ≥1
+        term; ‖q‖ over ALL parsed query terms, matched or not."""
+        import math
+
+        qd = tokenize(query) if query_dict is None else dict(query_dict)
+        vecs, norms, df = self.cosine_vectors(prune)
+        matched = self._fold_query_vs(qd, df)
+        norm_q = math.sqrt(sum(v * v for v in qd.values()))
+        if not matched or norm_q == 0:
+            return pd.DataFrame({"doc_id": np.array([], np.int64), "score": []})
+        scores: dict = {}
+        for doc_id, v in enumerate(vecs):
+            qdot = 0.0
+            hit = False
+            for t in sorted(matched):
+                if t in v:
+                    qdot += matched[t] * v[t]
+                    hit = True
+            if hit:
+                nd = norms[doc_id]
+                scores[doc_id] = 0.0 if nd == 0 else qdot / (nd * norm_q)
+        ids = np.array(sorted(scores), dtype=np.int64)
+        sc = np.array([scores[i] for i in ids], dtype=np.float64)
+        order = np.lexsort((ids, -sc))[:k]
+        return pd.DataFrame({"doc_id": ids[order], "score": sc[order]})
+
+    def expand_query(self, query: str, pool: int = 100) -> dict:
+        """Q2 (local_method.py): Jaccard Cij/(Cii+Cjj−Cij) between query
+        terms and the top-100 docs' vocabulary over GLOBAL postings; append
+        the 2nd-ranked associate per query term ((sim desc, term asc)
+        order; 3rd-ranked if the 2nd is 'twitter.com'), +1 query tf."""
+        qd = tokenize(query)
+        vecs, _norms, df = self.cosine_vectors(True)
+        matched = self._fold_query_vs(qd, df)
+        if not matched:
+            return qd
+        top = self.cosine_search(query, k=pool, query_dict=qd)["doc_id"]
+        vocab = sorted({t for doc_id in top for t in vecs[doc_id]})
+        post: dict = {}
+        for doc_id, v in enumerate(vecs):
+            for t in v:
+                post.setdefault(t, set()).add(doc_id)
+        expanded = dict(qd)
+        for q_term in sorted(matched):
+            sims = []
+            qp = post[q_term]
+            for t in vocab:
+                c = len(qp & post[t])
+                if c:
+                    sims.append((-c / (len(qp) + len(post[t]) - c), t))
+            sims.sort()
+            pick = sims[1][1] if len(sims) > 1 else None
+            if pick == "twitter.com":
+                pick = sims[2][1] if len(sims) > 2 else None
+            if pick is not None:
+                expanded[pick] = expanded.get(pick, 0) + 1
+        return expanded
+
+    def two_pass_search(self, query: str, k: int = 10) -> pd.DataFrame:
+        """Q3 (search_and_rank_query, search_engine.py:129-151)."""
+        return self.cosine_search(query, k=k, query_dict=self.expand_query(query))

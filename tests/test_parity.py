@@ -1,0 +1,132 @@
+"""Reference-parity extras (SURVEY.md §7 M4): cosine tf-idf scorer, df==1
+pruning, association-matrix query expansion, Porter stemming — engine vs
+the single-process oracle implementing the identical deterministic rules."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.stemmer import porter_stem, stem_terms
+from searchengine_spark.operators import parity
+
+COSINE_QUERIES = [
+    "tokenizer",
+    "def return",
+    "posting shard merge",
+    "Apache Spark",
+    "$3,500,000",
+    "#CamelCase_tag",
+    "index",
+    "value data result count",
+]
+
+
+@pytest.fixture(scope="session")
+def cosine_index(spark, index_1k):
+    parity.build_cosine_tables(spark, index_1k, prune=True)
+    return index_1k
+
+
+@pytest.mark.parametrize("query", COSINE_QUERIES)
+def test_cosine_rank_identity(spark, cosine_index, oracle_1k, query):
+    golden = oracle_1k.cosine_search(query, k=10)
+    got = parity.cosine_search(spark, cosine_index, query, k=10).toPandas()
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+    assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+def test_cosine_empty_and_oov(spark, cosine_index):
+    assert parity.cosine_search(spark, cosine_index, "the and of").count() == 0
+    assert parity.cosine_search(spark, cosine_index, "zzz_nope").count() == 0
+
+
+def test_pruned_doc_terms_match_oracle(spark, cosine_index, oracle_1k):
+    got = (
+        parity.pruned_doc_terms(spark, cosine_index)
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum("tf").alias("tf_sum"),
+            F.countDistinct("term").alias("vocab"),
+        )
+        .collect()[0]
+    )
+    docs = oracle_1k.pruned_docs()
+    want_rows = sum(len(d) for d in docs)
+    want_tf = sum(tf for d in docs for tf in d.values())
+    want_vocab = len({t for d in docs for t in d})
+    assert (got["rows"], got["tf_sum"], got["vocab"]) == (
+        want_rows,
+        want_tf,
+        want_vocab,
+    )
+    # pruning removed something (df==1 terms exist in a 1k synthetic corpus)
+    raw_rows = sum(len(d) for d in oracle_1k.folded)
+    assert want_rows < raw_rows
+
+
+@pytest.mark.parametrize("query", ["tokenizer", "def return", "Apache Spark"])
+def test_expand_query_identical(spark, cosine_index, oracle_1k, query):
+    assert parity.expand_query(spark, cosine_index, query) == oracle_1k.expand_query(
+        query
+    ), query
+
+
+@pytest.mark.parametrize("query", ["tokenizer", "posting shard merge"])
+def test_two_pass_rank_identity(spark, cosine_index, oracle_1k, query):
+    golden = oracle_1k.two_pass_search(query, k=10)
+    got = parity.two_pass_search(spark, cosine_index, query, k=10).toPandas()
+    assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+    assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+# ---- Porter stemming (P12) -------------------------------------------------
+
+PORTER_VECTORS = {
+    # step 1a/1b/1c examples from Porter (1980)
+    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
+    "motoring": "motor", "sing": "sing", "conflated": "conflat",
+    "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
+    "falling": "fall", "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky",
+    # step 2
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+    "conformabli": "conform", "radicalli": "radic", "differentli": "differ",
+    "vileli": "vile", "analogousli": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope", "callousness": "callous",
+    "formaliti": "formal", "sensitiviti": "sensit", "sensibiliti": "sensibl",
+    # step 3
+    "triplicate": "triplic", "formative": "form", "formalize": "formal",
+    "electriciti": "electr", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good",
+    # step 4
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "adjustable": "adjust",
+    "defensible": "defens", "irritant": "irrit", "replacement": "replac",
+    "adjustment": "adjust", "dependent": "depend", "adoption": "adopt",
+    "communism": "commun", "activate": "activ", "angulariti": "angular",
+    "homologous": "homolog", "effective": "effect", "bowdlerize": "bowdler",
+    # step 5
+    "probate": "probat", "rate": "rate", "cease": "ceas", "controll": "control",
+    "roll": "roll",
+}
+
+
+def test_porter_published_vectors():
+    bad = {
+        w: (porter_stem(w), want)
+        for w, want in PORTER_VECTORS.items()
+        if porter_stem(w) != want
+    }
+    assert not bad, bad
+
+
+def test_stem_terms_merges_and_folds():
+    # UPPER stems fold into an existing lowercase twin (SaveTerm fixpoint)
+    assert stem_terms({"RUNNING": 2, "runs": 1, "HAPPY": 4}) == {
+        "run": 3,
+        "HAPPI": 4,
+    }
+    assert stem_terms({}) == {}

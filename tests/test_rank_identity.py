@@ -5,7 +5,7 @@ for both the chunked block-max WAND scorer and the join-based scorer."""
 import numpy as np
 import pytest
 
-from searchengine_spark.operators.wand import search, search_join
+from searchengine_spark.operators.wand import search, search_batch, search_join
 from searchengine_spark.sources.corpus import REFERENCE_QUERIES
 
 
@@ -23,6 +23,17 @@ def test_join_scorer_agrees_with_wand(spark, index_1k, oracle_1k):
         got = search_join(spark, index_1k, query, k=10).toPandas()
         assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
         assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+def test_batch_rank_identity(spark, index_1k, oracle_1k):
+    """The whole reference query set in ONE job must equal the per-query
+    oracle results exactly (same top-10 ids, scores to 1e-9)."""
+    got = search_batch(spark, index_1k, REFERENCE_QUERIES, k=10).toPandas()
+    for qid, query in enumerate(REFERENCE_QUERIES):
+        golden = oracle_1k.search(query, k=10)
+        sub = got[got["query_id"] == qid]
+        assert sub["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(sub["score"], golden["score"], atol=1e-9, rtol=0), query
 
 
 def test_stopword_only_query_empty(spark, index_1k):

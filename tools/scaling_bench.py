@@ -1,0 +1,214 @@
+"""Scaling-efficiency bench (BASELINE.json north_rule criterion).
+
+The rule requires the build to run at two cluster sizes (N and 4N
+executors) with throughput scaling efficiency >= 0.8. No real cluster
+exists in this sandbox, so the sanctioned stand-in (driver instruction) is
+the SAME job at two parallelism levels — ``local[8]`` vs ``local[32]`` —
+on the SAME input, reporting throughput at both plus
+
+    efficiency = (throughput_hi / throughput_lo) / (cores_hi / cores_lo).
+
+Method notes (all choices aimed at a fair, reproducible comparison):
+
+* one corpus parquet is generated once (untimed) and read by both runs;
+* ``range_width`` and ``n_groups`` are pinned so both levels build the
+  exact same physical index layout — only parallelism varies;
+* each level runs in a fresh subprocess/JVM (`local[p]`, shuffle
+  partitions = p);
+* the Python worker pool is spun up with one trivial job before timing
+  (disclosed; a long-lived cluster pays that per executor start, not per
+  job) — cold-start seconds are still reported;
+* query throughput is measured over the 20-query reference set
+  (sources/corpus.REFERENCE_QUERIES) against the index the level built.
+
+Usage::
+
+    python tools/scaling_bench.py --n-docs 800000 --levels 8,32
+    # → prints one JSON line and rewrites BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def gen_corpus(n_docs: int, seed: int, path: str) -> None:
+    from searchengine_spark.session import get_session
+    from searchengine_spark.sources.corpus import corpus_df
+
+    spark = get_session(master="local[32]", shuffle_partitions=32,
+                        app_name="scaling-corpus-gen")
+    corpus_df(spark, n_docs, seed=seed, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def run_level(cpus: int, corpus: str, index_dir: str, range_width: int,
+              n_groups: int) -> dict:
+    """Child-process body: build + query at one parallelism level."""
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search_batch
+    from searchengine_spark.session import get_session
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+    spark = get_session(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                        app_name=f"scaling-bench-{cpus}")
+    t0 = time.time()
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+    warmup = time.time() - t0
+
+    docs = spark.read.parquet(corpus)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    man = build_index(spark, docs, index_dir, range_width=range_width,
+                      n_groups=n_groups)
+    build_wall = time.time() - t0
+
+    # 4 batched rounds over the 20-query reference set (80 query executions)
+    t0 = time.time()
+    n_hits = 0
+    rounds = 4
+    for _ in range(rounds):
+        n_hits += len(search_batch(spark, index_dir, REFERENCE_QUERIES, k=10).collect())
+    query_wall = time.time() - t0
+    n_queries = rounds * len(REFERENCE_QUERIES)
+    spark.stop()
+
+    s = man.scalars
+    stages = {k: v["seconds"] for k, v in man.data["stages"].items()}
+    stages["postings"] = sum(v["seconds"] for v in man.data["posting_groups"].values())
+    return {
+        "cpus": cpus,
+        "warmup_sec": round(warmup, 2),
+        "build_wall_sec": round(build_wall, 2),
+        "build_docs_per_sec": round(s["n_docs"] / build_wall, 1),
+        "stage_sec": {k: round(v, 2) for k, v in stages.items()},
+        "n_docs": s["n_docs"],
+        "n_tokens": s["n_tokens"],
+        "n_terms": s["n_terms"],
+        "query_wall_sec": round(query_wall, 2),
+        "queries_per_sec": round(n_queries / query_wall, 2),
+        "query_hits": n_hits,
+    }
+
+
+def efficiency(lo: dict, hi: dict, key: str) -> float:
+    speedup = hi[key] / lo[key]
+    return round(speedup / (hi["cpus"] / lo["cpus"]), 3)
+
+
+def write_report(results: list[dict], args, corpus_path: str) -> None:
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    lo, hi = results[0], results[-1]
+    eff_build = efficiency(lo, hi, "build_docs_per_sec")
+    eff_query = efficiency(lo, hi, "queries_per_sec")
+    summary = {
+        "metric": "scaling_efficiency_build",
+        "value": eff_build,
+        "unit": "ratio",
+        "eff_query": eff_query,
+        "levels": results,
+        "n_docs": args.n_docs,
+        "seed": args.seed,
+        "range_width": args.range_width,
+        "n_groups": args.n_groups,
+    }
+    with open(f"{REPO}/BENCH/scaling.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+    rows = "\n".join(
+        f"| local[{r['cpus']}] | {r['build_wall_sec']} | {r['build_docs_per_sec']} "
+        f"| {r['stage_sec'].get('docs', '—')} | {r['stage_sec'].get('postings', '—')} "
+        f"| {r['query_wall_sec']} | {r['queries_per_sec']} | {r['warmup_sec']} |"
+        for r in results
+    )
+    md = f"""# BENCH/BASELINE.md — measured scaling (north_rule criterion)
+
+**Criterion** (`BASELINE.json.north_rule`): throughput scaling efficiency
+>= 0.8 between cluster sizes N and 4N executors. Sandbox stand-in (per the
+driver instruction): the same index-build + query job at two local
+parallelism levels on the same input.
+
+**Input:** {args.n_docs:,} synthetic source-code docs
+(`searchengine_spark.sources.corpus`, seed={args.seed}), one shared parquet
+at `{corpus_path}`; index layout pinned at range_width={args.range_width},
+n_groups={args.n_groups} for both levels, so only parallelism varies.
+
+| level | build wall s | build docs/s | docs-stage s | postings s | 20-query wall s | queries/s | py-warmup s |
+|---|---|---|---|---|---|---|---|
+{rows}
+
+**Scaling efficiency (build, docs/sec): {eff_build}**  — target >= 0.8
+**Scaling efficiency (query set): {eff_query}**
+
+Method: each level runs in a fresh JVM (`local[p]`, shuffle partitions = p);
+the Python worker pool is warmed with one trivial job before timing
+(cold-start seconds reported in the table; a long-lived cluster pays that
+once per executor). Corpus generation is untimed. Full per-stage metrics in
+`BENCH/scaling.json`; the per-round driver bench (sf0.1 documents table) is
+`BENCH_r{{N}}.json` from `bench.py`.
+"""
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+    print(json.dumps(summary))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=800_000)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--range-width", type=int, default=None)
+    ap.add_argument("--n-groups", type=int, default=2)
+    ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--index-dir", default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args.range_width is None:
+        # same layout at both levels: ~4 ranges per core at the widest level
+        widest = max(int(x) for x in args.levels.split(","))
+        args.range_width = max(64, math.ceil(args.n_docs / (4 * widest)))
+
+    if args.worker is not None:
+        print(json.dumps(run_level(args.worker, args.corpus, args.index_dir,
+                                   args.range_width, args.n_groups)))
+        return
+
+    corpus = f"/tmp/se_scaling_corpus_{args.n_docs}_{args.seed}"
+    if not os.path.exists(corpus):
+        t0 = time.time()
+        gen_corpus(args.n_docs, args.seed, corpus)
+        print(f"# corpus generated in {time.time()-t0:.1f}s -> {corpus}",
+              file=sys.stderr)
+
+    results = []
+    for p in sorted(int(x) for x in args.levels.split(",")):
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--worker", str(p), "--corpus", corpus,
+               "--index-dir", f"/tmp/se_scaling_idx_{p}",
+               "--n-docs", str(args.n_docs), "--seed", str(args.seed),
+               "--levels", args.levels, "--range-width", str(args.range_width),
+               "--n-groups", str(args.n_groups)]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"level {p} failed")
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        print(f"# local[{p}]: {results[-1]}", file=sys.stderr)
+
+    write_report(results, args, corpus)
+
+
+if __name__ == "__main__":
+    main()
