@@ -170,10 +170,16 @@ def build_index(
         t0 = time.time()
         dt = spark.read.parquet(f"{index_dir}/doc_terms")
         fold = spark.read.parquet(f"{index_dir}/fold_map")
+        # (term, doc_id) pairs are distinct pre-fold; the fold can merge an
+        # UPPER/lower pair within one doc, so re-aggregate per (term, doc)
+        # first — an explicit two-phase agg (same plan countDistinct would
+        # expand to, minus the distinct bookkeeping)
         td = (
             _fold_expr(fold, dt)
+            .groupBy("term", "doc_id")
+            .agg(F.sum("tf").alias("tf"))
             .groupBy("term")
-            .agg(F.countDistinct("doc_id").alias("df"), F.sum("tf").alias("cf"))
+            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
         )
         td.write.mode("overwrite").parquet(f"{index_dir}/term_dict")
         n_terms = spark.read.parquet(f"{index_dir}/term_dict").count()

@@ -1,0 +1,95 @@
+"""Structured-Streaming event pipeline (SURVEY.md §2.8: the reference is
+strictly batch — this is the engine's Spark-native streaming surface, built
+on the standard readStream → watermark → windowed agg → writeStream shape).
+
+The batch shape of the same aggregation is the driver query
+``events_hourly`` (plans/driver_queries.py), which is what the DuckDB
+oracle checks; the streaming tests assert stream-vs-batch equality under
+an ``availableNow`` trigger, the Structured Streaming correctness idiom
+(every micro-batch plan is the same logical plan Catalyst already
+optimizes for batch).
+
+Scale notes: the stateful windowed aggregate shuffles by (window, key)
+exactly like the batch groupBy; the watermark bounds state size —
+late-beyond-watermark events are dropped deterministically. At 100 TB/day
+event volume the same plan runs with a real source (Kafka/Kinesis) swapped
+in for the file source; nothing here is file-source-specific except the
+tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(spark, source_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source event stream with the canonical events schema."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(source_dir)
+
+
+def hourly_aggregate(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + value sum.
+
+    Works on a streaming OR batch DataFrame (same plan); with a stream the
+    watermark bounds the aggregation state and admits late data up to
+    ``watermark``.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user (gap-based), the second canonical stateful
+    shape: count of events and total value per user session."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, table: str, checkpoint: str):
+    """Drain all available input into an in-memory sink (availableNow) and
+    block until done — the deterministic test harness shape."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,123 @@
+"""Structured Streaming: windowed event aggregation (stream == batch) and
+incremental index ingestion (streamed slices + compact == batch build)."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.wand import search
+from searchengine_spark.plans.manifest import Manifest
+from searchengine_spark.sources.corpus import corpus_pdf
+from searchengine_spark.streaming import events as ev
+from searchengine_spark.streaming import ingest as ing
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _norm(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(list(pdf.columns)).reset_index(drop=True)
+
+
+def test_events_stream_matches_batch(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # three arrival slices
+    for i in range(3):
+        src.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/stream/slice={i}")
+    stream = ev.read_event_stream(spark, f"{tmp_path}/stream", max_files_per_trigger=1)
+    q = ev.run_to_memory(
+        ev.hourly_aggregate(stream), "hourly_sink", f"{tmp_path}/ckpt"
+    )
+    assert q.lastProgress is not None
+    got = _norm(spark.sql("SELECT * FROM hourly_sink").toPandas())
+    want = _norm(ev.hourly_aggregate(src).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_session_windows_batch_shape(spark):
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = ev.session_windows(src, gap="30 minutes").toPandas()
+    assert len(out) > 0
+    assert (out["session_end"] >= out["session_start"]).all()
+    # session invariant: per-user event counts conserved
+    assert out["n_events"].sum() == src.count()
+
+
+@pytest.fixture(scope="module")
+def streamed_vs_batch(spark, tmp_path_factory):
+    """Build the same 600-doc corpus twice: one-shot batch build vs 3
+    streamed micro-batches + compact."""
+    base = tmp_path_factory.mktemp("stream_ingest")
+    pdf = corpus_pdf(600, seed=11).sort_values(["repo", "path", "commit"])
+    slices = [pdf.iloc[:200], pdf.iloc[200:400], pdf.iloc[400:]]
+    for i, s in enumerate(slices):
+        spark.createDataFrame(s).coalesce(1).write.mode("overwrite").parquet(
+            f"{base}/src/slice={i}"
+        )
+    stream_idx = f"{base}/stream_idx"
+    ing.stream_ingest(
+        spark, f"{base}/src", stream_idx, f"{base}/ckpt", max_files_per_trigger=1
+    )
+    man = Manifest(stream_idx)
+    assert len(man.data["ingest_batches"]) == 3, man.data["ingest_batches"]
+    ing.compact(spark, stream_idx, n_groups=2)
+
+    batch_idx = f"{base}/batch_idx"
+    docs = spark.createDataFrame(pdf)
+    width = Manifest(stream_idx).scalars["range_width"]
+    build_index(spark, docs, batch_idx, range_width=width, n_groups=2)
+    return stream_idx, batch_idx
+
+
+def test_ingest_compact_term_dict_identical(spark, streamed_vs_batch):
+    stream_idx, batch_idx = streamed_vs_batch
+    a = _norm(spark.read.parquet(f"{stream_idx}/term_dict").toPandas())
+    b = _norm(spark.read.parquet(f"{batch_idx}/term_dict").toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_ingest_compact_corpus_sha_identical(spark, streamed_vs_batch):
+    stream_idx, batch_idx = streamed_vs_batch
+    cols = ["repo", "path", "commit", "content_sha256"]
+    a = _norm(spark.read.parquet(f"{stream_idx}/doc_map").select(cols).toPandas())
+    b = _norm(spark.read.parquet(f"{batch_idx}/doc_map").select(cols).toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.parametrize(
+    "query", ["tokenizer", "def return", "Apache Spark", "posting shard merge"]
+)
+def test_ingest_compact_search_identical(spark, streamed_vs_batch, query):
+    """Same corpus, same scores: compare (path, score) — doc ids are
+    arrival-order on the stream path, key-order on the batch path."""
+    stream_idx, batch_idx = streamed_vs_batch
+    out = {}
+    for name, idx in (("stream", stream_idx), ("batch", batch_idx)):
+        res = (
+            search(spark, idx, query, k=10)
+            .join(spark.read.parquet(f"{idx}/doc_map"), "doc_id")
+            .select("path", F.round("score", 9).alias("score"))
+            .toPandas()
+            .sort_values(["score", "path"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        out[name] = res
+    pd.testing.assert_frame_equal(out["stream"], out["batch"])
+
+
+def test_ingest_batch_idempotent(spark, tmp_path):
+    pdf = corpus_pdf(50, seed=3)
+    df = spark.createDataFrame(pdf)
+    idx = f"{tmp_path}/idx"
+    os.makedirs(idx)
+    ing.ingest_batch(spark, df, 0, idx)
+    n1 = Manifest(idx).scalars["n_docs"]
+    ing.ingest_batch(spark, df, 0, idx)  # re-delivery of the same batch id
+    assert Manifest(idx).scalars["n_docs"] == n1 == 50
+    ing.ingest_batch(spark, df, 1, idx)  # a genuinely new batch appends
+    assert Manifest(idx).scalars["n_docs"] == 100
