@@ -1,0 +1,59 @@
+"""spark-submit entry point: build (or resume) the inverted index.
+
+Cluster:
+
+    spark-submit --py-files dist/searchengine_spark.zip \\
+        jobs/build_index_job.py --input <corpus> --index-dir <dir>
+
+Local smoke (this sandbox):
+
+    spark-submit --master "local[8]" --py-files dist/searchengine_spark.zip \\
+        jobs/build_index_job.py --input /tmp/corpus.parquet --index-dir /tmp/idx
+
+``--input`` accepts a parquet path or, with ``--format iceberg``, a table
+name (``catalog.db.docs``) — the engine only consumes the DataFrame, so the
+catalog is a config switch (SURVEY.md §7 M0; no iceberg runtime jar ships
+in this sandbox). Prints one JSON line of manifest metrics on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True,
+                    help="parquet path, or table name with --format iceberg")
+    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--range-width", type=int, default=None)
+    ap.add_argument("--n-groups", type=int, default=4)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.session import get_session
+
+    spark = get_session(app_name="searchengine-build")  # master from spark-submit
+    docs = (
+        spark.read.table(args.input)
+        if args.format == "iceberg"
+        else spark.read.parquet(args.input)
+    )
+    man = build_index(
+        spark,
+        docs,
+        args.index_dir,
+        range_width=args.range_width,
+        n_groups=args.n_groups,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({"scalars": man.scalars, "stages": man.data["stages"],
+                      "posting_groups": man.data["posting_groups"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""spark-submit entry point: batched BM25 top-k search over a built index.
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/search_job.py \\
+        --index-dir <dir> --query "posting shard merge" --query "tokenizer"
+
+or ``--queries-file queries.txt`` (newline-delimited, the reference's query
+file shape, reader.py:21-35). All queries run as ONE distributed job
+(wand.search_batch). Prints one JSON line per query:
+``{"query": ..., "hits": [{"doc_id": ..., "score": ...}, ...]}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--query", action="append", default=[])
+    ap.add_argument("--queries-file")
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--scorer", default="wand", choices=["wand", "cosine"])
+    args = ap.parse_args()
+
+    queries = list(args.query)
+    if args.queries_file:
+        with open(args.queries_file) as f:
+            queries += [ln.strip() for ln in f if ln.strip()]
+    if not queries:
+        raise SystemExit("no queries given (--query / --queries-file)")
+
+    from searchengine_spark.session import get_session
+
+    spark = get_session(app_name="searchengine-search")
+    if args.scorer == "wand":
+        from searchengine_spark.operators.wand import search_batch
+
+        rows = search_batch(spark, args.index_dir, queries, k=args.k).collect()
+        by_q: dict = {i: [] for i in range(len(queries))}
+        for r in rows:
+            by_q[r["query_id"]].append(
+                {"doc_id": r["doc_id"], "score": r["score"]}
+            )
+        for i, q in enumerate(queries):
+            print(json.dumps({"query": q, "hits": by_q[i]}))
+    else:
+        from searchengine_spark.operators import parity
+
+        parity.build_cosine_tables(spark, args.index_dir, prune=True)
+        for q in queries:
+            hits = [
+                {"doc_id": r["doc_id"], "score": r["score"]}
+                for r in parity.two_pass_search(spark, args.index_dir, q, k=args.k).collect()
+            ]
+            print(json.dumps({"query": q, "hits": hits}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

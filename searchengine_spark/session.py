@@ -19,7 +19,19 @@ applies unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
+
+
+def _package_root() -> str:
+    """Directory (or --py-files zip) that makes ``searchengine_spark``
+    importable — needed on the executor PYTHONPATH *before* the worker
+    daemon spawns (py-files land on sys.path only after fork, too late for
+    ``spark.python.daemon.module``)."""
+    import searchengine_spark
+
+    return os.path.dirname(os.path.dirname(os.path.abspath(searchengine_spark.__file__)))
 
 
 def get_session(
@@ -34,10 +46,14 @@ def get_session(
         b = b.master(master)
     if shuffle_partitions is not None:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    pythonpath = os.pathsep.join(
+        p for p in (_package_root(), os.environ.get("PYTHONPATH")) if p
+    )
     b = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.python.daemon.module", "searchengine_spark.daemon_preload")
+        .config("spark.executorEnv.PYTHONPATH", pythonpath)
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )

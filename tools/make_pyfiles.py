@@ -1,0 +1,31 @@
+"""Build ``dist/searchengine_spark.zip`` for ``spark-submit --py-files``.
+
+Zips the package sources only (no tests, no caches); the zip lands on every
+executor's PYTHONPATH, which also makes the preloaded worker daemon
+(``searchengine_spark.daemon_preload``) importable cluster-wide.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build(out: str | None = None) -> str:
+    out = out or os.path.join(REPO, "dist", "searchengine_spark.zip")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    pkg = os.path.join(REPO, "searchengine_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return out
+
+
+if __name__ == "__main__":
+    print(build())
