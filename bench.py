@@ -75,9 +75,19 @@ def main() -> None:
     for i, q in enumerate(["fast key order", "slow merge", "customer query value data"]):
         timed(f"bm25_search_{i}", lambda q=q: search(spark, index_dir, q, k=10).collect())
 
+    # server shape: 20 queries in ONE distributed job
+    from searchengine_spark.operators.wand import search_batch
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+    timed(
+        "bm25_batch20",
+        lambda: search_batch(spark, index_dir, REFERENCE_QUERIES, k=10).collect(),
+    )
+
     bench_queries = [
         "doc_terms", "term_dict", "bm25_topk", "exact_dedup",
-        "minhash_signatures", "near_dup_jaccard", "simhash", "text_quality",
+        "minhash_signatures", "near_dup_jaccard", "simhash", "lsh_pairs",
+        "cosine_topk_docs", "pruned_doc_stats", "text_quality",
         "language_id", "ann_cosine_topk", "lineitem_pricing", "top_customers",
         "events_hourly",
     ]

@@ -97,8 +97,13 @@ def minhash_lsh_pairs(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"minhash_{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        # band signature via the same md5-derived family as every other hash
+        # here: SQL-portable (the DuckDB oracle reproduces it byte-for-byte)
         band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+            F.struct(
+                F.lit(b).alias("band"),
+                md5_int(F.concat_ws(",", *cols), f"band{b}:").alias("sig"),
+            )
         )
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")

@@ -185,6 +185,73 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, qvec, k=20)
 
 
+def q_lsh_pairs(spark, sf_dir):
+    """Minhash-LSH candidate pairs (SURVEY-extension dedup; shingle →
+    minhash → band → bucket self-join)."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), n_hashes=MINHASHES, bands=2, max_bucket=1000
+    )
+
+
+def q_cosine_topk_docs(spark, sf_dir):
+    """R1: the reference's cosine tf-idf ranking (ranker.py:22-46) over the
+    documents table for the fixed query, analysis tokenizer, top-20."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dt = q_doc_terms(spark, sf_dir)
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "n_distinct")
+    td = q_term_dict(spark, sf_dir).select("term", "df")
+    tfidf = (
+        dt.join(stats, "doc_id")
+        .join(td, "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") / F.col("n_distinct"))
+                * F.log2(F.lit(float(n)) / F.col("df"))
+            ).alias("w"),
+        )
+    )
+    norms = tfidf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    norm_q = float(len(QTERMS)) ** 0.5  # qtf=1 per term
+    return (
+        tfidf.where(F.col("term").isin(QTERMS))
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("qd"))
+        .join(norms, "doc_id")
+        .select(
+            "doc_id",
+            F.round(F.col("qd") / (F.col("norm") * F.lit(norm_q)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_pruned_doc_stats(spark, sf_dir):
+    """A8 (clearSingleEntities): doc stats after dropping df==1 terms from
+    docs with >=5 distinct terms (entity branch is moot under the analysis
+    tokenizer — it emits no multi-word terms)."""
+    dt = q_doc_terms(spark, sf_dir)
+    stats = dt.groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
+    victims = (
+        dt.groupBy("term")
+        .agg(F.count("*").alias("df"), F.first("doc_id").alias("doc_id"))
+        .where(F.col("df") == 1)
+        .join(stats.where(F.col("n_distinct") >= 5), "doc_id")
+        .select("doc_id", "term")
+    )
+    pruned = dt.join(F.broadcast(victims), ["doc_id", "term"], "left_anti")
+    return pruned.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("dl"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("tf").cast("long").alias("max_f"),
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -196,6 +263,25 @@ def q_lineitem_pricing(spark, sf_dir):
         ),
         F.round(F.avg("l_discount"), 6).alias("avg_disc"),
         F.count("*").cast("long").alias("count_order"),
+    )
+
+
+def q_lineitem_rollup(spark, sf_dir):
+    """Grouping sets / rollup coverage (SURVEY.md §2.3 'not present in
+    reference, free in Spark'): revenue rollup over returnflag→linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_price",
+        )
     )
 
 
@@ -262,7 +348,11 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "lsh_pairs": q_lsh_pairs,
+    "cosine_topk_docs": q_cosine_topk_docs,
+    "pruned_doc_stats": q_pruned_doc_stats,
     "lineitem_pricing": q_lineitem_pricing,
+    "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
     "customer_best_order": q_customer_best_order,
     "events_hourly": q_events_hourly,
@@ -400,6 +490,59 @@ ORACLES = {
         "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
         " FROM embeddings CROSS JOIN q ORDER BY cos DESC, vec_id ASC LIMIT 20"
     ),
+    "lsh_pairs": (
+        f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
+        " mh AS (SELECT doc_id, "
+        + ", ".join(
+            "min({h}) AS m{i}".format(h=_md5int_sql(f"'mh{i}:' || term"), i=i)
+            for i in range(MINHASHES)
+        )
+        + " FROM toks GROUP BY doc_id),"
+        " banded AS ("
+        + " UNION ALL ".join(
+            "SELECT doc_id, {b} AS band, {sig} AS sig FROM mh".format(
+                b=b,
+                sig=_md5int_sql(f"'band{b}:' || m{2*b} || ',' || m{2*b+1}"),
+            )
+            for b in range(2)
+        )
+        + "),"
+        " ok AS (SELECT band, sig FROM banded GROUP BY band, sig"
+        "        HAVING count(*) <= 1000),"
+        " b2 AS (SELECT banded.* FROM banded JOIN ok USING (band, sig))"
+        " SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        " CAST(count(*) AS BIGINT) AS n_bands_matched"
+        " FROM b2 x JOIN b2 y USING (band, sig)"
+        " WHERE x.doc_id < y.doc_id GROUP BY 1, 2"
+    ),
+    "cosine_topk_docs": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " nd AS (SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " w AS (SELECT dt.doc_id, dt.term,"
+        "   (tf / CAST(n_distinct AS DOUBLE)) * log2(CAST(n.n AS DOUBLE) / df) AS w"
+        "   FROM dt JOIN nd USING (doc_id) JOIN td USING (term) CROSS JOIN n),"
+        " norms AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY doc_id),"
+        f" qd AS (SELECT doc_id, sum(w) AS qd FROM w WHERE term IN ({_QLIST})"
+        "   GROUP BY doc_id)"
+        f" SELECT doc_id, round(qd / (norm * sqrt({float(len(QTERMS))!r})), 6) AS score"
+        " FROM qd JOIN norms USING (doc_id)"
+        " ORDER BY score DESC, doc_id ASC LIMIT 20"
+    ),
+    "pruned_doc_stats": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " nd AS (SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY doc_id),"
+        " victims AS (SELECT v.term, v.doc_id FROM"
+        "   (SELECT term, min(doc_id) AS doc_id FROM dt GROUP BY term"
+        "    HAVING count(*) = 1) v"
+        "   JOIN nd ON nd.doc_id = v.doc_id WHERE nd.n_distinct >= 5),"
+        " pruned AS (SELECT dt.* FROM dt LEFT JOIN victims v"
+        "   ON dt.doc_id = v.doc_id AND dt.term = v.term WHERE v.term IS NULL)"
+        " SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,"
+        " CAST(count(*) AS BIGINT) AS n_distinct,"
+        " CAST(max(tf) AS BIGINT) AS max_f FROM pruned GROUP BY doc_id"
+    ),
     "lineitem_pricing": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty,"
         " round(sum(l_extendedprice), 6) AS sum_price,"
@@ -407,6 +550,13 @@ ORACLES = {
         " round(avg(l_discount), 6) AS avg_disc,"
         " CAST(count(*) AS BIGINT) AS count_order"
         " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "lineitem_rollup": (
+        "SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,"
+        " coalesce(l_linestatus, 'ALL') AS l_linestatus,"
+        " CAST(count(*) AS BIGINT) AS n,"
+        " round(sum(l_extendedprice), 6) AS sum_price"
+        " FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
     ),
     "top_customers": (
         "SELECT c_custkey, c_name, round(sum(o_totalprice), 6) AS revenue,"

@@ -11,9 +11,11 @@ from searchengine_spark.functions.tokenizer import (
     accept_number,
     clean_edges,
     tokenize,
+    tokenize_tweet,
 )
 
 GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "tokenizer_goldens.jsonl")
+TWEET_GOLDENS = os.path.join(os.path.dirname(__file__), "goldens", "tweet_goldens.jsonl")
 
 
 def test_golden_parity():
@@ -22,6 +24,19 @@ def test_golden_parity():
         for line in f:
             rec = json.loads(line)
             assert tokenize(rec["text"]) == rec["terms"], repr(rec["text"][:120])
+            n += 1
+    assert n > 1000
+
+
+def test_tweet_record_golden_parity():
+    """Tweet-record path (parse_doc: url fields via parseURL, then the full
+    text, one shared dict — parser_module.py:378-384)."""
+    n = 0
+    with open(TWEET_GOLDENS) as f:
+        for line in f:
+            rec = json.loads(line)
+            got = tokenize_tweet(rec["full_text"], rec["url"], rec["retweet_url"])
+            assert got == rec["terms"], repr(rec["full_text"][:120])
             n += 1
     assert n > 1000
 

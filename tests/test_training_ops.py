@@ -1,0 +1,113 @@
+"""Training-data-pipeline operators not covered by the SQL-oracle driver
+gate: LSH similarity search, minhash-LSH candidate pairs, multimodal
+feature plumbing."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import multimodal, similarity
+from searchengine_spark.operators.dedup import minhash_lsh_pairs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+
+
+def test_lsh_subset_consistency(spark, emb, qvec):
+    """LSH result == exact cosine ranking restricted to the probed buckets
+    (re-rank inside candidates is exact), and recall is non-trivial."""
+    k = 20
+    exact = similarity.cosine_topk(emb, qvec, k=k).toPandas()
+    approx = similarity.lsh_cosine_topk(emb, qvec, k=k, bits=6).toPandas()
+    # exact ranking restricted to LSH candidate set
+    planes = similarity._hyperplanes(len(qvec), 6)
+    bucketed = emb.withColumn(
+        "_sig", similarity.lsh_signature_col(F.col("embedding"), planes)
+    )
+    qv = np.asarray(qvec)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(6)]
+    cands = bucketed.where(F.col("_sig").isin(probes))
+    want = similarity.cosine_topk(cands, qvec, k=k).toPandas()
+    assert approx["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(approx["cos"], want["cos"], atol=1e-9)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / k
+    assert recall >= 0.2, recall
+    # the query vector itself is its own nearest neighbor in its own bucket
+    assert approx["vec_id"].iloc[0] == 0
+
+
+def test_minhash_lsh_finds_duplicates(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),  # exact dup of 0
+            (2, "alpha beta gamma delta epsilon eta"),   # near dup of 0
+            (3, "completely different words entirely here now"),
+            (4, "unrelated content again with other terms"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4).toPandas()
+    by_pair = {
+        (r.doc_a, r.doc_b): r.n_bands_matched for r in pairs.itertuples()
+    }
+    assert by_pair.get((0, 1)) == 4  # exact dups agree on every band
+    assert (3, 4) not in by_pair  # disjoint vocab never collides on a band
+
+
+def test_minhash_lsh_bucket_cap_guards_fanout(spark):
+    # 30 identical docs with max_bucket=10: the degenerate bucket is dropped
+    docs = spark.createDataFrame(
+        [(i, "same text in every document") for i in range(30)],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, n_hashes=8, bands=4, max_bucket=10)
+    assert pairs.count() == 0
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthetic_media_df(spark, n=30, seed=5)
+    feats = multimodal.extract_features(media, fake=True).toPandas()
+    assert len(feats) == 30
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    for row in feats.itertuples():
+        assert row.sha256 == hashlib.sha256(payloads[row.media_id]).hexdigest()
+        assert row.n_bytes == len(payloads[row.media_id])
+        want = multimodal._fake_decode(payloads[row.media_id])
+        assert np.allclose(np.array(row.features), want)
+
+
+def test_multimodal_decode_stub_raises(spark):
+    media = multimodal.synthetic_media_df(spark, n=3)
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, fake=False)
+
+
+def test_sample_frames_counts(spark):
+    media = multimodal.synthetic_media_df(spark, n=30, seed=5)
+    frames = multimodal.sample_frames(media, every_n=10, fake=True).toPandas()
+    vids = {
+        r["media_id"]: r["meta"]["n_frames"]
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    got = frames.groupby("media_id").size().to_dict()
+    want = {m: -(-n // 10) for m, n in vids.items()}
+    assert got == want
+    assert set(frames["media_id"]) == set(vids)

@@ -146,11 +146,56 @@ def fuzz_corpus(n: int, seed: int = 1234) -> list:
     return out
 
 
+def gen_tweet_goldens(Parse) -> None:
+    """Tweet-RECORD goldens: parse_doc over the reference's own sample rows
+    (padded to the 14-field layout parse_doc indexes, parser_module.py:
+    352-377; the 8-column samples map to fields 0-3 + 5-7 with url_indices
+    absent — field 3 is ``url`` and field 6 ``retweet_url``, the two that
+    reach parseURL). Captures the url-field tokenization path (P1/P10)."""
+    import pandas as pd
+
+    rows = []
+    for f in ("sample.parquet", "sample2.parquet", "sample3.parquet"):
+        df = pd.read_parquet(f"/root/reference/{f}", engine="pyarrow")
+        for r in df.values.tolist():
+            # 8-col sample → 14-field parse_doc layout
+            row14 = [
+                r[0], r[1], r[2], r[3], None, r[4], r[5], None,
+                r[6], r[7], None, None, None, None,
+            ]
+            rows.append(row14)
+    out_path = "/root/repo/tests/goldens/tweet_goldens.jsonl"
+    n_ok, n_err = 0, 0
+    with open(out_path, "w") as f:
+        for row in rows:
+            try:
+                doc = Parse(False).parse_doc(row)
+                terms = doc.term_doc_dictionary
+            except Exception:
+                n_err += 1
+                continue
+            f.write(
+                json.dumps(
+                    {
+                        "full_text": row[2],
+                        "url": row[3],
+                        "retweet_url": row[6],
+                        "terms": terms,
+                    },
+                    ensure_ascii=False,
+                )
+                + "\n"
+            )
+            n_ok += 1
+    print(f"wrote {n_ok} tweet goldens ({n_err} reference crashes skipped) -> {out_path}")
+
+
 def main():
     n_fuzz = 300
     if "--fuzz" in sys.argv:
         n_fuzz = int(sys.argv[sys.argv.index("--fuzz") + 1])
     Parse = load_reference_parser()
+    gen_tweet_goldens(Parse)
 
     texts = list(EDGE_CASES)
     import pandas as pd

@@ -42,6 +42,38 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _hw_work(args):
+    seed0, n = args
+    from searchengine_spark.functions.tokenizer import tokenize
+    from searchengine_spark.sources.corpus import make_row
+
+    tot = 0
+    for i in range(seed0, seed0 + n):
+        tot += len(tokenize(make_row(7, i)["content"]))
+    return tot
+
+
+def hw_probe(levels: list[int], docs_per_proc: int = 6000) -> dict:
+    """Measure the MACHINE's parallel-scaling ceiling for the dominant
+    workload (pure-Python tokenization) with plain multiprocessing — no
+    Spark. On oversubscribed vCPUs this caps any job's achievable
+    efficiency; reported so the Spark numbers can be judged against it."""
+    import multiprocessing as mp
+
+    out = {}
+    for nproc in levels:
+        jobs = [(i * docs_per_proc, docs_per_proc) for i in range(nproc)]
+        t0 = time.time()
+        with mp.Pool(nproc) as p:
+            p.map(_hw_work, jobs)
+        out[nproc] = round(nproc * docs_per_proc / (time.time() - t0), 1)
+    for lo, hi in zip(levels, levels[1:]):
+        out[f"eff_{lo}to{hi}"] = round((out[hi] / out[lo]) / (hi / lo), 3)
+    lo, hi = min(levels), max(levels)
+    out["efficiency"] = round((out[hi] / out[lo]) / (hi / lo), 3)
+    return out
+
+
 def gen_corpus(n_docs: int, seed: int, path: str) -> None:
     from searchengine_spark.session import get_session
     from searchengine_spark.sources.corpus import corpus_df
@@ -108,16 +140,31 @@ def efficiency(lo: dict, hi: dict, key: str) -> float:
     return round(speedup / (hi["cpus"] / lo["cpus"]), 3)
 
 
-def write_report(results: list[dict], args, corpus_path: str) -> None:
+def write_report(results: list[dict], args, corpus_path: str,
+                 hw: dict | None) -> None:
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     lo, hi = results[0], results[-1]
     eff_build = efficiency(lo, hi, "build_docs_per_sec")
     eff_query = efficiency(lo, hi, "queries_per_sec")
+    pairwise = {
+        f"{a['cpus']}to{b['cpus']}": {
+            "build": efficiency(a, b, "build_docs_per_sec"),
+            "docs_stage": round(
+                (a["stage_sec"]["docs"] / b["stage_sec"]["docs"])
+                / (b["cpus"] / a["cpus"]),
+                3,
+            ),
+            "query": efficiency(a, b, "queries_per_sec"),
+        }
+        for a, b in zip(results, results[1:])
+    }
     summary = {
         "metric": "scaling_efficiency_build",
         "value": eff_build,
         "unit": "ratio",
         "eff_query": eff_query,
+        "pairwise": pairwise,
+        "hw_ceiling": hw,
         "levels": results,
         "n_docs": args.n_docs,
         "seed": args.seed,
@@ -133,29 +180,50 @@ def write_report(results: list[dict], args, corpus_path: str) -> None:
         f"| {r['query_wall_sec']} | {r['queries_per_sec']} | {r['warmup_sec']} |"
         for r in results
     )
+    pw_rows = "\n".join(
+        f"* {k.replace('to', ' → ')} cores: build {v['build']}, "
+        f"tokenize stage {v['docs_stage']}, query {v['query']}"
+        for k, v in pairwise.items()
+    )
+    hw_md = ""
+    if hw:
+        hw_levels = [k for k in hw if isinstance(k, int)]
+        hw_md = (
+            "\n**Hardware ceiling** (plain multiprocessing tokenize, no "
+            "Spark): "
+            + ", ".join(f"{p} procs → {hw[p]:,} docs/s" for p in hw_levels)
+            + f"; hardware efficiency {hw['efficiency']} across the same "
+            "core ratio. On this sandbox's vCPUs, that bounds what ANY "
+            "job can achieve; judge the Spark numbers against it.\n"
+        )
     md = f"""# BENCH/BASELINE.md — measured scaling (north_rule criterion)
 
 **Criterion** (`BASELINE.json.north_rule`): throughput scaling efficiency
 >= 0.8 between cluster sizes N and 4N executors. Sandbox stand-in (per the
 driver instruction): the same index-build + query job at two local
-parallelism levels on the same input.
+parallelism levels (N and 4N cores) on the same input.
 
 **Input:** {args.n_docs:,} synthetic source-code docs
 (`searchengine_spark.sources.corpus`, seed={args.seed}), one shared parquet
 at `{corpus_path}`; index layout pinned at range_width={args.range_width},
 n_groups={args.n_groups} for both levels, so only parallelism varies.
 
-| level | build wall s | build docs/s | docs-stage s | postings s | 20-query wall s | queries/s | py-warmup s |
+| level | build wall s | build docs/s | docs-stage s | postings s | query wall s | queries/s | py-warmup s |
 |---|---|---|---|---|---|---|---|
 {rows}
 
-**Scaling efficiency (build, docs/sec): {eff_build}**  — target >= 0.8
+**Scaling efficiency (build, docs/sec), lowest→highest level: {eff_build}**
+— target >= 0.8
 **Scaling efficiency (query set): {eff_query}**
 
+Pairwise efficiencies (build / tokenize-stage / query):
+{pw_rows}
+{hw_md}
 Method: each level runs in a fresh JVM (`local[p]`, shuffle partitions = p);
 the Python worker pool is warmed with one trivial job before timing
 (cold-start seconds reported in the table; a long-lived cluster pays that
-once per executor). Corpus generation is untimed. Full per-stage metrics in
+once per executor). Corpus generation is untimed; query throughput is 4
+batched rounds of the 20-query reference set. Full per-stage metrics in
 `BENCH/scaling.json`; the per-round driver bench (sf0.1 documents table) is
 `BENCH_r{{N}}.json` from `bench.py`.
 """
@@ -171,6 +239,7 @@ def main() -> None:
     ap.add_argument("--levels", default="8,32")
     ap.add_argument("--range-width", type=int, default=None)
     ap.add_argument("--n-groups", type=int, default=2)
+    ap.add_argument("--no-hw-probe", action="store_true")
     ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
     ap.add_argument("--corpus", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--index-dir", default=None, help=argparse.SUPPRESS)
@@ -207,7 +276,10 @@ def main() -> None:
         results.append(json.loads(out.stdout.strip().splitlines()[-1]))
         print(f"# local[{p}]: {results[-1]}", file=sys.stderr)
 
-    write_report(results, args, corpus)
+    levels = sorted(int(x) for x in args.levels.split(","))
+    hw = hw_probe(levels) if not args.no_hw_probe else None
+    print(f"# hw ceiling: {hw}", file=sys.stderr)
+    write_report(results, args, corpus, hw)
 
 
 if __name__ == "__main__":
