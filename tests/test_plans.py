@@ -1,0 +1,77 @@
+"""Physical-plan shape regressions: the optimizations SCALE.md claims must
+actually appear in Catalyst's plans — pushed filters on the postings scan,
+broadcast joins for small sides, column pruning on wide tables, no Python
+stage on JVM-only paths."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_postings_scan_pushes_term_filter(spark, index_1k):
+    posts = spark.read.parquet(f"{index_1k}/postings").where(
+        F.col("term").isin(["tokenizer", "posting"])
+    )
+    plan = _plan(posts)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan[:2000]
+
+
+def test_doc_map_scan_prunes_columns(spark, index_1k):
+    df = spark.read.parquet(f"{index_1k}/doc_map").select("doc_id", "path")
+    plan = _plan(df)
+    # ReadSchema carries only the selected columns — no content_sha256 etc.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "content_sha256" not in read_schema[0], read_schema
+
+
+def test_bm25_driver_query_broadcasts_term_dict(spark):
+    from searchengine_spark.plans.driver_queries import q_bm25_topk
+
+    plan = _plan(q_bm25_topk(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_doc_id_assignment_has_no_python_stage(spark):
+    from searchengine_spark.operators.doc_ids import assign_doc_ids
+    from searchengine_spark.sources.corpus import corpus_df
+
+    docs = corpus_df(spark, 200, seed=1, partitions=2)
+    out = assign_doc_ids(docs)
+    plan = _plan(out)
+    # the id path itself is JVM-only (corpus GENERATION above is a pandas
+    # UDF, so scope the check to the stages after the persisted exchange)
+    after_exchange = plan.split("InMemoryTableScan")[0]
+    for marker in ("ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in after_exchange.split("Exchange")[0], marker
+    # broadcast offset join present
+    assert "BroadcastHashJoin" in plan
+    out._source_persisted.unpersist()
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Map-side partial agg (partial_count) before the shuffle."""
+    from searchengine_spark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(exact_duplicates(docs))
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+def test_wholestage_codegen_on_textstats(spark):
+    from searchengine_spark.operators.textstats import token_stats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(token_stats(docs), "codegen")
+    assert "WholeStageCodegen subtrees" in plan, plan[:300]
+    simple = _plan(token_stats(docs), "simple")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in simple, marker
+    # map-side partial aggregation before the doc_id shuffle
+    assert "partial_count" in simple
