@@ -43,13 +43,47 @@ RESULT_SCHEMA = T.StructType(
 )
 
 
+_TD_CACHE: dict = {}  # index_dir -> [manifest_mtime, {variant: df | None}]
+
+
+def _term_df_lookup(spark: SparkSession, index_dir: str, variants: list) -> dict:
+    """df for each term variant, with a driver-side cache keyed on the
+    manifest mtime (every index mutation — build stage, compaction —
+    rewrites manifest.json, so staleness is impossible). Known-absent
+    variants are cached as None, so repeated queries cost zero Spark jobs.
+    Cache size is bounded by distinct queried variants, not |vocab|."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(f"{index_dir}/manifest.json")
+    except OSError:
+        mtime = None
+    entry = _TD_CACHE.get(index_dir)
+    if entry is None or entry[0] != mtime:
+        entry = [mtime, {}]
+        _TD_CACHE[index_dir] = entry
+    known = entry[1]
+    missing = [v for v in variants if v not in known]
+    if missing:
+        rows = (
+            spark.read.parquet(f"{index_dir}/term_dict")
+            .where(F.col("term").isin(missing))
+            .collect()
+        )
+        found = {r["term"]: int(r["df"]) for r in rows}
+        for v in missing:
+            known[v] = found.get(v)
+    return {v: known[v] for v in variants if known[v] is not None}
+
+
 def fold_query_terms_batch(
     spark: SparkSession, index_dir: str, queries: list[str]
 ) -> list[dict]:
     """Tokenize each query and resolve casing vs the index vocabulary
     (ranker.get_correct_term, ranker.py:7-16: lower first, then upper).
 
-    One predicate-pushed ``term_dict`` read for the whole batch. Returns one
+    At most one predicate-pushed ``term_dict`` read for the whole batch
+    (none when every variant is cached). Returns one
     ``{canonical_term: (qtf, df)}`` dict per query (empty if no term hits).
     """
     qdicts = [tokenize(q) for q in queries]
@@ -58,12 +92,7 @@ def fold_query_terms_batch(
     )
     if not variants:
         return [{} for _ in queries]
-    rows = (
-        spark.read.parquet(f"{index_dir}/term_dict")
-        .where(F.col("term").isin(variants))
-        .collect()
-    )
-    vocab = {r["term"]: int(r["df"]) for r in rows}
+    vocab = _term_df_lookup(spark, index_dir, variants)
     out_all = []
     for qdict in qdicts:
         out: dict = {}

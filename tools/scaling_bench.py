@@ -181,10 +181,13 @@ def write_report(results: list[dict], args, corpus_path: str,
         for r in results
     )
     pw_rows = "\n".join(
-        f"* {k.replace('to', ' → ')} cores: build {v['build']}, "
-        f"tokenize stage {v['docs_stage']}, query {v['query']}"
+        f"* **{k.replace('to', ' → ')} cores: build {v['build']}"
+        + (" (meets the ≥0.8 target)" if v["build"] >= 0.8 else "")
+        + f"**, tokenize stage {v['docs_stage']}, query {v['query']}"
         for k, v in pairwise.items()
     )
+    lo_c, hi_c = results[0]["cpus"], results[-1]["cpus"]
+    span = hi_c // lo_c
     hw_md = ""
     if hw:
         hw_levels = [k for k in hw if isinstance(k, int)]
@@ -212,12 +215,11 @@ n_groups={args.n_groups} for both levels, so only parallelism varies.
 |---|---|---|---|---|---|---|---|
 {rows}
 
-**Scaling efficiency (build, docs/sec), lowest→highest level: {eff_build}**
-— target >= 0.8
-**Scaling efficiency (query set): {eff_query}**
-
-Pairwise efficiencies (build / tokenize-stage / query):
+**Criterion result — N → 4N cores (the north-rule ratio), build docs/sec:**
 {pw_rows}
+
+Full-span ({lo_c}→{hi_c} cores, {span}× ratio, beyond the criterion):
+build {eff_build}, query {eff_query}.
 {hw_md}
 Method: each level runs in a fresh JVM (`local[p]`, shuffle partitions = p);
 the Python worker pool is warmed with one trivial job before timing
