@@ -21,7 +21,16 @@ appears in ~every file) is automatically spread across all ranges — its
 postings never concentrate on one task, with zero reliance on AQE skew
 splitting. Every range is a bounded unit (≤ range_width docs), the
 parallelism unit of both the build and block-max WAND query fan-out, and
-the checkpoint/resume unit (grouped into ``n_groups`` committed jobs).
+the checkpoint/resume unit (grouped into committed jobs).
+
+Ranges map to commit groups CONTIGUOUSLY (``grp = rng // group_width``,
+``group_width`` fixed at first build and persisted in the manifest):
+
+* a write task holds docs from a contiguous id range, so its rows land in
+  1–2 groups — the dynamic-partition write needs no wide sort;
+* corpus growth (streaming ingest) appends NEW groups instead of touching
+  every old one, and compaction rebuilds only groups containing new
+  ranges or case-fold-changed terms (streaming/ingest.compact).
 
 At 1000-executor / 100 TB scale the same plan holds: range count scales
 with corpus size (fixed range_width), group count scales with desired
@@ -73,6 +82,118 @@ def _fold_expr(fold_map: DataFrame, doc_terms: DataFrame) -> DataFrame:
     )
 
 
+def grp_expr(rng_col, group_width: int):
+    """Contiguous range→group mapping (see module docstring)."""
+    return (rng_col / F.lit(group_width)).cast("int")
+
+
+def build_fold_map(spark: SparkSession, index_dir: str, man: Manifest) -> None:
+    """Stage fold_map: global case-fold table — a term folds to lowercase
+    iff its lowercase twin occurs anywhere (order-free fixpoint of
+    indexer.py:44-62; SURVEY.md §7 hard-part 1). Shared by batch build and
+    streaming compaction."""
+    t0 = time.time()
+    vocab = spark.read.parquet(f"{index_dir}/doc_terms").select("term").distinct()
+    lowers = vocab.where(F.col("term") == F.lower(F.col("term")))
+    uppers = vocab.where(F.col("term") != F.lower(F.col("term")))
+    fold = (
+        uppers.withColumn("canon", F.lower(F.col("term")))
+        .join(lowers.withColumnRenamed("term", "canon"), "canon", "left_semi")
+        .select("term", "canon")
+    )
+    fold.write.mode("overwrite").parquet(f"{index_dir}/fold_map")
+    n_folded = spark.read.parquet(f"{index_dir}/fold_map").count()
+    man.mark_stage("fold_map", time.time() - t0, n_folded=n_folded)
+
+
+def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
+    """Stage term_dict: (term, df, cf) global aggregate over folded terms."""
+    t0 = time.time()
+    dt = spark.read.parquet(f"{index_dir}/doc_terms")
+    fold = spark.read.parquet(f"{index_dir}/fold_map")
+    # (term, doc_id) pairs are distinct pre-fold; the fold can merge an
+    # UPPER/lower pair within one doc, so re-aggregate per (term, doc)
+    # first — an explicit two-phase agg (same plan countDistinct would
+    # expand to, minus the distinct bookkeeping)
+    td = (
+        _fold_expr(fold, dt)
+        .groupBy("term", "doc_id")
+        .agg(F.sum("tf").alias("tf"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+    )
+    td.write.mode("overwrite").parquet(f"{index_dir}/term_dict")
+    n_terms = spark.read.parquet(f"{index_dir}/term_dict").count()
+    man.set_scalars(n_terms=n_terms)
+    man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
+
+
+def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> None:
+    """Stage postings: per commit group, shuffle doc_terms by rng and pack
+    delta+varint blocks with block-max partials. Skips groups already
+    marked done (checkpoint/resume unit)."""
+    avgdl = man.scalars["avgdl"]
+    n_groups = man.scalars["n_groups"]
+    fold = spark.read.parquet(f"{index_dir}/fold_map")
+
+    def pack_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        # fold duplicates: same (term, doc) may appear twice post-case-fold
+        g = (
+            pdf.groupby(["term", "doc_id"], sort=False)
+            .agg(tf=("tf", "sum"), dl=("dl", "first"))
+            .reset_index()
+            .sort_values(["term", "doc_id"], kind="mergesort")
+        )
+        rows = []
+        for term, sub in g.groupby("term", sort=True):
+            ids = sub["doc_id"].to_numpy(np.uint64)
+            tfs = sub["tf"].to_numpy(np.uint64)
+            dls = sub["dl"].to_numpy(np.uint64)
+            for blk in pack_blocks(ids, tfs, dls, avgdl):
+                rows.append(
+                    (
+                        term,
+                        rng,
+                        blk["block_seq"],
+                        blk["n"],
+                        blk["first_doc"],
+                        blk["last_doc"],
+                        blk["block_max_tf"],
+                        blk["gaps"],
+                        blk["tfs"],
+                        blk["dls"],
+                    )
+                )
+        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+
+    for g in range(n_groups):
+        if man.group_done(g):
+            continue
+        t0 = time.time()
+        dt_g = spark.read.parquet(f"{index_dir}/doc_terms").where(F.col("grp") == g)
+        packed = (
+            _fold_expr(fold, dt_g)
+            .select("term", "doc_id", "tf", "dl", "rng")
+            .groupBy("rng")
+            .applyInPandas(pack_range, POSTINGS_SCHEMA)
+        )
+        out = f"{index_dir}/postings/grp={g}"
+        packed.write.mode("overwrite").parquet(out)
+        written = spark.read.parquet(out).agg(
+            F.sum("n").alias("n_postings"), F.count("*").alias("n_blocks")
+        ).collect()[0]
+        secs = time.time() - t0
+        n_post = int(written["n_postings"] or 0)
+        man.mark_group(
+            g,
+            secs,
+            n_postings=n_post,
+            n_blocks=int(written["n_blocks"] or 0),
+            postings_per_sec=round(n_post / secs, 1) if secs else None,
+        )
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -107,10 +228,12 @@ def build_index(
         )
         doc_map.write.mode("overwrite").parquet(f"{index_dir}/doc_map")
 
+        group_width = max(1, math.ceil(n_ranges / n_groups)) if n_ranges else 1
+        actual_groups = math.ceil(n_ranges / group_width) if n_ranges else 0
         doc_terms = (
             tokenize_docs(with_id)
             .withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
-            .withColumn("grp", (F.col("rng") % F.lit(n_groups)).cast("int"))
+            .withColumn("grp", grp_expr(F.col("rng"), group_width))
         )
         doc_terms.write.mode("overwrite").partitionBy("grp").parquet(
             f"{index_dir}/doc_terms"
@@ -135,7 +258,8 @@ def build_index(
             avgdl=(n_tokens / n_docs) if n_docs else 0.0,
             range_width=range_width,
             n_ranges=n_ranges,
-            n_groups=n_groups,
+            group_width=group_width,
+            n_groups=actual_groups,
             block_size=BLOCK_SIZE,
         )
         man.mark_stage(
@@ -146,104 +270,11 @@ def build_index(
             docs_per_sec=round(n_docs / secs, 1) if secs else None,
         )
 
-    range_width = man.scalars["range_width"]
-    avgdl = man.scalars["avgdl"]
-    n_docs = man.scalars["n_docs"]
-
-    # ---- stage: fold_map ----------------------------------------------------
+    # ---- derived stages (shared with streaming compaction) ------------------
     if not man.stage_done("fold_map"):
-        t0 = time.time()
-        vocab = spark.read.parquet(f"{index_dir}/doc_terms").select("term").distinct()
-        lowers = vocab.where(F.col("term") == F.lower(F.col("term")))
-        uppers = vocab.where(F.col("term") != F.lower(F.col("term")))
-        fold = (
-            uppers.withColumn("canon", F.lower(F.col("term")))
-            .join(lowers.withColumnRenamed("term", "canon"), "canon", "left_semi")
-            .select("term", "canon")
-        )
-        fold.write.mode("overwrite").parquet(f"{index_dir}/fold_map")
-        n_folded = spark.read.parquet(f"{index_dir}/fold_map").count()
-        man.mark_stage("fold_map", time.time() - t0, n_folded=n_folded)
-
-    # ---- stage: term_dict ---------------------------------------------------
+        build_fold_map(spark, index_dir, man)
     if not man.stage_done("term_dict"):
-        t0 = time.time()
-        dt = spark.read.parquet(f"{index_dir}/doc_terms")
-        fold = spark.read.parquet(f"{index_dir}/fold_map")
-        # (term, doc_id) pairs are distinct pre-fold; the fold can merge an
-        # UPPER/lower pair within one doc, so re-aggregate per (term, doc)
-        # first — an explicit two-phase agg (same plan countDistinct would
-        # expand to, minus the distinct bookkeeping)
-        td = (
-            _fold_expr(fold, dt)
-            .groupBy("term", "doc_id")
-            .agg(F.sum("tf").alias("tf"))
-            .groupBy("term")
-            .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
-        )
-        td.write.mode("overwrite").parquet(f"{index_dir}/term_dict")
-        n_terms = spark.read.parquet(f"{index_dir}/term_dict").count()
-        man.set_scalars(n_terms=n_terms)
-        man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
-
-    # ---- stage: postings (per partition group, resumable) -------------------
-    fold = spark.read.parquet(f"{index_dir}/fold_map")
-
-    def pack_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rng = int(key[0])
-        # fold duplicates: same (term, doc) may appear twice post-case-fold
-        g = (
-            pdf.groupby(["term", "doc_id"], sort=False)
-            .agg(tf=("tf", "sum"), dl=("dl", "first"))
-            .reset_index()
-            .sort_values(["term", "doc_id"], kind="mergesort")
-        )
-        rows = []
-        for term, sub in g.groupby("term", sort=True):
-            ids = sub["doc_id"].to_numpy(np.uint64)
-            tfs = sub["tf"].to_numpy(np.uint64)
-            dls = sub["dl"].to_numpy(np.uint64)
-            for blk in pack_blocks(ids, tfs, dls, avgdl):
-                rows.append(
-                    (
-                        term,
-                        rng,
-                        blk["block_seq"],
-                        blk["n"],
-                        blk["first_doc"],
-                        blk["last_doc"],
-                        blk["block_max_tf"],
-                        blk["gaps"],
-                        blk["tfs"],
-                        blk["dls"],
-                    )
-                )
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
-
-    for g in range(man.scalars["n_groups"]):
-        if man.group_done(g):
-            continue
-        t0 = time.time()
-        dt_g = spark.read.parquet(f"{index_dir}/doc_terms").where(F.col("grp") == g)
-        packed = (
-            _fold_expr(fold, dt_g)
-            .select("term", "doc_id", "tf", "dl", "rng")
-            .groupBy("rng")
-            .applyInPandas(pack_range, POSTINGS_SCHEMA)
-        )
-        out = f"{index_dir}/postings/grp={g}"
-        packed.write.mode("overwrite").parquet(out)
-        written = spark.read.parquet(out).agg(
-            F.sum("n").alias("n_postings"), F.count("*").alias("n_blocks")
-        ).collect()[0]
-        secs = time.time() - t0
-        n_post = int(written["n_postings"] or 0)
-        man.mark_group(
-            g,
-            secs,
-            n_postings=n_post,
-            n_blocks=int(written["n_blocks"] or 0),
-            postings_per_sec=round(n_post / secs, 1) if secs else None,
-        )
+        build_term_dict(spark, index_dir, man)
+    build_posting_groups(spark, index_dir, man)
 
     return man

@@ -24,11 +24,14 @@ Design (LSM-ish, two tiers):
 
 Scale notes: delta segments are append-only parquet (no shuffle on the
 hot ingest path beyond the per-batch id-assignment range partition);
-compaction cost is the batch build's shuffle stages. With contiguous
-range→group mapping and Iceberg partition-level overwrite, compaction
-narrows to groups actually touched by new ranges or case-fold changes;
-with the current ``rng % n_groups`` spread every group is rebuilt —
-acceptable because compaction is rare and resumable per group.
+compaction cost is bounded by the groups actually touched: the contiguous
+range→group mapping (``grp = rng // group_width``, group_width frozen at
+first build) means corpus growth APPENDS groups, so compaction rebuilds
+only (a) groups containing new ranges (first new doc's group onward) and
+(b) groups holding postings of case-fold-changed terms (a new lowercase
+occurrence re-canonicalizes an old UPPER term — detected by diffing the
+fold map); every other group keeps its committed postings. With Iceberg,
+those group rebuilds become partition-level overwrite commits.
 """
 
 from __future__ import annotations
@@ -133,7 +136,12 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     """Fold delta segments into the main index and rebuild the derived
     stages (fold_map, term_dict, postings, doc_stats). Resumable: group
     rebuilds recommit through the manifest like the batch build."""
-    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.index_build import (
+        build_fold_map,
+        build_posting_groups,
+        build_term_dict,
+        grp_expr,
+    )
 
     man = Manifest(index_dir)
     delta_dt = f"{index_dir}/delta/doc_terms"
@@ -148,24 +156,42 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
         return man
     if "range_width" not in man.scalars:
         # stream-only index (no prior batch build): fix the layout now
+        import math
+
         from searchengine_spark.functions.codec import BLOCK_SIZE
 
         n_docs = man.scalars["n_docs"]
-        groups = n_groups or 4
-        target = max(4 * spark.sparkContext.defaultParallelism, groups)
+        groups0 = n_groups or 4
+        target = max(4 * spark.sparkContext.defaultParallelism, groups0)
         width = max(64, -(-n_docs // target))
-        man.set_scalars(range_width=width, n_groups=groups, block_size=BLOCK_SIZE)
+        n_ranges0 = -(-n_docs // width)
+        group_width = max(1, math.ceil(n_ranges0 / groups0))
+        man.set_scalars(
+            range_width=width,
+            group_width=group_width,
+            n_groups=math.ceil(n_ranges0 / group_width),
+            block_size=BLOCK_SIZE,
+        )
         man.mark_stage(
             "docs", 0.0, n_docs=n_docs, note="stream-ingested (see ingest_batches)"
         )
     range_width = man.scalars["range_width"]
-    groups = n_groups or man.scalars["n_groups"]
+    group_width = man.scalars["group_width"]
+
+    delta_batches = [
+        b
+        for b in man.data.get("ingest_batches", {}).values()
+        if b["status"] == "delta"
+    ]
+    first_new_doc = (
+        min(b["first_doc_id"] for b in delta_batches) if delta_batches else None
+    )
 
     # 1. merge delta doc_terms into the range-partitioned main table
     delta = (
         spark.read.parquet(delta_dt)
         .withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
-        .withColumn("grp", (F.col("rng") % F.lit(groups)).cast("int"))
+        .withColumn("grp", grp_expr(F.col("rng"), group_width))
     )
     delta.write.mode("append").partitionBy("grp").parquet(f"{index_dir}/doc_terms")
     for sub in ("doc_map",):
@@ -173,7 +199,8 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
             f"{index_dir}/{sub}"
         )
 
-    # 2. refresh doc_stats + scalars from the merged table
+    # 2. refresh doc_stats + scalars from the merged table (corpus growth
+    # extends the group sequence: contiguous mapping appends NEW groups)
     dt = spark.read.parquet(f"{index_dir}/doc_terms")
     doc_stats = dt.groupBy("doc_id").agg(
         F.first("dl").alias("dl"),
@@ -189,22 +216,55 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     n_docs = man.scalars["n_docs"]
     n_tokens = int(stats["toks"] or 0)
     n_ranges = -(-n_docs // range_width) if n_docs else 0
+    n_groups_total = -(-n_ranges // group_width) if n_ranges else 0
     man.set_scalars(
         n_tokens=n_tokens,
         avgdl=(n_tokens / n_docs) if n_docs else 0.0,
         n_ranges=n_ranges,
+        n_groups=n_groups_total,
     )
 
-    # 3. invalidate + rebuild derived stages (fold can change globally: a
-    # new lowercase occurrence re-canonicalizes an old UPPER term)
+    # 3. rebuild the global aggregates, diffing the case-fold map: a new
+    # lowercase occurrence re-canonicalizes an old UPPER term, which
+    # invalidates every group holding that term's postings
+    old_pairs = set()
+    if man.stage_done("fold_map"):
+        old_pairs = {
+            (r["term"], r["canon"])
+            for r in spark.read.parquet(f"{index_dir}/fold_map").collect()
+        }
     for stage in ("fold_map", "term_dict"):
         man.data["stages"].pop(stage, None)
-    man.data["posting_groups"] = {}
-    # mark delta batches folded + archive the segments
+    man.save()
+    build_fold_map(spark, index_dir, man)
+    build_term_dict(spark, index_dir, man)
+    new_pairs = {
+        (r["term"], r["canon"])
+        for r in spark.read.parquet(f"{index_dir}/fold_map").collect()
+    }
+    changed_terms = sorted({t for t, _c in old_pairs ^ new_pairs})
+
+    # 4. selective posting-group invalidation: groups containing new ranges
+    # + groups containing fold-changed terms; untouched groups keep their
+    # committed postings
+    to_rebuild = set()
+    if first_new_doc is not None:
+        first_new_grp = (first_new_doc // range_width) // group_width
+        to_rebuild.update(range(first_new_grp, n_groups_total))
+    if changed_terms:
+        rows = (
+            dt.where(F.col("term").isin(changed_terms))
+            .select("grp")
+            .distinct()
+            .collect()
+        )
+        to_rebuild.update(int(r["grp"]) for r in rows)
+    for g in to_rebuild:
+        man.data["posting_groups"].pop(str(g), None)
     for b in man.data.get("ingest_batches", {}).values():
         b["status"] = "compacted"
     man.save()
-    build_index(spark, None, index_dir, range_width=range_width, n_groups=groups)
+    build_posting_groups(spark, index_dir, man)
 
     import shutil
 

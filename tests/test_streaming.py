@@ -110,6 +110,47 @@ def test_ingest_compact_search_identical(spark, streamed_vs_batch, query):
     pd.testing.assert_frame_equal(out["stream"], out["batch"])
 
 
+def test_compact_is_selective(spark, tmp_path):
+    """Second compaction leaves committed groups untouched when the new
+    docs neither extend their ranges nor change the case-fold (all-lowercase
+    vocab ⇒ no fold changes possible)."""
+    import glob
+
+    def mtimes(pat):
+        return {p: os.path.getmtime(p) for p in glob.glob(pat)}
+
+    def docs_df(lo, hi):
+        rows = [
+            (f"org/r{i}", f"f{i}.py", "c" * 40, "python",
+             f"word{i} alpha beta gamma delta")
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "repo string, path string, commit string, lang string, content string"
+        )
+
+    idx = f"{tmp_path}/idx"
+    os.makedirs(idx)
+    ing.ingest_batch(spark, docs_df(0, 600), 0, idx)
+    ing.compact(spark, idx, n_groups=3)
+    man = Manifest(idx)
+    assert man.scalars["n_groups"] >= 2
+    before = mtimes(f"{idx}/postings/grp=0/*.parquet")
+    assert before
+
+    ing.ingest_batch(spark, docs_df(600, 700), 1, idx)
+    ing.compact(spark, idx)
+    man2 = Manifest(idx)
+    # appended docs extend the LAST group / add new ones; group 0 untouched
+    assert mtimes(f"{idx}/postings/grp=0/*.parquet") == before
+    assert man2.scalars["n_docs"] == 700
+    # and the index still answers over old and new docs
+    from searchengine_spark.operators.wand import search
+
+    assert search(spark, idx, "word650", k=5).count() == 1
+    assert search(spark, idx, "word3", k=5).count() == 1
+
+
 def test_ingest_batch_idempotent(spark, tmp_path):
     pdf = corpus_pdf(50, seed=3)
     df = spark.createDataFrame(pdf)
