@@ -31,6 +31,9 @@ def main() -> None:
     ap.add_argument("--range-width", type=int, default=None)
     ap.add_argument("--n-groups", type=int, default=4)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--stem", action="store_true",
+                    help="Porter stemming at index time (P12; queries stem "
+                         "symmetrically via the manifest flag)")
     args = ap.parse_args()
 
     from searchengine_spark.operators.index_build import build_index
@@ -49,6 +52,7 @@ def main() -> None:
         range_width=args.range_width,
         n_groups=args.n_groups,
         resume=not args.no_resume,
+        stem=args.stem,
     )
     print(json.dumps({"scalars": man.scalars, "stages": man.data["stages"],
                       "posting_groups": man.data["posting_groups"]}))

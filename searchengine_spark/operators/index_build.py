@@ -201,8 +201,12 @@ def build_index(
     range_width: int | None = None,
     n_groups: int = 4,
     resume: bool = True,
+    stem: bool = False,
 ) -> Manifest:
-    """Build (or resume building) the index for ``docs`` into ``index_dir``."""
+    """Build (or resume building) the index for ``docs`` into ``index_dir``.
+
+    ``stem=True`` turns on Porter stemming (P12) at index time; the flag is
+    recorded in the manifest so the query path stems symmetrically."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     if not resume:
@@ -231,7 +235,7 @@ def build_index(
         group_width = max(1, math.ceil(n_ranges / n_groups)) if n_ranges else 1
         actual_groups = math.ceil(n_ranges / group_width) if n_ranges else 0
         doc_terms = (
-            tokenize_docs(with_id)
+            tokenize_docs(with_id, stem=stem)
             .withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
             .withColumn("grp", grp_expr(F.col("rng"), group_width))
         )
@@ -261,6 +265,7 @@ def build_index(
             group_width=group_width,
             n_groups=actual_groups,
             block_size=BLOCK_SIZE,
+            stemming=stem,
         )
         man.mark_stage(
             "docs",

@@ -31,14 +31,24 @@ DOC_TERMS_SCHEMA = T.StructType(
 )
 
 
-def tokenize_docs(docs_with_id: DataFrame, text_col: str = "content") -> DataFrame:
-    """(doc_id, content, ...) → (doc_id, term, tf, dl) exploded long-form."""
+def tokenize_docs(
+    docs_with_id: DataFrame, text_col: str = "content", stem: bool = False
+) -> DataFrame:
+    """(doc_id, content, ...) → (doc_id, term, tf, dl) exploded long-form.
+
+    ``stem=True`` applies the optional Porter stage (P12, reference
+    parser_module.py:302-309 via stemmer.stem_terms) after tokenization,
+    matching the reference's config toggle (configuration.py:7)."""
+    if stem:
+        from searchengine_spark.functions.stemmer import stem_terms
 
     def run(batches):
         for b in batches:
             doc_ids, terms, tfs, dls = [], [], [], []
             for doc_id, text in zip(b["doc_id"].values, b[text_col].values):
                 d = tokenize(text or "")
+                if stem and d:
+                    d = stem_terms(d)
                 if not d:
                     continue
                 dl = sum(d.values())

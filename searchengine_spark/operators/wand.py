@@ -85,8 +85,15 @@ def fold_query_terms_batch(
     At most one predicate-pushed ``term_dict`` read for the whole batch
     (none when every variant is cached). Returns one
     ``{canonical_term: (qtf, df)}`` dict per query (empty if no term hits).
+    If the index was built with stemming (manifest ``stemming`` scalar),
+    queries stem symmetrically (reference search_engine.py:129-131 passes
+    the same config flag to the query parser).
     """
     qdicts = [tokenize(q) for q in queries]
+    if Manifest(index_dir).scalars.get("stemming"):
+        from searchengine_spark.functions.stemmer import stem_terms
+
+        qdicts = [stem_terms(d) for d in qdicts]
     variants = sorted(
         {v for d in qdicts for t in d for v in (t.lower(), t.upper())}
     )

@@ -30,10 +30,11 @@ from searchengine_spark.functions.tokenizer import tokenize
 
 
 class OracleIndex:
-    def __init__(self, corpus: pd.DataFrame):
+    def __init__(self, corpus: pd.DataFrame, stem: bool = False):
         corpus = corpus.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
         self.corpus = corpus
-        docs = [tokenize(c) for c in corpus["content"]]
+        self.stem = stem
+        docs = [self._tokenize(c) for c in corpus["content"]]
         lower_vocab = {t for d in docs for t in d if t == t.lower()}
         self.folded = []
         for d in docs:
@@ -65,11 +66,19 @@ class OracleIndex:
             for t, plist in tmp.items()
         }
 
+    def _tokenize(self, text: str) -> dict:
+        d = tokenize(text)
+        if self.stem:
+            from searchengine_spark.functions.stemmer import stem_terms
+
+            d = stem_terms(d)
+        return d
+
     def fold_query(self, query: str) -> dict:
         """Tokenize + casing fallback vs the index vocabulary
         (ranker.py:7-16: lower first, then upper, else drop)."""
         out: dict = {}
-        for t, qtf in tokenize(query).items():
+        for t, qtf in self._tokenize(query).items():
             lo, up = t.lower(), t.upper()
             canon = lo if lo in self.df else up if up in self.df else None
             if canon is not None:

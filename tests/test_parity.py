@@ -79,6 +79,32 @@ def test_two_pass_rank_identity(spark, cosine_index, oracle_1k, query):
     assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
 
 
+def test_stemmed_index_rank_identity(spark, tmp_path_factory):
+    """P12 end-to-end: stem=True at build records the flag; queries stem
+    symmetrically; rank-identical to the stemmed oracle — including a
+    morphological-variant query that only matches VIA stemming."""
+    import numpy as np
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search
+    from searchengine_spark.plans.oracle import OracleIndex
+    from searchengine_spark.sources.corpus import corpus_df, corpus_pdf
+
+    d = str(tmp_path_factory.mktemp("stem_idx"))
+    build_index(
+        spark, corpus_df(spark, 400, seed=9, partitions=4), d,
+        range_width=64, n_groups=2, stem=True,
+    )
+    oracle = OracleIndex(corpus_pdf(400, seed=9), stem=True)
+    for query in ["tokenizing", "merged posting", "Apache Spark", "compressors"]:
+        golden = oracle.search(query, k=10)
+        got = search(spark, d, query, k=10).toPandas()
+        assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+    # the variant query actually hits: stems to the indexed root
+    assert search(spark, d, "tokenizing", k=10).count() > 0
+
+
 # ---- Porter stemming (P12) -------------------------------------------------
 
 PORTER_VECTORS = {
