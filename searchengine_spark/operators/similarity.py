@@ -60,6 +60,64 @@ def lsh_signature_col(vec_col, planes: np.ndarray):
     return sig
 
 
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    n_tables: int = 2,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate mining: candidate pairs from
+    same-bucket collisions in ``n_tables`` independent sign-LSH tables,
+    exact cosine re-rank, keep pairs with cos >= threshold.
+    → (id_a, id_b, cos), id_a < id_b.
+
+    Scale shape: the only join is the per-table bucket self-join —
+    candidate fanout is bounded by bucket sizes (2^bits buckets/table,
+    degenerate buckets dropped at ``max_bucket`` like minhash_lsh_pairs);
+    the exact cosine runs only on candidates, JVM-side array expressions.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, bits, seed + 7919 * t)
+        b = emb.select(
+            F.col(id_col), lsh_signature_col(F.col(vec_col), planes).alias("_sig")
+        )
+        sizes = b.groupBy("_sig").count().where(F.col("count") <= max_bucket)
+        b = b.join(sizes.select("_sig"), "_sig", "left_semi")
+        pairs_t = (
+            b.withColumnRenamed(id_col, "id_a")
+            .join(b.withColumnRenamed(id_col, "id_b"), "_sig")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.distinct()
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (
+                    F.sqrt(_dot(F.col("_va"), F.col("_va")))
+                    * F.sqrt(_dot(F.col("_vb"), F.col("_vb")))
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def lsh_cosine_topk(
     emb: DataFrame,
     query_vec: list,

@@ -51,6 +51,27 @@ def test_lsh_subset_consistency(spark, emb, qvec):
     assert approx["vec_id"].iloc[0] == 0
 
 
+def test_embedding_near_dup_pairs(spark):
+    """Planted near-duplicate vectors are recovered; orthogonal ones are
+    not; reported cosines are exact (re-rank is brute-force on candidates)."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((6, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((100 + i, [float(x) for x in v + 0.01 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.98, bits=6, n_tables=3
+    ).toPandas()
+    found = {(r.id_a, r.id_b) for r in pairs.itertuples()}
+    planted = {(i, 100 + i) for i in range(6)}
+    assert planted <= found, planted - found
+    # nothing else passes the threshold (independent gaussians ~ orthogonal)
+    assert found == planted, found - planted
+    assert (pairs["cos"] >= 0.98).all()
+
+
 def test_minhash_lsh_finds_duplicates(spark):
     docs = spark.createDataFrame(
         [
