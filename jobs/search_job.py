@@ -22,6 +22,8 @@ def main() -> None:
     ap.add_argument("--queries-file")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--scorer", default="wand", choices=["wand", "cosine"])
+    ap.add_argument("--csv-out", help="also write (query_id, doc_id, score) "
+                    "results as CSV (S5, utils.write_csv parity)")
     args = ap.parse_args()
 
     queries = list(args.query)
@@ -37,7 +39,10 @@ def main() -> None:
     if args.scorer == "wand":
         from searchengine_spark.operators.wand import search_batch
 
-        rows = search_batch(spark, args.index_dir, queries, k=args.k).collect()
+        result = search_batch(spark, args.index_dir, queries, k=args.k)
+        if args.csv_out:
+            result.write.mode("overwrite").option("header", True).csv(args.csv_out)
+        rows = result.collect()
         by_q: dict = {i: [] for i in range(len(queries))}
         for r in rows:
             by_q[r["query_id"]].append(
@@ -46,15 +51,25 @@ def main() -> None:
         for i, q in enumerate(queries):
             print(json.dumps({"query": q, "hits": by_q[i]}))
     else:
+        from pyspark.sql import functions as F
+
         from searchengine_spark.operators import parity
 
         parity.build_cosine_tables(spark, args.index_dir, prune=True)
-        for q in queries:
+        results = []
+        for i, q in enumerate(queries):
+            res = parity.two_pass_search(spark, args.index_dir, q, k=args.k)
+            results.append(res.select(F.lit(i).alias("query_id"), "doc_id", "score"))
             hits = [
                 {"doc_id": r["doc_id"], "score": r["score"]}
-                for r in parity.two_pass_search(spark, args.index_dir, q, k=args.k).collect()
+                for r in res.collect()
             ]
             print(json.dumps({"query": q, "hits": hits}))
+        if args.csv_out:
+            out = results[0]
+            for r in results[1:]:
+                out = out.unionByName(r)
+            out.write.mode("overwrite").option("header", True).csv(args.csv_out)
     spark.stop()
 
 

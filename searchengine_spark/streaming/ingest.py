@@ -61,7 +61,11 @@ def ingest_batch(
         return
     t0 = time.time()
     base = man.scalars.get("n_docs", 0)
-    assigned = assign_doc_ids(batch_df)
+    # micro-batches are small: 1 task/core avoids the 4x-fanout default's
+    # per-task overhead on the hot ingest path
+    assigned = assign_doc_ids(
+        batch_df, num_partitions=spark.sparkContext.defaultParallelism
+    )
     n_new, persisted = assigned._n_docs, assigned._source_persisted
     if n_new == 0:
         persisted.unpersist()

@@ -1,0 +1,161 @@
+"""Head-to-head throughput: the EXECUTED reference engine vs this engine on
+the same corpus (the task goal: "matches-or-beats the reference's
+single-node throughput at the same data scale").
+
+The reference (`/root/reference/search_engine.run_engine`) is single-process
+Python: parquet read → parse_doc per row → Indexer.add_new_doc →
+clearSingleEntities (df==1 prune + tf-idf vectorsFile) → pickles. We time
+exactly that, unmodified (nltk stubbed with its own bundled stopword list,
+as in tools/gen_goldens.py). Our engine runs `build_index` over the same
+texts (content = full_text; url fields inert: url='{}', retweet_url=None,
+so both tokenize the identical text — tokenizer parity is golden-tested).
+
+Differences disclosed rather than hidden: the reference also builds its
+cosine vectorsFile (its query path needs it); our timed build produces the
+BM25/WAND index (our primary query path needs nothing else). Both are
+"build everything your query path needs".
+
+Usage:  python tools/reference_bench.py [--n-docs 20000] [--skip-ours]
+Writes BENCH/reference_throughput.json and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def make_tweet_corpus(n: int, seed: int, path: str) -> None:
+    """FIXTURES.md F2 tweet-schema parquet wrapping the synthetic code
+    corpus texts (url fields inert so both engines tokenize identical
+    text)."""
+    import pandas as pd
+
+    from searchengine_spark.sources.corpus import make_row
+
+    rows = []
+    for i in range(n):
+        content = make_row(seed, i)["content"]
+        rows.append(
+            {
+                "tweet_id": str(10**18 + i),
+                "tweet_date": "Mon Jul 27 00:32:26 +0000 2020",
+                "full_text": content,
+                "url": "{}",
+                "url_indices": None,
+                "retweet_text": "",
+                "retweet_url": None,
+                "retweet_url_indices": None,
+                "quote_text": "",
+                "quote_url": None,
+                "quote_url_indices": None,
+                "retweet_quoted_text": None,
+                "retweet_quoted_urls": None,
+                "retweet_quoted_url_indices": None,
+            }
+        )
+    os.makedirs(path, exist_ok=True)
+    pd.DataFrame(rows).to_parquet(f"{path}/corpus.parquet", engine="pyarrow")
+
+
+def run_reference(corpus_dir: str) -> dict:
+    """Time the unmodified reference run_engine over the corpus dir."""
+    from gen_goldens import load_reference_parser
+
+    load_reference_parser()  # installs the nltk stub, puts reference on path
+    import importlib
+
+    search_engine = importlib.import_module("search_engine")
+    configuration = importlib.import_module("configuration")
+
+    out = tempfile.mkdtemp(prefix="ref_engine_out_")
+    config = configuration.ConfigClass(corpus_dir, out, False)
+    t0 = time.time()
+    search_engine.run_engine(config)
+    secs = time.time() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return {"seconds": round(secs, 2)}
+
+
+def run_ours(corpus_dir: str, cpus: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.session import get_session
+
+    spark = get_session(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 2),
+                        app_name=f"ref-bench-ours-{cpus}")
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+    docs = (
+        spark.read.parquet(f"{corpus_dir}/corpus.parquet")
+        .select(
+            F.lit("tweets").alias("repo"),
+            F.col("tweet_id").alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.lit("text").alias("lang"),
+            F.col("full_text").alias("content"),
+        )
+    )
+    idx = tempfile.mkdtemp(prefix="ours_idx_")
+    shutil.rmtree(idx, ignore_errors=True)
+    t0 = time.time()
+    build_index(spark, docs, idx, n_groups=2)
+    secs = time.time() - t0
+    spark.stop()
+    shutil.rmtree(idx, ignore_errors=True)
+    return {"seconds": round(secs, 2)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=20000)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--skip-ours", action="store_true")
+    ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--ours-cpus", default="1,32")
+    args = ap.parse_args()
+
+    corpus = f"/tmp/ref_bench_corpus_{args.n_docs}_{args.seed}"
+    if not os.path.exists(corpus):
+        make_tweet_corpus(args.n_docs, args.seed, corpus)
+
+    out_path = f"{REPO}/BENCH/reference_throughput.json"
+    result = {}
+    if os.path.exists(out_path):
+        result = json.load(open(out_path))
+    if result.get("n_docs") != args.n_docs:
+        result = {}  # different scale: don't mix measurements
+    result["n_docs"] = args.n_docs
+    result["seed"] = args.seed
+
+    if not args.skip_reference:
+        ref = run_reference(corpus)
+        result["reference_single_process"] = {
+            **ref,
+            "docs_per_sec": round(args.n_docs / ref["seconds"], 1),
+        }
+    if not args.skip_ours:
+        result.setdefault("ours", {})
+        for cpus in (int(c) for c in args.ours_cpus.split(",")):
+            ours = run_ours(corpus, cpus)
+            result["ours"][f"local[{cpus}]"] = {
+                **ours,
+                "docs_per_sec": round(args.n_docs / ours["seconds"], 1),
+            }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
