@@ -84,14 +84,121 @@ def pruned_doc_terms(spark: SparkSession, index_dir: str) -> DataFrame:
     return dt.join(F.broadcast(df1), ["doc_id", "term"], "left_anti")
 
 
+def _rebuild_weight_groups(
+    spark: SparkSession, index_dir: str, groups: list[int], prune: bool
+) -> None:
+    """(Re)build ``cosine/weights`` (doc_id, term, w = tf/n_distinct) and
+    ``cosine/pruned`` (term, doc_id) for the given commit groups only —
+    partition-level overwrite, every other group's files untouched.
+
+    ``w`` depends only on the doc's OWN folded+pruned term set, so it is
+    stable for docs in untouched groups; the global parts of tf-idf (idf,
+    norms) live in separate tables refreshed by the caller. Whole docs live
+    inside one group (grp is a function of doc_id), so per-group folded
+    data is complete for the pre/post-prune ``n_distinct`` counts; the only
+    global input to a prune decision is df==1, taken from term_dict."""
+    import shutil
+
+    dt_g = spark.read.parquet(f"{index_dir}/doc_terms").where(
+        F.col("grp").isin([int(g) for g in groups])
+    )
+    fold = spark.read.parquet(f"{index_dir}/fold_map")
+    folded = (
+        _fold_expr(fold, dt_g)
+        .groupBy("grp", "doc_id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    if prune:
+        df1 = (
+            spark.read.parquet(f"{index_dir}/term_dict")
+            .where(F.col("df") == 1)
+            .select("term")
+        )
+        pre_stats = folded.groupBy("doc_id").agg(F.count("*").alias("n_pre"))
+        pruned = (
+            folded.join(df1, "term", "left_semi")
+            .join(pre_stats, "doc_id")
+            .where(
+                (F.col("n_pre") >= PRUNE_MIN_DISTINCT)
+                | (F.col("term").contains(" ") & (F.col("term") == F.upper("term")))
+            )
+            .select("term", "doc_id", "grp")
+        )
+        kept = folded.join(F.broadcast(pruned), ["doc_id", "term"], "left_anti")
+    else:
+        pruned = spark.createDataFrame([], "term string, doc_id long, grp int")
+        kept = folded
+    post_stats = kept.groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
+    weights = kept.join(post_stats, "doc_id").select(
+        "doc_id", "term", (F.col("tf") / F.col("n_distinct")).alias("w"), "grp"
+    )
+    # partition-level overwrite of exactly `groups` (Iceberg: overwrite-by-
+    # partition commit): clear those partitions, append the recomputed rows
+    # — dynamic partitionOverwriteMode alone would leave a stale partition
+    # behind when its rebuild produced zero rows (possible for `pruned`)
+    for sub in ("weights", "pruned"):
+        for g in groups:
+            shutil.rmtree(f"{index_dir}/cosine/{sub}/grp={g}", ignore_errors=True)
+    weights.write.mode("append").partitionBy("grp").parquet(
+        f"{index_dir}/cosine/weights"
+    )
+    pruned.write.mode("append").partitionBy("grp").parquet(
+        f"{index_dir}/cosine/pruned"
+    )
+
+
+def _rebuild_idf_and_norms(
+    spark: SparkSession, index_dir: str, prune: bool
+) -> None:
+    """Refresh the GLOBAL halves of tf-idf: ``cosine/idf`` (term,
+    idf = log2(N/df) — |V| rows) and ``cosine/doc_norms`` (one columnar
+    pass over weights ⋈ idf). Both change wholesale whenever N or any df
+    changes, so incremental maintenance can't beat one aggregation pass —
+    the win of the weights/idf split is that the expensive half (fold +
+    prune + per-doc weights over the full corpus) does NOT rerun.
+
+    df comes from term_dict minus pruned terms: pruning only ever removes
+    df==1 terms outright, so surviving terms' df is identical pre/post
+    prune (the reference computes df after clearSingleEntities,
+    search_engine.py:30-34 — same values)."""
+    n_docs = Manifest(index_dir).scalars["n_docs"]
+    td = spark.read.parquet(f"{index_dir}/term_dict").select("term", "df")
+    if prune:
+        try:  # zero rows ever pruned → partitioned dir has no data files
+            pr = spark.read.parquet(f"{index_dir}/cosine/pruned").select("term")
+            td = td.join(pr, "term", "left_anti")
+        except Exception:
+            pass
+    td.select(
+        "term", F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+    ).write.mode("overwrite").parquet(f"{index_dir}/cosine/idf")
+    idf = spark.read.parquet(f"{index_dir}/cosine/idf")
+    norms = (
+        spark.read.parquet(f"{index_dir}/cosine/weights")
+        .join(idf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sqrt(F.sum(F.pow(F.col("w") * F.col("idf"), 2))).alias("norm")
+        )
+    )
+    norms.write.mode("overwrite").parquet(f"{index_dir}/cosine/doc_norms")
+
+
 def build_cosine_tables(
     spark: SparkSession, index_dir: str, prune: bool = True
 ) -> None:
-    """Materialize ``cosine/tfidf`` (doc_id, term, tfidf) and
-    ``cosine/doc_norms`` (doc_id, norm) once per index — the parity
-    analogue of the reference's ``vectorsFile`` build
-    (updateVectorsFile, search_engine.py:18-35), resumable via the
-    manifest like every build stage."""
+    """Materialize the cosine tables once per index — the parity analogue
+    of the reference's ``vectorsFile`` build (updateVectorsFile,
+    search_engine.py:18-35), resumable via the manifest like every build
+    stage. Layout (``tfidf_d(t) = w · idf(t)`` recombined at query time):
+
+    * ``cosine/weights`` (doc_id, term, w, grp) — per-doc half, partitioned
+      by commit group; streaming compaction rewrites only affected groups
+      (``refresh_cosine_tables``);
+    * ``cosine/pruned``  (term, doc_id, grp) — the df==1 terms actually
+      dropped (clearSingleEntities), kept for incremental diffing;
+    * ``cosine/idf``     (term, idf) + ``cosine/doc_norms`` (doc_id, norm)
+      — global halves, rebuilt each refresh (one pass)."""
     man = Manifest(index_dir)
     stage = "cosine_pruned" if prune else "cosine"
     if man.stage_done(stage):
@@ -99,59 +206,102 @@ def build_cosine_tables(
     import time as _t
 
     t0 = _t.time()
-    n_docs = man.scalars["n_docs"]
-    dt = (
-        pruned_doc_terms(spark, index_dir)
-        if prune
-        else folded_doc_terms(spark, index_dir)
-    )
-    stats = dt.groupBy("doc_id").agg(F.count("*").alias("n_distinct"))
-    tdict = dt.groupBy("term").agg(F.count("*").alias("df"))
-    tfidf = (
-        dt.join(stats, "doc_id")
-        .join(tdict, "term")
-        .select(
-            "doc_id",
-            "term",
-            (
-                (F.col("tf") / F.col("n_distinct"))
-                * F.log2(F.lit(float(n_docs)) / F.col("df"))
-            ).alias("tfidf"),
-        )
-    )
-    tfidf.write.mode("overwrite").parquet(f"{index_dir}/cosine/tfidf")
-    norms = (
-        spark.read.parquet(f"{index_dir}/cosine/tfidf")
-        .groupBy("doc_id")
-        .agg(F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("norm"))
-    )
-    norms.write.mode("overwrite").parquet(f"{index_dir}/cosine/doc_norms")
+    groups = list(range(man.scalars["n_groups"]))
+    _rebuild_weight_groups(spark, index_dir, groups, prune)
+    _rebuild_idf_and_norms(spark, index_dir, prune)
     man.mark_stage(stage, _t.time() - t0, pruned=prune)
 
 
-def _fold_query(spark: SparkSession, index_dir: str, query_dict: dict) -> dict:
+def refresh_cosine_tables(
+    spark: SparkSession,
+    index_dir: str,
+    invalidated_groups: set[int],
+    delta_vocab: DataFrame | None = None,
+) -> list[int]:
+    """Incrementally refresh the cosine tables after a compaction (called
+    by streaming/ingest.compact when they exist; no-op otherwise).
+
+    ``invalidated_groups``: groups the compaction already rebuilds (new
+    ranges + case-fold-changed terms). Weights additionally go stale for
+    docs owning a previously PRUNED df==1 term that a delta doc re-uses
+    (df 1→2 restores the term into its old doc, changing that doc's term
+    set and n_distinct): detected by joining the new-folded delta
+    vocabulary against ``cosine/pruned``. Appended corpora can't newly
+    prune an OLD doc's term (df never decreases under append + monotone
+    folding), so that's the complete weight-invalidation set. idf and
+    norms are recomputed wholesale (N changed → every idf changed).
+    Returns the weight groups rebuilt."""
+    import os as _os
+
+    man = Manifest(index_dir)
+    stage = (
+        "cosine_pruned"
+        if man.stage_done("cosine_pruned")
+        else "cosine" if man.stage_done("cosine") else None
+    )
+    if stage is None:
+        return []
+    prune = stage == "cosine_pruned"
+    import time as _t
+
+    t0 = _t.time()
+    groups = {int(g) for g in invalidated_groups}
+    if prune and delta_vocab is not None and _os.path.exists(
+        f"{index_dir}/cosine/pruned"
+    ):
+        try:  # dir with no data files (nothing was ever pruned) → skip
+            old_pruned = spark.read.parquet(f"{index_dir}/cosine/pruned")
+        except Exception:
+            old_pruned = None
+        if old_pruned is not None:
+            fold = spark.read.parquet(f"{index_dir}/fold_map")
+            dv = _fold_expr(
+                fold, delta_vocab.select("term").distinct()
+            ).distinct()
+            restored = (
+                old_pruned.join(dv, "term", "left_semi")
+                .select("grp")
+                .distinct()
+                .collect()
+            )
+            groups.update(int(r["grp"]) for r in restored)
+    # corpus growth can add groups beyond the invalidated set's max
+    groups = {g for g in groups if g < man.scalars["n_groups"]}
+    if groups:
+        _rebuild_weight_groups(spark, index_dir, sorted(groups), prune)
+    _rebuild_idf_and_norms(spark, index_dir, prune)
+    man.mark_stage(
+        stage, _t.time() - t0, pruned=prune,
+        refreshed_groups=sorted(groups),
+    )
+    return sorted(groups)
+
+
+def _fold_query(
+    spark: SparkSession, index_dir: str, query_dict: dict
+) -> tuple[dict, dict]:
     """Query-term casing fallback vs the cosine vocab (ranker.py:7-16);
-    returns {canonical_term: qtf} for matched terms only."""
+    returns ({canonical_term: qtf}, {canonical_term: idf}) for matched
+    terms only. One |query|-row predicate-pushed scan of the |V|-row idf
+    table — no corpus-sized table touched."""
     variants = sorted(
         {v for t in query_dict for v in (t.lower(), t.upper())}
     )
     if not variants:
-        return {}
-    vocab = {
-        r["term"]
-        for r in spark.read.parquet(f"{index_dir}/cosine/tfidf")
-        .select("term")
+        return {}, {}
+    idf = {
+        r["term"]: r["idf"]
+        for r in spark.read.parquet(f"{index_dir}/cosine/idf")
         .where(F.col("term").isin(variants))
-        .distinct()
         .collect()
     }
     out: dict = {}
     for t, qtf in query_dict.items():
         lo, up = t.lower(), t.upper()
-        canon = lo if lo in vocab else up if up in vocab else None
+        canon = lo if lo in idf else up if up in idf else None
         if canon is not None:
             out[canon] = out.get(canon, 0) + qtf
-    return out
+    return out, idf
 
 
 def cosine_search(
@@ -171,18 +321,21 @@ def cosine_search(
     """
     qd = tokenize(query) if query_dict is None else dict(query_dict)
     norm_q = math.sqrt(sum(v * v for v in qd.values()))
-    matched = _fold_query(spark, index_dir, qd)
+    matched, idf = _fold_query(spark, index_dir, qd)
     if not matched or norm_q == 0:
         return spark.createDataFrame([], "doc_id long, score double")
+    # tfidf_d(t) = w · idf(t): idf for the few query terms rides along in
+    # the broadcast row instead of a corpus-sized materialized tfidf table
     qdf = spark.createDataFrame(
-        [(t, float(qtf)) for t, qtf in matched.items()], "term string, qtf double"
+        [(t, float(qtf), float(idf[t])) for t, qtf in matched.items()],
+        "term string, qtf double, idf double",
     )
-    tfidf = spark.read.parquet(f"{index_dir}/cosine/tfidf")
+    weights = spark.read.parquet(f"{index_dir}/cosine/weights")
     norms = spark.read.parquet(f"{index_dir}/cosine/doc_norms")
     return (
-        tfidf.join(F.broadcast(qdf), "term")
+        weights.join(F.broadcast(qdf), "term")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("qtf") * F.col("tfidf")).alias("qd"))
+        .agg(F.sum(F.col("qtf") * F.col("w") * F.col("idf")).alias("qd"))
         .join(norms, "doc_id")
         .select(
             "doc_id",
@@ -210,13 +363,13 @@ def expand_query(
     from pyspark.sql import Window
 
     qd = tokenize(query)
-    matched = _fold_query(spark, index_dir, qd)
+    matched, _ = _fold_query(spark, index_dir, qd)
     if not matched:
         return qd
     top = cosine_search(spark, index_dir, query, k=pool, query_dict=qd).select(
         "doc_id"
     )
-    dt = spark.read.parquet(f"{index_dir}/cosine/tfidf").select("doc_id", "term")
+    dt = spark.read.parquet(f"{index_dir}/cosine/weights").select("doc_id", "term")
     vocab = dt.join(F.broadcast(top), "doc_id").select("term").distinct()
     qdf = spark.createDataFrame(
         [(t,) for t in sorted(matched)], "q_term string"

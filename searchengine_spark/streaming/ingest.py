@@ -270,6 +270,16 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     man.save()
     build_posting_groups(spark, index_dir, man)
 
+    # 5. parity cosine tables, if built: incremental refresh (same group
+    # invalidation + df==1-restoration detection via the delta vocabulary)
+    # — without this, post-compaction cosine searches would score against
+    # the pre-compaction corpus (stale N/df, new docs invisible)
+    from searchengine_spark.operators.parity import refresh_cosine_tables
+
+    refresh_cosine_tables(
+        spark, index_dir, to_rebuild, delta_vocab=delta.select("term")
+    )
+
     import shutil
 
     shutil.rmtree(f"{index_dir}/delta", ignore_errors=True)

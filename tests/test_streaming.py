@@ -3,6 +3,7 @@ incremental index ingestion (streamed slices + compact == batch build)."""
 
 import os
 
+import numpy as np
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -162,3 +163,66 @@ def test_ingest_batch_idempotent(spark, tmp_path):
     assert Manifest(idx).scalars["n_docs"] == n1 == 50
     ing.ingest_batch(spark, df, 1, idx)  # a genuinely new batch appends
     assert Manifest(idx).scalars["n_docs"] == 100
+
+
+def test_compact_refreshes_cosine_tables(spark, tmp_path):
+    """Compaction incrementally refreshes the parity cosine tables:
+    weights rebuild ONLY for groups invalidated by (a) new ranges, (b) a
+    case-fold change, or (c) a df==1 restoration (a delta doc re-uses a
+    previously pruned unique term); untouched groups keep their files.
+    Post-compaction cosine ranking is identical to a from-scratch oracle
+    over the merged corpus — the stale-N/df regression this guards."""
+    import glob
+
+    from searchengine_spark.operators import parity
+    from searchengine_spark.plans.oracle import OracleIndex
+
+    def mtimes(pat):
+        return {p: os.path.getmtime(p) for p in glob.glob(pat)}
+
+    def row(repo, path, content):
+        return {"repo": repo, "path": path, "commit": "c" * 40,
+                "lang": "python", "content": content}
+
+    # base: restoration-source doc sorts FIRST (grp 0), fold-source doc
+    # sorts LAST (grp 2); 600 synthetic docs in between
+    restore_doc = row("000-repo", "a.py", "zzzuniqueterm alpha beta gamma delta epsilon")
+    fold_doc = row("zz-base/r", "z.py", "ZZFold merge data value count")
+    base = pd.concat(
+        [pd.DataFrame([restore_doc]), corpus_pdf(600, seed=13),
+         pd.DataFrame([fold_doc])], ignore_index=True,
+    )
+    delta = pd.DataFrame([
+        row("zzz-delta/r", "d0.py", "zzzuniqueterm qqfiller qqother"),
+        row("zzz-delta/r", "d1.py", "zzfold qqlower qqarrival"),
+        row("zzz-delta/r", "d2.py", "qqplain qqfiller qqdocument"),
+    ])
+
+    idx = f"{tmp_path}/idx"
+    build_index(spark, spark.createDataFrame(base), idx,
+                range_width=64, n_groups=3)
+    parity.build_cosine_tables(spark, idx, prune=True)
+    # pruned pre-compaction: the unique term is invisible to cosine search
+    assert parity.cosine_search(spark, idx, "zzzuniqueterm", k=5).count() == 0
+    grp1_before = mtimes(f"{idx}/cosine/weights/grp=1/*.parquet")
+    assert grp1_before
+
+    delta_src = f"{tmp_path}/src"
+    spark.createDataFrame(delta).coalesce(1).write.parquet(delta_src)
+    ing.stream_ingest(spark, delta_src, idx, f"{tmp_path}/ckpt")
+    ing.compact(spark, idx)
+
+    refreshed = Manifest(idx).data["stages"]["cosine_pruned"]["refreshed_groups"]
+    assert 0 in refreshed, "df==1 restoration must invalidate the owner's group"
+    assert 2 in refreshed, "new ranges + fold change invalidate the tail group"
+    assert 1 not in refreshed, "unaffected group must not rebuild"
+    assert mtimes(f"{idx}/cosine/weights/grp=1/*.parquet") == grp1_before
+
+    oracle = OracleIndex(pd.concat([base, delta], ignore_index=True))
+    for query in ["zzzuniqueterm", "zzfold", "merge data value", "def return"]:
+        golden = oracle.cosine_search(query, k=10)
+        got = parity.cosine_search(spark, idx, query, k=10).toPandas()
+        assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+    # the restored term now scores BOTH its original doc and the delta doc
+    assert parity.cosine_search(spark, idx, "zzzuniqueterm", k=5).count() == 2
