@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 * :func:`cosine_topk` — exact brute-force cosine top-k, fully declarative
   (``aggregate``/``zip_with`` array expressions, JVM-side, codegen). The
   correctness baseline; at 100 TB it is one narrow scan + TakeOrdered(k),
@@ -9,6 +9,11 @@ Two paths:
   seeded hyperplanes, bucket by signature, probe only the query's bucket
   (optionally multi-probe by Hamming-1 neighbors), exact re-rank inside
   the candidate set. The scale path: candidate set shrinks by ~2^bits.
+* :func:`ivf_cosine_topk` — IVF (inverted-file) ANN: spherical k-means
+  coarse quantizer trained driver-side on a deterministic sample,
+  Arrow-batched cell assignment, probe the ``nprobe`` nearest cells,
+  exact re-rank inside. Unlike LSH, cells adapt to the data
+  distribution, so recall/probe is higher on clustered embeddings.
 """
 
 from __future__ import annotations
@@ -16,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a, b):
@@ -33,15 +39,22 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact cosine top-k vs a literal query vector → (vec_id, cos)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    """Exact cosine top-k vs a literal query vector → (vec_id, cos).
+    A zero query vector has no defined cosine: empty result. Zero-norm
+    rows are excluded (ANSI mode would otherwise raise DIVIDE_BY_ZERO)."""
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
+    if qn == 0.0:
+        return (
+            emb.sparkSession.createDataFrame([], f"{id_col} long, cos double")
+        )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    vnorm2 = _dot(F.col(vec_col), F.col(vec_col))
     cos = F.round(
-        _dot(F.col(vec_col), q) / (F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.lit(qn)),
-        6,
+        _dot(F.col(vec_col), q) / (F.sqrt(vnorm2) * F.lit(qn)), 6
     )
     return (
-        emb.select(id_col, cos.alias("cos"))
+        emb.where(vnorm2 > 0)
+        .select(id_col, cos.alias("cos"))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
     )
@@ -97,8 +110,9 @@ def embedding_near_dup_pairs(
         )
         cand = pairs_t if cand is None else cand.unionByName(pairs_t)
     cand = cand.distinct()
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    nz = emb.where(_dot(F.col(vec_col), F.col(vec_col)) > 0)  # ANSI-safe
+    ea = nz.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = nz.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
@@ -116,6 +130,107 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def ivf_train_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train the IVF coarse quantizer: spherical k-means (centroids on the
+    unit sphere, assignment by max cosine) over a DETERMINISTIC sample —
+    rows ordered by ``xxhash64(id)`` (a seeded pseudo-random permutation,
+    stable across partitionings) — run driver-side in numpy. Sample size
+    is the classic IVF recipe (~256 vectors/cell); the full corpus never
+    reaches the driver. Returns (n_cells, dim) unit-norm centroids."""
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(X))
+    C = X[rng.choice(len(X), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 1e-12:
+                    C[j] = c / n
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"
+) -> DataFrame:
+    """Append ``_cell`` (nearest-centroid id by cosine) to ``emb`` via one
+    Arrow-batched matmul per batch — a narrow map, no shuffle. In a served
+    deployment this runs ONCE and the result is written
+    ``partitionBy("_cell")`` (Iceberg: partition transform on _cell), so a
+    query's nprobe cells become a partition-pruned scan; here the column
+    is computed inline and filtered."""
+    C = centroids.T.copy()  # (dim, n_cells), closure-shipped once per task
+    out_schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField("_cell", T.IntegerType(), False)]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for b in batches:
+            V = np.asarray([list(v) for v in b[vec_col]], dtype=np.float64)
+            if len(V):
+                V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+                cell = np.argmax(V @ C, axis=1).astype(np.int32)
+            else:
+                cell = np.array([], dtype=np.int32)
+            yield pd.concat([b.reset_index(drop=True), pd.Series(cell, name="_cell")], axis=1)
+
+    return emb.mapInPandas(assign, out_schema)
+
+
+def ivf_cosine_topk(
+    emb: DataFrame,
+    query_vec: list,
+    k: int = 20,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    sample: int = 4096,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate cosine top-k: probe the ``nprobe`` cells whose
+    centroids are nearest the query, exact re-rank inside → (vec_id, cos).
+    ``nprobe == n_cells`` degenerates to the exact brute-force scan.
+    Pass precomputed ``centroids`` (from :func:`ivf_train_centroids`) to
+    skip training — the serving shape, where assignment is also
+    prematerialized (see :func:`ivf_assign`)."""
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_train_centroids(
+            emb, n_cells, sample, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    )
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    if qn > 1e-12:
+        qv = qv / qn
+    probes = [int(x) for x in np.argsort(-(C @ qv), kind="stable")[:nprobe]]
+    cands = ivf_assign(emb, C, vec_col).where(F.col("_cell").isin(probes))
+    return cosine_topk(cands, query_vec, k, id_col, vec_col)
 
 
 def lsh_cosine_topk(

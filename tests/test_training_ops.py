@@ -51,6 +51,41 @@ def test_lsh_subset_consistency(spark, emb, qvec):
     assert approx["vec_id"].iloc[0] == 0
 
 
+def test_ivf_probing_all_cells_is_exact(spark, emb, qvec):
+    """nprobe == n_cells degenerates to the brute-force scan: identical
+    ranking and cosines (re-rank inside candidates is exact)."""
+    exact = similarity.cosine_topk(emb, qvec, k=20).toPandas()
+    ivf = similarity.ivf_cosine_topk(
+        emb, qvec, k=20, n_cells=8, nprobe=8
+    ).toPandas()
+    assert ivf["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert np.allclose(ivf["cos"], exact["cos"], atol=1e-9)
+
+
+def test_ivf_clustered_recall_and_determinism(spark):
+    """On clustered embeddings, probing a fraction of cells recovers the
+    brute-force top-k (cells adapt to the clusters); same seed → same
+    result across invocations."""
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 24)) * 4
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + rng.standard_normal(24) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = [float(x) for x in centers[1] + 0.1 * rng.standard_normal(24)]
+    exact = similarity.cosine_topk(emb, qvec, k=15).toPandas()
+    a = similarity.ivf_cosine_topk(emb, qvec, k=15, n_cells=8, nprobe=4).toPandas()
+    b = similarity.ivf_cosine_topk(emb, qvec, k=15, n_cells=8, nprobe=4).toPandas()
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()  # deterministic
+    recall = len(set(a["vec_id"]) & set(exact["vec_id"])) / 15
+    assert recall >= 0.95, recall
+    # fewer probes degrade gracefully, not catastrophically
+    c = similarity.ivf_cosine_topk(emb, qvec, k=15, n_cells=8, nprobe=2).toPandas()
+    assert len(set(c["vec_id"]) & set(exact["vec_id"])) / 15 >= 0.5
+
+
 def test_embedding_near_dup_pairs(spark):
     """Planted near-duplicate vectors are recovered; orthogonal ones are
     not; reported cosines are exact (re-rank is brute-force on candidates)."""
