@@ -185,6 +185,19 @@ def q_ann_cosine_topk(spark, sf_dir):
     return similarity.cosine_topk(emb, qvec, k=20)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN with nprobe == n_cells — exact by construction, so the
+    exact-cosine SQL oracle hash-verifies the whole IVF pipeline (sampled
+    spherical-k-means training, Arrow-batched cell assignment, probe
+    filter, re-rank). Partial-probe recall is covered in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.ivf_cosine_topk(emb, qvec, k=20, n_cells=8, nprobe=8)
+
+
 def q_lsh_pairs(spark, sf_dir):
     """Minhash-LSH candidate pairs (SURVEY-extension dedup; shingle →
     minhash → band → bucket self-join)."""
@@ -348,6 +361,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "lsh_pairs": q_lsh_pairs,
     "cosine_topk_docs": q_cosine_topk_docs,
     "pruned_doc_stats": q_pruned_doc_stats,
@@ -484,6 +498,14 @@ ORACLES = {
         " AS n_subword_tokens FROM documents"
     ),
     "ann_cosine_topk": (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+        " SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv)"
+        " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
+        " FROM embeddings CROSS JOIN q ORDER BY cos DESC, vec_id ASC LIMIT 20"
+    ),
+    # IVF with nprobe == n_cells degenerates to the exact scan: same oracle
+    "ann_ivf_topk": (
         "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
         " SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv)"
         " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
