@@ -277,24 +277,52 @@ def refresh_cosine_tables(
     return sorted(groups)
 
 
+_IDF_CACHE: dict = {}  # index_dir -> [manifest_mtime, {variant: idf | None}]
+
+
+def _idf_lookup(spark: SparkSession, index_dir: str, variants: list) -> dict:
+    """idf for each term variant, driver-cached on manifest mtime (every
+    index mutation — build stage, compaction, cosine refresh — rewrites
+    manifest.json). Known-absent variants cache as None, so repeated
+    queries cost zero Spark jobs (same pattern as wand._term_df_lookup)."""
+    import os
+
+    try:
+        mtime = os.path.getmtime(f"{index_dir}/manifest.json")
+    except OSError:
+        mtime = None
+    entry = _IDF_CACHE.get(index_dir)
+    if entry is None or entry[0] != mtime:
+        entry = [mtime, {}]
+        _IDF_CACHE[index_dir] = entry
+    known = entry[1]
+    missing = [v for v in variants if v not in known]
+    if missing:
+        rows = (
+            spark.read.parquet(f"{index_dir}/cosine/idf")
+            .where(F.col("term").isin(missing))
+            .collect()
+        )
+        found = {r["term"]: r["idf"] for r in rows}
+        for v in missing:
+            known[v] = found.get(v)
+    return {v: known[v] for v in variants if known[v] is not None}
+
+
 def _fold_query(
     spark: SparkSession, index_dir: str, query_dict: dict
 ) -> tuple[dict, dict]:
     """Query-term casing fallback vs the cosine vocab (ranker.py:7-16);
     returns ({canonical_term: qtf}, {canonical_term: idf}) for matched
-    terms only. One |query|-row predicate-pushed scan of the |V|-row idf
-    table — no corpus-sized table touched."""
+    terms only. At most one |query|-row predicate-pushed scan of the
+    |V|-row idf table — no corpus-sized table touched, none at all when
+    every variant is cached."""
     variants = sorted(
         {v for t in query_dict for v in (t.lower(), t.upper())}
     )
     if not variants:
         return {}, {}
-    idf = {
-        r["term"]: r["idf"]
-        for r in spark.read.parquet(f"{index_dir}/cosine/idf")
-        .where(F.col("term").isin(variants))
-        .collect()
-    }
+    idf = _idf_lookup(spark, index_dir, variants)
     out: dict = {}
     for t, qtf in query_dict.items():
         lo, up = t.lower(), t.upper()

@@ -67,8 +67,14 @@ def make_tweet_corpus(n: int, seed: int, path: str) -> None:
     pd.DataFrame(rows).to_parquet(f"{path}/corpus.parquet", engine="pyarrow")
 
 
-def run_reference(corpus_dir: str) -> dict:
-    """Time the unmodified reference run_engine over the corpus dir."""
+def run_reference(corpus_dir: str, queries: list | None = None) -> dict:
+    """Time the unmodified reference run_engine over the corpus dir, then
+    (optionally) its full two-pass query path (search_and_rank_query:
+    parse → k-of-n intersection → cosine rank → association-matrix
+    expansion → re-rank) over ``queries``. Queries that crash inside the
+    reference (its query path has known bugs, e.g. the ≤1-candidate
+    expansion index bug and a KeyError on fully-OOV queries) are counted
+    and excluded from throughput."""
     from gen_goldens import load_reference_parser
 
     load_reference_parser()  # installs the nltk stub, puts reference on path
@@ -76,17 +82,42 @@ def run_reference(corpus_dir: str) -> dict:
 
     search_engine = importlib.import_module("search_engine")
     configuration = importlib.import_module("configuration")
+    utils = importlib.import_module("utils")
 
     out = tempfile.mkdtemp(prefix="ref_engine_out_")
     config = configuration.ConfigClass(corpus_dir, out, False)
     t0 = time.time()
     search_engine.run_engine(config)
     secs = time.time() - t0
+    result = {"seconds": round(secs, 2)}
+
+    if queries:
+        vectors = utils.load_obj(out + "/PostingFiles/vectorsFile")
+        inverted_index = search_engine.load_index(out)
+        ok, failed, hits = 0, 0, 0
+        tq = time.time()
+        for q in queries:
+            try:
+                top = search_engine.search_and_rank_query(
+                    q, inverted_index, 10, out + "/PostingFiles", vectors, False
+                )
+                ok += 1
+                hits += len(top)
+            except Exception:
+                failed += 1
+        qsecs = time.time() - tq
+        result["query"] = {
+            "seconds": round(qsecs, 2),
+            "n_queries_ok": ok,
+            "n_queries_failed": failed,
+            "hits": hits,
+            "queries_per_sec": round(ok / qsecs, 2) if qsecs else None,
+        }
     shutil.rmtree(out, ignore_errors=True)
-    return {"seconds": round(secs, 2)}
+    return result
 
 
-def run_ours(corpus_dir: str, cpus: int) -> dict:
+def run_ours(corpus_dir: str, cpus: int, queries: list | None = None) -> dict:
     from pyspark.sql import functions as F
 
     from searchengine_spark.operators.index_build import build_index
@@ -110,9 +141,37 @@ def run_ours(corpus_dir: str, cpus: int) -> dict:
     t0 = time.time()
     build_index(spark, docs, idx, n_groups=2)
     secs = time.time() - t0
+    result = {"seconds": round(secs, 2)}
+
+    if queries:
+        from searchengine_spark.operators import parity
+        from searchengine_spark.operators.wand import search_batch
+
+        # primary path: one distributed WAND batch over all queries
+        tb = time.time()
+        rows = search_batch(spark, idx, queries, k=10).collect()
+        bsecs = time.time() - tb
+        result["query_wand_batch"] = {
+            "seconds": round(bsecs, 2),
+            "hits": len(rows),
+            "queries_per_sec": round(len(queries) / bsecs, 2) if bsecs else None,
+        }
+        # parity path: the reference's exact two-pass cosine semantics
+        # (rank-identical scorer), driver-orchestrated like the reference
+        parity.build_cosine_tables(spark, idx, prune=True)
+        tp = time.time()
+        hits = 0
+        for q in queries:
+            hits += len(parity.two_pass_search(spark, idx, q, k=10).collect())
+        psecs = time.time() - tp
+        result["query_two_pass"] = {
+            "seconds": round(psecs, 2),
+            "hits": hits,
+            "queries_per_sec": round(len(queries) / psecs, 2) if psecs else None,
+        }
     spark.stop()
     shutil.rmtree(idx, ignore_errors=True)
-    return {"seconds": round(secs, 2)}
+    return result
 
 
 def main() -> None:
@@ -121,6 +180,7 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--skip-ours", action="store_true")
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--skip-queries", action="store_true")
     ap.add_argument("--ours-cpus", default="1,32")
     args = ap.parse_args()
 
@@ -137,8 +197,11 @@ def main() -> None:
     result["n_docs"] = args.n_docs
     result["seed"] = args.seed
 
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+    queries = None if args.skip_queries else list(REFERENCE_QUERIES)
     if not args.skip_reference:
-        ref = run_reference(corpus)
+        ref = run_reference(corpus, queries)
         result["reference_single_process"] = {
             **ref,
             "docs_per_sec": round(args.n_docs / ref["seconds"], 1),
@@ -146,7 +209,7 @@ def main() -> None:
     if not args.skip_ours:
         result.setdefault("ours", {})
         for cpus in (int(c) for c in args.ours_cpus.split(",")):
-            ours = run_ours(corpus, cpus)
+            ours = run_ours(corpus, cpus, queries)
             result["ours"][f"local[{cpus}]"] = {
                 **ours,
                 "docs_per_sec": round(args.n_docs / ours["seconds"], 1),
