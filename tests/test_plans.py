@@ -75,3 +75,42 @@ def test_wholestage_codegen_on_textstats(spark):
         assert marker not in simple, marker
     # map-side partial aggregation before the doc_id shuffle
     assert "partial_count" in simple
+
+
+def test_cosine_weights_scan_prunes_group_partitions(spark, index_1k):
+    """The incremental-refresh layout must give partition-pruned reads:
+    filtering weights by grp (what a selective rebuild/query does) shows a
+    partition filter in the scan, not a full-table read."""
+    from searchengine_spark.operators import parity
+
+    parity.build_cosine_tables(spark, index_1k, prune=True)
+    df = spark.read.parquet(f"{index_1k}/cosine/weights").where(F.col("grp") == 0)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "grp" in scan[0], plan[:2000]
+
+
+def test_cosine_search_broadcasts_query_side(spark, index_1k):
+    """cosine_search joins the corpus-sized weights table against the
+    few-row query side: that side must broadcast, and the norm join must
+    not shuffle the weights twice."""
+    from searchengine_spark.operators import parity
+
+    parity.build_cosine_tables(spark, index_1k, prune=True)
+    plan = _plan(parity.cosine_search(spark, index_1k, "tokenizer posting", k=10))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assignment_is_arrow_batched(spark):
+    """IVF cell assignment must be one Arrow-batched Python stage (a narrow
+    map), not row-at-a-time Python, and candidate filtering happens after."""
+    import numpy as np
+
+    from searchengine_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    C = np.eye(4, 16)
+    df = similarity.ivf_assign(emb, C).where(F.col("_cell").isin([0, 1]))
+    plan = _plan(df, "simple")
+    assert "MapInPandas" in plan, plan[:1500]
+    assert "BatchEvalPython" not in plan  # no pickled row-at-a-time UDF
