@@ -199,13 +199,20 @@ def build_cosine_tables(
       dropped (clearSingleEntities), kept for incremental diffing;
     * ``cosine/idf``     (term, idf) + ``cosine/doc_norms`` (doc_id, norm)
       — global halves, rebuilt each refresh (one pass)."""
+    import os as _os
+    import shutil as _sh
+
     man = Manifest(index_dir)
     stage = "cosine_pruned" if prune else "cosine"
-    if man.stage_done(stage):
+    # the stage flag alone isn't enough: an index whose cosine tables were
+    # built under the pre-split layout (single cosine/tfidf table) has the
+    # flag but not the tables — rebuild in the new layout
+    if man.stage_done(stage) and _os.path.exists(f"{index_dir}/cosine/idf"):
         return
     import time as _t
 
     t0 = _t.time()
+    _sh.rmtree(f"{index_dir}/cosine", ignore_errors=True)
     groups = list(range(man.scalars["n_groups"]))
     _rebuild_weight_groups(spark, index_dir, groups, prune)
     _rebuild_idf_and_norms(spark, index_dir, prune)
@@ -242,6 +249,12 @@ def refresh_cosine_tables(
     if stage is None:
         return []
     prune = stage == "cosine_pruned"
+    if not _os.path.exists(f"{index_dir}/cosine/idf"):
+        # pre-split layout: fall back to a full rebuild in the new layout
+        man.data["stages"].pop(stage, None)
+        man.save()
+        build_cosine_tables(spark, index_dir, prune=prune)
+        return sorted(range(man.scalars["n_groups"]))
     import time as _t
 
     t0 = _t.time()
@@ -448,3 +461,152 @@ def two_pass_search(
     top-100 → expand → cosine top-k with the expanded query."""
     expanded = expand_query(spark, index_dir, query)
     return cosine_search(spark, index_dir, query, k=k, query_dict=expanded)
+
+
+def _cosine_batch_scores(
+    spark: SparkSession,
+    index_dir: str,
+    per_query: dict,
+    top: int,
+):
+    """One distributed job scoring MANY cosine queries: weights ⋈
+    broadcast(query rows) → per-(query, doc) dot → norm join → per-query
+    row_number ≤ top. ``per_query``: {qid: ({canon: qtf}, {canon: idf},
+    norm_q)}. Returns DataFrame(query_id, doc_id, score, rnk)."""
+    from pyspark.sql import Window
+
+    qrows = [
+        (qid, t, float(qtf), float(idf[t]), float(norm_q))
+        for qid, (matched, idf, norm_q) in per_query.items()
+        for t, qtf in matched.items()
+    ]
+    qdf = spark.createDataFrame(
+        qrows, "query_id int, term string, qtf double, idf double, norm_q double"
+    )
+    weights = spark.read.parquet(f"{index_dir}/cosine/weights")
+    norms = spark.read.parquet(f"{index_dir}/cosine/doc_norms")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        weights.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("qtf") * F.col("w") * F.col("idf")).alias("qd"),
+            F.first("norm_q").alias("norm_q"),
+        )
+        .join(norms, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("norm") == 0, F.lit(0.0))
+            .otherwise(F.col("qd") / (F.col("norm") * F.col("norm_q")))
+            .alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top)
+    )
+
+
+def two_pass_search_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    pool: int = EXPANSION_POOL,
+) -> DataFrame:
+    """The server shape of the parity two-pass path: the whole query batch
+    runs in TWO distributed jobs (pass-1 scores + expansion picks in one,
+    pass-2 scores in one) instead of ~4 jobs per query — the same
+    amortization `wand.search_batch` applies to the primary path. Results
+    are identical to per-query :func:`two_pass_search` (tested).
+    → DataFrame(query_id, doc_id, score), per-query (score desc, doc_id
+    asc) order; query_id = position in ``queries``."""
+    from pyspark.sql import Window
+
+    qdicts = {i: tokenize(q) for i, q in enumerate(queries)}
+    pass1: dict = {}
+    for i, qd in qdicts.items():
+        norm_q = math.sqrt(sum(v * v for v in qd.values()))
+        matched, idf = _fold_query(spark, index_dir, qd)
+        if matched and norm_q > 0:
+            pass1[i] = (matched, idf, norm_q)
+    if not pass1:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+
+    # --- job 1: pass-1 pools + association-matrix picks for ALL queries ---
+    # Cij = |postings(q_term) ∩ postings(v_term)| is QUERY-INDEPENDENT, so
+    # each distinct (q_term, v_term) pair's similarity is computed exactly
+    # once across the batch (queries share head vocabulary heavily) and
+    # re-attached per query afterwards. One postings-side doc_id join for
+    # the whole batch — no per-query replication of posting lists.
+    pools = _cosine_batch_scores(spark, index_dir, pass1, pool).select(
+        "query_id", "doc_id"
+    )
+    dt = spark.read.parquet(f"{index_dir}/cosine/weights").select("doc_id", "term")
+    vocab = dt.join(pools, "doc_id").select("query_id", "term").distinct()
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, (matched, _i, _n) in pass1.items() for t in sorted(matched)],
+        "query_id int, q_term string",
+    )
+    q_post = dt.join(
+        F.broadcast(qterms.select("q_term").distinct()),
+        dt["term"] == F.col("q_term"),
+    ).select("q_term", "doc_id")
+    # all co-occurring (q_term, v_term) pairs with counts; pairs that never
+    # co-occur have no row (sim undefined → never picked), exactly as in
+    # the per-query path
+    cij = (
+        q_post.join(dt.withColumnRenamed("term", "v_term"), "doc_id")
+        .groupBy("q_term", "v_term")
+        .agg(F.count("*").alias("cij"))
+    )
+    dfs = dt.groupBy("term").agg(F.count("*").alias("df"))
+    sim = (
+        cij.join(dfs.withColumnRenamed("term", "q_term").withColumnRenamed("df", "cii"), "q_term")
+        .join(dfs.withColumnRenamed("term", "v_term").withColumnRenamed("df", "cjj"), "v_term")
+        .withColumn("sim", F.col("cij") / (F.col("cii") + F.col("cjj") - F.col("cij")))
+    )
+    # re-attach queries: a pair matters for query q iff q asked q_term and
+    # v_term is in q's pass-1 vocabulary
+    per_query_pairs = qterms.join(
+        vocab.withColumnRenamed("term", "v_term"), "query_id"
+    )
+    wv = Window.partitionBy("query_id", "q_term").orderBy(
+        F.desc("sim"), F.asc("v_term")
+    )
+    picks = (
+        per_query_pairs.join(sim, ["q_term", "v_term"])
+        .withColumn("rnk", F.row_number().over(wv))
+        .where(F.col("rnk").isin(2, 3))
+        .select("query_id", "q_term", "v_term", "rnk")
+        .collect()
+    )
+    by_q: dict = {}
+    for r in picks:
+        by_q.setdefault(r["query_id"], {}).setdefault(r["q_term"], {})[r["rnk"]] = r[
+            "v_term"
+        ]
+
+    # --- driver: apply the reference's pick rules, rebuild query dicts ----
+    pass2: dict = {}
+    for i, (matched, _idf, _norm) in pass1.items():
+        expanded = dict(qdicts[i])
+        for q_term in sorted(matched):
+            ranks = by_q.get(i, {}).get(q_term, {})
+            pick = ranks.get(2)
+            if pick == SPECIAL_CASED_TERM:
+                pick = ranks.get(3)
+            if pick is not None:
+                expanded[pick] = expanded.get(pick, 0) + 1
+        norm_q2 = math.sqrt(sum(v * v for v in expanded.values()))
+        matched2, idf2 = _fold_query(spark, index_dir, expanded)
+        if matched2 and norm_q2 > 0:
+            pass2[i] = (matched2, idf2, norm_q2)
+    if not pass2:
+        return spark.createDataFrame([], "query_id int, doc_id long, score double")
+
+    # --- job 2: pass-2 scores + per-query top-k ---------------------------
+    return (
+        _cosine_batch_scores(spark, index_dir, pass2, k)
+        .select("query_id", "doc_id", "score")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )

@@ -79,6 +79,22 @@ def test_two_pass_rank_identity(spark, cosine_index, oracle_1k, query):
     assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
 
 
+def test_two_pass_batch_matches_per_query(spark, cosine_index, oracle_1k):
+    """The batched server shape (2 jobs for the whole batch) returns the
+    same per-query results as the sequential two-pass path — including
+    queries with no index hits (absent from the output) — and therefore
+    stays rank-identical to the oracle."""
+    queries = COSINE_QUERIES + ["zzz_nope only oov terms"]
+    batch = parity.two_pass_search_batch(
+        spark, cosine_index, queries, k=10
+    ).toPandas()
+    for i, q in enumerate(queries):
+        got = batch[batch["query_id"] == i]
+        want = parity.two_pass_search(spark, cosine_index, q, k=10).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), q
+        assert np.allclose(got["score"], want["score"], atol=1e-9, rtol=0), q
+
+
 def test_stemmed_index_rank_identity(spark, tmp_path_factory):
     """P12 end-to-end: stem=True at build records the flag; queries stem
     symmetrically; rank-identical to the stemmed oracle — including a

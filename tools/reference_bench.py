@@ -169,6 +169,15 @@ def run_ours(corpus_dir: str, cpus: int, queries: list | None = None) -> dict:
             "hits": hits,
             "queries_per_sec": round(len(queries) / psecs, 2) if psecs else None,
         }
+        # parity path, server shape: whole batch in 2 distributed jobs
+        tb2 = time.time()
+        brows = parity.two_pass_search_batch(spark, idx, queries, k=10).collect()
+        b2secs = time.time() - tb2
+        result["query_two_pass_batch"] = {
+            "seconds": round(b2secs, 2),
+            "hits": len(brows),
+            "queries_per_sec": round(len(queries) / b2secs, 2) if b2secs else None,
+        }
     spark.stop()
     shutil.rmtree(idx, ignore_errors=True)
     return result
