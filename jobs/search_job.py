@@ -51,25 +51,22 @@ def main() -> None:
         for i, q in enumerate(queries):
             print(json.dumps({"query": q, "hits": by_q[i]}))
     else:
-        from pyspark.sql import functions as F
-
         from searchengine_spark.operators import parity
 
         parity.build_cosine_tables(spark, args.index_dir, prune=True)
-        results = []
-        for i, q in enumerate(queries):
-            res = parity.two_pass_search(spark, args.index_dir, q, k=args.k)
-            results.append(res.select(F.lit(i).alias("query_id"), "doc_id", "score"))
-            hits = [
-                {"doc_id": r["doc_id"], "score": r["score"]}
-                for r in res.collect()
-            ]
-            print(json.dumps({"query": q, "hits": hits}))
+        result = parity.two_pass_search_batch(
+            spark, args.index_dir, queries, k=args.k
+        )
         if args.csv_out:
-            out = results[0]
-            for r in results[1:]:
-                out = out.unionByName(r)
-            out.write.mode("overwrite").option("header", True).csv(args.csv_out)
+            result.write.mode("overwrite").option("header", True).csv(args.csv_out)
+        rows = result.collect()
+        by_q = {i: [] for i in range(len(queries))}
+        for r in rows:
+            by_q[r["query_id"]].append(
+                {"doc_id": r["doc_id"], "score": r["score"]}
+            )
+        for i, q in enumerate(queries):
+            print(json.dumps({"query": q, "hits": by_q[i]}))
     spark.stop()
 
 
