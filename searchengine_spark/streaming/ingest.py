@@ -52,12 +52,23 @@ CORPUS_SCHEMA = (
 
 
 def ingest_batch(
-    spark: SparkSession, batch_df: DataFrame, batch_id: int, index_dir: str
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    stream_id: str = "",
 ) -> None:
-    """foreachBatch body: append one micro-batch to the delta tier."""
+    """foreachBatch body: append one micro-batch to the delta tier.
+
+    ``stream_id`` scopes the idempotency key: Structured Streaming batch
+    ids are unique only PER CHECKPOINT, so a fresh stream (new checkpoint)
+    restarts at 0 — without the scope, its batch 0 would be mistaken for a
+    re-delivery of an earlier stream's batch 0 and silently dropped.
+    Re-delivery within one checkpoint keeps the same key → still skipped."""
+    key = f"{stream_id}:{batch_id}" if stream_id else str(batch_id)
     man = Manifest(index_dir)
     batches = man.data.setdefault("ingest_batches", {})
-    if str(batch_id) in batches:  # re-delivered after failure: idempotent skip
+    if key in batches:  # re-delivered after failure: idempotent skip
         return
     t0 = time.time()
     base = man.scalars.get("n_docs", 0)
@@ -76,23 +87,20 @@ def ingest_batch(
         "doc_id", "repo", "path", "commit", "lang",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
     )
-    doc_map.write.mode("overwrite").parquet(
-        f"{index_dir}/delta/doc_map/batch={batch_id}"
-    )
+    part = f"batch={stream_id}_{batch_id}" if stream_id else f"batch={batch_id}"
+    doc_map.write.mode("overwrite").parquet(f"{index_dir}/delta/doc_map/{part}")
     dt = tokenize_docs(with_id)
-    dt.write.mode("overwrite").parquet(
-        f"{index_dir}/delta/doc_terms/batch={batch_id}"
-    )
+    dt.write.mode("overwrite").parquet(f"{index_dir}/delta/doc_terms/{part}")
     persisted.unpersist()
 
     stats = (
-        spark.read.parquet(f"{index_dir}/delta/doc_terms/batch={batch_id}")
+        spark.read.parquet(f"{index_dir}/delta/doc_terms/{part}")
         .groupBy("doc_id").agg(F.first("dl").alias("dl"))
         .agg(F.sum("dl").alias("toks"), F.count("*").alias("nonempty"))
         .collect()[0]
     )
     secs = time.time() - t0
-    batches[str(batch_id)] = {
+    batches[key] = {
         "n_docs": n_new,
         "n_tokens": int(stats["toks"] or 0),
         "first_doc_id": base,
@@ -124,9 +132,15 @@ def stream_ingest(
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = r.parquet(source_dir)
 
+    import hashlib
+
+    # scope batch ids to this stream: ids restart at 0 per checkpoint
+    stream_id = hashlib.sha1(
+        os.path.realpath(checkpoint).encode()
+    ).hexdigest()[:10]
     writer = (
         stream.writeStream.foreachBatch(
-            lambda bdf, bid: ingest_batch(spark, bdf, bid, index_dir)
+            lambda bdf, bid: ingest_batch(spark, bdf, bid, index_dir, stream_id)
         )
         .option("checkpointLocation", checkpoint)
     )

@@ -195,7 +195,8 @@ def test_compact_refreshes_cosine_tables(spark, tmp_path):
     delta = pd.DataFrame([
         row("zzz-delta/r", "d0.py", "zzzuniqueterm qqfiller qqother"),
         row("zzz-delta/r", "d1.py", "zzfold qqlower qqarrival"),
-        row("zzz-delta/r", "d2.py", "qqplain qqfiller qqdocument"),
+        # ≥5 distinct terms so its unique terms (qqplain, …) get df==1-pruned
+        row("zzz-delta/r", "d2.py", "qqplain qqfiller qqdocument qqalpha qqbeta"),
     ])
 
     idx = f"{tmp_path}/idx"
@@ -226,3 +227,22 @@ def test_compact_refreshes_cosine_tables(spark, tmp_path):
         assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
     # the restored term now scores BOTH its original doc and the delta doc
     assert parity.cosine_search(spark, idx, "zzzuniqueterm", k=5).count() == 2
+
+    # second compaction round: the refresh diffs against the pruned table
+    # the FIRST refresh wrote (qqplain went df==1-pruned in round 1, a
+    # round-2 doc re-uses it → restored) and ranking stays oracle-identical
+    delta2 = pd.DataFrame([
+        row("zzzz-delta2/r", "e0.py", "qqplain qqsecond qqround"),
+        row("zzzz-delta2/r", "e1.py", "plainest qqnewterm filler"),
+    ])
+    spark.createDataFrame(delta2).coalesce(1).write.parquet(f"{tmp_path}/src2")
+    ing.stream_ingest(spark, f"{tmp_path}/src2", idx, f"{tmp_path}/ckpt2")
+    ing.compact(spark, idx)
+    refreshed2 = Manifest(idx).data["stages"]["cosine_pruned"]["refreshed_groups"]
+    assert refreshed2, "second compaction must refresh the cosine tables"
+    oracle2 = OracleIndex(pd.concat([base, delta, delta2], ignore_index=True))
+    for query in ["qqplain", "zzzuniqueterm", "merge data value"]:
+        golden = oracle2.cosine_search(query, k=10)
+        got = parity.cosine_search(spark, idx, query, k=10).toPandas()
+        assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
