@@ -205,17 +205,87 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
         min(b["first_doc_id"] for b in delta_batches) if delta_batches else None
     )
 
-    # 1. merge delta doc_terms into the range-partitioned main table
+    # recovery: a previous compact crashed between the doc_map swap's two
+    # renames — the rebuilt table is complete under .old, restore it
+    if not os.path.exists(f"{index_dir}/doc_map") and os.path.exists(
+        f"{index_dir}/doc_map.old"
+    ):
+        os.rename(f"{index_dir}/doc_map.old", f"{index_dir}/doc_map")
+
+    # 1. merge delta doc_terms into the range-partitioned main table.
+    # IDEMPOTENT merge (crash-safe): instead of a blind append — which
+    # would duplicate every delta row if compaction crashed after the
+    # append and re-ran — affected group partitions are REBUILT as
+    # (main rows with doc_id < first_new_doc) ∪ delta, staged to a temp
+    # dir and swapped in per partition. Every doc id ≥ first_new_doc
+    # belongs to the delta by construction (ids are assigned densely in
+    # arrival order), so rows a crashed run already appended are excluded
+    # by the doc_id filter and the merge converges from any crash point.
+    # With Iceberg the swap becomes a partition-overwrite snapshot commit.
     delta = (
         spark.read.parquet(delta_dt)
         .withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
         .withColumn("grp", grp_expr(F.col("rng"), group_width))
+        # drop the inferred batch=<id> partition column: the main table's
+        # schema is exactly (doc_id, term, tf, dl, rng) + grp
+        .select("doc_id", "term", "tf", "dl", "rng", "grp")
     )
-    delta.write.mode("append").partitionBy("grp").parquet(f"{index_dir}/doc_terms")
-    for sub in ("doc_map",):
-        spark.read.parquet(f"{index_dir}/delta/{sub}").write.mode("append").parquet(
-            f"{index_dir}/{sub}"
+    if first_new_doc is not None:
+        import glob
+        import shutil
+
+        floor_grp = (first_new_doc // range_width) // group_width
+        existing = {
+            int(p.rsplit("=", 1)[1])
+            for p in glob.glob(f"{index_dir}/doc_terms/grp=*")
+        }
+        delta_grps = {
+            int(r["grp"]) for r in delta.select("grp").distinct().collect()
+        }
+        affected = sorted(
+            {g for g in existing if g >= floor_grp} | delta_grps
         )
+        tmp = f"{index_dir}/doc_terms_merge_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        combined = delta
+        if existing:  # stream-only first compaction has no main table yet
+            old_part = (
+                spark.read.parquet(f"{index_dir}/doc_terms")
+                .where(
+                    F.col("grp").isin(affected)
+                    & (F.col("doc_id") < first_new_doc)
+                )
+                .select("doc_id", "term", "tf", "dl", "rng", "grp")
+            )
+            combined = old_part.unionByName(delta)
+        combined.write.partitionBy("grp").parquet(tmp)
+        os.makedirs(f"{index_dir}/doc_terms", exist_ok=True)
+        for g in affected:
+            shutil.rmtree(f"{index_dir}/doc_terms/grp={g}", ignore_errors=True)
+            if os.path.exists(f"{tmp}/grp={g}"):
+                os.rename(f"{tmp}/grp={g}", f"{index_dir}/doc_terms/grp={g}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        # doc_map: same floor rule, whole-table staged swap (metadata-sized
+        # table: one row per doc) with a backup rename so a crash between
+        # the two renames is recoverable (see top of function)
+        dm_tmp = f"{index_dir}/doc_map.tmp"
+        shutil.rmtree(dm_tmp, ignore_errors=True)
+        dm_new = spark.read.parquet(f"{index_dir}/delta/doc_map").select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+        )
+        if os.path.exists(f"{index_dir}/doc_map"):
+            dm_new = (
+                spark.read.parquet(f"{index_dir}/doc_map")
+                .where(F.col("doc_id") < first_new_doc)
+                .unionByName(dm_new)
+            )
+        dm_new.write.parquet(dm_tmp)
+        shutil.rmtree(f"{index_dir}/doc_map.old", ignore_errors=True)
+        if os.path.exists(f"{index_dir}/doc_map"):
+            os.rename(f"{index_dir}/doc_map", f"{index_dir}/doc_map.old")
+        os.rename(dm_tmp, f"{index_dir}/doc_map")
+        shutil.rmtree(f"{index_dir}/doc_map.old", ignore_errors=True)
 
     # 2. refresh doc_stats + scalars from the merged table (corpus growth
     # extends the group sequence: contiguous mapping appends NEW groups)

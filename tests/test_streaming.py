@@ -246,3 +246,50 @@ def test_compact_refreshes_cosine_tables(spark, tmp_path):
         got = parity.cosine_search(spark, idx, query, k=10).toPandas()
         assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
         assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+def test_compact_merge_is_idempotent_after_crash(spark, tmp_path):
+    """Crash-window regression: if a compaction dies after merging delta
+    rows into the main table but before updating the manifest, the rerun
+    must NOT duplicate those rows. Simulated by performing the old
+    blind-append merge by hand (the exact on-disk state such a crash
+    leaves), then running compact() normally."""
+    from searchengine_spark.operators.index_build import build_index, grp_expr
+    from searchengine_spark.operators.wand import search
+
+    pdf = corpus_pdf(300, seed=17).sort_values(["repo", "path", "commit"])
+    idx = f"{tmp_path}/idx"
+    build_index(spark, spark.createDataFrame(pdf.iloc[:200]), idx,
+                range_width=64, n_groups=2)
+    spark.createDataFrame(pdf.iloc[200:]).coalesce(1).write.parquet(f"{tmp_path}/src")
+    ing.stream_ingest(spark, f"{tmp_path}/src", idx, f"{tmp_path}/ckpt")
+
+    man = Manifest(idx)
+    rw, gw = man.scalars["range_width"], man.scalars["group_width"]
+    # the crashed half-merge: delta rows already appended to the main table
+    crashed = (
+        spark.read.parquet(f"{idx}/delta/doc_terms")
+        .withColumn("rng", (F.col("doc_id") / F.lit(rw)).cast("int"))
+        .withColumn("grp", grp_expr(F.col("rng"), gw))
+        .select("doc_id", "term", "tf", "dl", "rng", "grp")
+    )
+    crashed.write.mode("append").partitionBy("grp").parquet(f"{idx}/doc_terms")
+
+    ing.compact(spark, idx)
+    dt = spark.read.parquet(f"{idx}/doc_terms")
+    dupes = (
+        dt.groupBy("doc_id", "term").count().where(F.col("count") > 1).count()
+    )
+    assert dupes == 0, "crashed half-merge must not survive as duplicates"
+    # 300 docs minus the corpus's deliberately-empty ones (no term rows)
+    n_nonempty = sum(1 for c in pdf["content"] if c)
+    assert dt.select("doc_id").distinct().count() == n_nonempty
+    assert spark.read.parquet(f"{idx}/doc_map").count() == 300
+    # and the compacted index equals a from-scratch batch build
+    batch_idx = f"{tmp_path}/batch_idx"
+    build_index(spark, spark.createDataFrame(pdf), batch_idx,
+                range_width=rw, n_groups=2)
+    a = _norm(spark.read.parquet(f"{idx}/term_dict").toPandas())
+    b = _norm(spark.read.parquet(f"{batch_idx}/term_dict").toPandas())
+    pd.testing.assert_frame_equal(a, b)
+    assert search(spark, idx, "def return", k=5).count() == 5
