@@ -40,16 +40,6 @@ def main() -> None:
         from searchengine_spark.operators.wand import search_batch
 
         result = search_batch(spark, args.index_dir, queries, k=args.k)
-        if args.csv_out:
-            result.write.mode("overwrite").option("header", True).csv(args.csv_out)
-        rows = result.collect()
-        by_q: dict = {i: [] for i in range(len(queries))}
-        for r in rows:
-            by_q[r["query_id"]].append(
-                {"doc_id": r["doc_id"], "score": r["score"]}
-            )
-        for i, q in enumerate(queries):
-            print(json.dumps({"query": q, "hits": by_q[i]}))
     else:
         from searchengine_spark.operators import parity
 
@@ -57,16 +47,21 @@ def main() -> None:
         result = parity.two_pass_search_batch(
             spark, args.index_dir, queries, k=args.k
         )
-        if args.csv_out:
-            result.write.mode("overwrite").option("header", True).csv(args.csv_out)
-        rows = result.collect()
-        by_q = {i: [] for i in range(len(queries))}
-        for r in rows:
-            by_q[r["query_id"]].append(
-                {"doc_id": r["doc_id"], "score": r["score"]}
-            )
-        for i, q in enumerate(queries):
-            print(json.dumps({"query": q, "hits": by_q[i]}))
+
+    rows = result.collect()
+    if args.csv_out:
+        # write from the collected rows (<= |queries| * k of them) instead
+        # of re-running the whole distributed scoring job a second time
+        spark.createDataFrame(
+            rows, "query_id int, doc_id long, score double"
+        ).coalesce(1).write.mode("overwrite").option("header", True).csv(
+            args.csv_out
+        )
+    by_q: dict = {i: [] for i in range(len(queries))}
+    for r in rows:
+        by_q[r["query_id"]].append({"doc_id": r["doc_id"], "score": r["score"]})
+    for i, q in enumerate(queries):
+        print(json.dumps({"query": q, "hits": by_q[i]}))
     spark.stop()
 
 

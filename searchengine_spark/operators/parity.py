@@ -84,6 +84,20 @@ def pruned_doc_terms(spark: SparkSession, index_dir: str) -> DataFrame:
     return dt.join(F.broadcast(df1), ["doc_id", "term"], "left_anti")
 
 
+def _pruned_or_none(spark: SparkSession, index_dir: str):
+    """``cosine/pruned``, or None when no rows were ever pruned (the
+    partitioned dir then has no data files and schema inference fails).
+    An explicit file check, not a broad except: a genuinely corrupt or
+    unreadable table must RAISE, silently treating it as "nothing pruned"
+    would un-prune the idf vocabulary and skew every cosine score."""
+    import glob as _glob
+
+    base = f"{index_dir}/cosine/pruned"
+    if not _glob.glob(f"{base}/grp=*/*.parquet"):
+        return None
+    return spark.read.parquet(base)
+
+
 def _rebuild_weight_groups(
     spark: SparkSession, index_dir: str, groups: list[int], prune: bool
 ) -> None:
@@ -103,10 +117,14 @@ def _rebuild_weight_groups(
         F.col("grp").isin([int(g) for g in groups])
     )
     fold = spark.read.parquet(f"{index_dir}/fold_map")
+    # persisted: the fold-join + aggregation feeds BOTH write actions below
+    # (weights and pruned) — without the cache each write would recompute
+    # the whole lineage from the parquet scan
     folded = (
         _fold_expr(fold, dt_g)
         .groupBy("grp", "doc_id", "term")
         .agg(F.sum("tf").alias("tf"))
+        .persist()
     )
     if prune:
         df1 = (
@@ -145,6 +163,7 @@ def _rebuild_weight_groups(
     pruned.write.mode("append").partitionBy("grp").parquet(
         f"{index_dir}/cosine/pruned"
     )
+    folded.unpersist()
 
 
 def _rebuild_idf_and_norms(
@@ -164,11 +183,9 @@ def _rebuild_idf_and_norms(
     n_docs = Manifest(index_dir).scalars["n_docs"]
     td = spark.read.parquet(f"{index_dir}/term_dict").select("term", "df")
     if prune:
-        try:  # zero rows ever pruned → partitioned dir has no data files
-            pr = spark.read.parquet(f"{index_dir}/cosine/pruned").select("term")
-            td = td.join(pr, "term", "left_anti")
-        except Exception:
-            pass
+        pr = _pruned_or_none(spark, index_dir)
+        if pr is not None:
+            td = td.join(pr.select("term"), "term", "left_anti")
     td.select(
         "term", F.log2(F.lit(float(n_docs)) / F.col("df")).alias("idf")
     ).write.mode("overwrite").parquet(f"{index_dir}/cosine/idf")
@@ -259,13 +276,8 @@ def refresh_cosine_tables(
 
     t0 = _t.time()
     groups = {int(g) for g in invalidated_groups}
-    if prune and delta_vocab is not None and _os.path.exists(
-        f"{index_dir}/cosine/pruned"
-    ):
-        try:  # dir with no data files (nothing was ever pruned) → skip
-            old_pruned = spark.read.parquet(f"{index_dir}/cosine/pruned")
-        except Exception:
-            old_pruned = None
+    if prune and delta_vocab is not None:
+        old_pruned = _pruned_or_none(spark, index_dir)
         if old_pruned is not None:
             fold = spark.read.parquet(f"{index_dir}/fold_map")
             dv = _fold_expr(
@@ -523,6 +535,14 @@ def two_pass_search_batch(
     from pyspark.sql import Window
 
     qdicts = {i: tokenize(q) for i, q in enumerate(queries)}
+    # one predicate-pushed idf scan warms the driver cache for EVERY
+    # query's variants — the per-query _fold_query calls below then cost
+    # zero Spark jobs
+    all_variants = sorted(
+        {v for qd in qdicts.values() for t in qd for v in (t.lower(), t.upper())}
+    )
+    if all_variants:
+        _idf_lookup(spark, index_dir, all_variants)
     pass1: dict = {}
     for i, qd in qdicts.items():
         norm_q = math.sqrt(sum(v * v for v in qd.values()))
@@ -542,7 +562,10 @@ def two_pass_search_batch(
         "query_id", "doc_id"
     )
     dt = spark.read.parquet(f"{index_dir}/cosine/weights").select("doc_id", "term")
-    vocab = dt.join(pools, "doc_id").select("query_id", "term").distinct()
+    # pools is <= pool × |queries| rows — broadcast it against the corpus
+    vocab = dt.join(F.broadcast(pools), "doc_id").select(
+        "query_id", "term"
+    ).distinct()
     qterms = spark.createDataFrame(
         [(qid, t) for qid, (matched, _i, _n) in pass1.items() for t in sorted(matched)],
         "query_id int, q_term string",
@@ -551,11 +574,16 @@ def two_pass_search_batch(
         F.broadcast(qterms.select("q_term").distinct()),
         dt["term"] == F.col("q_term"),
     ).select("q_term", "doc_id")
-    # all co-occurring (q_term, v_term) pairs with counts; pairs that never
-    # co-occur have no row (sim undefined → never picked), exactly as in
-    # the per-query path
+    # all co-occurring (q_term, v_term) pairs with counts, v_term side
+    # restricted to the union of pass-1 vocabularies up front (terms
+    # outside every query's vocab would be shuffled then discarded by the
+    # per_query_pairs join). Pairs that never co-occur have no row (sim
+    # undefined → never picked), exactly as in the per-query path.
+    dt_v = dt.join(
+        vocab.select("term").distinct(), "term", "left_semi"
+    ).withColumnRenamed("term", "v_term")
     cij = (
-        q_post.join(dt.withColumnRenamed("term", "v_term"), "doc_id")
+        q_post.join(dt_v, "doc_id")
         .groupBy("q_term", "v_term")
         .agg(F.count("*").alias("cij"))
     )
@@ -587,6 +615,17 @@ def two_pass_search_batch(
         ]
 
     # --- driver: apply the reference's pick rules, rebuild query dicts ----
+    pick_variants = sorted(
+        {
+            v
+            for qmap in by_q.values()
+            for ranks in qmap.values()
+            for t in ranks.values()
+            for v in (t.lower(), t.upper())
+        }
+    )
+    if pick_variants:  # warm the cache for the pass-2 _fold_query loop
+        _idf_lookup(spark, index_dir, pick_variants)
     pass2: dict = {}
     for i, (matched, _idf, _norm) in pass1.items():
         expanded = dict(qdicts[i])

@@ -132,12 +132,23 @@ def stream_ingest(
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = r.parquet(source_dir)
 
-    import hashlib
+    # scope batch ids to this stream: ids restart at 0 per checkpoint. The
+    # id is a nonce stored INSIDE the checkpoint dir (not a hash of its
+    # path): wiping and recreating the same checkpoint path is a NEW
+    # stream whose batch 0 must not collide with the old stream's keys,
+    # while resuming an existing checkpoint reuses the nonce so genuine
+    # re-deliveries still dedupe.
+    os.makedirs(checkpoint, exist_ok=True)
+    marker = os.path.join(checkpoint, ".se_stream_id")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stream_id = fh.read().strip()
+    else:
+        import uuid
 
-    # scope batch ids to this stream: ids restart at 0 per checkpoint
-    stream_id = hashlib.sha1(
-        os.path.realpath(checkpoint).encode()
-    ).hexdigest()[:10]
+        stream_id = uuid.uuid4().hex[:10]
+        with open(marker, "w") as fh:
+            fh.write(stream_id)
     writer = (
         stream.writeStream.foreachBatch(
             lambda bdf, bid: ingest_batch(spark, bdf, bid, index_dir, stream_id)
@@ -246,25 +257,37 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
             {g for g in existing if g >= floor_grp} | delta_grps
         )
         tmp = f"{index_dir}/doc_terms_merge_tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
-        combined = delta
-        if existing:  # stream-only first compaction has no main table yet
-            old_part = (
-                spark.read.parquet(f"{index_dir}/doc_terms")
-                .where(
-                    F.col("grp").isin(affected)
-                    & (F.col("doc_id") < first_new_doc)
+
+        def swap_in():
+            os.makedirs(f"{index_dir}/doc_terms", exist_ok=True)
+            for d in sorted(glob.glob(f"{tmp}/grp=*")):
+                dest = f"{index_dir}/doc_terms/{os.path.basename(d)}"
+                shutil.rmtree(dest, ignore_errors=True)
+                os.rename(d, dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        if os.path.exists(f"{tmp}/_SUCCESS"):
+            # a previous compaction crashed mid-swap. tmp is COMPLETE
+            # (_SUCCESS only exists once the staged write finished), so
+            # finish moving its partitions rather than recomputing from a
+            # main table that may already be missing a half-swapped
+            # partition (which would lose that group's old rows)
+            swap_in()
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            combined = delta
+            if existing:  # stream-only first compaction: no main table yet
+                old_part = (
+                    spark.read.parquet(f"{index_dir}/doc_terms")
+                    .where(
+                        F.col("grp").isin(affected)
+                        & (F.col("doc_id") < first_new_doc)
+                    )
+                    .select("doc_id", "term", "tf", "dl", "rng", "grp")
                 )
-                .select("doc_id", "term", "tf", "dl", "rng", "grp")
-            )
-            combined = old_part.unionByName(delta)
-        combined.write.partitionBy("grp").parquet(tmp)
-        os.makedirs(f"{index_dir}/doc_terms", exist_ok=True)
-        for g in affected:
-            shutil.rmtree(f"{index_dir}/doc_terms/grp={g}", ignore_errors=True)
-            if os.path.exists(f"{tmp}/grp={g}"):
-                os.rename(f"{tmp}/grp={g}", f"{index_dir}/doc_terms/grp={g}")
-        shutil.rmtree(tmp, ignore_errors=True)
+                combined = old_part.unionByName(delta)
+            combined.write.partitionBy("grp").parquet(tmp)
+            swap_in()
 
         # doc_map: same floor rule, whole-table staged swap (metadata-sized
         # table: one row per doc) with a backup rename so a crash between
@@ -349,6 +372,14 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
         to_rebuild.update(int(r["grp"]) for r in rows)
     for g in to_rebuild:
         man.data["posting_groups"].pop(str(g), None)
+    # persist the cosine-refresh obligation BEFORE batch statuses flip: a
+    # crash during the long postings/cosine rebuilds below would otherwise
+    # leave the rerun with first_new_doc=None and an empty invalidation
+    # set — stale cosine weights forever. The rerun unions this back in.
+    pending = sorted(
+        set(man.data.get("pending_cosine_groups", [])) | to_rebuild
+    )
+    man.data["pending_cosine_groups"] = pending
     for b in man.data.get("ingest_batches", {}).values():
         b["status"] = "compacted"
     man.save()
@@ -361,10 +392,13 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     from searchengine_spark.operators.parity import refresh_cosine_tables
 
     refresh_cosine_tables(
-        spark, index_dir, to_rebuild, delta_vocab=delta.select("term")
+        spark, index_dir, set(pending), delta_vocab=delta.select("term")
     )
+    man = Manifest(index_dir)  # reload: the refresh rewrote the manifest
+    man.data.pop("pending_cosine_groups", None)
+    man.save()
 
     import shutil
 
     shutil.rmtree(f"{index_dir}/delta", ignore_errors=True)
-    return Manifest(index_dir)
+    return man
