@@ -46,18 +46,27 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 
 def varint_decode(buf: bytes, n: int) -> np.ndarray:
-    """Decode ``n`` LEB128 varints from ``buf`` into a uint64 array."""
+    """Decode ``n`` LEB128 varints from ``buf`` into a uint64 array.
+
+    Query-time hot path (three calls per surviving block in the WAND
+    scorer): vectorized with masked gathers per byte position — the
+    mirror of varint_encode's grouped loop — instead of ``ufunc.at``,
+    whose unbuffered scatter is ~100× slower than sliced stores."""
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     b = np.frombuffer(buf, dtype=np.uint8)
     is_start = np.empty(b.size, dtype=bool)
     is_start[0] = True
     np.less(b[:-1], 0x80, out=is_start[1:])  # byte after a final (cont=0) byte
-    val_idx = np.cumsum(is_start) - 1
     start_pos = np.flatnonzero(is_start)
-    shift = (np.arange(b.size) - start_pos[val_idx]).astype(np.uint64) * np.uint64(7)
-    vals = np.zeros(n, dtype=np.uint64)
-    np.bitwise_or.at(vals, val_idx, (b & np.uint8(0x7F)).astype(np.uint64) << shift)
+    nbytes = np.empty(n, dtype=np.int64)
+    nbytes[:-1] = np.diff(start_pos)
+    nbytes[-1] = b.size - start_pos[-1]
+    payload = (b & np.uint8(0x7F)).astype(np.uint64)
+    vals = payload[start_pos].copy()  # byte 0 of every value
+    for g in range(1, int(nbytes.max())):
+        m = nbytes > g
+        vals[m] |= payload[start_pos[m] + g] << np.uint64(7 * g)
     return vals
 
 

@@ -46,9 +46,16 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     # (one fat task per core stalls the stage tail; measured 33% faster at
     # 4x on an 800k-doc build)
     p = num_partitions or 4 * spark.sparkContext.defaultParallelism
+    # content-hash tiebreak: (repo, path, commit) alone is not a total
+    # order when a dirty exporter emits duplicate keys, and a cache-loss
+    # recompute between the doc_map and doc_terms jobs could then assign
+    # the colliding rows' ids differently in each table. The hash makes
+    # the sort total for distinct rows; truly identical rows can swap
+    # harmlessly.
+    tie = F.xxhash64(F.col("content"))
     arranged = (
-        docs.repartitionByRange(p, *[F.col(c) for c in DOC_KEY])
-        .sortWithinPartitions(*DOC_KEY)
+        docs.repartitionByRange(p, *[F.col(c) for c in DOC_KEY], tie)
+        .sortWithinPartitions(*DOC_KEY, tie)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -65,6 +65,11 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("first_doc", T.LongType(), False),
         T.StructField("last_doc", T.LongType(), False),
         T.StructField("block_max_tf", T.DoubleType(), False),
+        # avgdl the block's max was computed under: selective compaction
+        # leaves old groups' blocks in place while avgdl moves, and a
+        # stale max under-bounds true scores when avgdl rises — the
+        # scorer rescales by max(1, avgdl_now/pack_avgdl) to stay safe
+        T.StructField("pack_avgdl", T.DoubleType(), False),
         T.StructField("gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
         T.StructField("dls", T.BinaryType(), False),
@@ -132,8 +137,18 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
     """Stage postings: per commit group, shuffle doc_terms by rng and pack
     delta+varint blocks with block-max partials. Skips groups already
     marked done (checkpoint/resume unit)."""
+    import glob
+    import shutil
+
     avgdl = man.scalars["avgdl"]
     n_groups = man.scalars["n_groups"]
+    # a rebuild with fewer groups than a previous build in the same dir
+    # must not leave the old build's higher-numbered partitions behind —
+    # the postings read scans the whole parent dir, so stale groups would
+    # serve ghost documents from the old corpus
+    for p in glob.glob(f"{index_dir}/postings/grp=*"):
+        if int(p.rsplit("=", 1)[1]) >= n_groups:
+            shutil.rmtree(p, ignore_errors=True)
     fold = spark.read.parquet(f"{index_dir}/fold_map")
 
     def pack_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -160,6 +175,7 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
                         blk["first_doc"],
                         blk["last_doc"],
                         blk["block_max_tf"],
+                        float(avgdl),
                         blk["gaps"],
                         blk["tfs"],
                         blk["dls"],
@@ -217,6 +233,13 @@ def build_index(
         t0 = time.time()
         with_id = assign_doc_ids(docs)
         n_docs = with_id._n_docs
+        if n_docs == 0:
+            with_id._source_persisted.unpersist()
+            raise ValueError(
+                "empty corpus: the docs DataFrame has no rows — a "
+                "zero-row partitioned doc_terms table would be unreadable "
+                "(no parquet footers), so the build refuses it explicitly"
+            )
         if range_width is None:
             target_ranges = max(4 * spark.sparkContext.defaultParallelism, n_groups)
             range_width = max(64, math.ceil(n_docs / target_ranges))
@@ -258,6 +281,10 @@ def build_index(
         secs = time.time() - t0
         man.set_scalars(
             n_docs=n_docs,
+            # query-time idf snapshot: streaming ingest advances n_docs
+            # before postings/df reflect the new docs; searches use this
+            # scalar, refreshed only when the index actually matches
+            n_docs_indexed=n_docs,
             n_tokens=n_tokens,
             avgdl=(n_tokens / n_docs) if n_docs else 0.0,
             range_width=range_width,

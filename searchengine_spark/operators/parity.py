@@ -315,7 +315,7 @@ def _idf_lookup(spark: SparkSession, index_dir: str, variants: list) -> dict:
     try:
         mtime = os.path.getmtime(f"{index_dir}/manifest.json")
     except OSError:
-        mtime = None
+        mtime = object()  # no mtime signal: disable caching (see wand)
     entry = _IDF_CACHE.get(index_dir)
     if entry is None or entry[0] != mtime:
         entry = [mtime, {}]

@@ -57,7 +57,10 @@ def _term_df_lookup(spark: SparkSession, index_dir: str, variants: list) -> dict
     try:
         mtime = os.path.getmtime(f"{index_dir}/manifest.json")
     except OSError:
-        mtime = None
+        # no mtime signal (e.g. non-local index_dir): disable caching —
+        # a cache that can never be invalidated would serve stale df and
+        # cached-absent terms forever in a long-lived driver
+        mtime = object()
     entry = _TD_CACHE.get(index_dir)
     if entry is None or entry[0] != mtime:
         entry = [mtime, {}]
@@ -159,10 +162,21 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
         per_term: dict = {}  # term -> (first, last, bmax, gaps, tfs, dls, ns)
         for t, sub in pdf.groupby("term", sort=True):
             sub = sub.sort_values("first_doc")
+            # stale-bound safety: a block packed under avgdl a_old has
+            # tf_part_new <= tf_part_old * max(1, avgdl/a_old) (each
+            # denominator addend shrinks by at most that factor when avgdl
+            # rises), so rescaling keeps the bound an upper bound after a
+            # selective compaction moved avgdl without repacking the block
+            if "pack_avgdl" in sub.columns:
+                scale = np.maximum(
+                    1.0, avgdl / sub["pack_avgdl"].to_numpy(np.float64)
+                )
+            else:  # pre-pack_avgdl index layout: bounds match build avgdl
+                scale = np.ones(len(sub))
             per_term[t] = (
                 sub["first_doc"].to_numpy(np.int64) - base,
                 sub["last_doc"].to_numpy(np.int64) - base,
-                sub["block_max_tf"].to_numpy(np.float64),
+                sub["block_max_tf"].to_numpy(np.float64) * scale,
                 list(sub["gaps"]), list(sub["tfs"]), list(sub["dls"]),
                 sub["n"].to_numpy(np.int64),
             )
@@ -268,7 +282,7 @@ def search_batch(
     if not qmap:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
     scorer = _score_range_batch_factory(
-        qmap, s["n_docs"], s["avgdl"], s["range_width"], k
+        qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"], s["range_width"], k
     )
     all_terms = sorted({t for qw in qmap.values() for t in qw})
     posts = spark.read.parquet(f"{index_dir}/postings").where(
@@ -297,7 +311,7 @@ def search(
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
     scorer = _score_range_batch_factory(
-        {0: qweights}, s["n_docs"], s["avgdl"], s["range_width"], k
+        {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"], s["range_width"], k
     )
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(qweights))
@@ -328,7 +342,7 @@ def search_join(
     qweights = fold_query_terms(spark, index_dir, query)
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    n_docs, avgdl = s["n_docs"], s["avgdl"]
+    n_docs, avgdl = s.get("n_docs_indexed", s["n_docs"]), s["avgdl"]
 
     decode_schema = T.StructType(
         [
@@ -366,7 +380,8 @@ def search_join(
         F.col("term").isin(sorted(qweights))
     )
     long_form = posts.mapInPandas(decode, decode_schema)
-    k1, b_ = 1.2, 0.75
+    from searchengine_spark.functions.codec import B as b_
+    from searchengine_spark.functions.codec import K1 as k1
     scored = (
         long_form.join(F.broadcast(qdf), "term")
         .withColumn(

@@ -330,6 +330,7 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     n_groups_total = -(-n_ranges // group_width) if n_ranges else 0
     man.set_scalars(
         n_tokens=n_tokens,
+        n_docs_indexed=n_docs,
         avgdl=(n_tokens / n_docs) if n_docs else 0.0,
         n_ranges=n_ranges,
         n_groups=n_groups_total,

@@ -293,3 +293,79 @@ def test_compact_merge_is_idempotent_after_crash(spark, tmp_path):
     b = _norm(spark.read.parquet(f"{batch_idx}/term_dict").toPandas())
     pd.testing.assert_frame_equal(a, b)
     assert search(spark, idx, "def return", k=5).count() == 5
+
+
+def test_search_rank_identity_after_avgdl_shift(spark, tmp_path, monkeypatch):
+    """Selective compaction can leave untouched groups' stored block-max
+    bounds computed under the OLD avgdl while exact scoring uses the new
+    one; if avgdl rises, true scores can exceed the stale bounds and
+    chunked WAND pruning would drop true top-k docs. Ingest long docs to
+    double avgdl, compact, then require exact rank identity vs a
+    from-scratch oracle (CHUNK shrunk so chunk pruning actually fires at
+    this corpus size)."""
+    import searchengine_spark.operators.wand as wand
+    from searchengine_spark.plans.oracle import OracleIndex
+
+    pdf = corpus_pdf(600, seed=37).sort_values(["repo", "path", "commit"])
+    idx = f"{tmp_path}/idx"
+    build_index(spark, spark.createDataFrame(pdf), idx, range_width=64, n_groups=3)
+    avgdl_before = Manifest(idx).scalars["avgdl"]
+
+    long_docs = pd.DataFrame([
+        {"repo": "zzz-long/r", "path": f"l{i}.py", "commit": "c" * 40,
+         "lang": "python",
+         "content": "def return value data count key order merge " * 375}
+        for i in range(60)
+    ])
+    spark.createDataFrame(long_docs).coalesce(1).write.parquet(f"{tmp_path}/src")
+    ing.stream_ingest(spark, f"{tmp_path}/src", idx, f"{tmp_path}/ckpt")
+    ing.compact(spark, idx)
+    avgdl_after = Manifest(idx).scalars["avgdl"]
+    assert avgdl_after > 1.5 * avgdl_before  # the hazardous direction
+
+    monkeypatch.setattr(wand, "CHUNK", 16)
+    oracle = OracleIndex(pd.concat([pdf, long_docs], ignore_index=True))
+    for query in ["def return", "value data", "fast key order", "count"]:
+        golden = oracle.search(query, k=5)
+        got = wand.search(spark, idx, query, k=5).toPandas()
+        assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+def test_block_max_bounds_stay_safe_when_avgdl_rises(spark, tmp_path, monkeypatch):
+    """Deterministic construction of the stale-bound hazard: chunk A holds
+    low-tf/low-dl docs, chunk B high-tf/high-dl docs. Under the build-time
+    avgdl, B's tf_part is BELOW A's (dl penalty dominates), so B's stored
+    block-max is small; after long delta docs push avgdl up ~60x, the dl
+    penalty collapses and B's true scores overtake A's. Unsafe pruning
+    would visit A first, set theta from A's exact scores, and skip B on
+    its stale bound — returning A's docs instead of B's."""
+    import searchengine_spark.operators.wand as wand
+
+    def row(repo, path, content):
+        return {"repo": repo, "path": path, "commit": "c" * 40,
+                "lang": "python", "content": content}
+
+    docs = (
+        [row("aa/r", f"a{i:02d}.py", "tok tok tok tok") for i in range(16)]
+        + [row("ab/r", f"b{i:02d}.py",
+               ("tok " * 60) + " ".join(f"fill{j:02d}" for j in range(60)))
+           for i in range(16)]
+        + [row("mm/r", f"m{i:04d}.py", "mix moo mag") for i in range(1000)]
+    )
+    pdf = pd.DataFrame(docs)
+    idx = f"{tmp_path}/idx"
+    build_index(spark, spark.createDataFrame(pdf), idx, range_width=32, n_groups=40)
+    delta = pd.DataFrame(
+        [row("zzz/r", f"z{i:03d}.py", "pad " * 3000) for i in range(300)]
+    )
+    spark.createDataFrame(delta).coalesce(1).write.parquet(f"{tmp_path}/src")
+    ing.stream_ingest(spark, f"{tmp_path}/src", idx, f"{tmp_path}/ckpt")
+    ing.compact(spark, idx)
+    man = Manifest(idx)
+    assert man.scalars["avgdl"] > 300  # the long docs dominate avgdl now
+
+    monkeypatch.setattr(wand, "CHUNK", 16)
+    got = wand.search(spark, idx, "tok", k=8).toPandas()
+    # truth: every 'ab' doc (16..31) now outscores every 'aa' doc (0..15)
+    assert got["doc_id"].tolist() == list(range(16, 24)), got
