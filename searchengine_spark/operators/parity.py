@@ -75,7 +75,14 @@ def pruned_doc_terms(spark: SparkSession, index_dir: str) -> DataFrame:
         .join(stats, "doc_id")
         .where(
             (F.col("n_distinct") >= PRUNE_MIN_DISTINCT)
-            | (F.col("term").contains(" ") & (F.col("term") == F.upper("term")))
+            | (
+                F.col("term").contains(" ")
+                # Python str.isupper(): ≥1 cased char AND no lowercase —
+                # `term == upper(term)` alone is true for letterless terms,
+                # where isupper() is False (engine/oracle divergence)
+                & (F.col("term") == F.upper("term"))
+                & (F.col("term") != F.lower("term"))
+            )
         )
         .select("doc_id", "term")
     )
@@ -138,7 +145,14 @@ def _rebuild_weight_groups(
             .join(pre_stats, "doc_id")
             .where(
                 (F.col("n_pre") >= PRUNE_MIN_DISTINCT)
-                | (F.col("term").contains(" ") & (F.col("term") == F.upper("term")))
+                | (
+                F.col("term").contains(" ")
+                # Python str.isupper(): ≥1 cased char AND no lowercase —
+                # `term == upper(term)` alone is true for letterless terms,
+                # where isupper() is False (engine/oracle divergence)
+                & (F.col("term") == F.upper("term"))
+                & (F.col("term") != F.lower("term"))
+            )
             )
             .select("term", "doc_id", "grp")
         )
@@ -180,7 +194,12 @@ def _rebuild_idf_and_norms(
     df==1 terms outright, so surviving terms' df is identical pre/post
     prune (the reference computes df after clearSingleEntities,
     search_engine.py:30-34 — same values)."""
-    n_docs = Manifest(index_dir).scalars["n_docs"]
+    # idf N = the INDEXED snapshot, not the live count: ingest_batch
+    # advances n_docs before the weights/df reflect the new docs, so a
+    # mid-ingest cosine build would otherwise count docs absent from the
+    # weights table (same snapshot rule as the WAND path)
+    sc = Manifest(index_dir).scalars
+    n_docs = sc.get("n_docs_indexed", sc["n_docs"])
     td = spark.read.parquet(f"{index_dir}/term_dict").select("term", "df")
     if prune:
         pr = _pruned_or_none(spark, index_dir)
@@ -334,6 +353,22 @@ def _idf_lookup(spark: SparkSession, index_dir: str, variants: list) -> dict:
     return {v: known[v] for v in variants if known[v] is not None}
 
 
+def _parse_query(index_dir: str, query: str) -> dict:
+    """Tokenize a query for ``index_dir``, stemming iff the index was built
+    with stemming (manifest scalar) — mirrors wand.fold_query_terms_batch;
+    without this, cosine/two-pass queries on a stemmed index would look up
+    unstemmed variants against a stemmed vocabulary and silently miss.
+    Stemming happens BEFORE ‖q‖ is taken (terms merging under the stem merge
+    their tfs first), matching the reference where parsing stems
+    (parser_module.py:302-309) and the ranker sees the stemmed dict."""
+    qd = tokenize(query)
+    if Manifest(index_dir).scalars.get("stemming"):
+        from searchengine_spark.functions.stemmer import stem_terms
+
+        qd = stem_terms(qd)
+    return qd
+
+
 def _fold_query(
     spark: SparkSession, index_dir: str, query_dict: dict
 ) -> tuple[dict, dict]:
@@ -372,7 +407,7 @@ def cosine_search(
     final ordering of the survivors is the same cosine score).
     ‖q‖ includes ALL parsed query terms (ranker.py:33), matched or not.
     """
-    qd = tokenize(query) if query_dict is None else dict(query_dict)
+    qd = _parse_query(index_dir, query) if query_dict is None else dict(query_dict)
     norm_q = math.sqrt(sum(v * v for v in qd.values()))
     matched, idf = _fold_query(spark, index_dir, qd)
     if not matched or norm_q == 0:
@@ -415,7 +450,7 @@ def expand_query(
     """
     from pyspark.sql import Window
 
-    qd = tokenize(query)
+    qd = _parse_query(index_dir, query)
     matched, _ = _fold_query(spark, index_dir, qd)
     if not matched:
         return qd
@@ -534,7 +569,7 @@ def two_pass_search_batch(
     asc) order; query_id = position in ``queries``."""
     from pyspark.sql import Window
 
-    qdicts = {i: tokenize(q) for i, q in enumerate(queries)}
+    qdicts = {i: _parse_query(index_dir, q) for i, q in enumerate(queries)}
     # one predicate-pushed idf scan warms the driver cache for EVERY
     # query's variants — the per-query _fold_query calls below then cost
     # zero Spark jobs

@@ -93,7 +93,12 @@ def embedding_near_dup_pairs(
     degenerate buckets dropped at ``max_bucket`` like minhash_lsh_pairs);
     the exact cosine runs only on candidates, JVM-side array expressions.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).first()  # None on an empty input
+    if probe is None:
+        return emb.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double"
+        )
+    dim = len(probe[0])
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, bits, seed + 7919 * t)

@@ -165,7 +165,7 @@ class OracleIndex:
         term; ‖q‖ over ALL parsed query terms, matched or not."""
         import math
 
-        qd = tokenize(query) if query_dict is None else dict(query_dict)
+        qd = self._tokenize(query) if query_dict is None else dict(query_dict)
         vecs, norms, df = self.cosine_vectors(prune)
         matched = self._fold_query_vs(qd, df)
         norm_q = math.sqrt(sum(v * v for v in qd.values()))
@@ -192,7 +192,7 @@ class OracleIndex:
         terms and the top-100 docs' vocabulary over GLOBAL postings; append
         the 2nd-ranked associate per query term ((sim desc, term asc)
         order; 3rd-ranked if the 2nd is 'twitter.com'), +1 query tf."""
-        qd = tokenize(query)
+        qd = self._tokenize(query)
         vecs, _norms, df = self.cosine_vectors(True)
         matched = self._fold_query_vs(qd, df)
         if not matched:

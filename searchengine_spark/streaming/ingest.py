@@ -89,7 +89,10 @@ def ingest_batch(
     )
     part = f"batch={stream_id}_{batch_id}" if stream_id else f"batch={batch_id}"
     doc_map.write.mode("overwrite").parquet(f"{index_dir}/delta/doc_map/{part}")
-    dt = tokenize_docs(with_id)
+    # tokenize with the INDEX's stemming mode (manifest scalar, recorded at
+    # build): streaming unstemmed docs into a stemmed index would make them
+    # unreachable — queries stem per the manifest and miss the raw terms
+    dt = tokenize_docs(with_id, stem=bool(man.scalars.get("stemming")))
     dt.write.mode("overwrite").parquet(f"{index_dir}/delta/doc_terms/{part}")
     persisted.unpersist()
 
@@ -200,6 +203,10 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
             group_width=group_width,
             n_groups=math.ceil(n_ranges0 / group_width),
             block_size=BLOCK_SIZE,
+            # stream-only index: record the tokenization mode the deltas
+            # actually used (no prior build wrote the flag), so the query
+            # path stems symmetrically — or knows not to
+            stemming=bool(man.scalars.get("stemming", False)),
         )
         man.mark_stage(
             "docs", 0.0, n_docs=n_docs, note="stream-ingested (see ingest_batches)"

@@ -172,3 +172,33 @@ def test_stem_terms_merges_and_folds():
         "HAPPI": 4,
     }
     assert stem_terms({}) == {}
+
+
+def test_stemmed_cosine_and_two_pass_stem_queries(spark, tmp_path_factory):
+    """ADVICE r01: the parity paths (cosine / two-pass) must stem query
+    terms on a stemmed index, like wand.fold_query_terms_batch does —
+    rank-identity vs the stemmed oracle, including a morphological-variant
+    query ("tokenizing") that only matches VIA stemming."""
+    import numpy as np
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.plans.oracle import OracleIndex
+    from searchengine_spark.sources.corpus import corpus_df, corpus_pdf
+
+    d = str(tmp_path_factory.mktemp("stem_cos_idx"))
+    build_index(
+        spark, corpus_df(spark, 300, seed=9, partitions=4), d,
+        range_width=64, n_groups=2, stem=True,
+    )
+    parity.build_cosine_tables(spark, d, prune=True)
+    oracle = OracleIndex(corpus_pdf(300, seed=9), stem=True)
+    for query in ["tokenizing", "merged postings", "compressors"]:
+        golden = oracle.cosine_search(query, k=10)
+        got = parity.cosine_search(spark, d, query, k=10).toPandas()
+        assert got["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(got["score"], golden["score"], atol=1e-9, rtol=0), query
+    assert parity.cosine_search(spark, d, "tokenizing", k=10).count() > 0
+    # batch two-pass goes through the same _parse_query
+    got2 = parity.two_pass_search_batch(spark, d, ["tokenizing"], k=5).toPandas()
+    want2 = oracle.two_pass_search("tokenizing", k=5)
+    assert got2["doc_id"].tolist() == want2["doc_id"].tolist()

@@ -369,3 +369,36 @@ def test_block_max_bounds_stay_safe_when_avgdl_rises(spark, tmp_path, monkeypatc
     got = wand.search(spark, idx, "tok", k=8).toPandas()
     # truth: every 'ab' doc (16..31) now outscores every 'aa' doc (0..15)
     assert got["doc_id"].tolist() == list(range(16, 24)), got
+
+
+def test_ingest_into_stemmed_index_stems_deltas(spark, tmp_path):
+    """ADVICE r01 (medium): docs streamed into a stem=True index must be
+    tokenized WITH stemming — otherwise stemmed queries can never match
+    them after compaction."""
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.sources.corpus import corpus_df
+
+    idx = str(tmp_path / "stem_ing_idx")
+    build_index(
+        spark, corpus_df(spark, 200, seed=13, partitions=2), idx,
+        range_width=64, n_groups=2, stem=True,
+    )
+    delta = spark.createDataFrame(
+        [("org/x", "src/new.py", "d" * 40, "python",
+          "tokenizing compressors merged " * 5)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ing.ingest_batch(spark, delta, 0, idx, stream_id="stemtest")
+    # the delta segment itself must hold stems, not raw inflections
+    dterms = {
+        r["term"]
+        for r in spark.read.parquet(f"{idx}/delta/doc_terms").select("term").collect()
+    }
+    assert "token" in dterms and "tokenizing" not in dterms, sorted(dterms)[:20]
+    ing.compact(spark, idx)
+    hits = (
+        search(spark, idx, "tokenizing", k=10)
+        .join(spark.read.parquet(f"{idx}/doc_map"), "doc_id")
+        .select("path").toPandas()["path"].tolist()
+    )
+    assert "src/new.py" in hits, hits

@@ -167,3 +167,11 @@ def test_sample_frames_counts(spark):
     want = {m: -(-n // 10) for m, n in vids.items()}
     assert got == want
     assert set(frames["media_id"]) == set(vids)
+
+
+def test_embedding_near_dup_pairs_empty_input(spark):
+    """ADVICE r01: empty input → empty pair set, not a TypeError."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = similarity.embedding_near_dup_pairs(empty, bits=4, n_tables=1)
+    assert out.columns == ["id_a", "id_b", "cos"]
+    assert out.count() == 0
