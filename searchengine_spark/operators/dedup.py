@@ -152,19 +152,18 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
+    # intersection sizes PAIR-FIRST: expand each candidate pair by doc_a's
+    # terms, keep the ones doc_b also has. Cost is Σ_pairs |terms(doc_a)| —
+    # linear in candidates × doc size. The once-tempting alternative
+    # (toks ⋈ toks on term, THEN semi-filter by pairs) explodes as Σ_t df²
+    # on frequent terms ('def'/'return'-class) before the filter can bite —
+    # a hidden quadratic in corpus size that this shape never creates.
+    ta = toks.withColumnRenamed(id_col, "doc_a")
+    tb = toks.withColumnRenamed(id_col, "doc_b")
     inter = (
-        toks.alias("x")
-        .join(toks.alias("y"), "term")
-        .join(
-            pairs,
-            (F.col(f"x.{id_col}") == F.col("doc_a"))
-            & (F.col(f"y.{id_col}") == F.col("doc_b")),
-            "left_semi",
-        )
-        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .groupBy(
-            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
-        )
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "term"], "left_semi")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_terms", "na")

@@ -78,10 +78,19 @@ POSTINGS_SCHEMA = T.StructType(
 
 
 def _fold_expr(fold_map: DataFrame, doc_terms: DataFrame) -> DataFrame:
-    """Apply the global case-fold: term → canonical."""
-    fm = F.broadcast(fold_map)  # |fold_map| ≤ #uppercase-terms ≪ vocab
+    """Apply the global case-fold: term → canonical.
+
+    Join strategy is deliberately LEFT TO CATALYST: fold_map is bounded by
+    the #uppercase-terms-with-a-lowercase-twin — usually tiny, so its
+    parquet size stats put it under ``autoBroadcastJoinThreshold`` and the
+    plan is a broadcast join anyway; but the bound is still
+    vocabulary-proportional, and at 100× vocab a FORCED broadcast would
+    exceed executor broadcast memory. Above the threshold Catalyst plans a
+    shuffle join and AQE can still demote it to broadcast at runtime if the
+    actual size turns out small — that is the size gate, implemented by the
+    engine instead of a hand-rolled row-count probe."""
     return (
-        doc_terms.join(fm.withColumnRenamed("term", "_ft"), doc_terms["term"] == F.col("_ft"), "left")
+        doc_terms.join(fold_map.withColumnRenamed("term", "_ft"), doc_terms["term"] == F.col("_ft"), "left")
         .withColumn("term", F.coalesce(F.col("canon"), F.col("term")))
         .drop("_ft", "canon")
     )

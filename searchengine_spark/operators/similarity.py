@@ -64,13 +64,42 @@ def _hyperplanes(dim: int, bits: int, seed: int = 1234) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((bits, dim))
 
 
-def lsh_signature_col(vec_col, planes: np.ndarray):
-    """Sign-LSH signature as an int column: bit i = 1 iff v·p_i > 0."""
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        sig = sig + F.when(_dot(vec_col, plane) > 0, F.lit(1 << i)).otherwise(0)
-    return sig
+def lsh_assign(
+    emb: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "_sig",
+) -> DataFrame:
+    """Append the sign-LSH signature (bit i = 1 iff v·p_i > 0) via one
+    Arrow-batched matmul per batch — a narrow map, no shuffle, same shape
+    as :func:`ivf_assign`. The earlier declarative formulation embedded
+    bits×dim literal expressions per table (~12k at dim=768/bits=16),
+    bloating plan analysis; one (dim, bits) closure array replaces it."""
+    P = planes.T.copy()  # (dim, bits), closure-shipped once per task
+    weights = 1 << np.arange(planes.shape[0], dtype=np.int64)
+    out_schema = T.StructType(
+        list(emb.schema.fields) + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def assign(batches):
+        import pandas as pd
+
+        for b in batches:
+            V = np.asarray([list(v) for v in b[vec_col]], dtype=np.float64)
+            sig = (
+                ((V @ P) > 0) @ weights
+                if len(V)
+                else np.array([], dtype=np.int64)
+            )
+            yield pd.concat(
+                [
+                    b.reset_index(drop=True),
+                    pd.Series(sig.astype(np.int64), name=out_col),
+                ],
+                axis=1,
+            )
+
+    return emb.mapInPandas(assign, out_schema)
 
 
 def embedding_near_dup_pairs(
@@ -102,8 +131,8 @@ def embedding_near_dup_pairs(
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, bits, seed + 7919 * t)
-        b = emb.select(
-            F.col(id_col), lsh_signature_col(F.col(vec_col), planes).alias("_sig")
+        b = lsh_assign(emb.select(id_col, vec_col), planes, vec_col).select(
+            id_col, "_sig"
         )
         sizes = b.groupBy("_sig").count().where(F.col("count") <= max_bucket)
         b = b.join(sizes.select("_sig"), "_sig", "left_semi")
@@ -255,6 +284,5 @@ def lsh_cosine_topk(
     qv = np.asarray(query_vec, dtype=np.float64)
     qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
     probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
-    bucketed = emb.withColumn("_sig", lsh_signature_col(F.col(vec_col), planes))
-    cands = bucketed.where(F.col("_sig").isin(probes))
+    cands = lsh_assign(emb, planes, vec_col).where(F.col("_sig").isin(probes))
     return cosine_topk(cands, query_vec, k, id_col, vec_col)

@@ -345,23 +345,39 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
 
     # 3. rebuild the global aggregates, diffing the case-fold map: a new
     # lowercase occurrence re-canonicalizes an old UPPER term, which
-    # invalidates every group holding that term's postings
-    old_pairs = set()
-    if man.stage_done("fold_map"):
-        old_pairs = {
-            (r["term"], r["canon"])
-            for r in spark.read.parquet(f"{index_dir}/fold_map").collect()
-        }
+    # invalidates every group holding that term's postings. The diff stays
+    # DISTRIBUTED: fold_map is vocabulary-proportional (every UPPER term
+    # with a lowercase twin), so collecting it to the driver — or folding
+    # the changed terms into an IN-list literal — would not survive a
+    # 100 TB vocabulary. Only the (small) affected-GROUP set reaches the
+    # driver. The old map is snapshotted by a rename, kept until the
+    # invalidation below is durably in the manifest, so a crash anywhere in
+    # between re-diffs against the true pre-compaction map on rerun.
+    prev_fm = f"{index_dir}/fold_map.prev"
+    if (
+        not os.path.exists(prev_fm)
+        and man.stage_done("fold_map")
+        and os.path.exists(f"{index_dir}/fold_map")
+    ):
+        os.rename(f"{index_dir}/fold_map", prev_fm)
     for stage in ("fold_map", "term_dict"):
         man.data["stages"].pop(stage, None)
     man.save()
     build_fold_map(spark, index_dir, man)
     build_term_dict(spark, index_dir, man)
-    new_pairs = {
-        (r["term"], r["canon"])
-        for r in spark.read.parquet(f"{index_dir}/fold_map").collect()
-    }
-    changed_terms = sorted({t for t, _c in old_pairs ^ new_pairs})
+    changed_terms_df = None
+    if os.path.exists(prev_fm):
+        old_fm = spark.read.parquet(prev_fm).select(
+            "term", F.col("canon").alias("_old_canon")
+        )
+        new_fm = spark.read.parquet(f"{index_dir}/fold_map").select(
+            "term", F.col("canon").alias("_new_canon")
+        )
+        changed_terms_df = (
+            old_fm.join(new_fm, "term", "full_outer")
+            .where(~F.col("_old_canon").eqNullSafe(F.col("_new_canon")))
+            .select("term")
+        )
 
     # 4. selective posting-group invalidation: groups containing new ranges
     # + groups containing fold-changed terms; untouched groups keep their
@@ -370,9 +386,12 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     if first_new_doc is not None:
         first_new_grp = (first_new_doc // range_width) // group_width
         to_rebuild.update(range(first_new_grp, n_groups_total))
-    if changed_terms:
+    if changed_terms_df is not None:
+        # semi-join doc_terms against the changed-terms table: the diff is
+        # small in practice but unbounded in principle — the distributed
+        # semi-join handles both; only ≤ n_groups group ids are collected
         rows = (
-            dt.where(F.col("term").isin(changed_terms))
+            dt.join(changed_terms_df, "term", "left_semi")
             .select("grp")
             .distinct()
             .collect()
@@ -391,6 +410,11 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     for b in man.data.get("ingest_batches", {}).values():
         b["status"] = "compacted"
     man.save()
+    # invalidations are durable now — the pre-compaction fold snapshot has
+    # served its purpose (keeping it would poison the NEXT compaction's diff)
+    import shutil as _sh
+
+    _sh.rmtree(prev_fm, ignore_errors=True)
     build_posting_groups(spark, index_dir, man)
 
     # 5. parity cosine tables, if built: incremental refresh (same group

@@ -35,9 +35,7 @@ def test_lsh_subset_consistency(spark, emb, qvec):
     approx = similarity.lsh_cosine_topk(emb, qvec, k=k, bits=6).toPandas()
     # exact ranking restricted to LSH candidate set
     planes = similarity._hyperplanes(len(qvec), 6)
-    bucketed = emb.withColumn(
-        "_sig", similarity.lsh_signature_col(F.col("embedding"), planes)
-    )
+    bucketed = similarity.lsh_assign(emb, planes, "embedding")
     qv = np.asarray(qvec)
     qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
     probes = [qsig] + [qsig ^ (1 << i) for i in range(6)]
