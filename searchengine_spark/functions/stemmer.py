@@ -2,25 +2,69 @@
 toggled by parser_module.py:15-17 / configuration.py:7, OFF by default as in
 the reference's main.py:8).
 
-Self-contained implementation of the original Porter algorithm (M.F.
-Porter, "An algorithm for suffix stripping", Program 14(3) 1980) — the
-sandbox has no NLTK. The reference delegates to
-``nltk.PorterStemmer().stem``, whose default NLTK_EXTENSIONS mode deviates
-from the published algorithm in a handful of documented cases (e.g. special
-pool words); production parity with that exact variant would swap this
-module for the NLTK call — the integration contract (:func:`stem_terms`)
-is unchanged.
+The reference delegates to ``nltk.PorterStemmer().stem(term)`` on the
+RAW-cased term (parser_module.py:304). NLTK's default mode is
+NLTK_EXTENSIONS, which deviates from the published 1980 algorithm (M.F.
+Porter, "An algorithm for suffix stripping", Program 14(3)) in documented
+ways; this module reimplements THAT variant from the published algorithm
+plus NLTK's own documented extension list (the sandbox has no NLTK):
+
+* an irregular-forms pool (sky/skies→sky, dying→die, news→news,
+  innings→inning, proceed/exceed/succeed kept whole, …) consulted FIRST —
+  and consulted with the raw-cased input, so ``Dying`` misses the pool and
+  stems to ``dy`` while ``dying`` hits it and returns ``die`` (NLTK checks
+  ``word in pool`` before lowercasing for the algorithm);
+* words of length ≤ 2 are returned (lowercased) unstemmed;
+* step 1a: 4-letter ``-ies`` words keep the e (``dies → die``, not ``di``);
+* step 1b: ``-ied`` handled up front (``ied → i``, but 4-letter → ``ie``);
+* step 1c: ``y → i`` only when preceded by a consonant in a stem longer
+  than one letter (``say → say``, ``cry → cri``, ``by → by``), replacing
+  the published contains-a-vowel condition;
+* step 2: ``alli → al`` applied before the other rules with a recursive
+  re-run; ``bli → ble`` (Martin's later revision) instead of
+  ``abli → able``; extra ``fulli → ful`` and ``logi → log`` (the latter
+  measuring the stem WITH the l, so ``geology → geolog``);
+* cvc check: a 2-letter vowel-consonant word counts as cvc (so 1b's
+  restore-e fires on e.g. ``hopping``-class stems of length 2);
+* rule lists stop at the first matching SUFFIX, even when the rule's
+  measure condition then fails (no fall-through to shorter suffixes).
 
 Integration follows SaveTerm (parser_module.py:302-309): the stem replaces
 the term, re-cased by the pre-stem capitalization class (UPPER if the raw
 term was Capitalized alpha, else lower), then the usual UPPER↔lower fold
 applies. :func:`stem_terms` is the order-free fixpoint of that insertion
-loop, applied to an already-tokenized ``{term: tf}`` dict.
+loop, applied to an already-tokenized ``{term: tf}`` dict; it feeds each
+key to the stemmer AS STORED (UPPER-class keys stay uppercase), matching
+the reference's raw-cased call for both capitalization classes the
+tokenizer can produce. (The one residual divergence: a mixed-case,
+first-letter-lower pool variant like ``dYiNg`` reaches the reference's
+stemmer raw but our dict lowercased — no such token survives the
+tokenizer's save rules in practice.)
 """
 
 from __future__ import annotations
 
 _VOWELS = frozenset("aeiou")
+
+# NLTK's irregular-forms pool (nltk/stem/porter.py, NLTK_EXTENSIONS),
+# inverted to variant → stem. Membership is checked against the RAW input.
+_POOL = {}
+for _stem, _variants in {
+    "sky": ["sky", "skies"],
+    "die": ["dying"],
+    "lie": ["lying"],
+    "tie": ["tying"],
+    "news": ["news"],
+    "inning": ["innings", "inning"],
+    "outing": ["outings", "outing"],
+    "canning": ["cannings", "canning"],
+    "howe": ["howe"],
+    "proceed": ["proceed"],
+    "exceed": ["exceed"],
+    "succeed": ["succeed"],
+}.items():
+    for _v in _variants:
+        _POOL[_v] = _stem
 
 
 def _is_cons(word: str, i: int) -> bool:
@@ -61,106 +105,184 @@ def _ends_double_cons(word: str) -> bool:
 
 
 def _cvc(word: str) -> bool:
-    """*o: stem ends cvc, second c not w/x/y."""
-    if len(word) < 3:
-        return False
-    return (
-        _is_cons(word, len(word) - 3)
+    """*o: ends cvc with the second c not w/x/y — plus NLTK's extension
+    counting a bare vowel-consonant 2-letter word."""
+    if (
+        len(word) >= 3
+        and _is_cons(word, len(word) - 3)
         and not _is_cons(word, len(word) - 2)
         and _is_cons(word, len(word) - 1)
         and word[-1] not in "wxy"
+    ):
+        return True
+    return len(word) == 2 and not _is_cons(word, 0) and _is_cons(word, 1)
+
+
+def _rules(word: str, rules) -> str:
+    """NLTK's _apply_rule_list: the FIRST rule whose suffix matches ends the
+    scan — if its condition fails the word is returned unchanged."""
+    for suffix, replacement, cond in rules:
+        if suffix == "*d":
+            if _ends_double_cons(word):
+                stem = word[:-2]
+                return stem + replacement if cond is None or cond(stem) else word
+            continue
+        if word.endswith(suffix):
+            stem = word[: len(word) - len(suffix)] if suffix else word
+            return stem + replacement if cond is None or cond(stem) else word
+    return word
+
+
+def _step1a(w: str) -> str:
+    if w.endswith("ies") and len(w) == 4:
+        return w[:-3] + "ie"
+    return _rules(
+        w,
+        [("sses", "ss", None), ("ies", "i", None), ("ss", "ss", None), ("s", "", None)],
     )
 
 
-def porter_stem(word: str) -> str:
-    w = word.lower()
-    if len(w) <= 2:
-        return w
-
-    # step 1a
-    if w.endswith("sses"):
-        w = w[:-2]
-    elif w.endswith("ies"):
-        w = w[:-2]
-    elif w.endswith("ss"):
-        pass
-    elif w.endswith("s"):
-        w = w[:-1]
-
-    # step 1b
-    flag = False
+def _step1b(w: str) -> str:
+    if w.endswith("ied"):
+        return w[:-3] + "ie" if len(w) == 4 else w[:-3] + "i"
     if w.endswith("eed"):
-        if _measure(w[:-3]) > 0:
-            w = w[:-1]
-    elif w.endswith("ed"):
-        if _has_vowel(w[:-2]):
-            w, flag = w[:-2], True
-    elif w.endswith("ing"):
-        if _has_vowel(w[:-3]):
-            w, flag = w[:-3], True
-    if flag:
-        if w.endswith(("at", "bl", "iz")):
-            w += "e"
-        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
-            w = w[:-1]
-        elif _measure(w) == 1 and _cvc(w):
-            w += "e"
-
-    # step 1c
-    if w.endswith("y") and _has_vowel(w[:-1]):
-        w = w[:-1] + "i"
-
-    # step 2 (m>0)
-    step2 = [
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
-        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
-        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
-        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
-        ("iviti", "ive"), ("biliti", "ble"),
-    ]
-    for suf, rep in step2:
-        if w.endswith(suf):
-            stem = w[: len(w) - len(suf)]
-            if _measure(stem) > 0:
-                w = stem + rep
+        return w[:-1] if _measure(w[:-3]) > 0 else w
+    matched = None
+    for suffix in ("ed", "ing"):
+        if w.endswith(suffix):
+            stem = w[: len(w) - len(suffix)]
+            if _has_vowel(stem):
+                matched = stem
             break
+    if matched is None:
+        return w
+    w = matched
+    return _rules(
+        w,
+        [
+            ("at", "ate", None),
+            ("bl", "ble", None),
+            ("iz", "ize", None),
+            ("*d", w[-1], lambda stem: w[-1] not in ("l", "s", "z")),
+            ("", "e", lambda stem: _measure(stem) == 1 and _cvc(stem)),
+        ],
+    )
 
-    # step 3 (m>0)
-    step3 = [
-        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-        ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ]
-    for suf, rep in step3:
-        if w.endswith(suf):
-            stem = w[: len(w) - len(suf)]
-            if _measure(stem) > 0:
-                w = stem + rep
-            break
 
-    # step 4 (m>1)
-    step4 = [
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-    ]
-    for suf in sorted(step4, key=len, reverse=True):
-        if w.endswith(suf):
-            stem = w[: len(w) - len(suf)]
-            if suf == "ion" and not stem.endswith(("s", "t")):
-                continue
-            if _measure(stem) > 1:
-                w = stem
-            break
+def _step1c(w: str) -> str:
+    # NLTK condition: y preceded by a consonant in a >1-letter stem —
+    # replaces the published contains-a-vowel test
+    return _rules(
+        w,
+        [("y", "i", lambda stem: len(stem) > 1 and _is_cons(stem, len(stem) - 1))],
+    )
 
-    # step 5a
+
+_M_POS = lambda stem: _measure(stem) > 0  # noqa: E731
+_M_GT1 = lambda stem: _measure(stem) > 1  # noqa: E731
+
+
+def _step2(w: str) -> str:
+    # NLTK: alli → al applied FIRST with a recursive re-run
+    if w.endswith("alli") and _measure(w[:-4]) > 0:
+        return _step2(w[:-4] + "al")
+    return _rules(
+        w,
+        [
+            ("ational", "ate", _M_POS),
+            ("tional", "tion", _M_POS),
+            ("enci", "ence", _M_POS),
+            ("anci", "ance", _M_POS),
+            ("izer", "ize", _M_POS),
+            ("bli", "ble", _M_POS),  # Martin's revision of abli → able
+            ("alli", "al", _M_POS),
+            ("entli", "ent", _M_POS),
+            ("eli", "e", _M_POS),
+            ("ousli", "ous", _M_POS),
+            ("ization", "ize", _M_POS),
+            ("ation", "ate", _M_POS),
+            ("ator", "ate", _M_POS),
+            ("alism", "al", _M_POS),
+            ("iveness", "ive", _M_POS),
+            ("fulness", "ful", _M_POS),
+            ("ousness", "ous", _M_POS),
+            ("aliti", "al", _M_POS),
+            ("iviti", "ive", _M_POS),
+            ("biliti", "ble", _M_POS),
+            ("fulli", "ful", _M_POS),
+            # the l stays with the stem when measuring: geo-, theo- work
+            ("logi", "log", lambda stem: _measure(w[:-3]) > 0),
+        ],
+    )
+
+
+def _step3(w: str) -> str:
+    return _rules(
+        w,
+        [
+            ("icate", "ic", _M_POS),
+            ("ative", "", _M_POS),
+            ("alize", "al", _M_POS),
+            ("iciti", "ic", _M_POS),
+            ("ical", "ic", _M_POS),
+            ("ful", "", _M_POS),
+            ("ness", "", _M_POS),
+        ],
+    )
+
+
+def _step4(w: str) -> str:
+    return _rules(
+        w,
+        [
+            ("al", "", _M_GT1),
+            ("ance", "", _M_GT1),
+            ("ence", "", _M_GT1),
+            ("er", "", _M_GT1),
+            ("ic", "", _M_GT1),
+            ("able", "", _M_GT1),
+            ("ible", "", _M_GT1),
+            ("ant", "", _M_GT1),
+            ("ement", "", _M_GT1),
+            ("ment", "", _M_GT1),
+            ("ent", "", _M_GT1),
+            ("ion", "", lambda stem: _measure(stem) > 1 and stem[-1] in ("s", "t")),
+            ("ou", "", _M_GT1),
+            ("ism", "", _M_GT1),
+            ("ate", "", _M_GT1),
+            ("iti", "", _M_GT1),
+            ("ous", "", _M_GT1),
+            ("ive", "", _M_GT1),
+            ("ize", "", _M_GT1),
+        ],
+    )
+
+
+def _step5a(w: str) -> str:
     if w.endswith("e"):
         stem = w[:-1]
         m = _measure(stem)
         if m > 1 or (m == 1 and not _cvc(stem)):
-            w = stem
-    # step 5b
-    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
-        w = w[:-1]
+            return stem
+    return w
+
+
+def _step5b(w: str) -> str:
+    return _rules(w, [("ll", "l", lambda stem: _measure(w[:-1]) > 1)])
+
+
+def porter_stem(word: str) -> str:
+    """``nltk.PorterStemmer().stem(word)``-compatible stem of the raw-cased
+    ``word`` (always lowercase output). The pool check sees the RAW input —
+    NLTK tests membership before lowercasing, so capitalized variants of
+    pool words take the algorithm path instead."""
+    w = word.lower()
+    if word in _POOL:
+        return _POOL[w]
+    if len(word) <= 2:
+        return w
+    for step in (_step1a, _step1b, _step1c, _step2, _step3, _step4, _step5a, _step5b):
+        w = step(w)
     return w
 
 
@@ -168,15 +290,16 @@ def stem_terms(term_dict: dict) -> dict:
     """Apply SaveTerm's stemming integration (parser_module.py:302-309) to a
     tokenized ``{term: tf}`` dict, order-free:
 
-    * each term is stemmed on its lowercase form; the stem is stored UPPER
-      iff the original key was stored UPPER (Capitalized alpha class);
-    * counts merging on collision;
+    * each key is stemmed AS STORED (raw-cased pool semantics: UPPER-class
+      keys miss the pool exactly like the reference's raw capitalized
+      terms); the stem is stored UPPER iff the key was UPPER alpha;
+    * counts merge on collision;
     * an UPPER stem folds into a lowercase twin when both exist (the global
       fixpoint of parser_module.py:311-316).
     """
     out: dict = {}
     for term, tf in term_dict.items():
-        stem = porter_stem(term.lower())
+        stem = porter_stem(term)
         key = stem.upper() if term.isupper() and term.isalpha() else stem
         out[key] = out.get(key, 0) + tf
     for key in [k for k in out if k.isupper() and k.lower() in out]:

@@ -124,8 +124,19 @@ def test_stemmed_index_rank_identity(spark, tmp_path_factory):
 # ---- Porter stemming (P12) -------------------------------------------------
 
 PORTER_VECTORS = {
-    # step 1a/1b/1c examples from Porter (1980)
-    "caresses": "caress", "ponies": "poni", "ties": "ti", "cats": "cat",
+    # NLTK_EXTENSIONS deviations (the reference's nltk.PorterStemmer mode):
+    # irregular-forms pool, raw-case pool check, -ies/-ied length rules,
+    # consonant-y step-1c, logi/fulli rules
+    "ties": "tie", "dies": "die", "cries": "cri", "died": "die",
+    "spied": "spi", "sky": "sky", "skies": "sky", "dying": "die",
+    "lying": "lie", "tying": "tie", "news": "news", "innings": "inning",
+    "outing": "outing", "canning": "canning", "proceed": "proceed",
+    "exceed": "exceed", "succeed": "succeed", "howe": "howe",
+    "Dying": "dy", "SKIES": "ski", "News": "new",  # raw-case pool misses
+    "crying": "cri", "say": "say", "enjoy": "enjoy", "by": "by",
+    "cry": "cri", "geology": "geolog", "happily": "happili",
+    # step 1a/1b/1c examples from Porter (1980), unchanged by NLTK mode
+    "caresses": "caress", "ponies": "poni", "cats": "cat",
     "feed": "feed", "agreed": "agre", "plastered": "plaster", "bled": "bled",
     "motoring": "motor", "sing": "sing", "conflated": "conflat",
     "troubled": "troubl", "sized": "size", "hopping": "hop", "tanned": "tan",
