@@ -153,7 +153,14 @@ def q_minhash(spark, sf_dir):
 
 
 def q_near_dup_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), rare_df_max=3, threshold=0.5)
+    """Exact Jaccard near-dup over rare-term candidates. The rare-df cap
+    scales with corpus size (n/8, floor 3): the testdata's planted
+    near-duplicate marker term ('dup') has df ∝ corpus size, so a fixed
+    cap matches it at one sf and misses it at another — a 0-row result
+    verifies nothing. The oracle computes the identical cap in SQL."""
+    docs = _docs(spark, sf_dir)
+    cap = max(3, docs.count() // 8)
+    return dedup.ngram_jaccard_pairs(docs, rare_df_max=cap, threshold=0.5)
 
 
 def q_simhash(spark, sf_dir):
@@ -461,8 +468,9 @@ ORACLES = {
     "near_dup_jaccard": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
         " sizes AS (SELECT doc_id, count(*) AS n_terms FROM toks GROUP BY doc_id),"
+        " cap AS (SELECT greatest(3, count(*) // 8) AS mx FROM documents),"
         " rare AS (SELECT term FROM toks GROUP BY term"
-        "          HAVING count(*) BETWEEN 2 AND 3),"
+        "          HAVING count(*) >= 2 AND count(*) <= (SELECT mx FROM cap)),"
         " rt AS (SELECT toks.* FROM toks JOIN rare USING (term)),"
         " pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b"
         "           FROM rt x JOIN rt y USING (term) WHERE x.doc_id < y.doc_id),"
