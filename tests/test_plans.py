@@ -114,3 +114,46 @@ def test_ivf_assignment_is_arrow_batched(spark):
     plan = _plan(df, "simple")
     assert "MapInPandas" in plan, plan[:1500]
     assert "BatchEvalPython" not in plan  # no pickled row-at-a-time UDF
+
+
+def test_fold_join_auto_broadcasts_from_stats(spark, index_1k):
+    """The case-fold join no longer FORCES a broadcast — at realistic fold
+    sizes Catalyst must still pick one on its own from the parquet size
+    stats (the size gate working in the small regime)."""
+    from searchengine_spark.operators.index_build import _fold_expr
+
+    dt = spark.read.parquet(f"{index_1k}/doc_terms")
+    fold = spark.read.parquet(f"{index_1k}/fold_map")
+    plan = _plan(_fold_expr(fold, dt))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_lsh_assign_is_one_narrow_arrow_stage(spark):
+    """Sign-LSH signatures: a single Arrow-batched map — no Exchange, no
+    per-plane literal expression tree, no row-at-a-time Python."""
+    import numpy as np
+
+    from searchengine_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    planes = similarity._hyperplanes(8, 6)
+    plan = _plan(similarity.lsh_assign(emb, planes), "simple")
+    assert "MapInPandas" in plan, plan[:1500]
+    assert "Exchange" not in plan  # narrow: no shuffle
+    assert "BatchEvalPython" not in plan
+
+
+def test_ngram_jaccard_intersection_is_pair_first(spark):
+    """The intersection join must be keyed on (doc, term) against the
+    candidate pairs (cost ~ candidates x doc size) — the corpus-wide
+    token self-join on term alone (cost ~ sum df^2) must not appear."""
+    from searchengine_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(docs, rare_df_max=30), "extended")
+    # the pair-first shape's signature: a semi join keyed on doc AND term
+    assert "LeftSemi" in plan, plan[:3000]
+    import re
+
+    semi_conds = re.findall(r"Join LeftSemi, \(+([^\n]*)\)", plan)
+    assert any("doc_b" in c and "term" in c for c in semi_conds), semi_conds
