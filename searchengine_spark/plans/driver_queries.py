@@ -205,6 +205,55 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ivf_cosine_topk(emb, qvec, k=20, n_cells=8, nprobe=8)
 
 
+LSH_BITS = 8
+LSH_DIM = 64  # testdata embeddings are dim-64 at every sf
+LSH_SEED = 1234
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH ANN top-k with Hamming-1 multiprobe and exact re-rank —
+    the bucketed ANN scale path, driver-gated: the oracle reproduces the
+    SAME seeded hyperplanes as DOUBLE[] literals and derives the probe-
+    bucket set in SQL (qsig + xor(qsig, 1<<i)), so every stage — Arrow
+    signature assignment, probe filter, exact cosine — is hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.lsh_cosine_topk(
+        emb, qvec, k=20, bits=LSH_BITS, seed=LSH_SEED, multiprobe=True
+    )
+
+
+def _lsh_oracle_sql() -> str:
+    planes = similarity._hyperplanes(LSH_DIM, LSH_BITS, LSH_SEED)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    def sig(col):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lit(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    probes = ", ".join(f"xor(qs.qsig, {1 << i})" for i in range(LSH_BITS))
+    return (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),"
+        f" qs AS (SELECT qv, ({sig('qv')}) AS qsig FROM q),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" sigs AS (SELECT vec_id, v, ({sig('v')}) AS sig FROM e),"
+        " cands AS (SELECT s.vec_id, s.v, qs.qv FROM sigs s CROSS JOIN qs"
+        f"   WHERE (s.sig = qs.qsig OR s.sig IN ({probes}))"
+        "     AND list_dot_product(s.v, s.v) > 0)"
+        " SELECT vec_id, round(list_dot_product(v, qv)"
+        " / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos"
+        " FROM cands ORDER BY cos DESC, vec_id ASC LIMIT 20"
+    )
+
+
 def q_lsh_pairs(spark, sf_dir):
     """Minhash-LSH candidate pairs (SURVEY-extension dedup; shingle →
     minhash → band → bucket self-join)."""
@@ -369,6 +418,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "lsh_pairs": q_lsh_pairs,
     "cosine_topk_docs": q_cosine_topk_docs,
     "pruned_doc_stats": q_pruned_doc_stats,
@@ -520,6 +570,7 @@ ORACLES = {
         "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
         " FROM embeddings CROSS JOIN q ORDER BY cos DESC, vec_id ASC LIMIT 20"
     ),
+    "ann_lsh_topk": _lsh_oracle_sql(),
     "lsh_pairs": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
         " mh AS (SELECT doc_id, "
