@@ -78,3 +78,37 @@ def test_money_rewrite():
         "3.5m$": 1,
         "35%": 1,
     }
+
+
+def test_stemmed_golden_parity():
+    """P12 integration vs the EXECUTED reference with Stemming=True (our
+    NLTK-compatible Porter plugged into the nltk stub — tools/gen_goldens).
+
+    The reference's SaveTerm stems the raw term mid-insertion, so its
+    per-sentence UPPER↔lower fold sees stemmed keys arrival-order (an
+    UPPER stem folds only when a later identical lowercase stem arrives,
+    parser_module.py:311-316); the engine's stem_terms is the order-free
+    fixpoint. Both agree at the INDEX level, where A4's global fold merges
+    any remaining UPPER/lower stem twins — so reference dicts are
+    normalized with that same fold before comparison."""
+    import json as _json
+    import os as _os
+
+    from searchengine_spark.functions.stemmer import stem_terms
+
+    def fold(d):
+        out = dict(d)
+        for k in [k for k in out if k.isupper() and k.lower() in out]:
+            out[k.lower()] += out.pop(k)
+        return out
+
+    path = _os.path.join(_os.path.dirname(__file__), "goldens", "stemmed_goldens.jsonl")
+    n = 0
+    with open(path) as f:
+        for line in f:
+            rec = _json.loads(line)
+            got = stem_terms(tokenize(rec["text"]))
+            want = fold(rec["terms"])
+            assert fold(got) == want, repr(rec["text"][:120])
+            n += 1
+    assert n > 1000

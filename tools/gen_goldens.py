@@ -42,11 +42,22 @@ def load_reference_parser():
     corpus.stopwords = _Stopwords()
     stem = types.ModuleType("nltk.stem")
 
-    class _NoStemmer:  # never used: stemming off
+    class _Porter:
+        """Our NLTK-compatible Porter implementation, standing in for
+        nltk.PorterStemmer so the reference's Stemming=True path can be
+        EXECUTED (the sandbox has no nltk). Only used by Parse(True)."""
+
+        def stem(self, t):
+            sys.path.insert(0, "/root/repo")
+            from searchengine_spark.functions.stemmer import porter_stem
+
+            return porter_stem(t)
+
+    class _NoStemmer:  # snowball: instantiated by the reference, never called
         def stem(self, t):
             raise NotImplementedError
 
-    stem.PorterStemmer = _NoStemmer
+    stem.PorterStemmer = _Porter
     stem.SnowballStemmer = lambda *a, **k: _NoStemmer()
     snowball = types.ModuleType("nltk.stem.snowball")
     snowball.SnowballStemmer = stem.SnowballStemmer
@@ -217,6 +228,25 @@ def main():
             f.write(json.dumps({"text": text, "terms": terms}, ensure_ascii=False) + "\n")
             n_ok += 1
     print(f"wrote {n_ok} goldens ({n_err} reference crashes skipped) -> {out_path}")
+
+    # stemming-ON goldens: the same texts through Parse(True), exercising
+    # the reference's SaveTerm stemming branch (parser_module.py:302-309)
+    # with our NLTK-compatible Porter plugged into the nltk stub. The
+    # engine reformulates the insertion-order UPPER↔lower fold as an
+    # order-free fixpoint, so per-sentence dicts are compared after the
+    # index-level fold (see tests/test_tokenizer.py).
+    out_path = "/root/repo/tests/goldens/stemmed_goldens.jsonl"
+    n_ok, n_err = 0, 0
+    with open(out_path, "w") as f:
+        for text in texts:
+            try:
+                terms = Parse(True).parse_sentence(text, {})
+            except Exception:
+                n_err += 1
+                continue
+            f.write(json.dumps({"text": text, "terms": terms}, ensure_ascii=False) + "\n")
+            n_ok += 1
+    print(f"wrote {n_ok} stemmed goldens ({n_err} crashes skipped) -> {out_path}")
 
 
 if __name__ == "__main__":
