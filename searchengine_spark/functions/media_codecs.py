@@ -1,0 +1,271 @@
+"""Stdlib-only media codecs for the multimodal operators.
+
+The sandbox ships no media libraries (PIL/cv2/soundfile), but two common
+container formats are decodable with the standard library alone, which is
+enough to make the multimodal pipeline's decode stage REAL instead of a
+stub for those formats:
+
+* PNG — signature + chunk walk, IDAT ``zlib`` inflate, per-scanline
+  unfilter (filter types 0–4 of the PNG spec), 8-bit depth, color types
+  0/2/4/6, non-interlaced. Returns an (H, W, C) uint8 array. A matching
+  minimal encoder exists so tests can round-trip known pixels.
+* WAV (RIFF PCM) — stdlib ``wave`` for the container, 8/16/32-bit PCM
+  payloads to a float64 sample array in [-1, 1].
+
+JPEG / MP3 / video containers remain honestly unsupported
+(``UnsupportedMediaError``) — a DCT/entropy decoder is out of scope here;
+in production the same operator shape plugs in PIL/ffmpeg.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+WAV_MAGIC = b"RIFF"
+
+
+class UnsupportedMediaError(NotImplementedError):
+    """Payload format has no stdlib decoder in this environment."""
+
+
+def sniff(payload: bytes) -> str:
+    """Best-effort container sniff: 'png' | 'wav' | 'unknown'."""
+    if payload[:8] == PNG_MAGIC:
+        return "png"
+    if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples per pixel
+
+
+def _unfilter(raw: bytes, height: int, width: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec §9): each scanline is one
+    filter-type byte + width*channels filtered bytes."""
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).copy()
+        pos += stride
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for x in range(channels, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - channels])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - channels]) if x >= channels else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(height, width, channels)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (H, W, C) uint8. 8-bit, color types 0/2/4/6, no
+    interlace (the overwhelmingly common cases)."""
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    idat = b""
+    while pos < len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise UnsupportedMediaError(f"PNG bit depth {bit_depth} (only 8 supported)")
+    if color_type not in _PNG_CHANNELS:
+        raise UnsupportedMediaError(f"PNG color type {color_type} (palette unsupported)")
+    if interlace:
+        raise UnsupportedMediaError("interlaced PNG unsupported")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(idat)
+    expect = height * (1 + width * channels)
+    if len(raw) != expect:
+        raise ValueError(f"PNG data length {len(raw)} != expected {expect}")
+    return _unfilter(raw, height, width, channels)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W) or (H, W, C) uint8 → PNG bytes (filter 0 rows). Minimal but
+    spec-conformant — exists so tests can round-trip real containers."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average (box) downsample to (out_h, out_w) — the real resize
+    math for thumbnails/feature grids, float64 output per channel."""
+    img = np.asarray(img, dtype=np.float64)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    ys = (np.arange(out_h + 1) * h / out_h).round().astype(int)
+    xs = (np.arange(out_w + 1) * w / out_w).round().astype(int)
+    out = np.zeros((out_h, out_w, c))
+    for i in range(out_h):
+        for j in range(out_w):
+            block = img[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = block.reshape(-1, c).mean(axis=0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (samples float64 in [-1, 1] shaped (n_frames, channels),
+    sample_rate). PCM 8/16/32-bit via stdlib ``wave``."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        nch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 1:  # unsigned 8-bit
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise UnsupportedMediaError(f"WAV sample width {sw}")
+    return x.reshape(-1, nch), sr
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, ch) float in [-1, 1] → 16-bit PCM WAV bytes (test round-trips)."""
+    import wave
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(x.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction (real math over decoded media)
+# ---------------------------------------------------------------------------
+
+N_FEATURES = 8
+
+
+def image_features(img: np.ndarray) -> list[float]:
+    """8 real image features: dims, luma moments, a 2×2 luma grid."""
+    f = np.asarray(img, dtype=np.float64)
+    if f.ndim == 3:
+        luma = f[:, :, : min(3, f.shape[2])].mean(axis=2)
+    else:
+        luma = f
+    grid = resize_area(luma, 2, 2)[:, :, 0].ravel()
+    return [
+        float(img.shape[1]),  # width
+        float(img.shape[0]),  # height
+        float(luma.mean()),
+        float(luma.std()),
+        *[float(v) for v in grid],
+    ]
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
+    """8 real audio features: duration, rate, channels, rms, peak, zcr,
+    mean, std over the mono mix."""
+    mono = samples.mean(axis=1) if samples.size else np.zeros(1)
+    zc = float(np.mean(np.abs(np.diff(np.sign(mono))) > 0)) if mono.size > 1 else 0.0
+    return [
+        float(samples.shape[0] / sample_rate) if sample_rate else 0.0,
+        float(sample_rate),
+        float(samples.shape[1] if samples.ndim == 2 else 1),
+        float(np.sqrt(np.mean(mono**2))),
+        float(np.max(np.abs(mono)) if mono.size else 0.0),
+        zc,
+        float(mono.mean()),
+        float(mono.std()),
+    ]
+
+
+def decode_features(payload: bytes) -> list[float]:
+    """Sniff + decode + real features; raises UnsupportedMediaError for
+    formats without a stdlib decoder (JPEG/MP3/video)."""
+    kind = sniff(bytes(payload))
+    if kind == "png":
+        return image_features(decode_png(bytes(payload)))
+    if kind == "wav":
+        return audio_features(*decode_wav(bytes(payload)))
+    raise UnsupportedMediaError(
+        "no stdlib decoder for this payload (PNG and PCM-WAV are supported; "
+        "JPEG/MP3/video need external codecs)"
+    )

@@ -1,12 +1,15 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary columns.
 
 The Spark-side machinery — schema, Arrow batch shape, partition-friendly
-``mapInPandas`` signatures, typed metadata structs — is real and tested;
-the actual media decoding is stubbed (no image/audio libs in this
-container): ``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, in which case a clearly-marked deterministic fake decoder
-(byte-statistics "features") stands in so the distributed pipeline shape
-can be exercised end-to-end.
+``mapInPandas`` signatures, typed metadata structs — is real and tested.
+Decoding is REAL for the formats the standard library can parse
+(:mod:`searchengine_spark.functions.media_codecs`): PNG images (chunk
+walk + zlib inflate + scanline unfilter) and PCM WAV audio (stdlib
+``wave``), with genuine pixel/sample feature math and an area-average
+resize. Formats needing external codecs (JPEG/MP3/video) raise
+``UnsupportedMediaError`` unless ``fake=True`` opts into the
+clearly-marked deterministic byte-statistics stand-in, so the distributed
+pipeline shape can still be exercised over undecodable payloads.
 """
 
 from __future__ import annotations
@@ -59,16 +62,24 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> np.ndarray:
 
 def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """media rows → (media_id, sha256, n_bytes, features[8]) via Arrow
-    batches. Real pipeline shape; decode stubbed behind ``fake``."""
-    if not fake:
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; pass fake=True "
-            "to exercise the pipeline with the deterministic fake decoder"
-        )
+    batches. PNG/WAV payloads decode for real (pixels/samples → feature
+    math); other formats raise unless ``fake=True`` opts into the
+    byte-statistics stand-in for them."""
+    from searchengine_spark.functions.media_codecs import (
+        UnsupportedMediaError,
+        decode_features,
+    )
 
     def run(batches):
         for b in batches:
-            feats = [list(_fake_decode(p)) for p in b["payload"]]
+            feats = []
+            for p in b["payload"]:
+                try:
+                    feats.append(decode_features(p))
+                except UnsupportedMediaError:
+                    if not fake:
+                        raise
+                    feats.append(list(_fake_decode(p)))
             yield pd.DataFrame(
                 {
                     "media_id": b["media_id"].astype("int64"),
@@ -79,6 +90,49 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+
+
+THUMBS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("thumb", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
+    """Decode PNG payloads and area-average-resize the luma plane to
+    (out_h, out_w) → (media_id, height, width, thumb[out_h*out_w]) — the
+    real decode+resize path, Arrow-batched, narrow (no shuffle). Non-PNG
+    rows are skipped (filter upstream on ``kind`` to control coverage)."""
+    import numpy as np
+
+    from searchengine_spark.functions.media_codecs import (
+        decode_png,
+        resize_area,
+        sniff,
+    )
+
+    def run(batches):
+        for b in batches:
+            out = {"media_id": [], "height": [], "width": [], "thumb": []}
+            for mid, p in zip(b["media_id"], b["payload"]):
+                if sniff(bytes(p)) != "png":
+                    continue
+                img = decode_png(bytes(p))
+                luma = img[:, :, : min(3, img.shape[2])].mean(axis=2)
+                th = resize_area(luma, out_h, out_w)[:, :, 0]
+                out["media_id"].append(int(mid))
+                out["height"].append(img.shape[0])
+                out["width"].append(img.shape[1])
+                out["thumb"].append([float(x) for x in th.ravel()])
+            if out["media_id"]:  # an all-skipped batch would yield a 0-row
+                # frame with numeric dtypes Arrow can't map to list<double>
+                yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(run, THUMBS_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
@@ -98,17 +152,29 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
 
 
 def synthetic_media_df(spark, n: int = 64, seed: int = 5):
-    """Deterministic fake media table for tests (pure function of seed/i)."""
+    """Deterministic media table for tests (pure function of seed/i):
+    REAL containers for image/audio rows — encoded PNG pixels and 16-bit
+    PCM WAV sine tones — and opaque bytes for video rows (no stdlib video
+    container format exists; those exercise the unsupported/fake path)."""
+    from searchengine_spark.functions.media_codecs import encode_png, encode_wav
+
     rows = []
     for i in range(n):
         rng = np.random.default_rng(seed * 100003 + i)
         kind = ["image", "audio", "video"][i % 3]
-        payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
-        meta = {
-            "width": 64 if kind == "image" else None,
-            "height": 48 if kind == "image" else None,
-            "sample_rate": 16000 if kind == "audio" else None,
-            "n_frames": 30 + i if kind == "video" else None,
-        }
+        if kind == "image":
+            w, h = 16 + (i % 3) * 8, 12 + (i % 2) * 4
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload = encode_png(img)
+            meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
+        elif kind == "audio":
+            sr = 8000
+            t = np.arange(sr // 4) / sr  # 0.25 s tone
+            tone = 0.5 * np.sin(2 * np.pi * (220 + 20 * (i % 7)) * t)
+            payload = encode_wav(tone, sr)
+            meta = {"width": None, "height": None, "sample_rate": sr, "n_frames": None}
+        else:
+            payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
+            meta = {"width": None, "height": None, "sample_rate": None, "n_frames": 30 + i}
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

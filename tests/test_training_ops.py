@@ -135,6 +135,10 @@ def test_minhash_lsh_bucket_cap_guards_fanout(spark):
 
 
 def test_multimodal_feature_extraction(spark):
+    """PNG/WAV rows decode for REAL (pixel/sample features); video rows
+    (opaque bytes) fall back to the marked fake decoder under fake=True."""
+    from searchengine_spark.functions import media_codecs as mc
+
     media = multimodal.synthetic_media_df(spark, n=30, seed=5)
     feats = multimodal.extract_features(media, fake=True).toPandas()
     assert len(feats) == 30
@@ -142,16 +146,113 @@ def test_multimodal_feature_extraction(spark):
         r["media_id"]: bytes(r["payload"]) for r in media.collect()
     }
     for row in feats.itertuples():
-        assert row.sha256 == hashlib.sha256(payloads[row.media_id]).hexdigest()
-        assert row.n_bytes == len(payloads[row.media_id])
-        want = multimodal._fake_decode(payloads[row.media_id])
-        assert np.allclose(np.array(row.features), want)
+        p = payloads[row.media_id]
+        assert row.sha256 == hashlib.sha256(p).hexdigest()
+        assert row.n_bytes == len(p)
+        kind = mc.sniff(p)
+        if kind == "png":
+            want = mc.image_features(mc.decode_png(p))
+        elif kind == "wav":
+            want = mc.audio_features(*mc.decode_wav(p))
+        else:
+            want = multimodal._fake_decode(p)
+        assert np.allclose(np.array(row.features), np.array(want)), row.media_id
+    # real formats really decoded: an image row's first two features are
+    # its true dimensions, an audio row's duration/rate are exact
+    img0 = feats[feats.media_id == 0].features.iloc[0]
+    assert (img0[0], img0[1]) == (16.0, 12.0)
+    aud1 = feats[feats.media_id == 1].features.iloc[0]
+    assert (aud1[0], aud1[1]) == (0.25, 8000.0)
 
 
-def test_multimodal_decode_stub_raises(spark):
-    media = multimodal.synthetic_media_df(spark, n=3)
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(media, fake=False)
+def test_multimodal_decode_unsupported_raises(spark):
+    """fake=False: decodable formats succeed, undecodable (video bytes)
+    raise — the stub is scoped to exactly the formats stdlib can't parse."""
+    media = multimodal.synthetic_media_df(spark, n=6, seed=5)
+    ok = multimodal.extract_features(
+        media.where(F.col("kind") != "video"), fake=False
+    ).toPandas()
+    assert len(ok) == 4
+    with pytest.raises(Exception, match="(?i)no stdlib decoder"):
+        multimodal.extract_features(
+            media.where(F.col("kind") == "video"), fake=False
+        ).collect()
+
+
+def test_png_wav_roundtrip_and_thumbnails(spark):
+    """Codec round-trips: encoded PNG decodes to the exact pixels (all
+    color types), filtered scanlines (Sub/Up/Average/Paeth) unfilter
+    correctly, WAV survives 16-bit quantization, and the thumbnail
+    operator computes true area means."""
+    import struct
+    import zlib
+
+    from searchengine_spark.functions import media_codecs as mc
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        img = rng.integers(0, 256, size=(9, 13, ch), dtype=np.uint8)
+        out = mc.decode_png(mc.encode_png(img))
+        assert out.shape == img.shape and (out == img).all(), ch
+
+    # forward-filter a small grey image with each filter type per row,
+    # assemble a PNG by hand, and check decode restores the pixels
+    img = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    raw = b""
+    prev = np.zeros(7, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = img[y].astype(np.int32)
+        enc = np.zeros(7, dtype=np.int32)
+        for x in range(7):
+            a = cur[x - 1] if x >= 1 else 0
+            b = prev[x]
+            c = prev[x - 1] if x >= 1 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+            enc[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    png = (
+        mc.PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 7, 5, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert (mc.decode_png(png)[:, :, 0] == img).all()
+
+    sr = 8000
+    tone = 0.25 * np.sin(2 * np.pi * 440 * np.arange(800) / sr)
+    back, sr2 = mc.decode_wav(mc.encode_wav(tone, sr))
+    assert sr2 == sr and back.shape == (800, 1)
+    assert np.abs(back[:, 0] - tone).max() < 1e-4  # 16-bit quantization
+
+    # thumbnail: constant image -> constant thumb at the pixel value
+    flat = np.full((12, 16, 3), 200, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(mc.encode_png(flat)),
+          {"width": 16, "height": 12, "sample_rate": None, "n_frames": None})],
+        multimodal.MEDIA_SCHEMA,
+    )
+    th = multimodal.image_thumbnails(media, 4, 4).toPandas()
+    assert len(th) == 1 and th.height[0] == 12 and th.width[0] == 16
+    assert np.allclose(th.thumb[0], 200.0)
 
 
 def test_sample_frames_counts(spark):
