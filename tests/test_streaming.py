@@ -402,3 +402,69 @@ def test_ingest_into_stemmed_index_stems_deltas(spark, tmp_path):
         .select("path").toPandas()["path"].tolist()
     )
     assert "src/new.py" in hits, hits
+
+
+def test_fold_diff_survives_crash_between_rebuild_and_invalidation(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-window regression for the distributed fold-map diff: a
+    compaction that dies AFTER rebuilding fold_map/term_dict but BEFORE
+    the group invalidations reach the manifest must, on rerun, still diff
+    against the PRE-compaction fold map (kept as fold_map.prev until the
+    invalidations are durable) — diffing new-vs-new would yield an empty
+    change set and leave stale postings for re-canonicalized terms."""
+    import os
+
+    from searchengine_spark.operators import index_build
+    from searchengine_spark.operators.wand import search
+
+    # base corpus: 'WAND' capitalized-alpha with NO lowercase twin → stored
+    # UPPER; delta introduces lowercase 'wand' → fold change
+    def row(i, content):
+        return ("o/r", f"f{i}.py", "c" * 40, "python", content)
+
+    base = [row(i, f"WAND heap cursor t{i} " * 5) for i in range(120)]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark,
+        spark.createDataFrame(
+            base, "repo string, path string, commit string, lang string, content string"
+        ),
+        idx, range_width=32, n_groups=2,
+    )
+    assert (
+        spark.read.parquet(f"{idx}/term_dict").where(F.col("term") == "WAND").count()
+        == 1
+    )
+    delta = spark.createDataFrame(
+        [row(900, "wand wand segment " * 5)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    ing.ingest_batch(spark, delta, 0, idx, stream_id="folds")
+
+    # crash right after the term_dict rebuild (before diff + invalidation)
+    real_btd = index_build.build_term_dict
+    calls = {"n": 0}
+
+    def crashing_btd(spark_, index_dir_, man_):
+        real_btd(spark_, index_dir_, man_)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash after term_dict rebuild")
+
+    # compact() imports build_term_dict from index_build at call time
+    monkeypatch.setattr(index_build, "build_term_dict", crashing_btd)
+    with pytest.raises(RuntimeError, match="injected"):
+        ing.compact(spark, idx)
+    # snapshot must still be on disk for the rerun
+    assert os.path.exists(f"{idx}/fold_map.prev")
+
+    ing.compact(spark, idx)  # rerun completes
+    assert not os.path.exists(f"{idx}/fold_map.prev")
+    # the fold took effect globally: no UPPER 'WAND' anywhere, and a search
+    # for lowercase 'wand' reaches the OLD docs (their postings re-folded)
+    td = spark.read.parquet(f"{idx}/term_dict")
+    assert td.where(F.col("term") == "WAND").count() == 0
+    assert td.where(F.col("term") == "wand").first()["df"] == 121
+    hits = search(spark, idx, "wand", k=121)
+    assert hits.count() == 121
