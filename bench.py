@@ -88,8 +88,8 @@ def main() -> None:
         "doc_terms", "term_dict", "bm25_topk", "exact_dedup",
         "minhash_signatures", "near_dup_jaccard", "simhash", "lsh_pairs",
         "cosine_topk_docs", "pruned_doc_stats", "text_quality",
-        "language_id", "ann_cosine_topk", "lineitem_pricing", "top_customers",
-        "events_hourly",
+        "language_id", "ann_cosine_topk", "ann_lsh_topk", "lineitem_pricing",
+        "top_customers", "events_hourly", "events_sessions",
     ]
     for name in bench_queries:
         timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())

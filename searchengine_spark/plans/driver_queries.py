@@ -401,6 +401,19 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based session windows per user (F.session_window, the second
+    canonical stateful streaming shape, here in its batch form — shared
+    with streaming/events.session_windows). Spark semantics verified:
+    an event at exactly last_ts + gap still merges (window end is
+    exclusive), so the oracle breaks sessions on diff > gap; session_end
+    = last event + gap."""
+    from searchengine_spark.streaming.events import session_windows
+
+    ev = _t(spark, sf_dir, "events").select("ts", "user_id", "value")
+    return session_windows(ev, gap="30 minutes")
+
+
 QUERIES = {
     "doc_terms": q_doc_terms,
     "doc_stats": q_doc_stats,
@@ -427,6 +440,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "customer_best_order": q_customer_best_order,
     "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
 }
 
 
@@ -650,6 +664,20 @@ ORACLES = {
         " SELECT *, row_number() OVER (PARTITION BY o_custkey"
         " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)"
         " WHERE rn = 1"
+    ),
+    "events_sessions": (
+        "WITH o AS (SELECT user_id, ts, value,"
+        "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        "            > INTERVAL 30 MINUTE"
+        "       OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+        "       THEN 1 ELSE 0 END AS brk FROM events),"
+        " s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts"
+        "   ROWS UNBOUNDED PRECEDING) AS sid FROM o)"
+        " SELECT min(ts) AS session_start,"
+        " max(ts) + INTERVAL 30 MINUTE AS session_end, user_id,"
+        " CAST(count(*) AS BIGINT) AS n_events,"
+        " round(sum(value), 6) AS sum_value"
+        " FROM s GROUP BY user_id, sid"
     ),
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS hour, event_type,"
