@@ -1,0 +1,91 @@
+"""As-of join — a point-in-time join Spark has no built-in operator for
+(DataFrame API has no ASOF JOIN; pandas has merge_asof, DuckDB has ASOF
+JOIN — the SQL oracle uses the latter).
+
+For each left row, attach the single right row with the greatest
+``on``-value ≤ the left row's (direction="backward"; "forward" takes the
+least ≥), within the same ``by`` key group.
+
+Spark shape (the scalable classic, not a join at all): tag both sides,
+union, and run one window per ``by`` key ordered by (on, side) taking the
+last non-null right payload — right rows sort BEFORE left rows at equal
+timestamps, making the boundary inclusive exactly like merge_asof /
+DuckDB. Cost: ONE hash shuffle by ``by`` + an in-partition sort — linear,
+JVM-only (no Python stage), no join fanout at all; at 100 TB the shuffle
+is the same one any per-key aggregation pays, and per-key skew is bounded
+by that key's row count (AQE handles stragglers). The naive alternative
+(range join + row_number) explodes as |left| × |right| per key before
+pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: list[str] | str = "user_id",
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    suffix: str = "_r",
+    tiebreaks: list[str] | None = None,
+) -> DataFrame:
+    """Inner as-of join: left rows with no eligible right row are dropped
+    (DuckDB ``ASOF JOIN`` semantics; wrap with a left join on the result
+    to keep them). ``tiebreaks``: extra right-side ordering columns making
+    the picked row deterministic when several right rows share (by, on) —
+    without them the last in (on, tiebreaks) order wins arbitrarily."""
+    from pyspark.sql import Window
+
+    if isinstance(by, str):
+        by = [by]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    right_cols = (
+        right_cols
+        if right_cols is not None
+        else [c for c in right.columns if c not in set(by) | {on}]
+    )
+    payload = F.struct(F.col(on), *[F.col(c) for c in right_cols])
+    r = right.select(
+        *by,
+        F.col(on).alias("_asof_on"),
+        payload.alias("_asof_rv"),
+        F.lit(0).alias("_asof_side"),
+        *[F.col(t).alias(f"_asof_tb_{t}") for t in (tiebreaks or [])],
+    )
+    l = left.select(
+        "*",
+        F.col(on).alias("_asof_on"),
+        F.lit(1).alias("_asof_side"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [
+        F.col("_asof_on").asc() if direction == "backward" else F.col("_asof_on").desc(),
+        # right rows first at equal `on`: the boundary is inclusive
+        F.col("_asof_side").asc(),
+        *[F.col(f"_asof_tb_{t}").asc() for t in (tiebreaks or [])],
+    ]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("_asof_match", F.last("_asof_rv", ignorenulls=True).over(w))
+        .where(F.col("_asof_side") == 1)
+        .where(F.col("_asof_match").isNotNull())
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(F.col(f"_asof_match.{on}").alias(f"{on}{suffix}"))
+    out_cols.extend(
+        F.col(f"_asof_match.{c}").alias(
+            f"{c}{suffix}" if c in left.columns else c
+        )
+        for c in right_cols
+    )
+    return matched.select(*out_cols)

@@ -414,6 +414,29 @@ def q_events_sessions(spark, sf_dir):
     return session_windows(ev, gap="30 minutes")
 
 
+def q_events_asof(spark, sf_dir):
+    """Point-in-time (as-of) join: for each click, the user's latest
+    purchase at-or-before it — operators/asof.asof_join (single-shuffle
+    union+window shape), verified against DuckDB's native ASOF JOIN."""
+    from searchengine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["value"])
+    return j.select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
 QUERIES = {
     "doc_terms": q_doc_terms,
     "doc_stats": q_doc_stats,
@@ -441,6 +464,7 @@ QUERIES = {
     "customer_best_order": q_customer_best_order,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
+    "events_asof": q_events_asof,
 }
 
 
@@ -664,6 +688,15 @@ ORACLES = {
         " SELECT *, row_number() OVER (PARTITION BY o_custkey"
         " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)"
         " WHERE rn = 1"
+    ),
+    "events_asof": (
+        "WITH l AS (SELECT user_id, ts, event_id FROM events"
+        "           WHERE event_type = 'click'),"
+        " r AS (SELECT user_id, ts, value FROM events"
+        "       WHERE event_type = 'purchase')"
+        " SELECT l.user_id, l.ts AS click_ts, l.event_id AS click_id,"
+        " r.ts AS purchase_ts, r.value AS purchase_value"
+        " FROM l ASOF JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts"
     ),
     "events_sessions": (
         "WITH o AS (SELECT user_id, ts, value,"

@@ -1,0 +1,124 @@
+"""As-of join operator: boundary/direction/tie semantics against
+pandas.merge_asof, and the single-shuffle JVM-only plan shape."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 10, "d"), (3, 10, "e")],
+        "user_id long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (2, 11, 3.0)],
+        "user_id long, ts long, value double",
+    )
+    return left, right
+
+
+def test_backward_inclusive_and_inner(spark, tiny):
+    left, right = tiny
+    got = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["value"])
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    # (1,10) matches the EQUAL-ts right row (inclusive boundary);
+    # (1,20) takes ts=15; (1,5) has no earlier row -> dropped (inner);
+    # (2,10) precedes (2,11) -> dropped; user 3 has no right rows
+    want = [(1, 10, "a", 10, 1.0), (1, 20, "b", 15, 2.0)]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_forward_direction(spark, tiny):
+    left, right = tiny
+    got = (
+        asof_join(
+            left, right, on="ts", by="user_id", right_cols=["value"],
+            direction="forward",
+        )
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    # nearest at-or-after: (1,5)->10, (1,10)->10 (inclusive), (1,20) none,
+    # (2,10)->11, (3,10) none
+    want = [(1, 5, "c", 10, 1.0), (1, 10, "a", 10, 1.0), (2, 10, "d", 11, 3.0)]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(11)
+    lp = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, 300),
+            "ts": rng.integers(0, 10_000, 300),
+            "lx": np.arange(300),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    rp = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 6, 200),
+            "ts": rng.integers(0, 10_000, 200),
+            "value": rng.standard_normal(200).round(6),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    got = (
+        asof_join(
+            spark.createDataFrame(lp), spark.createDataFrame(rp),
+            on="ts", by="user_id", right_cols=["value"],
+        )
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    want = (
+        pd.merge_asof(
+            lp.sort_values("ts"), rp.sort_values("ts"),
+            on="ts", by="user_id", direction="backward",
+        )
+        .dropna(subset=["value"])
+        .sort_values(["user_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert got["lx"].tolist() == want["lx"].tolist()
+    assert np.allclose(got["value"], want["value"])
+    assert got["ts_r"].tolist() == [
+        int(rp[(rp.user_id == u) & (rp.ts <= t)]["ts"].max())
+        for u, t in zip(got["user_id"], got["ts"])
+    ]
+
+
+def test_tiebreaks_pick_deterministic_row(spark):
+    left = spark.createDataFrame([(1, 10)], "user_id long, ts long")
+    right = spark.createDataFrame(
+        [(1, 10, "x"), (1, 10, "y")], "user_id long, ts long, tag string"
+    )
+    got = asof_join(
+        left, right, on="ts", by="user_id", right_cols=["tag"],
+        tiebreaks=["tag"],
+    ).toPandas()
+    # last in tiebreak order wins deterministically
+    assert got["tag"].tolist() == ["y"]
+
+
+def test_asof_plan_single_shuffle_jvm_only(spark, tiny):
+    left, right = tiny
+    plan = (
+        asof_join(left, right, on="ts", by="user_id", right_cols=["value"])
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+    )
+    import re
+
+    # one hash exchange for the window (inputs here are local relations);
+    # NO join operator and NO Python stage anywhere
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    for marker in ("Join", "MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, marker
