@@ -89,3 +89,75 @@ def asof_join(
         for c in right_cols
     )
     return matched.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_range: tuple[str, str] = ("start", "end"),
+    right_range: tuple[str, str] = ("start", "end"),
+    by: list[str] | str | None = None,
+    bucket_seconds: float = 3600.0,
+) -> DataFrame:
+    """Interval-overlap join (closed intervals): pairs where
+    ``l.start <= r.end AND r.start <= l.end``, optionally also equal on
+    ``by`` keys. Works on timestamp or numeric range columns (timestamps
+    are bucketed on their epoch seconds).
+
+    Scale shape — Spark has no native range join, and the naive
+    theta-join is |L|×|R| per ``by`` group before filtering. Instead each
+    interval explodes into the fixed-width time buckets it covers and the
+    join runs on (by…, bucket) EQUALITY, so candidate fanout is bounded
+    by per-bucket occupancy (pick ``bucket_seconds`` ≈ typical interval
+    length). A pair overlapping several buckets would surface once per
+    shared bucket; the canonical-bucket condition — keep the pair only in
+    the bucket containing max(l.start, r.start) — dedupes WITHOUT a
+    distinct (no second shuffle over the pair set).
+
+    Left/right must not share column names outside ``by`` (alias before
+    calling); both sides' range columns stay in the output."""
+    if isinstance(by, str):
+        by = [by]
+    by = by or []
+    ls, le = left_range
+    rs, re_ = right_range
+    clash = (set(left.columns) & set(right.columns)) - set(by)
+    if clash:
+        raise ValueError(f"rename overlapping columns before joining: {sorted(clash)}")
+    W = float(bucket_seconds)
+
+    from pyspark.sql import types as T
+
+    def secs(expr, dtype):
+        # TIMESTAMP_NTZ has no direct numeric cast in Spark 4; any
+        # consistent monotonic mapping works for bucketing, so NTZ goes
+        # through the session-tz timestamp reinterpretation
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+            return F.unix_micros(expr.cast("timestamp")) / F.lit(1e6)
+        if isinstance(dtype, T.DateType):
+            return F.unix_date(expr) * F.lit(86400.0)
+        return expr.cast("double")
+
+    def bucketed(df, lo, hi):
+        return df.withColumn(
+            "_ij_b",
+            F.explode(
+                F.sequence(
+                    F.floor(secs(F.col(lo), df.schema[lo].dataType) / W),
+                    F.floor(secs(F.col(hi), df.schema[hi].dataType) / W),
+                )
+            ),
+        )
+
+    lb = bucketed(left, ls, le)
+    rb = bucketed(right, rs, re_)
+    start_t = left.schema[ls].dataType
+    return (
+        lb.join(rb, [*by, "_ij_b"])
+        .where((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
+        .where(
+            F.floor(secs(F.greatest(F.col(ls), F.col(rs)), start_t) / W)
+            == F.col("_ij_b")
+        )
+        .drop("_ij_b")
+    )

@@ -437,6 +437,66 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_sessions_overlap(spark, sf_dir):
+    """Interval-overlap join (operators/asof.interval_join, bucketed range
+    join — Spark has no native one): per user, click-sessions overlapping
+    purchase-sessions. Oracle = two gaps-and-islands session CTEs + an
+    inequality join in DuckDB."""
+    from searchengine_spark.operators.asof import interval_join
+    from searchengine_spark.streaming.events import session_windows
+
+    ev = _t(spark, sf_dir, "events")
+
+    def sess(ev_type, pre):
+        s = session_windows(
+            ev.where(F.col("event_type") == ev_type).select("ts", "user_id", "value"),
+            gap="30 minutes",
+        )
+        return s.select(
+            "user_id",
+            F.col("session_start").alias(f"{pre}_start"),
+            F.col("session_end").alias(f"{pre}_end"),
+        )
+
+    return interval_join(
+        sess("click", "click"),
+        sess("purchase", "purchase"),
+        ("click_start", "click_end"),
+        ("purchase_start", "purchase_end"),
+        by="user_id",
+    )
+
+
+def _session_cte(ev_type: str, pre: str) -> str:
+    return (
+        f"{pre}0 AS (SELECT user_id, ts,"
+        " CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+        "          > INTERVAL 30 MINUTE"
+        "      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+        "      THEN 1 ELSE 0 END AS brk FROM events"
+        f" WHERE event_type = '{ev_type}'),"
+        f" {pre}1 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts"
+        f"   ROWS UNBOUNDED PRECEDING) AS sid FROM {pre}0),"
+        f" {pre} AS (SELECT user_id, min(ts) AS {pre}_start,"
+        f"   max(ts) + INTERVAL 30 MINUTE AS {pre}_end FROM {pre}1"
+        "   GROUP BY user_id, sid)"
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event_type (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, linear interpolation both sides — verified
+    to 6 dp). The 100 TB path swaps in `percentile_approx` (t-digest-style
+    mergeable sketch, one pass, bounded memory); the exact form is the
+    small-scale oracle-checkable ground truth for it."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+    )
+
+
 QUERIES = {
     "doc_terms": q_doc_terms,
     "doc_stats": q_doc_stats,
@@ -465,6 +525,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "sessions_overlap": q_sessions_overlap,
+    "value_percentiles": q_value_percentiles,
 }
 
 
@@ -688,6 +750,17 @@ ORACLES = {
         " SELECT *, row_number() OVER (PARTITION BY o_custkey"
         " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)"
         " WHERE rn = 1"
+    ),
+    "sessions_overlap": (
+        f"WITH {_session_cte('click', 'click')}, {_session_cte('purchase', 'purchase')}"
+        " SELECT c.user_id, click_start, click_end, purchase_start, purchase_end"
+        " FROM click c JOIN purchase p ON c.user_id = p.user_id"
+        " AND click_start <= purchase_end AND purchase_start <= click_end"
+    ),
+    "value_percentiles": (
+        "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,"
+        " round(quantile_cont(value, 0.95), 6) AS p95,"
+        " round(avg(value), 6) AS mean_value FROM events GROUP BY event_type"
     ),
     "events_asof": (
         "WITH l AS (SELECT user_id, ts, event_id FROM events"

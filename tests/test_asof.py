@@ -122,3 +122,59 @@ def test_asof_plan_single_shuffle_jvm_only(spark, tiny):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
     for marker in ("Join", "MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, marker
+
+
+def test_interval_join_matches_bruteforce_and_dedupes(spark):
+    """Bucketed interval join == brute-force theta join, including pairs
+    spanning MANY buckets (canonical-bucket rule must emit each exactly
+    once), on numeric ranges."""
+    from searchengine_spark.operators.asof import interval_join
+
+    rng = np.random.default_rng(23)
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 80),
+            "a_start": (s := rng.integers(0, 50_000, 80).astype(float)),
+            # long intervals: many cross dozens of 3600-wide buckets
+            "a_end": s + rng.integers(0, 40_000, 80),
+            "lid": np.arange(80),
+        }
+    )
+    R = pd.DataFrame(
+        {
+            "k": rng.integers(0, 4, 60),
+            "b_start": (t := rng.integers(0, 50_000, 60).astype(float)),
+            "b_end": t + rng.integers(0, 40_000, 60),
+            "rid": np.arange(60),
+        }
+    )
+    got = (
+        interval_join(
+            spark.createDataFrame(L), spark.createDataFrame(R),
+            ("a_start", "a_end"), ("b_start", "b_end"), by="k",
+            bucket_seconds=3600,
+        )
+        .select("lid", "rid")
+        .toPandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    merged = L.merge(R, on="k")
+    brute = (
+        merged[(merged.a_start <= merged.b_end) & (merged.b_start <= merged.a_end)][
+            ["lid", "rid"]
+        ]
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, brute)
+    assert len(got) == len(got.drop_duplicates()), "canonical bucket must dedupe"
+    assert len(got) > 100  # non-trivial overlap volume
+
+
+def test_interval_join_rejects_column_clash(spark, tiny):
+    from searchengine_spark.operators.asof import interval_join
+
+    left, _ = tiny
+    with pytest.raises(ValueError, match="rename overlapping"):
+        interval_join(left, left, ("ts", "ts"), ("ts", "ts"), by="user_id")
