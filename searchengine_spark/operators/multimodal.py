@@ -60,11 +60,20 @@ def _fake_decode(payload: bytes, n_features: int = 8) -> np.ndarray:
     return np.array([c.mean() if c.size else 0.0 for c in chunks])
 
 
-def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, fake: bool = False, on_error: str = "raise"
+) -> DataFrame:
     """media rows → (media_id, sha256, n_bytes, features[8]) via Arrow
     batches. PNG/WAV payloads decode for real (pixels/samples → feature
     math); other formats raise unless ``fake=True`` opts into the
-    byte-statistics stand-in for them."""
+    byte-statistics stand-in for them.
+
+    ``on_error="skip"`` drops rows whose payload fails to decode (corrupt
+    container, truncated bytes, unsupported variant) instead of failing
+    the task — at 100 TB a single poison row must not kill the job; the
+    dropped count is observable as input-minus-output rows."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
     from searchengine_spark.functions.media_codecs import (
         UnsupportedMediaError,
         decode_features,
@@ -72,22 +81,29 @@ def extract_features(media: DataFrame, fake: bool = False) -> DataFrame:
 
     def run(batches):
         for b in batches:
-            feats = []
-            for p in b["payload"]:
+            rows = {"media_id": [], "sha256": [], "n_bytes": [], "features": []}
+            for mid, p in zip(b["media_id"], b["payload"]):
                 try:
-                    feats.append(decode_features(p))
+                    feats = decode_features(p)
                 except UnsupportedMediaError:
-                    if not fake:
+                    if fake:
+                        feats = list(_fake_decode(p))
+                    elif on_error == "skip":
+                        continue
+                    else:
                         raise
-                    feats.append(list(_fake_decode(p)))
-            yield pd.DataFrame(
-                {
-                    "media_id": b["media_id"].astype("int64"),
-                    "sha256": [hashlib.sha256(p).hexdigest() for p in b["payload"]],
-                    "n_bytes": [len(p) for p in b["payload"]],
-                    "features": feats,
-                }
-            )
+                except Exception:
+                    # corrupt container (bad zlib stream, truncated chunks,
+                    # malformed RIFF): recognizable format, undecodable bytes
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows["media_id"].append(int(mid))
+                rows["sha256"].append(hashlib.sha256(p).hexdigest())
+                rows["n_bytes"].append(len(p))
+                rows["features"].append(feats)
+            if rows["media_id"]:  # 0-row frames lose the list<double> dtype
+                yield pd.DataFrame(rows)
 
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
 

@@ -1,0 +1,76 @@
+"""Property tests for the stdlib media codecs (no Spark session needed)
+plus the poison-row skip policy of extract_features."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.functions import media_codecs as mc
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    c=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = mc.decode_png(mc.encode_png(img))
+    assert out.shape == (h, w, c) and (out == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 400),
+    ch=st.sampled_from([1, 2]),
+    sr=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, sr, seed):
+    x = np.random.default_rng(seed).uniform(-1, 1, size=(n, ch))
+    back, sr2 = mc.decode_wav(mc.encode_wav(x, sr))
+    assert sr2 == sr and back.shape == (n, ch)
+    assert np.abs(back - x).max() <= 1.5 / 32768  # 16-bit quantization bound
+
+
+@settings(max_examples=60, deadline=None)
+@given(payload=st.binary(max_size=64))
+def test_unknown_bytes_raise_unsupported(payload):
+    if mc.sniff(payload) == "unknown":
+        with pytest.raises(mc.UnsupportedMediaError):
+            mc.decode_features(payload)
+
+
+def test_resize_area_preserves_mean_on_exact_grid():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+    th = mc.resize_area(img, 4, 4)[:, :, 0]
+    for i in range(4):
+        for j in range(4):
+            assert th[i, j] == img[2 * i : 2 * i + 2, 2 * j : 2 * j + 2].mean()
+
+
+def test_extract_features_skips_poison_rows(spark):
+    """on_error='skip': corrupt-but-recognizable payloads (PNG magic, bad
+    body) and unsupported formats drop; good rows survive."""
+    from searchengine_spark.operators import multimodal
+
+    good_png = mc.encode_png(np.full((4, 4), 7, dtype=np.uint8))
+    corrupt_png = mc.PNG_MAGIC + b"\x00\x01garbage-not-chunks"
+    unknown = b"\xff\xd8\xff\xe0 jpeg-ish bytes"
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(good_png), None),
+            (1, "image", bytearray(corrupt_png), None),
+            (2, "image", bytearray(unknown), None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.extract_features(media, on_error="skip").toPandas()
+    assert got["media_id"].tolist() == [0]
+    # and the default still raises on the same input
+    with pytest.raises(Exception):
+        multimodal.extract_features(media).collect()
