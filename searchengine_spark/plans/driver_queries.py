@@ -437,6 +437,53 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_asof_fwd(spark, sf_dir):
+    """Forward as-of: for each click, the user's EARLIEST purchase
+    at-or-after it (operators/asof.asof_join direction='forward'),
+    verified against DuckDB ASOF JOIN with the >= inequality."""
+    from searchengine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["value"],
+        direction="forward",
+    )
+    return j.select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
+def q_events_sliding(spark, sf_dir):
+    """Hopping (sliding) windows: 1-hour windows every 20 minutes — each
+    event lands in exactly 3 windows. Oracle replicates Spark's
+    epoch-aligned window starts with an unnest([0,1,2]) offset join and
+    naive-timestamp arithmetic (no tz round-trips)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "20 minutes").alias("win"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def q_sessions_overlap(spark, sf_dir):
     """Interval-overlap join (operators/asof.interval_join, bucketed range
     join — Spark has no native one): per user, click-sessions overlapping
@@ -525,6 +572,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_asof_fwd": q_events_asof_fwd,
+    "events_sliding": q_events_sliding,
     "sessions_overlap": q_sessions_overlap,
     "value_percentiles": q_value_percentiles,
 }
@@ -750,6 +799,26 @@ ORACLES = {
         " SELECT *, row_number() OVER (PARTITION BY o_custkey"
         " ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)"
         " WHERE rn = 1"
+    ),
+    "events_asof_fwd": (
+        "WITH l AS (SELECT user_id, ts, event_id FROM events"
+        "           WHERE event_type = 'click'),"
+        " r AS (SELECT user_id, ts, value FROM events"
+        "       WHERE event_type = 'purchase')"
+        " SELECT l.user_id, l.ts AS click_ts, l.event_id AS click_id,"
+        " r.ts AS purchase_ts, r.value AS purchase_value"
+        " FROM l ASOF JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts"
+    ),
+    "events_sliding": (
+        # epoch_us: integer floor division — epoch() returns a DOUBLE whose
+        # ::BIGINT cast ROUNDS, flipping events within 0.5 s of a boundary
+        "WITH w AS (SELECT event_type, value,"
+        "  TIMESTAMP '1970-01-01 00:00:00'"
+        "    + ((epoch_us(ts) // 1200000000 - k) * 1200) * INTERVAL 1 SECOND"
+        "    AS win_start"
+        "  FROM events, unnest([0, 1, 2]) AS t(k))"
+        " SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events,"
+        " round(sum(value), 6) AS sum_value FROM w GROUP BY 1, 2"
     ),
     "sessions_overlap": (
         f"WITH {_session_cte('click', 'click')}, {_session_cte('purchase', 'purchase')}"
