@@ -182,6 +182,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (node,
+    component), component = min node id in the component — the clustering
+    step that turns near-dup PAIRS into dedup GROUPS (pick the component
+    id as the canonical doc, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own and its neighbors' labels; converges in O(graph diameter)
+    rounds. Near-dup clusters are small and dense (diameter a few hops),
+    so a handful of rounds suffice; for adversarially long path graphs
+    the production upgrade is the large-star/small-star algorithm
+    (O(log n) rounds, same join shapes). Each round is two hash joins +
+    an aggregation on (node) — no driver-side graph state; lineage is cut
+    per round with localCheckpoint so plans stay flat; the convergence
+    probe is a LIMIT 1 existence check, not a count."""
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("a", "node")
+        )
+        new = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def simhash(
     df: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -163,6 +163,15 @@ def q_near_dup_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(docs, rare_df_max=cap, threshold=0.5)
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the exact-Jaccard
+    pair list (dedup.connected_components, min-label propagation) — the
+    step that turns pairs into droppable groups. Oracle: recursive-CTE
+    transitive closure over the same pair SQL."""
+    pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup.connected_components(pairs)
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -554,6 +563,7 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash,
     "near_dup_jaccard": q_near_dup_jaccard,
+    "dup_clusters": q_dup_clusters,
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "language_id": q_langid,
@@ -860,3 +870,16 @@ ORACLES = {
         " FROM events GROUP BY 1, 2"
     ),
 }
+
+# dup_clusters builds on the near-dup pair SQL: recursive-CTE transitive
+# closure, component = min reachable node (incl. self)
+ORACLES["dup_clusters"] = (
+    f"WITH RECURSIVE pairs AS ({ORACLES['near_dup_jaccard']}),"
+    " e AS (SELECT doc_a AS a, doc_b AS b FROM pairs"
+    "       UNION SELECT doc_b, doc_a FROM pairs),"
+    " r(a, b) AS (SELECT a, b FROM e"
+    "   UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a),"
+    " reach AS (SELECT a, b FROM r UNION SELECT a, a FROM e)"
+    " SELECT a AS node, CAST(min(b) AS BIGINT) AS component"
+    " FROM reach GROUP BY a"
+)

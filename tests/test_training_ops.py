@@ -274,3 +274,24 @@ def test_embedding_near_dup_pairs_empty_input(spark):
     out = similarity.embedding_near_dup_pairs(empty, bits=4, n_tables=1)
     assert out.columns == ["id_a", "id_b", "cos"]
     assert out.count() == 0
+
+
+def test_connected_components_path_and_islands(spark):
+    """Min-label propagation: a 9-node path (needs several rounds to
+    converge), a separate triangle, and a 2-node island all labeled by
+    their min member."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    edges = (
+        [(i, i + 1) for i in range(10, 18)]     # path 10-18, component 10
+        + [(30, 31), (31, 32), (30, 32)]        # triangle, component 30
+        + [(50, 41)]                            # island, component 41
+    )
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    want = {n: 10 for n in range(10, 19)}
+    want.update({30: 30, 31: 30, 32: 30, 41: 41, 50: 41})
+    assert got == want
