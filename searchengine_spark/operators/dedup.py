@@ -202,9 +202,13 @@ def connected_components(
     an aggregation on (node) — no driver-side graph state; lineage is cut
     per round with localCheckpoint so plans stay flat; the convergence
     probe is a LIMIT 1 existence check, not a count."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        # materialize once: the edge list's lineage (often an expensive
+        # candidate-generation pipeline) must not re-execute every round
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
