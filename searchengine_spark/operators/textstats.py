@@ -84,3 +84,29 @@ def token_count_bpe_ish(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         ws.cast("long").alias("n_ws_tokens"),
         sub.cast("long").alias("n_subword_tokens"),
     )
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc Shannon entropy of the character distribution (bits) — a
+    classic garbage/boilerplate signal: natural text sits ~4–4.5 bits,
+    repeated boilerplate and single-char floods sit far lower, random
+    bytes higher. (doc_id, n_chars, char_entropy).
+
+    Shape: explode to (doc, char) → histogram → −Σ p·log2 p. The shuffle
+    key (doc_id, char) has bounded fanout (≤ alphabet per doc) and
+    map-side partial counts keep the exploded rows from traveling; at
+    100 TB this is the same two-phase aggregation as term counting."""
+    chars = df.select(
+        id_col, F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    hist = chars.groupBy(id_col, "ch").agg(F.count("*").alias("n"))
+    tot = hist.groupBy(id_col).agg(F.sum("n").alias("n_chars"))
+    return (
+        hist.join(tot, id_col)
+        .withColumn("p", F.col("n") / F.col("n_chars"))
+        .groupBy(id_col)
+        .agg(
+            F.first("n_chars").cast("long").alias("n_chars"),
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("char_entropy"),
+        )
+    )

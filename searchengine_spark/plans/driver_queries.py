@@ -192,6 +192,11 @@ def q_token_counts(spark, sf_dir):
     return textstats.token_count_bpe_ish(_docs(spark, sf_dir))
 
 
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per doc (quality signal)."""
+    return textstats.char_entropy(_docs(spark, sf_dir))
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
@@ -569,6 +574,7 @@ QUERIES = {
     "language_id": q_langid,
     "fingerprint": q_fingerprint,
     "token_counts": q_token_counts,
+    "char_entropy": q_char_entropy,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -728,6 +734,17 @@ ORACLES = {
         " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
         "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
         " FROM embeddings CROSS JOIN q ORDER BY cos DESC, vec_id ASC LIMIT 20"
+    ),
+    "char_entropy": (
+        "WITH ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS ch"
+        "   FROM documents),"
+        " h AS (SELECT doc_id, ch, count(*) AS n FROM ch WHERE ch <> ''"
+        "   GROUP BY doc_id, ch),"
+        " t AS (SELECT doc_id, sum(n) AS n_chars FROM h GROUP BY doc_id)"
+        " SELECT doc_id, CAST(t.n_chars AS BIGINT) AS n_chars,"
+        " round(-sum((n / CAST(t.n_chars AS DOUBLE))"
+        "   * log2(n / CAST(t.n_chars AS DOUBLE))), 6) AS char_entropy"
+        " FROM h JOIN t USING (doc_id) GROUP BY doc_id, t.n_chars"
     ),
     "ann_lsh_topk": _lsh_oracle_sql(),
     "lsh_pairs": (
