@@ -129,14 +129,28 @@ def interval_join(
     from pyspark.sql import types as T
 
     def secs(expr, dtype):
-        # TIMESTAMP_NTZ has no direct numeric cast in Spark 4; any
-        # consistent monotonic mapping works for bucketing, so NTZ goes
-        # through the session-tz timestamp reinterpretation
-        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+        # every temporal type goes through cast("timestamp") → unix_micros:
+        # TIMESTAMP_NTZ has no direct numeric cast in Spark 4, and DATE cast
+        # this way uses the SAME session-tz coercion Spark applies when
+        # comparing date to timestamp columns — so the bucket mapping and
+        # the overlap predicate can never disagree, in any session timezone
+        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
             return F.unix_micros(expr.cast("timestamp")) / F.lit(1e6)
-        if isinstance(dtype, T.DateType):
-            return F.unix_date(expr) * F.lit(86400.0)
         return expr.cast("double")
+
+    def is_temporal(dtype):
+        return isinstance(
+            dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        )
+
+    lt, rt = left.schema[ls].dataType, right.schema[rs].dataType
+    if is_temporal(lt) != is_temporal(rt):
+        # ADVICE r02: a temporal/numeric mix would bucket the two sides on
+        # incomparable scales — every overlap silently dropped. Fail loudly.
+        raise ValueError(
+            f"interval_join range columns must both be temporal or both "
+            f"numeric, got left {lt.simpleString()} vs right {rt.simpleString()}"
+        )
 
     def bucketed(df, lo, hi):
         return df.withColumn(
@@ -151,13 +165,15 @@ def interval_join(
 
     lb = bucketed(left, ls, le)
     rb = bucketed(right, rs, re_)
-    start_t = left.schema[ls].dataType
+    # canonical bucket: secs() is applied PER SIDE with that side's dtype
+    # before taking the max (ADVICE r02: greatest() under a single dtype
+    # mis-bucketed mixed timestamp/date ranges, dropping overlaps)
+    canon = F.greatest(
+        secs(F.col(ls), lt), secs(F.col(rs), rt)
+    )
     return (
         lb.join(rb, [*by, "_ij_b"])
         .where((F.col(ls) <= F.col(re_)) & (F.col(rs) <= F.col(le)))
-        .where(
-            F.floor(secs(F.greatest(F.col(ls), F.col(rs)), start_t) / W)
-            == F.col("_ij_b")
-        )
+        .where(F.floor(canon / W) == F.col("_ij_b"))
         .drop("_ij_b")
     )

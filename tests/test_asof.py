@@ -178,3 +178,70 @@ def test_interval_join_rejects_column_clash(spark, tiny):
     left, _ = tiny
     with pytest.raises(ValueError, match="rename overlapping"):
         interval_join(left, left, ("ts", "ts"), ("ts", "ts"), by="user_id")
+
+
+def test_interval_join_mixed_timestamp_date_ranges(spark):
+    """ADVICE r02: timestamp-left × date-right must bucket each side on
+    its OWN dtype — the old single-dtype canonical expression misbucketed
+    and dropped overlaps. Brute-force check over a seeded grid."""
+    from searchengine_spark.operators.asof import interval_join
+
+    rng = np.random.default_rng(7)
+    base = pd.Timestamp("2024-03-01")
+    L = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 40),
+            "t_start": [base + pd.Timedelta(hours=int(h)) for h in rng.integers(0, 24 * 30, 40)],
+            "lid": np.arange(40),
+        }
+    )
+    L["t_end"] = L.t_start + pd.to_timedelta(rng.integers(1, 24 * 8, 40), unit="h")
+    R = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, 30),
+            "d_start": [(base + pd.Timedelta(days=int(d))).date() for d in rng.integers(0, 30, 30)],
+            "rid": np.arange(30),
+        }
+    )
+    R["d_end"] = [
+        (pd.Timestamp(s) + pd.Timedelta(days=int(d))).date()
+        for s, d in zip(R.d_start, rng.integers(0, 10, 30))
+    ]
+    lf = spark.createDataFrame(L)
+    rf = spark.createDataFrame(R).select(
+        "k", F.col("d_start").cast("date").alias("d_start"),
+        F.col("d_end").cast("date").alias("d_end"), "rid",
+    )
+    assert dict(rf.dtypes)["d_start"] == "date"
+    got = (
+        interval_join(lf, rf, ("t_start", "t_end"), ("d_start", "d_end"),
+                      by="k", bucket_seconds=86400)
+        .select("lid", "rid")
+        .toPandas()
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    merged = L.merge(R, on="k")
+    ds = pd.to_datetime(merged.d_start)
+    de = pd.to_datetime(merged.d_end)
+    brute = (
+        merged[(merged.t_start <= de) & (ds <= merged.t_end)][["lid", "rid"]]
+        .sort_values(["lid", "rid"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, brute)
+    assert len(got) > 20
+
+
+def test_interval_join_rejects_temporal_numeric_mix(spark):
+    from searchengine_spark.operators.asof import interval_join
+
+    from datetime import datetime
+
+    lf = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 2))],
+        "k long, t_start timestamp, t_end timestamp",
+    )
+    rf = spark.createDataFrame([(1, 5.0, 9.0)], "k long, n_start double, n_end double")
+    with pytest.raises(ValueError, match="both be temporal or both numeric"):
+        interval_join(lf, rf, ("t_start", "t_end"), ("n_start", "n_end"), by="k")
