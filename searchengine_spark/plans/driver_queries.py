@@ -152,20 +152,44 @@ def q_minhash(spark, sf_dir):
     return dedup.minhash_signatures(_docs(spark, sf_dir), n_hashes=MINHASHES)
 
 
+# doc counts per sf_dir are fixed, so the eager .count() that derives the
+# rare-df cap runs once per corpus, not once per driver invocation
+# (ADVICE r02: near_dup_jaccard + dup_clusters each re-scanned documents)
+_NDOCS_MEMO: dict = {}
+
+
+def _n_docs(spark, sf_dir) -> int:
+    if sf_dir not in _NDOCS_MEMO:
+        _NDOCS_MEMO[sf_dir] = _docs(spark, sf_dir).count()
+    return _NDOCS_MEMO[sf_dir]
+
+
 def q_near_dup_jaccard(spark, sf_dir):
     """Exact Jaccard near-dup over rare-term candidates. The rare-df cap
     scales with corpus size (n/8, floor 3): the testdata's planted
     near-duplicate marker term ('dup') has df ∝ corpus size, so a fixed
     cap matches it at one sf and misses it at another — a 0-row result
-    verifies nothing. The oracle computes the identical cap in SQL."""
+    verifies nothing. The oracle computes the identical cap in SQL.
+
+    The scaled cap is quadratic in principle (measured: candidate pairs
+    0.6×n at n=500, 6.2×n at n=5000, ~62×n projected at sf1), so the
+    call is guarded by max_candidate_pairs=128·n — past roughly sf1 the
+    gate fails LOUDLY, documenting that production callers use a fixed
+    rare_df_max (the operator default) or LSH candidates + exact re-rank
+    (dedup.minhash_lsh_pairs) instead of a corpus-scaled cap."""
     docs = _docs(spark, sf_dir)
-    cap = max(3, docs.count() // 8)
-    return dedup.ngram_jaccard_pairs(docs, rare_df_max=cap, threshold=0.5)
+    n = _n_docs(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        docs,
+        rare_df_max=max(3, n // 8),
+        threshold=0.5,
+        max_candidate_pairs=128 * n,
+    )
 
 
 def q_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the exact-Jaccard
-    pair list (dedup.connected_components, min-label propagation) — the
+    pair list (dedup.connected_components, large-star/small-star) — the
     step that turns pairs into droppable groups. Oracle: recursive-CTE
     transitive closure over the same pair SQL."""
     pairs = q_near_dup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
