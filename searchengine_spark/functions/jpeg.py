@@ -1,0 +1,688 @@
+"""Baseline JPEG (SOF0) codec — stdlib + numpy only.
+
+Makes the multimodal decode stage REAL for the dominant training-corpus
+image format (VERDICT r02 gap #1): a sequential-DCT Huffman decoder that
+handles grayscale and YCbCr with per-component sampling factors h,v ∈
+{1, 2} (covers 4:4:4, 4:2:2, 4:2:0), restart markers, and multiple
+DQT/DHT segments; plus a minimal spec-conformant encoder so tests can
+round-trip known pixels through real containers.
+
+Decoder scope (raises ``UnsupportedMediaError`` beyond it):
+* SOF0 (and SOF1 — same entropy coding) with 8-bit samples;
+* progressive (SOF2), arithmetic coding (SOF9+), hierarchical, and
+  12-bit modes are out of scope — in production the same operator shape
+  plugs in PIL/libjpeg-turbo.
+
+The encoder emits one DHT per (class, destination) built canonically
+from the symbols actually used (fixed code length ℓ = ⌈log₂(n+1)⌉ —
+legal, suboptimal, and typo-proof: no dependence on transcribing the
+Annex K Huffman tables), IJG-quality-scaled Annex K quantization
+tables (stored in DQT, so decode needs no shared constants), and
+optional 2×2 luma subsampling to exercise the decoder's 4:2:0 path.
+
+Everything here is written from the public JPEG spec (ITU-T T.81 /
+ISO 10918-1) and the JFIF color conventions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class UnsupportedMediaError(NotImplementedError):
+    """Payload format/feature has no decoder in this environment.
+
+    Canonical definition — ``media_codecs`` re-exports this class so every
+    codec raises the same type.
+    """
+
+
+# ---------------------------------------------------------------------------
+# shared tables / transforms
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> np.ndarray:
+    """Indices into a row-major 8×8 block, in JPEG zigzag scan order."""
+    order = []
+    for s in range(15):
+        rows = range(s + 1)
+        for r in (rows if s % 2 else reversed(list(rows))):
+            c = s - r
+            if r < 8 and c < 8:
+                order.append(r * 8 + c)
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()            # block[ZIGZAG[k]] = k-th coeff in scan order
+UNZIGZAG = np.argsort(ZIGZAG)       # scan[UNZIGZAG[i]] = block flat index i
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    c = np.cos((2 * n + 1) * k * np.pi / 16)
+    c[0, :] *= np.sqrt(0.5)
+    return c * 0.5  # orthonormal scaling: C @ C.T == I
+
+
+DCT = _dct_matrix()
+
+
+def fdct2(block: np.ndarray) -> np.ndarray:
+    return DCT @ block @ DCT.T
+
+
+def idct2(coef: np.ndarray) -> np.ndarray:
+    return DCT.T @ coef @ DCT
+
+
+# Annex K base quantization tables (stored in DQT on encode; the decoder
+# always reads tables from the stream, never from these constants).
+QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 → base table, 100 → all ones."""
+    quality = min(100, max(1, quality))
+    s = 5000 / quality if quality < 50 else 200 - 2 * quality
+    q = np.floor((base * s + 50) / 100)
+    return np.clip(q, 1, 255)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# bit I/O (entropy-coded segment, 0xFF00 stuffing, RST byte-alignment)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first reader over an entropy-coded segment: un-stuffs 0xFF00,
+    byte-aligns + skips RSTn markers, stops at any other marker."""
+
+    def __init__(self, data: bytes, start: int) -> None:
+        self.data = data
+        self.pos = start
+        self.acc = 0
+        self.nbits = 0
+        self.end = False
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.end = True
+                self.acc = (self.acc << 8) | 0xFF  # pad reads past end
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller
+                    self.end = True
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+                else:  # real marker: scan over
+                    self.end = True
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read(self, length: int) -> int:
+        if length == 0:
+            return 0
+        if self.nbits < length:
+            self._fill()
+        v = (self.acc >> (self.nbits - length)) & ((1 << length) - 1)
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def restart(self) -> None:
+        """Consume an RSTn marker: drop buffered bits, skip the marker."""
+        self.acc = 0
+        self.nbits = 0
+        self.end = False
+        d = self.data
+        # skip fill bytes then the marker itself
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected RST marker")
+
+
+# ---------------------------------------------------------------------------
+# Huffman tables (canonical, per T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """BITS (count of codes per length 1..16) + HUFFVAL → {symbol: (code,
+    length)}."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        # mincode/maxcode per length (T.81 F.2.2.3 DECODE procedure)
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = br.read(1)
+        length = 1
+        while code > self.maxcode[length]:
+            if length >= 16:
+                raise ValueError("bad Huffman code (corrupt scan)")
+            code = (code << 1) | br.read(1)
+            length += 1
+        return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+def _fixed_length_table(symbols: list[int]) -> tuple[list[int], list[int]]:
+    """A legal canonical table giving every symbol the same code length
+    ℓ = ⌈log₂(n+1)⌉ (the +1 keeps the all-ones code unused, as T.81
+    requires of DHT tables built by this library's encoder)."""
+    syms = sorted(set(symbols)) or [0]
+    n = len(syms)
+    length = max(1, int(np.ceil(np.log2(n + 1))))
+    bits = [0] * 16
+    bits[length - 1] = n
+    return bits, syms
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """Value → (category, appended bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bitsv = v if v > 0 else v + (1 << cat) - 1
+    return cat, bitsv
+
+
+def _extend(bitsv: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    if bitsv < (1 << (cat - 1)):
+        return bitsv - (1 << cat) + 1
+    return bitsv
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _block_symbols(qblock: np.ndarray) -> tuple[list, list]:
+    """Quantized zigzag block (64 ints, DC diff already applied) →
+    (dc_syms, ac_syms) as (symbol, extra_bits, n_extra) triples."""
+    dc_cat, dc_bits = _magnitude(int(qblock[0]))
+    dc = [(dc_cat, dc_bits, dc_cat)]
+    ac = []
+    run = 0
+    for k in range(1, 64):
+        v = int(qblock[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ac.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        cat, bitsv = _magnitude(v)
+        ac.append(((run << 4) | cat, bitsv, cat))
+        run = 0
+    if run:
+        ac.append((0x00, 0, 0))  # EOB
+    return dc, ac
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsample: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """(H, W) grayscale or (H, W, 3) RGB uint8 → baseline JPEG bytes.
+
+    ``subsample=2`` uses 2×2 luma sampling factors (4:2:0) — chroma is
+    box-averaged — so decoder upsampling paths get exercised by tests.
+    ``restart_interval=n`` emits a DRI segment and an RSTm marker every n
+    MCUs (with DC-predictor reset + byte alignment, per T.81 §B.2.4.4).
+    """
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        ycc = _rgb_to_ycbcr(img.astype(np.float64))
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample == 2:
+            ph = (h + 1) // 2 * 2
+            pw = (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    qtabs = [_scaled_quant(QUANT_LUMA, quality)]
+    if not gray:
+        qtabs.append(_scaled_quant(QUANT_CHROMA, quality))
+    qz = [q.reshape(-1)[ZIGZAG] for q in qtabs]  # zigzag-order quant vectors
+    comp_q = [0] if gray else [0, 1, 1]
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # pad each plane to its own MCU-aligned size (edge replicate)
+    padded = []
+    for (sh, sv), p in zip(samp, planes):
+        th = mcus_y * sv * 8
+        tw = mcus_x * sh * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    # quantized zigzag blocks in interleaved MCU order
+    mcu_blocks: list[list[tuple[int, np.ndarray]]] = []  # [(comp, block64)]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            blocks = []
+            for ci, ((sh, sv), p) in enumerate(zip(samp, padded)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = fdct2(blk).reshape(-1)[ZIGZAG]
+                        q = np.rint(coef / qz[comp_q[ci]]).astype(np.int64)
+                        blocks.append((ci, q))
+            mcu_blocks.append(blocks)
+
+    # DC differencing + symbol collection per table class, grouped by MCU
+    # (DC predictors reset at restart boundaries, T.81 §E.2.4)
+    n_comp = len(planes)
+    pred = [0] * n_comp
+    per_mcu: list[list[tuple[int, list, list]]] = []
+    dc_syms: dict[int, list[int]] = {0: [], 1: []}
+    ac_syms: dict[int, list[int]] = {0: [], 1: []}
+    for mcu_i, blocks in enumerate(mcu_blocks):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            pred = [0] * n_comp
+        entries = []
+        for ci, q in blocks:
+            diff = int(q[0]) - pred[ci]
+            pred[ci] = int(q[0])
+            qd = q.copy()
+            qd[0] = diff
+            dc, ac = _block_symbols(qd)
+            tab = 0 if ci == 0 else 1
+            dc_syms[tab].extend(s for s, _, _ in dc)
+            ac_syms[tab].extend(s for s, _, _ in ac)
+            entries.append((ci, dc, ac))
+        per_mcu.append(entries)
+
+    tabs_used = [0] if gray else [0, 1]
+    dc_tables = {t: _fixed_length_table(dc_syms[t]) for t in tabs_used}
+    ac_tables = {t: _fixed_length_table(ac_syms[t]) for t in tabs_used}
+    dc_codes = {t: _canonical_codes(*dc_tables[t]) for t in tabs_used}
+    ac_codes = {t: _canonical_codes(*ac_tables[t]) for t in tabs_used}
+
+    scan_parts: list[bytes] = []
+    bw = _BitWriter()
+    for mcu_i, entries in enumerate(per_mcu):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            scan_parts.append(bw.flush())
+            scan_parts.append(
+                bytes([0xFF, 0xD0 + (mcu_i // restart_interval - 1) % 8])
+            )
+            bw = _BitWriter()
+        for ci, dc, ac in entries:
+            tab = 0 if ci == 0 else 1
+            for sym, bitsv, nbits in dc:
+                code, ln = dc_codes[tab][sym]
+                bw.write(code, ln)
+                bw.write(bitsv, nbits)
+            for sym, bitsv, nbits in ac:
+                code, ln = ac_codes[tab][sym]
+                bw.write(code, ln)
+                bw.write(bitsv, nbits)
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    # --- assemble segments ---
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )  # APP0
+    for i, q in enumerate(qtabs):
+        zz = q.reshape(-1)[ZIGZAG].astype(np.uint8)
+        out += seg(0xDB, bytes([i]) + zz.tobytes())
+    comps = b"".join(
+        struct.pack(
+            "BBB", ci + 1, (samp[ci][0] << 4) | samp[ci][1], comp_q[ci]
+        )
+        for ci in range(n_comp)
+    )
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, n_comp) + comps)  # SOF0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    for t in tabs_used:
+        for cls, (bits, vals) in ((0, dc_tables[t]), (1, ac_tables[t])):
+            out += seg(
+                0xC4,
+                bytes([(cls << 4) | t])
+                + bytes(bits)
+                + bytes(vals),
+            )
+    sos_comps = b"".join(
+        struct.pack("BB", ci + 1, ((0 if ci == 0 else 1) << 4) | (0 if ci == 0 else 1))
+        for ci in range(n_comp)
+    )
+    out += seg(0xDA, bytes([n_comp]) + sos_comps + b"\x00\x3f\x00")
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (H, W) uint8 grayscale or (H, W, 3) uint8 RGB.
+
+    Error contract (fuzz-tested): corrupt input raises ``ValueError``;
+    valid-but-unsupported modes raise ``UnsupportedMediaError``. No other
+    exception types escape."""
+    try:
+        return _decode_jpeg(payload)
+    except (UnsupportedMediaError, ValueError):
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            ZeroDivisionError) as e:
+        raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
+
+
+# allocation guard for corrupt/adversarial SOF dimensions (a forged header
+# can declare 65535×65535); decode of a legitimately larger image should
+# happen through an external codec anyway
+MAX_PIXELS = 1 << 26
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    d = payload
+    if d[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(d):
+        if d[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = d[pos + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", d[pos + 2 : pos + 4])
+        body = d[pos + 4 : pos + 2 + length]
+        nxt = pos + 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[i : i + 64], dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    i += 64
+                else:
+                    vals = np.frombuffer(
+                        body[i : i + 128], dtype=">u2"
+                    ).astype(np.float64)
+                    i += 128
+                tbl = np.zeros(64)
+                tbl[ZIGZAG] = vals  # stored in zigzag order
+                qtables[tq] = tbl.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                huff[(cls, th)] = _HuffDecoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: sequential baseline/extended
+            prec, fh, fw, n_comp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise UnsupportedMediaError(f"JPEG precision {prec} (only 8)")
+            if fh == 0 or fw == 0 or fh * fw > MAX_PIXELS:
+                raise ValueError(f"JPEG dimensions {fw}×{fh} out of range")
+            comps = []
+            for ci in range(n_comp):
+                cid, hv, tq = struct.unpack(
+                    "BBB", body[6 + ci * 3 : 9 + ci * 3]
+                )
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {"h": fh, "w": fw, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"JPEG SOF{marker - 0xC0} (progressive/arithmetic/"
+                "hierarchical) — only baseline sequential is decodable here"
+            )
+        elif marker == 0xDA:  # SOS → decode entropy data
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = body[0]
+            scan_sel = []
+            for i in range(ns):
+                cs, tds = body[1 + i * 2], body[2 + i * 2]
+                scan_sel.append({"id": cs, "td": tds >> 4, "ta": tds & 0xF})
+            return _decode_scan(
+                d, nxt, frame, scan_sel, qtables, huff, restart_interval
+            )
+        pos = nxt
+    raise ValueError("JPEG truncated: no SOS")
+
+
+def _decode_scan(d, start, frame, scan_sel, qtables, huff, restart_interval):
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    order = [by_id[s["id"]] for s in scan_sel]
+    if len(order) != len(comps):
+        raise UnsupportedMediaError("multi-scan JPEG (non-interleaved)")
+    sel = {s["id"]: s for s in scan_sel}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    for c in comps:
+        c["plane"] = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+        )
+        if c["tq"] not in qtables:
+            raise ValueError(f"missing quant table {c['tq']}")
+
+    br = _BitReader(d, start)
+    pred = {c["id"]: 0 for c in comps}
+    mcu_i = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                br.restart()
+                pred = {c["id"]: 0 for c in comps}
+            for c in order:  # SOS-declared component order
+                s = sel[c["id"]]
+                dc_t = huff.get((0, s["td"]))
+                ac_t = huff.get((1, s["ta"]))
+                if dc_t is None or ac_t is None:
+                    raise ValueError("missing Huffman table for scan")
+                q = qtables[c["tq"]].reshape(-1)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef = np.zeros(64)
+                        cat = dc_t.decode(br)
+                        diff = _extend(br.read(cat), cat)
+                        pred[c["id"]] += diff
+                        coef[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = ac_t.decode(br)
+                            r, sz = rs >> 4, rs & 0xF
+                            if sz == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            coef[ZIGZAG[k]] = _extend(br.read(sz), sz)
+                            k += 1
+                        block = idct2((coef * q).reshape(8, 8)) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_i += 1
+
+    # upsample to full resolution and color-convert
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        fy, fx = vmax // c["v"], hmax // c["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+    if len(planes) == 3:
+        return _ycbcr_to_rgb(*planes)
+    raise UnsupportedMediaError(f"JPEG with {len(planes)} components")

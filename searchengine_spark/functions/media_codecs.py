@@ -11,10 +11,13 @@ stub for those formats:
   minimal encoder exists so tests can round-trip known pixels.
 * WAV (RIFF PCM) — stdlib ``wave`` for the container, 8/16/32-bit PCM
   payloads to a float64 sample array in [-1, 1].
+* JPEG — baseline sequential (SOF0/SOF1) Huffman decoder in
+  ``functions/jpeg.py`` (numpy IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart
+  markers), re-exported here; progressive/arithmetic modes raise.
 
-JPEG / MP3 / video containers remain honestly unsupported
-(``UnsupportedMediaError``) — a DCT/entropy decoder is out of scope here;
-in production the same operator shape plugs in PIL/ffmpeg.
+MP3 / video containers remain honestly unsupported
+(``UnsupportedMediaError``) — in production the same operator shape plugs
+in PIL/ffmpeg.
 """
 
 from __future__ import annotations
@@ -25,18 +28,30 @@ import zlib
 
 import numpy as np
 
+from searchengine_spark.functions.jpeg import (
+    UnsupportedMediaError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+__all__ = [
+    "UnsupportedMediaError", "sniff", "decode_png", "encode_png",
+    "decode_jpeg", "encode_jpeg", "decode_wav", "encode_wav",
+    "resize_area", "image_features", "audio_features", "decode_features",
+    "N_FEATURES",
+]
+
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 WAV_MAGIC = b"RIFF"
-
-
-class UnsupportedMediaError(NotImplementedError):
-    """Payload format has no stdlib decoder in this environment."""
+JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def sniff(payload: bytes) -> str:
-    """Best-effort container sniff: 'png' | 'wav' | 'unknown'."""
+    """Best-effort container sniff: 'png' | 'jpeg' | 'wav' | 'unknown'."""
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:3] == JPEG_MAGIC:
+        return "jpeg"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
     return "unknown"
@@ -93,7 +108,20 @@ def _unfilter(raw: bytes, height: int, width: int, channels: int) -> np.ndarray:
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → (H, W, C) uint8. 8-bit, color types 0/2/4/6, no
-    interlace (the overwhelmingly common cases)."""
+    interlace (the overwhelmingly common cases).
+
+    Error contract (fuzz-tested): corrupt input raises ``ValueError``;
+    valid-but-unsupported variants raise ``UnsupportedMediaError``."""
+    try:
+        return _decode_png(payload)
+    except (UnsupportedMediaError, ValueError):
+        raise
+    except (zlib.error, struct.error, IndexError, OverflowError,
+            MemoryError) as e:
+        raise ValueError(f"corrupt PNG: {type(e).__name__}: {e}") from e
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != PNG_MAGIC:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -122,8 +150,14 @@ def decode_png(payload: bytes) -> np.ndarray:
     if interlace:
         raise UnsupportedMediaError("interlaced PNG unsupported")
     channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(idat)
     expect = height * (1 + width * channels)
+    if height == 0 or width == 0 or expect > (1 << 28):
+        # forged IHDR dims / decompression bomb guard (~256 MB raw cap)
+        raise ValueError(f"PNG dimensions {width}×{height} out of range")
+    dec = zlib.decompressobj()
+    raw = dec.decompress(idat, expect + 1)  # bound inflate output
+    if dec.unconsumed_tail:
+        raw += dec.decompress(dec.unconsumed_tail, 1)
     if len(raw) != expect:
         raise ValueError(f"PNG data length {len(raw)} != expected {expect}")
     return _unfilter(raw, height, width, channels)
@@ -180,9 +214,25 @@ def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes → (samples float64 in [-1, 1] shaped (n_frames, channels),
-    sample_rate). PCM 8/16/32-bit via stdlib ``wave``."""
+    sample_rate). PCM 8/16/32-bit via stdlib ``wave``.
+
+    Error contract (fuzz-tested): corrupt input raises ``ValueError``;
+    unsupported sample widths raise ``UnsupportedMediaError``."""
     import wave
 
+    try:
+        return _decode_wav(payload, wave)
+    except (UnsupportedMediaError, ValueError):
+        raise
+    except (wave.Error, EOFError, struct.error, IndexError,
+            ZeroDivisionError, MemoryError,
+            # stdlib wave/chunk raise bare RuntimeError/OSError on some
+            # malformed chunk layouts (seen under fuzz)
+            RuntimeError, OSError) as e:
+        raise ValueError(f"corrupt WAV: {type(e).__name__}: {e}") from e
+
+
+def _decode_wav(payload: bytes, wave) -> tuple[np.ndarray, int]:
     with wave.open(io.BytesIO(payload), "rb") as wf:
         sr = wf.getframerate()
         nch = wf.getnchannels()
@@ -257,15 +307,25 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
     ]
 
 
-def decode_features(payload: bytes) -> list[float]:
-    """Sniff + decode + real features; raises UnsupportedMediaError for
-    formats without a stdlib decoder (JPEG/MP3/video)."""
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff + decode any supported image container → (H, W[, C]) uint8."""
     kind = sniff(bytes(payload))
     if kind == "png":
-        return image_features(decode_png(bytes(payload)))
+        return decode_png(bytes(payload))
+    if kind == "jpeg":
+        return decode_jpeg(bytes(payload))
+    raise UnsupportedMediaError(f"not a decodable image container ({kind})")
+
+
+def decode_features(payload: bytes) -> list[float]:
+    """Sniff + decode + real features; raises UnsupportedMediaError for
+    formats without a decoder here (MP3/video)."""
+    kind = sniff(bytes(payload))
+    if kind in ("png", "jpeg"):
+        return image_features(decode_image(bytes(payload)))
     if kind == "wav":
         return audio_features(*decode_wav(bytes(payload)))
     raise UnsupportedMediaError(
-        "no stdlib decoder for this payload (PNG and PCM-WAV are supported; "
-        "JPEG/MP3/video need external codecs)"
+        "no decoder for this payload (PNG, baseline JPEG and PCM-WAV are "
+        "supported; MP3/video need external codecs)"
     )

@@ -2,11 +2,13 @@
 
 The Spark-side machinery — schema, Arrow batch shape, partition-friendly
 ``mapInPandas`` signatures, typed metadata structs — is real and tested.
-Decoding is REAL for the formats the standard library can parse
+Decoding is REAL for the formats parseable here
 (:mod:`searchengine_spark.functions.media_codecs`): PNG images (chunk
-walk + zlib inflate + scanline unfilter) and PCM WAV audio (stdlib
+walk + zlib inflate + scanline unfilter), baseline JPEG
+(:mod:`searchengine_spark.functions.jpeg` — Huffman + numpy IDCT,
+chroma subsampling, restart markers) and PCM WAV audio (stdlib
 ``wave``), with genuine pixel/sample feature math and an area-average
-resize. Formats needing external codecs (JPEG/MP3/video) raise
+resize. Formats needing external codecs (MP3/video, progressive JPEG) raise
 ``UnsupportedMediaError`` unless ``fake=True`` opts into the
 clearly-marked deterministic byte-statistics stand-in, so the distributed
 pipeline shape can still be exercised over undecodable payloads.
@@ -119,14 +121,15 @@ THUMBS_SCHEMA = T.StructType(
 
 
 def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame:
-    """Decode PNG payloads and area-average-resize the luma plane to
-    (out_h, out_w) → (media_id, height, width, thumb[out_h*out_w]) — the
-    real decode+resize path, Arrow-batched, narrow (no shuffle). Non-PNG
-    rows are skipped (filter upstream on ``kind`` to control coverage)."""
+    """Decode image payloads (PNG + baseline JPEG) and area-average-resize
+    the luma plane to (out_h, out_w) → (media_id, height, width,
+    thumb[out_h*out_w]) — the real decode+resize path, Arrow-batched,
+    narrow (no shuffle). Non-image rows are skipped (filter upstream on
+    ``kind`` to control coverage)."""
     import numpy as np
 
     from searchengine_spark.functions.media_codecs import (
-        decode_png,
+        decode_image,
         resize_area,
         sniff,
     )
@@ -135,9 +138,11 @@ def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFr
         for b in batches:
             out = {"media_id": [], "height": [], "width": [], "thumb": []}
             for mid, p in zip(b["media_id"], b["payload"]):
-                if sniff(bytes(p)) != "png":
+                if sniff(bytes(p)) not in ("png", "jpeg"):
                     continue
-                img = decode_png(bytes(p))
+                img = decode_image(bytes(p))
+                if img.ndim == 2:
+                    img = img[:, :, None]
                 luma = img[:, :, : min(3, img.shape[2])].mean(axis=2)
                 th = resize_area(luma, out_h, out_w)[:, :, 0]
                 out["media_id"].append(int(mid))

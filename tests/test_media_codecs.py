@@ -74,3 +74,185 @@ def test_extract_features_skips_poison_rows(spark):
     # and the default still raises on the same input
     with pytest.raises(Exception):
         multimodal.extract_features(media).collect()
+
+
+# ---------------------------------------------------------------------------
+# JPEG (functions/jpeg.py — baseline SOF0 codec)
+# ---------------------------------------------------------------------------
+
+
+def _smooth(h, w, seed, color):
+    """Low-frequency image: DCT quantization error stays small, so decode
+    accuracy is assertable with a tight tolerance."""
+    rng = np.random.default_rng(seed)
+    yy = np.linspace(0, np.pi * rng.uniform(0.5, 2), h)[:, None]
+    xx = np.linspace(0, np.pi * rng.uniform(0.5, 2), w)[None, :]
+    base = 127 + 100 * np.sin(yy) * np.cos(xx)
+    if not color:
+        return np.clip(base, 0, 255).astype(np.uint8)
+    chans = [np.clip(base * s + o, 0, 255) for s, o in ((1, 0), (-0.7, 180), (0.4, 60))]
+    return np.stack(chans, axis=-1).astype(np.uint8)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    sub=st.sampled_from([1, 2]),
+    ri=st.sampled_from([0, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(h, w, color, sub, ri, seed):
+    from searchengine_spark.functions import jpeg
+
+    img = _smooth(h, w, seed, color)
+    if not color:
+        sub = 1
+    out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=95, subsample=sub, restart_interval=ri)
+    )
+    assert out.shape == img.shape
+    # 4:2:0 legitimately destroys chroma detail (box-average): compare
+    # against the chroma-subsampled REFERENCE, so the assertion measures
+    # codec error, not the format's intentional information loss
+    ref = img.astype(float)
+    if sub == 2:
+        ycc = jpeg._rgb_to_ycbcr(ref)
+        ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+        for ch in (1, 2):
+            p = np.pad(ycc[..., ch], ((0, ph - h), (0, pw - w)), mode="edge")
+            avg = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            ycc[..., ch] = np.repeat(np.repeat(avg, 2, 0), 2, 1)[:h, :w]
+        ref = jpeg._ycbcr_to_rgb(
+            ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        ).astype(float)
+    mae = np.abs(out.astype(float) - ref).mean()
+    # q95 quant error on smooth content; tiny images pay extra for the
+    # high-frequency content edge-padding introduces into the 8×8 block
+    assert mae < 6.0, mae
+
+
+def test_jpeg_planted_pixels_golden():
+    """Deterministic golden: known planted blocks decode to the planted
+    values within quantization error; a flat image decodes exactly."""
+    from searchengine_spark.functions import jpeg
+
+    flat = np.full((16, 24), 201, np.uint8)
+    assert (jpeg.decode_jpeg(jpeg.encode_jpeg(flat, quality=95)) == 201).all()
+
+    # two flat 8x8 tiles of different values: block DC carries each exactly
+    tiles = np.zeros((8, 16), np.uint8)
+    tiles[:, :8] = 50
+    tiles[:, 8:] = 180
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(tiles, quality=95))
+    assert np.abs(out[:, :8].astype(int) - 50).max() <= 1
+    assert np.abs(out[:, 8:].astype(int) - 180).max() <= 1
+
+    # flat color image: RGB roundtrips through YCbCr within rounding
+    col = np.empty((8, 8, 3), np.uint8)
+    col[..., 0], col[..., 1], col[..., 2] = 200, 30, 90
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(col, quality=95))
+    assert np.abs(out.astype(int) - col.astype(int)).max() <= 2
+
+
+def test_jpeg_sniff_and_features_dispatch():
+    from searchengine_spark.functions import jpeg
+
+    b = jpeg.encode_jpeg(_smooth(10, 12, 1, True), quality=90)
+    assert mc.sniff(b) == "jpeg"
+    feats = mc.decode_features(b)
+    assert len(feats) == mc.N_FEATURES
+    assert feats[0] == 12.0 and feats[1] == 10.0  # width, height
+
+
+def test_jpeg_progressive_raises_unsupported():
+    from searchengine_spark.functions import jpeg
+
+    b = bytearray(jpeg.encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(mc.UnsupportedMediaError, match="progressive"):
+        jpeg.decode_jpeg(bytes(b))
+
+
+def test_jpeg_forged_dims_rejected():
+    from searchengine_spark.functions import jpeg
+
+    b = bytearray(jpeg.encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    i = bytes(b).find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) H(2) W(2) — forge 65535×65535
+    b[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    with pytest.raises(ValueError, match="out of range"):
+        jpeg.decode_jpeg(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# fuzz: decoders never crash with untyped errors (VERDICT r02 #6)
+# ---------------------------------------------------------------------------
+
+_TYPED = None  # filled below
+
+
+def _assert_typed_or_ok(fn, payload):
+    try:
+        fn(payload)
+    except (mc.UnsupportedMediaError, ValueError):
+        pass  # the documented error contract
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(max_size=200))
+def test_fuzz_jpeg_magic_prefix_typed_errors(payload):
+    from searchengine_spark.functions import jpeg
+
+    _assert_typed_or_ok(jpeg.decode_jpeg, b"\xff\xd8\xff" + payload)
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(max_size=200))
+def test_fuzz_png_magic_prefix_typed_errors(payload):
+    _assert_typed_or_ok(mc.decode_png, mc.PNG_MAGIC + payload)
+
+
+@settings(max_examples=150, deadline=None)
+@given(payload=st.binary(max_size=200))
+def test_fuzz_wav_magic_prefix_typed_errors(payload):
+    _assert_typed_or_ok(
+        mc.decode_wav, b"RIFF" + payload[:4] + b"WAVE" + payload[4:]
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(payload=st.binary(max_size=300))
+def test_fuzz_decode_features_any_bytes_typed_errors(payload):
+    _assert_typed_or_ok(mc.decode_features, payload)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 10), w=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+    flip_at=st.integers(8, 120), flip_to=st.integers(0, 255),
+)
+def test_fuzz_bitflipped_png_typed_errors(h, w, seed, flip_at, flip_to):
+    """Valid container with one corrupted byte: decode either still
+    succeeds or raises the typed contract — never IndexError/zlib.error."""
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    b = bytearray(mc.encode_png(img))
+    b[flip_at % len(b)] = flip_to
+    _assert_typed_or_ok(mc.decode_png, bytes(b))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    flip_at=st.integers(2, 400), flip_to=st.integers(0, 255),
+)
+def test_fuzz_bitflipped_jpeg_typed_errors(seed, flip_at, flip_to):
+    from searchengine_spark.functions import jpeg
+
+    img = _smooth(17, 13, seed, True)
+    b = bytearray(jpeg.encode_jpeg(img, quality=85, subsample=2))
+    b[flip_at % len(b)] = flip_to
+    _assert_typed_or_ok(jpeg.decode_jpeg, bytes(b))
