@@ -1,0 +1,165 @@
+"""ANN recall artifact (VERDICT r02 #4): recall@k vs exact brute force at
+fixed probe budgets, for the sign-LSH and IVF approximate top-k operators,
+over the provisioned embeddings table.
+
+Method: for each of the first ``--n-queries`` vectors in the table, the
+exact ``cosine_topk`` result is ground truth; each (method, budget)
+configuration runs the REAL serving operator (same code path as the
+driver-gate entries) and recall@k = |approx ∩ exact| / k, averaged over
+queries. ``cand_frac`` is the mean fraction of the table scanned for
+exact re-ranking — the cost axis the budget buys down, and the number
+that holds at any scale (bucket probing is a partition-pruned scan of a
+prematerialized assignment at 100 TB; see SCALE.md).
+
+Usage::
+
+    python tools/ann_recall.py [--sf-dir /root/testdata/sf0.1] [--k 20]
+    # → writes BENCH/ann_recall.json, appends a summary to BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--k", type=int, default=20)
+    ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--no-md", action="store_true",
+                    help="skip appending to BENCH/BASELINE.md")
+    args = ap.parse_args()
+
+    from searchengine_spark.operators import similarity as sim
+    from searchengine_spark.session import get_session
+
+    spark = get_session()
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet").cache()
+    n_total = emb.count()
+
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.orderBy("vec_id").limit(args.n_queries).collect()
+    ]
+    k = args.k
+
+    def ids(df) -> set:
+        return {int(r["vec_id"]) for r in df.collect()}
+
+    exact = {qid: ids(sim.cosine_topk(emb, qv, k)) for qid, qv in queries}
+
+    results: list[dict] = []
+
+    def record(method: str, budget: dict, per_query):
+        recalls, fracs = [], []
+        for qid, qv in queries:
+            got, n_cand = per_query(qv)
+            recalls.append(len(got & exact[qid]) / k)
+            fracs.append(n_cand / n_total)
+        results.append(
+            {
+                "method": method,
+                **budget,
+                "recall_at_k": round(float(np.mean(recalls)), 4),
+                "recall_min": round(float(np.min(recalls)), 4),
+                "cand_frac": round(float(np.mean(fracs)), 4),
+            }
+        )
+
+    # sign-LSH: bits × (bucket-only | +Hamming-1 multiprobe)
+    for bits in (6, 8, 10):
+        for multiprobe in (False, True):
+            def run_lsh(qv, bits=bits, multiprobe=multiprobe):
+                dim = len(qv)
+                planes = sim._hyperplanes(dim, bits)
+                qvn = np.asarray(qv)
+                qsig = int(sum((1 << i) for i, p in enumerate(planes)
+                               if float(qvn @ p) > 0))
+                probes = [qsig] + (
+                    [qsig ^ (1 << i) for i in range(bits)] if multiprobe else []
+                )
+                from pyspark.sql import functions as F
+                cands = sim.lsh_assign(emb, planes).where(
+                    F.col("_sig").isin(probes))
+                n_cand = cands.count()
+                return ids(sim.cosine_topk(cands, qv, k)), n_cand
+
+            record("lsh", {"bits": bits, "multiprobe": multiprobe}, run_lsh)
+
+    # IVF: one trained codebook per n_cells, nprobe sweep
+    for n_cells in (16, 32):
+        C = sim.ivf_train_centroids(emb, n_cells)
+        for nprobe in (1, 2, 4, 8, n_cells):
+            def run_ivf(qv, C=C, n_cells=n_cells, nprobe=nprobe):
+                qvn = np.asarray(qv, dtype=np.float64)
+                qn = np.linalg.norm(qvn)
+                if qn > 1e-12:
+                    qvn = qvn / qn
+                probes = [int(x) for x in
+                          np.argsort(-(C @ qvn), kind="stable")[:nprobe]]
+                from pyspark.sql import functions as F
+                cands = sim.ivf_assign(emb, C).where(
+                    F.col("_cell").isin(probes))
+                n_cand = cands.count()
+                return ids(sim.cosine_topk(cands, qv, k)), n_cand
+
+            record("ivf", {"n_cells": n_cells, "nprobe": nprobe}, run_ivf)
+
+    summary = {
+        "metric": "ann_recall_at_k",
+        "k": k,
+        "n_queries": len(queries),
+        "n_vectors": n_total,
+        "sf_dir": args.sf_dir,
+        "configs": results,
+    }
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    base = os.path.basename(os.path.normpath(args.sf_dir))
+    out_name = (
+        "ann_recall.json" if base == "sf0.1" else f"ann_recall_{base}.json"
+    )
+    with open(f"{REPO}/BENCH/{out_name}", "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+
+    if not args.no_md:
+        rows = "\n".join(
+            "| {method} | {budget} | {r:.3f} | {rmin:.3f} | {cf:.1%} |".format(
+                method=c["method"],
+                budget=(
+                    f"bits={c['bits']}, multiprobe={c['multiprobe']}"
+                    if c["method"] == "lsh"
+                    else f"n_cells={c['n_cells']}, nprobe={c['nprobe']}"
+                ),
+                r=c["recall_at_k"], rmin=c["recall_min"], cf=c["cand_frac"],
+            )
+            for c in results
+        )
+        md = f"""
+
+## ANN recall@{k} vs probe budget ({len(queries)} queries, {n_total} vectors, {os.path.basename(args.sf_dir)})
+
+Ground truth = exact `cosine_topk`; each row runs the real serving
+operator. `cand frac` = fraction of the table exactly re-ranked — the
+scan cost the budget controls (machine-readable: `BENCH/ann_recall.json`).
+
+| method | budget | recall@{k} | min recall | cand frac |
+|---|---|---|---|---|
+{rows}
+"""
+        with open(f"{REPO}/BENCH/BASELINE.md", "a") as f:
+            f.write(md)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,202 @@
+"""Deterministic scaled test-data generator (VERDICT r02 #2: bench at sf1).
+
+The provisioned testdata stops at sf0.1, where ~6.5 s of Python-worker
+warmup dominates 0.3–2 s queries and per-round deltas drown in noise.
+This tool synthesises an sfN directory with the SAME schemas and measured
+statistical shape as the driver's sf0.1 tables (vocabulary + uniform term
+draw + 5% 'dup' marker for documents; unit-norm 10-cluster embeddings;
+30-day event stream; TPC-H-ish lineitem/orders/customer with the observed
+categorical mixes and ranges), scaled by row count. Deterministic: one
+seed drives everything; no external data. Generates only the six tables
+the driver-gate queries read.
+
+Pure numpy + pyarrow — no Spark session needed. Row groups are sized so
+Spark's parquet splitter parallelizes the scan.
+
+Usage::
+
+    python tools/gen_sf.py --scale 10 --out /tmp/sf1     # sf1 = 10× sf0.1
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "spark", "window", "merge", "table", "column", "vector", "stream",
+    "value", "data", "small", "join", "filter", "big", "group", "hash",
+    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
+    "row", "agg", "key", "query", "a", "scan", "batch",
+]
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+RETURNFLAGS = ["A", "N", "R"]
+LINESTATUS = ["F", "O"]
+
+
+def write(path: str, name: str, table: pa.Table) -> None:
+    pq.write_table(
+        table, os.path.join(path, f"{name}.parquet"), row_group_size=200_000
+    )
+    print(f"  {name}: {table.num_rows:,} rows")
+
+
+def gen_documents(rng, n: int) -> pa.Table:
+    lens = rng.integers(10, 101, n)
+    texts = []
+    vocab = np.array(VOCAB)
+    for i in range(n):
+        words = vocab[rng.integers(0, len(vocab), lens[i])]
+        t = " ".join(words)
+        if rng.random() < 0.05:
+            t += " dup"
+        texts.append(t)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"src{i % 20}" for i in range(n)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def gen_embeddings(rng, n: int, dim: int = 64, n_labels: int = 10) -> pa.Table:
+    centers = rng.standard_normal((n_labels, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, n_labels, n)
+    vecs = centers[labels] + 0.35 * rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels.astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def gen_events(rng, n: int, n_users: int) -> pa.Table:
+    span_us = 30 * 86400 * 1_000_000  # same 30-day window as sf0.1
+    ts = np.sort(rng.integers(0, span_us, n)) + np.int64(1704067200000000)
+    return pa.table(
+        {
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n), pa.int64()),
+            "event_type": pa.array(
+                np.array(EVENT_TYPES)[rng.integers(0, len(EVENT_TYPES), n)]
+            ),
+            "value": pa.array(
+                np.round(rng.exponential(75.0, n).clip(0, 600), 2)
+            ),
+            "props": pa.array(
+                [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, n)]
+            ),
+        }
+    )
+
+
+def gen_relational(rng, n_li: int, n_orders: int, n_cust: int):
+    customer = pa.table(
+        {
+            "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int64()),
+            "c_acctbal": pa.array(
+                np.round(rng.uniform(-999, 9999, n_cust), 2)
+            ),
+            "c_mktsegment": pa.array(
+                np.array(["BUILDING", "AUTOMOBILE", "MACHINERY",
+                          "HOUSEHOLD", "FURNITURE"])[
+                    rng.integers(0, 5, n_cust)
+                ]
+            ),
+        }
+    )
+    base_date = np.datetime64("2023-01-01")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_orders), pa.int64()),
+            "o_orderstatus": pa.array(
+                np.array(["F", "O", "P"])[rng.integers(0, 3, n_orders)]
+            ),
+            "o_totalprice": pa.array(
+                np.round(rng.uniform(1000, 500000, n_orders), 2)
+            ),
+            "o_orderdate": pa.array(
+                base_date + rng.integers(0, 700, n_orders).astype("timedelta64[D]")
+            ),
+            "o_orderpriority": pa.array(
+                np.array(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW"])[
+                    rng.integers(0, 4, n_orders)
+                ]
+            ),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array(rng.integers(0, n_orders, n_li), pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_li // 30 + 1, n_li), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_li // 300 + 1, n_li), pa.int64()),
+            "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int64()),
+            "l_quantity": pa.array(
+                rng.integers(1, 51, n_li).astype(np.float64)
+            ),
+            "l_extendedprice": pa.array(
+                np.round(rng.uniform(900, 105000, n_li), 2)
+            ),
+            "l_discount": pa.array(
+                np.round(rng.integers(0, 11, n_li) / 100.0, 2)
+            ),
+            "l_tax": pa.array(np.round(rng.integers(0, 9, n_li) / 100.0, 2)),
+            "l_returnflag": pa.array(
+                np.array(RETURNFLAGS)[rng.integers(0, 3, n_li)]
+            ),
+            "l_linestatus": pa.array(
+                np.array(LINESTATUS)[rng.integers(0, 2, n_li)]
+            ),
+            "l_shipdate": pa.array(
+                base_date + rng.integers(0, 760, n_li).astype("timedelta64[D]")
+            ),
+        }
+    )
+    return lineitem, orders, customer
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=float, default=10.0,
+                    help="multiplier vs sf0.1 row counts (10 → sf1)")
+    ap.add_argument("--out", default="/tmp/sf1")
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+    s = args.scale
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    print(f"generating scale={s}× sf0.1 into {args.out}")
+    write(args.out, "documents", gen_documents(rng, int(5_000 * s)))
+    write(args.out, "embeddings", gen_embeddings(rng, int(2_000 * s)))
+    write(args.out, "events", gen_events(rng, int(100_000 * s),
+                                         n_users=int(1_500 * s)))
+    li, od, cu = gen_relational(
+        rng, int(600_000 * s), int(150_000 * s), int(15_000 * s)
+    )
+    write(args.out, "lineitem", li)
+    write(args.out, "orders", od)
+    write(args.out, "customer", cu)
+    print("done")
+
+
+if __name__ == "__main__":
+    main()
