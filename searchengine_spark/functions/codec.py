@@ -134,3 +134,37 @@ def unpack_block(gaps: bytes, tfs: bytes, dls: bytes, n: int):
         varint_decode(tfs, n),
         varint_decode(dls, n),
     )
+
+
+def unpack_run(gaps_bufs, tfs_bufs, dls_bufs, ns):
+    """Bulk-decode a RUN of consecutive blocks of one term → concatenated
+    (doc_ids, tfs, dls), identical to chaining :func:`unpack_block` over
+    the run (property-tested) but paying ONE vectorized varint decode per
+    stream instead of a Python call per block.
+
+    Why: the query scorer touches ~10k blocks per (range, query-batch);
+    at 128 docs/block the per-block Python dispatch dominated decode cost
+    (measured ~200k `unpack_block` calls for the 20-query set on the 800k
+    corpus). Varints are self-delimiting, so the run's buffers concatenate
+    losslessly; per-block delta chains (first value absolute) are restored
+    with a segmented cumsum — global cumsum minus a per-segment offset —
+    with no per-block loop.
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    ntot = int(ns.sum())
+    if ntot == 0:
+        z = np.array([], dtype=np.uint64)
+        return z, z.copy(), z.copy()
+    raw = varint_decode(b"".join(gaps_bufs), ntot)
+    cs = np.cumsum(raw.astype(np.uint64), dtype=np.uint64)
+    starts = np.zeros(len(ns), dtype=np.int64)
+    np.cumsum(ns[:-1], out=starts[1:])
+    # segment s (rows starts[s]..) holds absolute ids cs[i] - (cs[starts[s]]
+    # - raw[starts[s]]): at i = starts[s] this is raw[starts[s]], the
+    # block's absolute first doc id, and gaps accumulate from there
+    corr = np.repeat(cs[starts] - raw[starts], ns)
+    return (
+        cs - corr,
+        varint_decode(b"".join(tfs_bufs), ntot),
+        varint_decode(b"".join(dls_bufs), ntot),
+    )

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from searchengine_spark.functions.codec import bm25_idf, bm25_tf_part, unpack_block
+from searchengine_spark.functions.codec import (
+    bm25_idf,
+    bm25_tf_part,
+    unpack_block,
+    unpack_run,
+)
 from searchengine_spark.functions.tokenizer import tokenize
 from searchengine_spark.plans.manifest import Manifest
 
@@ -132,7 +137,8 @@ BATCH_RESULT_SCHEMA = T.StructType(
 
 
 def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
-                               range_width: int, k: int):
+                               range_width: int, k: int,
+                               maxscore: bool = True, stats: dict | None = None):
     """Build the per-range pandas scorer for a BATCH of queries.
     ``qmap``: {query_id: {term: (qtf, df)}}.
 
@@ -144,6 +150,21 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     undecoded blocks) is skipped. Docs inside surviving chunks are scored
     exactly (float64, lexicographic term order — same addend order as the
     oracle), so skipping can never emit a partial score.
+
+    ``maxscore=True`` layers MaxScore essential-term pruning (Turtle &
+    Flood 1995) inside each surviving chunk: terms whose chunk bounds sum
+    to strictly < θ form the NON-ESSENTIAL set — a doc appearing in none
+    of the remaining (essential) terms is provably below θ, so
+    non-essential blocks are decoded only when they overlap a doc already
+    seen in an essential list, and contribute only to those docs. Scores
+    of emitted docs stay bit-exact: contributions are recorded per term
+    and applied in the same lexicographic term order as the dense path
+    (verified by an on/off identity test + the oracle rank-identity
+    suite).
+
+    ``stats`` (measurement harnesses only — the distributed path leaves
+    it None since workers can't share a driver dict): counts decoded
+    blocks, block visits, and blocks skipped by chunk-break vs MaxScore.
 
     Batching amortizes the dominant shared costs across queries: one
     postings scan + one shuffle + one Python stage per BATCH (not per
@@ -180,19 +201,43 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 list(sub["gaps"]), list(sub["tfs"]), list(sub["dls"]),
                 sub["n"].to_numpy(np.int64),
             )
-        decoded: dict = {}  # (term, block_idx) -> (local_offsets, tf_part)
+        decoded: dict = {}  # (term, b0, b1) run -> (local_offsets, tf_part)
         out_qids, out_ids, out_scores = [], [], []
         for qid in sorted(weights):
             w = {t: wv for t, wv in weights[qid].items() if t in per_term}
             if not w:
                 continue
             chunk_ub = np.zeros(n_chunks, dtype=np.float64)
+            t_ubs: dict = {}
             for t, wv in w.items():
                 first, last, bmax = per_term[t][:3]
                 t_ub = np.zeros(n_chunks, dtype=np.float64)
                 for f, l, u in zip(first // CHUNK, last // CHUNK, wv * bmax):
                     np.maximum(t_ub[f : l + 1], u, out=t_ub[f : l + 1])
+                t_ubs[t] = t_ub
                 chunk_ub += t_ub
+
+            def get_run(t, b0, b1):
+                """Decode blocks [b0, b1) of term t in ONE bulk varint
+                decode (codec.unpack_run) → (local doc offsets, bm25 tf
+                part), cached per run for all queries in the batch."""
+                run = decoded.get((t, b0, b1))
+                if run is None:
+                    _f, _l, _b, gaps, tfs, dls, ns = per_term[t]
+                    ids, tf, dl = unpack_run(
+                        gaps[b0:b1], tfs[b0:b1], dls[b0:b1], ns[b0:b1]
+                    )
+                    run = (
+                        ids.astype(np.int64) - base,
+                        bm25_tf_part(tf, dl, avgdl),
+                    )
+                    decoded[(t, b0, b1)] = run
+                    if stats is not None:
+                        stats["blocks_decoded"] = (
+                            stats.get("blocks_decoded", 0) + (b1 - b0)
+                        )
+                return run
+
             q_ids, q_scores = [], []
             theta = -np.inf
             order = np.argsort(-chunk_ub, kind="stable")
@@ -200,30 +245,81 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 if chunk_ub[c] == 0.0 or chunk_ub[c] < theta:
                     break  # descending bounds: nothing further reaches top-k
                 lo, hi = c * CHUNK, min((c + 1) * CHUNK, range_width)
+                # MaxScore split: greedily move the weakest terms (by this
+                # chunk's bound) into the non-essential set while their
+                # bound-sum stays strictly below θ — docs absent from every
+                # essential list are provably below θ (strict: a θ-tie could
+                # still displace on the doc_id tiebreak, so it stays in).
+                ness: set = set()
+                if maxscore and theta > -np.inf and len(w) > 1:
+                    tail = 0.0
+                    for t in sorted(w, key=lambda t: t_ubs[t][c])[:-1]:
+                        if tail + t_ubs[t][c] < theta:
+                            tail += t_ubs[t][c]
+                            ness.add(t)
+                        else:
+                            break
                 scores = np.zeros(hi - lo, dtype=np.float64)
                 seen = np.zeros(hi - lo, dtype=bool)
+                contribs = []  # (term, positions, addends)
                 for t in sorted(w):
-                    first, last, _bmax, gaps, tfs, dls, ns = per_term[t]
+                    if t in ness:
+                        continue
+                    first, last = per_term[t][:2]
                     b0 = int(np.searchsorted(last, lo, side="left"))
                     b1 = int(np.searchsorted(first, hi, side="left"))
-                    for bi in range(b0, b1):
-                        blk = decoded.get((t, bi))
-                        if blk is None:
-                            ids, tf, dl = unpack_block(
-                                gaps[bi], tfs[bi], dls[bi], int(ns[bi])
+                    if b0 >= b1:
+                        continue
+                    if stats is not None:
+                        stats["block_visits"] = (
+                            stats.get("block_visits", 0) + (b1 - b0)
+                        )
+                    off, tf_part = get_run(t, b0, b1)
+                    s0 = int(np.searchsorted(off, lo, side="left"))
+                    s1 = int(np.searchsorted(off, hi, side="left"))
+                    if s0 < s1:
+                        sel = off[s0:s1] - lo
+                        contribs.append((t, sel, w[t] * tf_part[s0:s1]))
+                        seen[sel] = True
+                for t in sorted(ness):
+                    first, last = per_term[t][:2]
+                    b0 = int(np.searchsorted(last, lo, side="left"))
+                    b1 = int(np.searchsorted(first, hi, side="left"))
+                    if b0 >= b1:
+                        continue
+                    if stats is not None:
+                        stats["block_visits"] = (
+                            stats.get("block_visits", 0) + (b1 - b0)
+                        )
+                    # decode only if the run's doc span contains a doc
+                    # already seen in an essential list
+                    flo = max(int(first[b0]) - lo, 0)
+                    fhi = min(int(last[b1 - 1]) - lo + 1, hi - lo)
+                    if (t, b0, b1) not in decoded and (
+                        fhi <= flo or not seen[flo:fhi].any()
+                    ):
+                        if stats is not None:
+                            stats["blocks_skipped_maxscore"] = (
+                                stats.get("blocks_skipped_maxscore", 0)
+                                + (b1 - b0)
                             )
-                            blk = (
-                                ids.astype(np.int64) - base,
-                                bm25_tf_part(tf, dl, avgdl),
+                        continue
+                    off, tf_part = get_run(t, b0, b1)
+                    s0 = int(np.searchsorted(off, lo, side="left"))
+                    s1 = int(np.searchsorted(off, hi, side="left"))
+                    if s0 < s1:
+                        sel = off[s0:s1] - lo
+                        m = seen[sel]
+                        if m.any():
+                            contribs.append(
+                                (t, sel[m], (w[t] * tf_part[s0:s1])[m])
                             )
-                            decoded[(t, bi)] = blk
-                        off, tf_part = blk
-                        s0 = int(np.searchsorted(off, lo, side="left"))
-                        s1 = int(np.searchsorted(off, hi, side="left"))
-                        if s0 < s1:
-                            sel = off[s0:s1] - lo
-                            scores[sel] += w[t] * tf_part[s0:s1]
-                            seen[sel] = True
+                # apply in lexicographic term order — same per-doc addend
+                # order as the dense path (and the oracle), so MaxScore
+                # cannot perturb a single float bit of surviving scores
+                contribs.sort(key=lambda x: x[0])
+                for _t, sel, vals in contribs:
+                    scores[sel] += vals
                 cand = np.flatnonzero(seen)
                 if cand.size == 0:
                     continue
@@ -263,6 +359,7 @@ def search_batch(
     index_dir: str,
     queries: list[str],
     k: int = 10,
+    maxscore: bool = True,
 ) -> DataFrame:
     """BM25 top-k for a batch of queries in ONE distributed job →
     DataFrame(query_id, doc_id, score) with per-query (score desc, doc_id
@@ -282,7 +379,8 @@ def search_batch(
     if not qmap:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
     scorer = _score_range_batch_factory(
-        qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"], s["range_width"], k
+        qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+        s["range_width"], k, maxscore=maxscore
     )
     all_terms = sorted({t for qw in qmap.values() for t in qw})
     posts = spark.read.parquet(f"{index_dir}/postings").where(
@@ -303,6 +401,7 @@ def search(
     index_dir: str,
     query: str,
     k: int = 10,
+    maxscore: bool = True,
 ) -> DataFrame:
     """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally ordered."""
     man = Manifest(index_dir)
@@ -311,7 +410,8 @@ def search(
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
     scorer = _score_range_batch_factory(
-        {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"], s["range_width"], k
+        {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+        s["range_width"], k, maxscore=maxscore
     )
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(qweights))

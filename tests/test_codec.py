@@ -65,3 +65,41 @@ def test_block_roundtrip_and_blockmax_invariant():
     assert np.array_equal(np.concatenate(out_ids), doc_ids)
     assert np.array_equal(np.concatenate(out_tfs), tfs)
     assert np.array_equal(np.concatenate(out_dls), dls)
+
+
+def test_unpack_run_equals_chained_unpack_block():
+    """Bulk run decode == concatenation of per-block decodes, for random
+    runs over random posting lists (incl. 1-block and whole-list runs)."""
+    import numpy as np
+
+    from searchengine_spark.functions.codec import (
+        pack_blocks,
+        unpack_block,
+        unpack_run,
+    )
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(1, 1000))
+        ids = np.unique(rng.integers(0, 10_000_000, n).astype(np.uint64))
+        tfs = rng.integers(1, 50, len(ids)).astype(np.uint64)
+        dls = rng.integers(1, 500, len(ids)).astype(np.uint64)
+        blocks = list(pack_blocks(ids, tfs, dls, avgdl=100.0))
+        nb = len(blocks)
+        b0 = int(rng.integers(0, nb))
+        b1 = int(rng.integers(b0 + 1, nb + 1))
+        run = unpack_run(
+            [b["gaps"] for b in blocks[b0:b1]],
+            [b["tfs"] for b in blocks[b0:b1]],
+            [b["dls"] for b in blocks[b0:b1]],
+            [b["n"] for b in blocks[b0:b1]],
+        )
+        chained = [
+            unpack_block(b["gaps"], b["tfs"], b["dls"], b["n"])
+            for b in blocks[b0:b1]
+        ]
+        for got, parts in zip(run, ([c[i] for c in chained] for i in range(3))):
+            assert (got == np.concatenate(list(parts))).all()
+    # empty run
+    e = unpack_run([], [], [], [])
+    assert all(len(x) == 0 for x in e)

@@ -43,3 +43,19 @@ def test_stopword_only_query_empty(spark, index_1k):
 
 def test_out_of_vocabulary_empty(spark, index_1k):
     assert search(spark, index_1k, "zzz_out_of_vocabulary", k=10).count() == 0
+
+
+def test_maxscore_identical_to_dense(spark, index_1k):
+    """MaxScore essential-term pruning must be invisible in the output:
+    (doc_id, score) lists bit-identical to the dense scorer for every
+    reference query (contributions are applied in the same lexicographic
+    term order, so not even a float ulp may differ)."""
+    from searchengine_spark.operators.wand import search_batch
+
+    on = search_batch(spark, index_1k, REFERENCE_QUERIES, k=10,
+                      maxscore=True).toPandas()
+    off = search_batch(spark, index_1k, REFERENCE_QUERIES, k=10,
+                       maxscore=False).toPandas()
+    assert on["query_id"].tolist() == off["query_id"].tolist()
+    assert on["doc_id"].tolist() == off["doc_id"].tolist()
+    assert on["score"].tolist() == off["score"].tolist()  # exact, no tol

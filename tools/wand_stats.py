@@ -1,0 +1,119 @@
+"""Block-decode measurement for the WAND scorer (VERDICT r02 #8).
+
+Runs the 20-query reference set through `_score_range_batch_factory`
+IN-PROCESS (same function the distributed `applyInPandas` stage ships,
+fed the same per-range pandas groups), once with MaxScore essential-term
+pruning and once dense, and reports blocks decoded / visited / skipped
+plus scorer wall time. In-process because the counters live in a plain
+dict — Spark workers couldn't share one — and the scorer is a pure
+function of its pandas input, so the counts are exactly what the
+distributed stage would do.
+
+Also asserts the two modes return identical (query, doc, score) triples
+(bit-exact), duplicating the pytest identity check at measurement scale.
+
+Usage::
+
+    python tools/wand_stats.py [--index-dir /tmp/se_scaling_idx_32] [--k 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", default="/tmp/se_scaling_idx_32")
+    ap.add_argument("--k", type=int, default=10)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.wand import (
+        _score_range_batch_factory,
+        fold_query_terms_batch,
+    )
+    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.session import get_session
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+    spark = get_session(app_name="wand-stats")
+    man = Manifest(args.index_dir)
+    s = man.scalars
+    folded = fold_query_terms_batch(spark, args.index_dir, REFERENCE_QUERIES)
+    qmap = {i: qw for i, qw in enumerate(folded) if qw}
+    all_terms = sorted({t for qw in qmap.values() for t in qw})
+    pdf = (
+        spark.read.parquet(f"{args.index_dir}/postings")
+        .where(F.col("term").isin(all_terms))
+        .toPandas()
+    )
+    print(f"{len(qmap)}/{len(REFERENCE_QUERIES)} queries resolve; "
+          f"{len(all_terms)} terms; {len(pdf)} posting blocks in scope",
+          file=sys.stderr)
+
+    results = {}
+    outputs = {}
+    for mode in ("dense", "maxscore"):
+        stats: dict = {}
+        scorer = _score_range_batch_factory(
+            qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+            s["range_width"], args.k,
+            maxscore=(mode == "maxscore"), stats=stats,
+        )
+        t0 = time.time()
+        outs = []
+        for rng, grp in pdf.groupby("rng"):
+            outs.append(scorer((rng,), grp))
+        wall = time.time() - t0
+        import pandas as pd
+
+        out = pd.concat(outs, ignore_index=True)
+        # per-query top-k with the global tiebreak (mirrors the final stage)
+        out = (
+            out.sort_values(["query_id", "score", "doc_id"],
+                            ascending=[True, False, True])
+            .groupby("query_id")
+            .head(args.k)
+            .reset_index(drop=True)
+        )
+        outputs[mode] = out
+        results[mode] = {
+            "scorer_wall_sec": round(wall, 3),
+            "blocks_decoded": stats.get("blocks_decoded", 0),
+            "block_visits": stats.get("block_visits", 0),
+            "blocks_skipped_maxscore": stats.get("blocks_skipped_maxscore", 0),
+        }
+
+    same = (
+        outputs["dense"]["doc_id"].tolist() == outputs["maxscore"]["doc_id"].tolist()
+        and outputs["dense"]["score"].tolist() == outputs["maxscore"]["score"].tolist()
+    )
+    d, m = results["dense"], results["maxscore"]
+    summary = {
+        "metric": "wand_block_decodes",
+        "index_dir": args.index_dir,
+        "n_queries": len(qmap),
+        "k": args.k,
+        "dense": d,
+        "maxscore": m,
+        "decode_reduction": round(
+            1 - m["blocks_decoded"] / d["blocks_decoded"], 4
+        ) if d["blocks_decoded"] else 0.0,
+        "identical_results": bool(same),
+    }
+    print(json.dumps(summary))
+    if not same:
+        sys.exit("FAIL: maxscore output differs from dense")
+
+
+if __name__ == "__main__":
+    main()
