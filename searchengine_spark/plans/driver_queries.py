@@ -359,6 +359,19 @@ def q_pruned_doc_stats(spark, sf_dir):
     )
 
 
+def q_first_seen_docs(spark, sf_dir):
+    """Batch shape of the custom stateful streaming operator
+    (streaming/stateful.first_occurrence_stream, applyInPandasWithState):
+    the kept first-wins row per content hash — stream≡batch identity over
+    arrival slices is tested in tests/test_streaming.py."""
+    from searchengine_spark.streaming.stateful import first_occurrence_batch
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.md5("text").alias("content_hash")
+    )
+    return first_occurrence_batch(docs, "content_hash", "doc_id")
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -605,6 +618,7 @@ QUERIES = {
     "lsh_pairs": q_lsh_pairs,
     "cosine_topk_docs": q_cosine_topk_docs,
     "pruned_doc_stats": q_pruned_doc_stats,
+    "first_seen_docs": q_first_seen_docs,
     "lineitem_pricing": q_lineitem_pricing,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -810,6 +824,12 @@ ORACLES = {
         f" SELECT doc_id, round(qd / (norm * sqrt({float(len(QTERMS))!r})), 6) AS score"
         " FROM qd JOIN norms USING (doc_id)"
         " ORDER BY score DESC, doc_id ASC LIMIT 20"
+    ),
+    "first_seen_docs": (
+        "SELECT doc_id, content_hash FROM"
+        " (SELECT doc_id, md5(text) AS content_hash,"
+        "  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn"
+        "  FROM documents) WHERE rn = 1"
     ),
     "pruned_doc_stats": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"

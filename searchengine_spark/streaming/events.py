@@ -80,13 +80,16 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def run_to_memory(stream_df: DataFrame, table: str, checkpoint: str):
+def run_to_memory(stream_df: DataFrame, table: str, checkpoint: str,
+                  mode: str = "complete"):
     """Drain all available input into an in-memory sink (availableNow) and
-    block until done — the deterministic test harness shape."""
+    block until done — the deterministic test harness shape. ``mode``:
+    "complete" for windowed aggregates, "append" for row-emitting stateful
+    operators (streaming/stateful.py)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table)
-        .outputMode("complete")
+        .outputMode(mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

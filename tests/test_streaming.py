@@ -468,3 +468,135 @@ def test_fold_diff_survives_crash_between_rebuild_and_invalidation(
     assert td.where(F.col("term") == "wand").first()["df"] == 121
     hits = search(spark, idx, "wand", k=121)
     assert hits.count() == 121
+
+
+# ---------------------------------------------------------------------------
+# applyInPandasWithState: streaming first-occurrence dedup
+# ---------------------------------------------------------------------------
+
+
+def _doc_slices(spark, tmp_path, n_slices=3):
+    """Documents sliced by doc_id RANGE so each content hash's minimum
+    doc_id arrives in the earliest slice containing that hash — making
+    the streamed first-wins set equal the batch (global min) oracle."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("content_hash"), "text"
+    )
+    n = docs.count()
+    for i in range(n_slices):
+        docs.where(
+            (F.col("doc_id") >= i * n // n_slices)
+            & (F.col("doc_id") < (i + 1) * n // n_slices)
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/docstream/s{i}"
+        )
+    return docs, f"{tmp_path}/docstream"
+
+
+def test_streaming_dedup_matches_batch_first_wins(spark, tmp_path):
+    from searchengine_spark.streaming import stateful as st
+
+    docs, src_dir = _doc_slices(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src_dir}/*")  # glob: slice dirs are not partition dirs
+    )
+    deduped = st.first_occurrence_stream(stream, "content_hash", "doc_id")
+    ev.run_to_memory(deduped, "dedup_sink", f"{tmp_path}/ckpt", mode="append")
+    got = _norm(spark.sql("SELECT * FROM dedup_sink").toPandas())
+    want = _norm(
+        st.first_occurrence_batch(docs, "content_hash", "doc_id").toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # (sf0.001 documents happen to be hash-distinct — cross-batch
+    # suppression with REAL duplicates is covered by the restart test)
+
+
+def test_streaming_dedup_state_survives_restart(spark, tmp_path):
+    """A later query on the SAME checkpoint must remember earlier keys:
+    re-arriving hashes in new files are dropped, novel ones emitted."""
+    from searchengine_spark.streaming import stateful as st
+
+    schema = "doc_id long, content_hash string, text string"
+    rows1 = [(1, "h1", "a"), (2, "h2", "b"), (3, "h1", "a")]
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        f"{tmp_path}/src/f1"
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp_path}/src/*")
+        )
+        # ttl=None: ProcessingTimeTimeout + availableNow crashes the
+        # Python worker in this PySpark build (see stateful.py caveat);
+        # parquet sink because the memory sink cannot recover a checkpoint
+        out = st.first_occurrence_stream(stream, "content_hash", "doc_id")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp_path}/out")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(f"{tmp_path}/out").toPandas()
+
+    got1 = drain()
+    assert sorted(got1["doc_id"]) == [1, 2]
+
+    # restart with one duplicate-of-old (h2) and one novel key (h3)
+    spark.createDataFrame(
+        [(4, "h2", "b"), (5, "h3", "c")], schema
+    ).coalesce(1).write.parquet(f"{tmp_path}/src/f2")
+    got2 = drain()
+    # cumulative sink: rows 1,2 from run 1 plus ONLY the novel h3 row —
+    # h2's re-arrival was suppressed by state recovered from checkpoint
+    assert sorted(got2["doc_id"]) == [1, 2, 5]
+
+
+def test_streaming_dedup_ttl_runs_under_processing_time_trigger(spark, tmp_path):
+    """TTL path (ProcessingTimeTimeout): works with a processingTime
+    trigger — the long-running production shape. (availableNow + this
+    timeout crashes the worker in this PySpark build; documented in
+    stateful.py and avoided.)"""
+    import time
+
+    from searchengine_spark.streaming import stateful as st
+
+    schema = "doc_id long, content_hash string, text string"
+    spark.createDataFrame(
+        [(1, "h1", "a"), (2, "h2", "b"), (3, "h1", "a")], schema
+    ).coalesce(1).write.parquet(f"{tmp_path}/src/f1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{tmp_path}/src/*")
+    )
+    out = st.first_occurrence_stream(
+        stream, "content_hash", "doc_id", ttl="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_ttl_sink")
+        .outputMode("append")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            got = spark.sql(
+                "SELECT doc_id FROM dedup_ttl_sink ORDER BY doc_id"
+            ).toPandas()
+            if len(got) >= 2:
+                break
+            time.sleep(1)
+        assert q.exception() is None
+        assert got["doc_id"].tolist() == [1, 2]
+    finally:
+        q.stop()
