@@ -58,13 +58,24 @@ def _t(spark, sf_dir, name):
 # ---------------------------------------------------------------------------
 
 
+# doc_terms is the shared prefix of most text entries (doc_stats,
+# term_dict, tfidf, bm25_topk, cosine_topk_docs, pruned_doc_stats all
+# branch from it). Without caching, a single bm25_topk plan re-tokenizes
+# the whole corpus once per branch (4× at sf1 — measured, BENCH/sf1.json);
+# one cached copy per corpus dir makes every branch an in-memory scan.
+_DT_CACHE: dict = {}
+
+
 def q_doc_terms(spark, sf_dir):
     """A1: per-doc term frequency (parser_module.py:311-317 as groupBy)."""
-    return (
-        dedup.tokens(_docs(spark, sf_dir))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("long").alias("tf"))
-    )
+    if sf_dir not in _DT_CACHE:
+        _DT_CACHE[sf_dir] = (
+            dedup.tokens(_docs(spark, sf_dir))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .cache()
+        )
+    return _DT_CACHE[sf_dir]
 
 
 def q_doc_stats(spark, sf_dir):
