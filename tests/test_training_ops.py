@@ -347,3 +347,42 @@ def test_connected_components_self_loops_and_empty(spark):
     out = connected_components(empty)
     assert out.columns == ["node", "component"]
     assert out.count() == 0
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: star-contraction labels == a plain
+    union-find ground truth over seeded random graphs (mixed components,
+    self loops, duplicate and reversed edges)."""
+    import numpy as np
+
+    from searchengine_spark.operators.dedup import connected_components
+
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        n_nodes = 150
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n_nodes, size=(220, 2))
+        ]
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        want = {v: min(u for u in touched if find(u) == find(v))
+                for v in touched}
+
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        assert got == want, f"seed {seed}"
