@@ -110,3 +110,90 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
             F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("char_entropy"),
         )
     )
+
+
+def dup_ngram_stats(
+    df: DataFrame, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Duplicated-n-gram fraction per document — the train-set
+    contamination signal popularized by Lee et al., "Deduplicating
+    Training Data Makes Language Models Better" (2021): an n-gram
+    instance is *duplicated* when the same token n-gram occurs in ≥2
+    distinct documents; a high duplicated fraction marks boilerplate /
+    templated text that exact- and near-dup passes miss.
+
+    Returns (doc_id, n_ngrams, n_dup_ngrams, dup_fraction) for docs with
+    ≥ n tokens. Shape at 100 TB: n-gram extraction is a JVM
+    ``transform(sequence(...))`` over the token array (no Python, no
+    explode-then-window); the duplicate test is one groupBy(gram) df-agg
+    + one shuffle join keyed on gram — the same two-shuffle shape as any
+    inverted-index build, uniform in gram hash, no skew hotspot (a gram
+    shared by d docs contributes d join rows, linear not quadratic).
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    grams = (
+        df.select(id_col, arr.alias("_arr"))
+        .where(F.size("_arr") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - n),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("_arr"), i + 1, n)
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    gdf = grams.groupBy("gram").agg(
+        F.count_distinct(F.col(id_col)).alias("gdf")
+    )
+    return (
+        grams.join(gdf, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("gdf") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Mean corpus-unigram log-probability per document — the cheap
+    KenLM-perplexity stand-in used to quality-filter web corpora (CCNet
+    et al.): p(t) = cf_t / Σcf over THIS corpus, score = mean ln p(t)
+    over the doc's token instances. Unusually improbable-token documents
+    (gibberish, binary-as-text) score far below the corpus mode.
+
+    Returns (doc_id, n_tokens, mean_logprob). Shape: one groupBy(term)
+    for the LM + one join keyed on term + one groupBy(doc) — all
+    map-side-combinable aggs; the LM table is |V| rows and usually
+    broadcastable, but the join is left to Catalyst/AQE stats (same
+    policy as the build's fold join).
+    """
+    toks = tokens(df, id_col, text_col)
+    lm = toks.groupBy("term").agg(F.count("*").alias("cf"))
+    # Σcf as a broadcast 1-row cross join: fully lazy, no driver action
+    tot = lm.agg(F.sum("cf").cast("double").alias("_total"))
+    return (
+        toks.join(lm, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cf") / F.col("_total"))), 6
+            ).alias("mean_logprob"),
+        )
+    )

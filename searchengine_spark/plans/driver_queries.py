@@ -383,6 +383,18 @@ def q_first_seen_docs(spark, sf_dir):
     return first_occurrence_batch(docs, "content_hash", "doc_id")
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Duplicated-n-gram fraction (Lee et al. 2021 contamination signal);
+    n=5 so the 30-term test vocabulary still yields mostly-unique grams."""
+    return textstats.dup_ngram_stats(_docs(spark, sf_dir), n=5)
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Mean corpus-unigram log-probability per doc (KenLM-quality
+    stand-in, CCNet-style filtering signal)."""
+    return textstats.unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -630,6 +642,8 @@ QUERIES = {
     "cosine_topk_docs": q_cosine_topk_docs,
     "pruned_doc_stats": q_pruned_doc_stats,
     "first_seen_docs": q_first_seen_docs,
+    "dup_ngrams": q_dup_ngrams,
+    "unigram_logprob": q_unigram_logprob,
     "lineitem_pricing": q_lineitem_pricing,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -841,6 +855,28 @@ ORACLES = {
         " (SELECT doc_id, md5(text) AS content_hash,"
         "  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn"
         "  FROM documents) WHERE rn = 1"
+    ),
+    "dup_ngrams": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "             x -> x <> '') AS arr FROM documents),"
+        " grams AS (SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS gram"
+        "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 4)) AS i"
+        "         FROM t WHERE len(arr) >= 5)),"
+        " gdf AS (SELECT gram, count(DISTINCT doc_id) AS gdf FROM grams GROUP BY gram)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,"
+        " CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_ngrams,"
+        " round(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)"
+        "   AS dup_fraction"
+        " FROM grams JOIN gdf USING (gram) GROUP BY doc_id"
+    ),
+    "unigram_logprob": (
+        f"WITH toks AS ({SQL_TOKENS}),"
+        " lm AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),"
+        " tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM lm)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+        " round(avg(ln(cf / total)), 6) AS mean_logprob"
+        " FROM toks JOIN lm USING (term) CROSS JOIN tot GROUP BY doc_id"
     ),
     "pruned_doc_stats": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"

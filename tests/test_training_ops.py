@@ -386,3 +386,49 @@ def test_connected_components_matches_union_find(spark):
             for r in connected_components(df).collect()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_dup_ngram_stats_planted_spans(spark):
+    """The driver-gate corpus has no repeated 5-grams (random vocab), so
+    the ≥2-doc branch is exercised here with planted boilerplate: a
+    shared 6-token span across two docs is flagged in both, unique text
+    is not, and short docs (< n tokens) are excluded."""
+    from searchengine_spark.operators.textstats import dup_ngram_stats
+
+    boiler = "all rights reserved do not redistribute"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta gamma {boiler} delta"),
+            (1, f"{boiler} omega psi chi phi"),
+            (2, "unique words only in this document here today"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"], r["dup_fraction"])
+        for r in dup_ngram_stats(docs, n=5).collect()
+    }
+    assert 3 not in got  # 2 tokens < n
+    assert got[2] == (4, 0, 0.0)  # 8 tokens → 4 grams, none shared
+    # doc0: 10 tokens → 6 grams; the boiler span contributes grams fully
+    # inside it: positions covering the 6-token boiler window → 2 grams
+    # shared with doc1 ("all rights reserved do not" / "rights ... redistribute")
+    assert got[0][0] == 6 and got[0][1] == 2
+    assert got[1][0] == 6 and got[1][1] == 2
+    assert abs(got[0][2] - round(2 / 6, 6)) < 1e-9
+
+
+def test_unigram_logprob_orders_gibberish_below_normal(spark):
+    """Docs made of corpus-frequent words score higher (less negative)
+    than docs of corpus-rare words; probabilities sum over the LM."""
+    from searchengine_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(i, "common words common words") for i in range(9)]
+        + [(9, "zxqv jklm common")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(docs).collect()}
+    assert got[0] == got[8]
+    assert got[9] < got[0]  # rare-token doc is less probable
