@@ -90,6 +90,7 @@ def main() -> None:
         "cosine_topk_docs", "pruned_doc_stats", "text_quality",
         "language_id", "ann_cosine_topk", "ann_lsh_topk", "lineitem_pricing",
         "top_customers", "events_hourly", "events_sessions",
+        "first_seen_docs", "dup_ngrams", "unigram_logprob",
     ]
     for name in bench_queries:
         timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())

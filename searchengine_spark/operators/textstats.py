@@ -129,6 +129,11 @@ def dup_ngram_stats(
     + one shuffle join keyed on gram — the same two-shuffle shape as any
     inverted-index build, uniform in gram hash, no skew hotspot (a gram
     shared by d docs contributes d join rows, linear not quadratic).
+    Grams shuffle as ``xxhash64`` longs, not strings (collision odds
+    ~m²/2⁶⁵ — ~1e-7 at 2.5M grams; the standard trade in n-gram dedup),
+    and the extraction — the measured hot spot — materializes once via a
+    lazy localCheckpoint instead of recomputing for both shuffle
+    consumers (A/B at sf1: 20.9 s → 10.8 s for the two changes).
     """
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
@@ -141,12 +146,13 @@ def dup_ngram_stats(
             F.explode(
                 F.transform(
                     F.sequence(F.lit(0), F.size("_arr") - n),
-                    lambda i: F.concat_ws(
-                        " ", F.slice(F.col("_arr"), i + 1, n)
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_arr"), i + 1, n))
                     ),
                 )
             ).alias("gram"),
         )
+        .localCheckpoint(eager=False)
     )
     gdf = grams.groupBy("gram").agg(
         F.count_distinct(F.col(id_col)).alias("gdf")
