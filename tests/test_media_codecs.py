@@ -191,9 +191,6 @@ def test_jpeg_forged_dims_rejected():
 # fuzz: decoders never crash with untyped errors (VERDICT r02 #6)
 # ---------------------------------------------------------------------------
 
-_TYPED = None  # filled below
-
-
 def _assert_typed_or_ok(fn, payload):
     try:
         fn(payload)
