@@ -68,14 +68,17 @@ _DT_CACHE: dict = {}
 
 def q_doc_terms(spark, sf_dir):
     """A1: per-doc term frequency (parser_module.py:311-317 as groupBy)."""
-    if sf_dir not in _DT_CACHE:
-        _DT_CACHE[sf_dir] = (
+    # keyed on the application too: a DataFrame cached under a previous
+    # SparkSession must never be handed to a new one
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _DT_CACHE:
+        _DT_CACHE[key] = (
             dedup.tokens(_docs(spark, sf_dir))
             .groupBy("doc_id", "term")
             .agg(F.count("*").cast("long").alias("tf"))
             .cache()
         )
-    return _DT_CACHE[sf_dir]
+    return _DT_CACHE[key]
 
 
 def q_doc_stats(spark, sf_dir):
