@@ -618,6 +618,12 @@ def _decode_scan(d, start, frame, scan_sel, qtables, huff, restart_interval):
     if len(order) != len(comps):
         raise UnsupportedMediaError("multi-scan JPEG (non-interleaved)")
     sel = {s["id"]: s for s in scan_sel}
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is NON-interleaved — the MCU
+        # is one data unit in raster order and the declared sampling
+        # factors do not tile the layout (grayscale files declaring
+        # h=v=2 exist in the wild); normalize to 1×1
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     h, w = frame["h"], frame["w"]

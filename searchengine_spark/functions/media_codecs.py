@@ -36,7 +36,7 @@ from searchengine_spark.functions.jpeg import (
 
 __all__ = [
     "UnsupportedMediaError", "sniff", "decode_png", "encode_png",
-    "decode_jpeg", "encode_jpeg", "decode_wav", "encode_wav",
+    "decode_jpeg", "encode_jpeg", "decode_image", "decode_wav", "encode_wav",
     "resize_area", "image_features", "audio_features", "decode_features",
     "N_FEATURES",
 ]

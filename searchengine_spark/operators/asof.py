@@ -144,12 +144,26 @@ def interval_join(
         )
 
     lt, rt = left.schema[ls].dataType, right.schema[rs].dataType
-    if is_temporal(lt) != is_temporal(rt):
-        # ADVICE r02: a temporal/numeric mix would bucket the two sides on
-        # incomparable scales — every overlap silently dropped. Fail loudly.
+    # ADVICE r02 (+ review): a temporal/numeric mix anywhere among the
+    # FOUR range columns would bucket on incomparable scales — silently
+    # dropping overlaps, or exploding a floor(ts)..floor(number) sequence
+    # per row. Fail loudly on any mixed family, within or across sides.
+    fams = {
+        name: is_temporal(sch[col].dataType)
+        for sch, col, name in (
+            (left.schema, ls, f"left.{ls}"),
+            (left.schema, le, f"left.{le}"),
+            (right.schema, rs, f"right.{rs}"),
+            (right.schema, re_, f"right.{re_}"),
+        )
+    }
+    if len(set(fams.values())) > 1:
+        detail = ", ".join(
+            f"{n}={'temporal' if t else 'numeric'}" for n, t in fams.items()
+        )
         raise ValueError(
-            f"interval_join range columns must both be temporal or both "
-            f"numeric, got left {lt.simpleString()} vs right {rt.simpleString()}"
+            f"interval_join range columns must all be temporal or all "
+            f"numeric, got {detail}"
         )
 
     def bucketed(df, lo, hi):

@@ -165,7 +165,7 @@ def ngram_jaccard_pairs(
                 f"ngram_jaccard_pairs: candidate pairs Σ C(df,2) = {int(est)} "
                 f"exceeds max_candidate_pairs={max_candidate_pairs} at "
                 f"rare_df_max={rare_df_max} — lower rare_df_max (or use "
-                "lsh_candidate_pairs + exact re-rank) instead of running a "
+                "minhash_lsh_pairs + exact re-rank) instead of running a "
                 "quadratic self-join"
             )
     rt = toks.join(rare.select("term"), "term", "left_semi")
@@ -244,18 +244,21 @@ def connected_components(
     ≈ log₂(n) + 2 (n=10⁴ → 15 rounds), so the default of 50 covers a
     path of 2⁴⁸ nodes; real near-dup graphs converge in < 10.
     """
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the raw edge list ONCE: its lineage (often an expensive
+    # candidate-generation pipeline) feeds both the node universe and the
+    # iteration seed, and must execute exactly once, not per consumer
+    e = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint()
     # node universe (keeps self-loop-only / isolated-pair nodes in the
     # output even though self loops are dropped from the iteration)
     nodes = (
         e.select("a").unionByName(e.select(F.col("b").alias("a")))
         .distinct()
         .withColumnRenamed("a", "node")
-        .localCheckpoint()
     )
     # canonical (hi > lo) undirected edge set, self loops dropped;
-    # materialize once: the edge list's lineage (often an expensive
-    # candidate-generation pipeline) must not re-execute every round
+    # checkpointed so each round's lineage starts here, not at `edges`
     cur = (
         e.where(F.col("a") != F.col("b"))
         .select(

@@ -125,10 +125,15 @@ def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFr
     the luma plane to (out_h, out_w) → (media_id, height, width,
     thumb[out_h*out_w]) — the real decode+resize path, Arrow-batched,
     narrow (no shuffle). Non-image rows are skipped (filter upstream on
-    ``kind`` to control coverage)."""
+    ``kind`` to control coverage), and so are payloads that sniff as an
+    image but fail to decode (progressive JPEG, corrupt bytes) — one
+    poison row must not fail the job (same policy as ``extract_features``
+    with ``on_error="skip"``; the typed-error decoder contract makes the
+    catch precise)."""
     import numpy as np
 
     from searchengine_spark.functions.media_codecs import (
+        UnsupportedMediaError,
         decode_image,
         resize_area,
         sniff,
@@ -140,7 +145,10 @@ def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFr
             for mid, p in zip(b["media_id"], b["payload"]):
                 if sniff(bytes(p)) not in ("png", "jpeg"):
                     continue
-                img = decode_image(bytes(p))
+                try:
+                    img = decode_image(bytes(p))
+                except (UnsupportedMediaError, ValueError):
+                    continue
                 if img.ndim == 2:
                     img = img[:, :, None]
                 luma = img[:, :, : min(3, img.shape[2])].mean(axis=2)

@@ -220,7 +220,13 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
             def get_run(t, b0, b1):
                 """Decode blocks [b0, b1) of term t in ONE bulk varint
                 decode (codec.unpack_run) → (local doc offsets, bm25 tf
-                part), cached per run for all queries in the batch."""
+                part), cached per run for all queries in the batch.
+
+                Run-granularity caching re-decodes a block whose doc span
+                straddles a CHUNK boundary (it lands in both adjacent
+                chunks' runs) — ≤1 block per (term, chunk), ~3% extra
+                decode vs the old per-block cache, a deliberate trade for
+                the 4× win of bulk decode (BENCH/wand_decode.json)."""
                 run = decoded.get((t, b0, b1))
                 if run is None:
                     _f, _l, _b, gaps, tfs, dls, ns = per_term[t]

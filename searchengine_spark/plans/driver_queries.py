@@ -173,9 +173,10 @@ _NDOCS_MEMO: dict = {}
 
 
 def _n_docs(spark, sf_dir) -> int:
-    if sf_dir not in _NDOCS_MEMO:
-        _NDOCS_MEMO[sf_dir] = _docs(spark, sf_dir).count()
-    return _NDOCS_MEMO[sf_dir]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _NDOCS_MEMO:
+        _NDOCS_MEMO[key] = _docs(spark, sf_dir).count()
+    return _NDOCS_MEMO[key]
 
 
 def q_near_dup_jaccard(spark, sf_dir):

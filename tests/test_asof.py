@@ -243,5 +243,5 @@ def test_interval_join_rejects_temporal_numeric_mix(spark):
         "k long, t_start timestamp, t_end timestamp",
     )
     rf = spark.createDataFrame([(1, 5.0, 9.0)], "k long, n_start double, n_end double")
-    with pytest.raises(ValueError, match="both be temporal or both numeric"):
+    with pytest.raises(ValueError, match="all be temporal or all numeric"):
         interval_join(lf, rf, ("t_start", "t_end"), ("n_start", "n_end"), by="k")

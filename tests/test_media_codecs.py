@@ -253,3 +253,47 @@ def test_fuzz_bitflipped_jpeg_typed_errors(seed, flip_at, flip_to):
     b = bytearray(jpeg.encode_jpeg(img, quality=85, subsample=2))
     b[flip_at % len(b)] = flip_to
     _assert_typed_or_ok(jpeg.decode_jpeg, bytes(b))
+
+
+def test_jpeg_gray_with_declared_sampling_factors_decodes_raster():
+    """T.81 A.2: a single-component scan is non-interleaved — sampling
+    factors don't tile the layout. Patch the SOF h/v byte of a grayscale
+    file from 1×1 to 2×2; the decode must be unchanged (a tiling decoder
+    would desync the Huffman stream on this 20×20 image)."""
+    from searchengine_spark.functions import jpeg
+
+    img = _smooth(20, 20, 3, False)
+    b = bytearray(jpeg.encode_jpeg(img, quality=95))
+    i = bytes(b).find(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) H(2) W(2) Nf(1) then per-comp id,hv,tq
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert b[hv_off] == 0x11
+    want = jpeg.decode_jpeg(bytes(b))
+    b[hv_off] = 0x22
+    got = jpeg.decode_jpeg(bytes(b))
+    assert (got == want).all()
+
+
+def test_image_thumbnails_skips_undecodable_jpeg(spark):
+    """A progressive or corrupt JPEG row must be skipped, not fail the
+    job (poison-row policy, review finding)."""
+    import numpy as np
+
+    from searchengine_spark.functions import jpeg
+    from searchengine_spark.operators import multimodal
+
+    good = jpeg.encode_jpeg(np.full((8, 8), 50, np.uint8))
+    prog = bytearray(good)
+    i = bytes(prog).find(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # progressive
+    corrupt = b"\xff\xd8\xff\xe0 jpeg-ish garbage"
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(good), None),
+            (1, "image", bytes(prog), None),
+            (2, "image", corrupt, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.image_thumbnails(media).toPandas()
+    assert got["media_id"].tolist() == [0]
