@@ -157,3 +157,39 @@ def test_ngram_jaccard_intersection_is_pair_first(spark):
 
     semi_conds = re.findall(r"Join LeftSemi, \(+([^\n]*)\)", plan)
     assert any("doc_b" in c and "term" in c for c in semi_conds), semi_conds
+
+
+def test_new_text_entries_are_jvm_only(spark):
+    """dup_ngrams / unigram_logprob / first_seen_docs: zero Python stages
+    (the n-gram transform, LM join and dedup window are all codegen-able
+    JVM expressions — SCALE.md's 'stay JVM-side' claim for the new ops)."""
+    from searchengine_spark.plans.driver_queries import (
+        q_dup_ngrams,
+        q_first_seen_docs,
+        q_unigram_logprob,
+    )
+
+    for q in (q_dup_ngrams, q_unigram_logprob, q_first_seen_docs):
+        plan = _plan(q(spark, "/root/testdata/sf0.001"))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, (q.__name__, marker)
+
+
+def test_unigram_logprob_broadcasts_lm_total(spark):
+    """The Σcf scalar joins in via a broadcast (1-row), never a shuffle."""
+    from searchengine_spark.plans.driver_queries import q_unigram_logprob
+
+    plan = _plan(q_unigram_logprob(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_first_seen_docs_single_window_shuffle(spark):
+    """first-wins dedup batch shape: one hash exchange for the window,
+    no join operator."""
+    import re
+
+    from searchengine_spark.plans.driver_queries import q_first_seen_docs
+
+    plan = _plan(q_first_seen_docs(spark, "/root/testdata/sf0.001"), "simple")
+    assert "Window" in plan
+    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")  # none at all
