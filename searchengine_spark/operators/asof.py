@@ -33,12 +33,17 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_r",
     tiebreaks: list[str] | None = None,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Inner as-of join: left rows with no eligible right row are dropped
     (DuckDB ``ASOF JOIN`` semantics; wrap with a left join on the result
     to keep them). ``tiebreaks``: extra right-side ordering columns making
     the picked row deterministic when several right rows share (by, on) —
-    without them the last in (on, tiebreaks) order wins arbitrarily."""
+    without them the last in (on, tiebreaks) order wins arbitrarily.
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)`` semantics): drop
+    matches farther than this from the left row's ``on`` — SECONDS for
+    temporal columns, native units for numeric ones; the window pick is
+    unchanged (nearest-within-direction first, then the distance test)."""
     from pyspark.sql import Window
 
     if isinstance(by, str):
@@ -80,6 +85,21 @@ def asof_join(
         .where(F.col("_asof_side") == 1)
         .where(F.col("_asof_match").isNotNull())
     )
+    if tolerance is not None:
+        from pyspark.sql import types as T
+
+        def ord_(col, dtype):
+            if isinstance(
+                dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
+            ):
+                return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
+            return col.cast("double")
+
+        dtype = left.schema[on].dataType
+        lo_v = ord_(F.col("_asof_on"), dtype)
+        rv = ord_(F.col(f"_asof_match.{on}"), dtype)
+        gap = lo_v - rv if direction == "backward" else rv - lo_v
+        matched = matched.where(gap <= F.lit(float(tolerance)))
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col(f"_asof_match.{on}").alias(f"{on}{suffix}"))
     out_cols.extend(

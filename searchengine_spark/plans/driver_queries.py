@@ -515,6 +515,34 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_asof_tol(spark, sf_dir):
+    """As-of join with a match-distance bound (merge_asof ``tolerance``):
+    same backward pick, matches older than 1 hour dropped — runs the
+    operator's own tolerance path. Oracle: the DuckDB ASOF JOIN
+    post-filtered on the picked row's distance (the pick is unique, so
+    the filter commutes with it)."""
+    from searchengine_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["value"],
+        tolerance=3600,
+    )
+    return j.select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts_r").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
 def q_events_asof_fwd(spark, sf_dir):
     """Forward as-of: for each click, the user's EARLIEST purchase
     at-or-after it (operators/asof.asof_join direction='forward'),
@@ -655,6 +683,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "events_asof": q_events_asof,
+    "events_asof_tol": q_events_asof_tol,
     "events_asof_fwd": q_events_asof_fwd,
     "events_sliding": q_events_sliding,
     "sessions_overlap": q_sessions_overlap,
@@ -952,6 +981,17 @@ ORACLES = {
         "SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,"
         " round(quantile_cont(value, 0.95), 6) AS p95,"
         " round(avg(value), 6) AS mean_value FROM events GROUP BY event_type"
+    ),
+    "events_asof_tol": (
+        "WITH l AS (SELECT user_id, ts, event_id FROM events"
+        "           WHERE event_type = 'click'),"
+        " r AS (SELECT user_id, ts, value FROM events"
+        "       WHERE event_type = 'purchase')"
+        " SELECT * FROM ("
+        " SELECT l.user_id, l.ts AS click_ts, l.event_id AS click_id,"
+        " r.ts AS purchase_ts, r.value AS purchase_value"
+        " FROM l ASOF JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)"
+        " WHERE click_ts - purchase_ts <= INTERVAL 1 HOUR"
     ),
     "events_asof": (
         "WITH l AS (SELECT user_id, ts, event_id FROM events"

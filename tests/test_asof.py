@@ -245,3 +245,44 @@ def test_interval_join_rejects_temporal_numeric_mix(spark):
     rf = spark.createDataFrame([(1, 5.0, 9.0)], "k long, n_start double, n_end double")
     with pytest.raises(ValueError, match="all be temporal or all numeric"):
         interval_join(lf, rf, ("t_start", "t_end"), ("n_start", "n_end"), by="k")
+
+
+def test_tolerance_matches_pandas_merge_asof(spark):
+    """tolerance drops matches farther than the bound, exactly like
+    pandas merge_asof(tolerance=...), both directions."""
+    rng = np.random.default_rng(29)
+    lp = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, 200),
+            "ts": rng.integers(0, 5_000, 200),
+            "lx": np.arange(200),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    rp = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 5, 150),
+            "ts": rng.integers(0, 5_000, 150),
+            "value": rng.standard_normal(150).round(6),
+        }
+    ).drop_duplicates(["user_id", "ts"])
+    for direction in ("backward", "forward"):
+        got = (
+            asof_join(
+                spark.createDataFrame(lp), spark.createDataFrame(rp),
+                on="ts", by="user_id", right_cols=["value"],
+                direction=direction, tolerance=50,
+            )
+            .orderBy("user_id", "ts")
+            .toPandas()
+        )
+        want = (
+            pd.merge_asof(
+                lp.sort_values("ts"), rp.sort_values("ts"),
+                on="ts", by="user_id", direction=direction, tolerance=50,
+            )
+            .dropna(subset=["value"])
+            .sort_values(["user_id", "ts"])
+            .reset_index(drop=True)
+        )
+        assert got["lx"].tolist() == want["lx"].tolist(), direction
+        assert np.allclose(got["value"], want["value"])
