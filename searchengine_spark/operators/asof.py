@@ -22,6 +22,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TEMPORAL = (T.TimestampType, T.TimestampNTZType, T.DateType)
+
+
+def _to_micros(col, dtype):
+    """Temporal column → integer epoch microseconds (exact), numeric →
+    double. Every temporal type goes through cast("timestamp"):
+    TIMESTAMP_NTZ has no direct numeric cast in Spark 4, and DATE cast
+    this way uses the SAME session-tz coercion Spark applies when
+    comparing date to timestamp columns — so derived arithmetic can never
+    disagree with a direct column comparison, in any session timezone.
+    Shared by interval_join bucketing and asof_join tolerance so the two
+    conversions cannot drift."""
+    if isinstance(dtype, _TEMPORAL):
+        return F.unix_micros(col.cast("timestamp"))
+    return col.cast("double")
 
 
 def asof_join(
@@ -50,6 +67,8 @@ def asof_join(
         by = [by]
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if tolerance is not None and not tolerance > 0:
+        raise ValueError("tolerance must be positive")  # merge_asof parity
     right_cols = (
         right_cols
         if right_cols is not None
@@ -86,20 +105,19 @@ def asof_join(
         .where(F.col("_asof_match").isNotNull())
     )
     if tolerance is not None:
-        from pyspark.sql import types as T
-
-        def ord_(col, dtype):
-            if isinstance(
-                dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
-            ):
-                return F.unix_micros(col.cast("timestamp")) / F.lit(1e6)
-            return col.cast("double")
-
         dtype = left.schema[on].dataType
-        lo_v = ord_(F.col("_asof_on"), dtype)
-        rv = ord_(F.col(f"_asof_match.{on}"), dtype)
+        lo_v = _to_micros(F.col("_asof_on"), dtype)
+        rv = _to_micros(F.col(f"_asof_match.{on}"), dtype)
+        # temporal: compare in INTEGER micros (a micros/1e6 double loses
+        # ~2.4e-7 s per side at 2024 epochs — enough to flip a row exactly
+        # at the bound vs the oracle's exact interval arithmetic)
+        bound = (
+            F.lit(int(round(float(tolerance) * 1e6)))
+            if isinstance(dtype, _TEMPORAL)
+            else F.lit(float(tolerance))
+        )
         gap = lo_v - rv if direction == "backward" else rv - lo_v
-        matched = matched.where(gap <= F.lit(float(tolerance)))
+        matched = matched.where(gap <= bound)
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col(f"_asof_match.{on}").alias(f"{on}{suffix}"))
     out_cols.extend(
@@ -146,22 +164,15 @@ def interval_join(
         raise ValueError(f"rename overlapping columns before joining: {sorted(clash)}")
     W = float(bucket_seconds)
 
-    from pyspark.sql import types as T
-
     def secs(expr, dtype):
-        # every temporal type goes through cast("timestamp") → unix_micros:
-        # TIMESTAMP_NTZ has no direct numeric cast in Spark 4, and DATE cast
-        # this way uses the SAME session-tz coercion Spark applies when
-        # comparing date to timestamp columns — so the bucket mapping and
-        # the overlap predicate can never disagree, in any session timezone
-        if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-            return F.unix_micros(expr.cast("timestamp")) / F.lit(1e6)
-        return expr.cast("double")
+        # shared conversion (see _to_micros): bucket mapping can never
+        # disagree with the overlap predicate, in any session timezone
+        if isinstance(dtype, _TEMPORAL):
+            return _to_micros(expr, dtype) / F.lit(1e6)
+        return _to_micros(expr, dtype)
 
     def is_temporal(dtype):
-        return isinstance(
-            dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)
-        )
+        return isinstance(dtype, _TEMPORAL)
 
     lt, rt = left.schema[ls].dataType, right.schema[rs].dataType
     # ADVICE r02 (+ review): a temporal/numeric mix anywhere among the

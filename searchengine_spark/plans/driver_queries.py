@@ -492,10 +492,10 @@ def q_events_sessions(spark, sf_dir):
     return session_windows(ev, gap="30 minutes")
 
 
-def q_events_asof(spark, sf_dir):
-    """Point-in-time (as-of) join: for each click, the user's latest
-    purchase at-or-before it — operators/asof.asof_join (single-shuffle
-    union+window shape), verified against DuckDB's native ASOF JOIN."""
+def _events_asof(spark, sf_dir, **asof_kw):
+    """Shared clicks-vs-purchases as-of shape for the three asof entries
+    (backward / forward / tolerance) — one place to change the column
+    set and output aliases."""
     from searchengine_spark.operators.asof import asof_join
 
     ev = _t(spark, sf_dir, "events")
@@ -505,7 +505,10 @@ def q_events_asof(spark, sf_dir):
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "value"
     )
-    j = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["value"])
+    j = asof_join(
+        clicks, purchases, on="ts", by="user_id", right_cols=["value"],
+        **asof_kw,
+    )
     return j.select(
         "user_id",
         F.col("ts").alias("click_ts"),
@@ -513,6 +516,13 @@ def q_events_asof(spark, sf_dir):
         F.col("ts_r").alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
     )
+
+
+def q_events_asof(spark, sf_dir):
+    """Point-in-time (as-of) join: for each click, the user's latest
+    purchase at-or-before it — operators/asof.asof_join (single-shuffle
+    union+window shape), verified against DuckDB's native ASOF JOIN."""
+    return _events_asof(spark, sf_dir)
 
 
 def q_events_asof_tol(spark, sf_dir):
@@ -521,52 +531,14 @@ def q_events_asof_tol(spark, sf_dir):
     operator's own tolerance path. Oracle: the DuckDB ASOF JOIN
     post-filtered on the picked row's distance (the pick is unique, so
     the filter commutes with it)."""
-    from searchengine_spark.operators.asof import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    j = asof_join(
-        clicks, purchases, on="ts", by="user_id", right_cols=["value"],
-        tolerance=3600,
-    )
-    return j.select(
-        "user_id",
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts_r").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
+    return _events_asof(spark, sf_dir, tolerance=3600)
 
 
 def q_events_asof_fwd(spark, sf_dir):
     """Forward as-of: for each click, the user's EARLIEST purchase
     at-or-after it (operators/asof.asof_join direction='forward'),
     verified against DuckDB ASOF JOIN with the >= inequality."""
-    from searchengine_spark.operators.asof import asof_join
-
-    ev = _t(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id"
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
-    )
-    j = asof_join(
-        clicks, purchases, on="ts", by="user_id", right_cols=["value"],
-        direction="forward",
-    )
-    return j.select(
-        "user_id",
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_id"),
-        F.col("ts_r").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    )
+    return _events_asof(spark, sf_dir, direction="forward")
 
 
 def q_events_sliding(spark, sf_dir):

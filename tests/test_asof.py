@@ -286,3 +286,9 @@ def test_tolerance_matches_pandas_merge_asof(spark):
         )
         assert got["lx"].tolist() == want["lx"].tolist(), direction
         assert np.allclose(got["value"], want["value"])
+
+
+def test_tolerance_rejects_nonpositive(spark, tiny):
+    left, right = tiny
+    with pytest.raises(ValueError, match="tolerance must be positive"):
+        asof_join(left, right, on="ts", by="user_id", tolerance=-5)

@@ -192,4 +192,4 @@ def test_first_seen_docs_single_window_shuffle(spark):
 
     plan = _plan(q_first_seen_docs(spark, "/root/testdata/sf0.001"), "simple")
     assert "Window" in plan
-    assert "Join" not in plan.replace("BroadcastNestedLoopJoin", "")  # none at all
+    assert "Join" not in plan  # none at all
