@@ -66,12 +66,22 @@ def _t(spark, sf_dir, name):
 _DT_CACHE: dict = {}
 
 
+def _evict_dead_apps(cache: dict, app_id: str) -> None:
+    """Drop cache entries from previous SparkSessions — they pin dead
+    DataFrame/session object graphs and would grow without bound in a
+    long-lived process that restarts sessions."""
+    for k in [k for k in cache if k[0] != app_id]:
+        del cache[k]
+
+
 def q_doc_terms(spark, sf_dir):
     """A1: per-doc term frequency (parser_module.py:311-317 as groupBy)."""
     # keyed on the application too: a DataFrame cached under a previous
     # SparkSession must never be handed to a new one
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     if key not in _DT_CACHE:
+        _evict_dead_apps(_DT_CACHE, app)
         _DT_CACHE[key] = (
             dedup.tokens(_docs(spark, sf_dir))
             .groupBy("doc_id", "term")
@@ -173,8 +183,10 @@ _NDOCS_MEMO: dict = {}
 
 
 def _n_docs(spark, sf_dir) -> int:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     if key not in _NDOCS_MEMO:
+        _evict_dead_apps(_NDOCS_MEMO, app)
         _NDOCS_MEMO[key] = _docs(spark, sf_dir).count()
     return _NDOCS_MEMO[key]
 
