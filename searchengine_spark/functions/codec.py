@@ -104,11 +104,21 @@ def bm25_idf(df, n_docs: int):
     return np.log1p((float(n_docs) - df + 0.5) / (df + 0.5))
 
 
-def pack_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float):
+def pack_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
+                avgdl: float, store_dls: bool = True):
     """Split one term's postings (doc_id-sorted) into compressed blocks.
 
     Yields dicts: block_seq, n, first_doc, last_doc, block_max_tf,
     gaps/tfs/dls (varint bytes).
+
+    ``store_dls=False`` is the doc-length-SIDECAR layout (SCALE.md): ``dl``
+    is a per-DOCUMENT property repeated once per term the doc contains, so
+    inlining it in every posting spends ~1/3 of posting bytes (and decode
+    work) on redundant copies. The sidecar layout emits ``dls=b""`` and the
+    scorer instead indexes a per-range doc-length array (``doc_lens``
+    table, one varint array per range) by local doc offset. ``dls`` is
+    still REQUIRED here either way — the block-max BM25 partial needs
+    per-posting dl at pack time.
     """
     n = len(doc_ids)
     tf_part = bm25_tf_part(tfs, dls, avgdl)
@@ -123,16 +133,36 @@ def pack_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: fl
             "block_max_tf": float(tf_part[lo:hi].max()),
             "gaps": varint_encode(delta_encode(ids)),
             "tfs": varint_encode(tfs[lo:hi].astype(np.uint64)),
-            "dls": varint_encode(dls[lo:hi].astype(np.uint64)),
+            "dls": varint_encode(dls[lo:hi].astype(np.uint64)) if store_dls else b"",
         }
 
 
-def unpack_block(gaps: bytes, tfs: bytes, dls: bytes, n: int):
-    """Inverse of pack_blocks for one block → (doc_ids, tfs, dls)."""
+def encode_doc_lens(doc_ids: np.ndarray, dls: np.ndarray, base: int) -> tuple[int, bytes]:
+    """Pack one range's doc lengths into a dense offset-indexed varint
+    array: slot ``doc_id - base`` holds that doc's dl, absent docs
+    (tokenized to zero terms — they have no postings) hold 0. Returns
+    ``(n, bytes)`` with n = highest present offset + 1, so every posting
+    doc in the range indexes in-bounds (posting docs ⊆ present docs)."""
+    off = np.asarray(doc_ids, dtype=np.int64) - base
+    n = int(off.max()) + 1 if off.size else 0
+    arr = np.zeros(n, dtype=np.uint64)
+    arr[off] = np.asarray(dls, dtype=np.uint64)
+    return n, varint_encode(arr)
+
+
+def decode_doc_lens(buf: bytes, n: int) -> np.ndarray:
+    """Inverse of encode_doc_lens → uint64 array indexed by local offset."""
+    return varint_decode(buf, n)
+
+
+def unpack_block(gaps: bytes, tfs: bytes, dls: bytes | None, n: int):
+    """Inverse of pack_blocks for one block → (doc_ids, tfs, dls).
+
+    ``dls`` may be None or ``b""`` (sidecar layout) → third element None."""
     return (
         delta_decode(varint_decode(gaps, n)),
         varint_decode(tfs, n),
-        varint_decode(dls, n),
+        varint_decode(dls, n) if dls else None,
     )
 
 
@@ -149,12 +179,18 @@ def unpack_run(gaps_bufs, tfs_bufs, dls_bufs, ns):
     losslessly; per-block delta chains (first value absolute) are restored
     with a segmented cumsum — global cumsum minus a per-segment offset —
     with no per-block loop.
+
+    ``dls_bufs=None`` (or all-empty buffers — the sidecar layout) skips the
+    dl stream and returns None for it; the caller indexes the per-range
+    doc-length array instead.
     """
     ns = np.asarray(ns, dtype=np.int64)
     ntot = int(ns.sum())
+    if dls_bufs is not None and ntot > 0 and not any(dls_bufs):
+        dls_bufs = None
     if ntot == 0:
         z = np.array([], dtype=np.uint64)
-        return z, z.copy(), z.copy()
+        return z, z.copy(), z.copy() if dls_bufs is not None else None
     raw = varint_decode(b"".join(gaps_bufs), ntot)
     cs = np.cumsum(raw.astype(np.uint64), dtype=np.uint64)
     starts = np.zeros(len(ns), dtype=np.int64)
@@ -166,5 +202,5 @@ def unpack_run(gaps_bufs, tfs_bufs, dls_bufs, ns):
     return (
         cs - corr,
         varint_decode(b"".join(tfs_bufs), ntot),
-        varint_decode(b"".join(dls_bufs), ntot),
+        varint_decode(b"".join(dls_bufs), ntot) if dls_bufs is not None else None,
     )

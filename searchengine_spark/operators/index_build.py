@@ -72,9 +72,60 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("pack_avgdl", T.DoubleType(), False),
         T.StructField("gaps", T.BinaryType(), False),
         T.StructField("tfs", T.BinaryType(), False),
+        # sidecar layout: b"" — per-doc lengths live in the doc_lens table
+        # (one varint array per range), not repeated per posting. The
+        # column stays in the schema so pre-sidecar groups (whose blocks
+        # inline dls) mix with new groups under one stable parquet schema.
         T.StructField("dls", T.BinaryType(), False),
     ]
 )
+
+# Flipped to True only by the legacy-layout test: inlining dl in every
+# posting spends ~1/3 of posting bytes on per-doc values repeated once per
+# term the doc contains (SCALE.md "doc-length sidecar").
+STORE_DLS_IN_BLOCKS = False
+
+DOC_LENS_SCHEMA = T.StructType(
+    [
+        T.StructField("rng", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("lens", T.BinaryType(), False),
+    ]
+)
+
+
+def build_doc_lens(spark: SparkSession, index_dir: str, man: Manifest) -> None:
+    """Doc-length sidecar: one (rng, n, varint array) row per document
+    range, indexed by local offset ``doc_id - rng*range_width``. Derived
+    purely from doc_stats, so it is rebuilt (mode=overwrite, idempotent)
+    whenever doc_stats is — and because ids are assigned densely in arrival
+    order and documents are immutable, a doc's dl never changes once
+    written: the sidecar only ever GROWS, so queries racing a compaction
+    read identical values for every doc their postings can reference."""
+    from searchengine_spark.functions.codec import encode_doc_lens
+
+    range_width = man.scalars["range_width"]
+
+    def pack_lens(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        n, buf = encode_doc_lens(
+            pdf["doc_id"].to_numpy(np.int64),
+            pdf["dl"].to_numpy(np.uint64),
+            rng * range_width,
+        )
+        return pd.DataFrame({"rng": [rng], "n": [n], "lens": [buf]})
+
+    lens = (
+        spark.read.parquet(f"{index_dir}/doc_stats")
+        .select(
+            (F.col("doc_id") / F.lit(range_width)).cast("int").alias("rng"),
+            "doc_id",
+            "dl",
+        )
+        .groupBy("rng")
+        .applyInPandas(pack_lens, DOC_LENS_SCHEMA)
+    )
+    lens.write.mode("overwrite").parquet(f"{index_dir}/doc_lens")
 
 
 def _fold_expr(fold_map: DataFrame, doc_terms: DataFrame) -> DataFrame:
@@ -159,6 +210,7 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
         if int(p.rsplit("=", 1)[1]) >= n_groups:
             shutil.rmtree(p, ignore_errors=True)
     fold = spark.read.parquet(f"{index_dir}/fold_map")
+    store_dls = STORE_DLS_IN_BLOCKS
 
     def pack_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rng = int(key[0])
@@ -174,7 +226,7 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
             ids = sub["doc_id"].to_numpy(np.uint64)
             tfs = sub["tf"].to_numpy(np.uint64)
             dls = sub["dl"].to_numpy(np.uint64)
-            for blk in pack_blocks(ids, tfs, dls, avgdl):
+            for blk in pack_blocks(ids, tfs, dls, avgdl, store_dls=store_dls):
                 rows.append(
                     (
                         term,
@@ -288,6 +340,8 @@ def build_index(
         ).collect()[0]
         n_tokens = int(stats["n_tokens"] or 0)
         secs = time.time() - t0
+        man.set_scalars(range_width=range_width)
+        build_doc_lens(spark, index_dir, man)
         man.set_scalars(
             n_docs=n_docs,
             # query-time idf snapshot: streaming ingest advances n_docs
@@ -310,6 +364,14 @@ def build_index(
             n_tokens=n_tokens,
             docs_per_sec=round(n_docs / secs, 1) if secs else None,
         )
+
+    # resumed pre-sidecar index (docs stage done under the inline-dls
+    # layout): backfill the sidecar so any groups packed from here on —
+    # which omit per-posting dls — stay scorable
+    if not os.path.exists(f"{index_dir}/doc_lens") and os.path.exists(
+        f"{index_dir}/doc_stats"
+    ):
+        build_doc_lens(spark, index_dir, man)
 
     # ---- derived stages (shared with streaming compaction) ------------------
     if not man.stage_done("fold_map"):

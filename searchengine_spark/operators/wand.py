@@ -25,6 +25,8 @@ term ⇒ no intersection, blocks stream straight into top-k.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +36,7 @@ from pyspark.sql import types as T
 from searchengine_spark.functions.codec import (
     bm25_idf,
     bm25_tf_part,
+    decode_doc_lens,
     unpack_block,
     unpack_run,
 )
@@ -138,7 +141,8 @@ BATCH_RESULT_SCHEMA = T.StructType(
 
 def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                                range_width: int, k: int,
-                               maxscore: bool = True, stats: dict | None = None):
+                               maxscore: bool = True, stats: dict | None = None,
+                               sidecar: bool = False):
     """Build the per-range pandas scorer for a BATCH of queries.
     ``qmap``: {query_id: {term: (qtf, df)}}.
 
@@ -166,6 +170,16 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     it None since workers can't share a driver dict): counts decoded
     blocks, block visits, and blocks skipped by chunk-break vs MaxScore.
 
+    ``sidecar=True`` returns a COGROUP function ``(key, postings_pdf,
+    doc_lens_pdf)`` for the doc-length-sidecar layout: per-doc lengths are
+    decoded ONCE per range from the ``doc_lens`` varint array and indexed
+    by local doc offset, instead of being re-decoded from every posting
+    block (~1/3 of posting bytes at the old layout). A range whose blocks
+    still inline dls (packed pre-sidecar, kept by selective compaction)
+    scores from the sidecar all the same — dl per doc is immutable, so the
+    values are identical; a range with neither (sidecar row missing AND
+    blocks packed without dls) raises rather than mis-scoring.
+
     Batching amortizes the dominant shared costs across queries: one
     postings scan + one shuffle + one Python stage per BATCH (not per
     query), and decoded blocks (doc offsets + query-independent BM25 tf
@@ -177,7 +191,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
         for qid, qw in qmap.items()
     }
 
-    def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _score(key, pdf: pd.DataFrame, dl_arr) -> pd.DataFrame:
         base = int(key[0]) * range_width
         n_chunks = (range_width + CHUNK - 1) // CHUNK
         per_term: dict = {}  # term -> (first, last, bmax, gaps, tfs, dls, ns)
@@ -231,12 +245,20 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 if run is None:
                     _f, _l, _b, gaps, tfs, dls, ns = per_term[t]
                     ids, tf, dl = unpack_run(
-                        gaps[b0:b1], tfs[b0:b1], dls[b0:b1], ns[b0:b1]
+                        gaps[b0:b1], tfs[b0:b1],
+                        None if dl_arr is not None else dls[b0:b1],
+                        ns[b0:b1],
                     )
-                    run = (
-                        ids.astype(np.int64) - base,
-                        bm25_tf_part(tf, dl, avgdl),
-                    )
+                    loc = ids.astype(np.int64) - base
+                    if dl_arr is not None:
+                        dl = dl_arr[loc]
+                    elif dl is None:
+                        raise ValueError(
+                            f"range {key[0]}: postings use the sidecar "
+                            "layout (no inline dls) but the index has no "
+                            "doc_lens row for this range"
+                        )
+                    run = (loc, bm25_tf_part(tf, dl, avgdl))
                     decoded[(t, b0, b1)] = run
                     if stats is not None:
                         stats["blocks_decoded"] = (
@@ -357,7 +379,53 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
             }
         )
 
-    return score_range
+    if not sidecar:
+        # groupBy().applyInPandas validates a (key, pdf) signature — wrap
+        def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score(key, pdf, None)
+
+        return score_range
+
+    def score_range_cogrouped(key, posts_pdf: pd.DataFrame,
+                              lens_pdf: pd.DataFrame) -> pd.DataFrame:
+        if posts_pdf.empty:  # cogroup visits lens-only keys too
+            return pd.DataFrame(
+                {"query_id": np.array([], np.int32),
+                 "doc_id": np.array([], np.int64), "score": []}
+            )
+        dl_arr = None
+        if not lens_pdf.empty:
+            row = lens_pdf.iloc[0]
+            dl_arr = decode_doc_lens(row["lens"], int(row["n"]))
+        return _score(key, posts_pdf, dl_arr)
+
+    return score_range_cogrouped
+
+
+def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
+                   scorer) -> tuple:
+    """Shared tail of the query plans: build the per-range scorer stage.
+
+    Returns ``(per_range_df, sidecar)``. With the doc-length sidecar
+    (``doc_lens`` table present) the postings COGROUP with the per-range
+    length arrays — the same single shuffle by ``rng`` as the plain
+    groupBy, plus a scan of the (tiny: one varint array per range) sidecar
+    table; in a long-lived serving deployment those arrays are the part
+    you pin in executor memory."""
+    sidecar = os.path.exists(f"{index_dir}/doc_lens")
+    factory_scorer = scorer(sidecar)  # ``scorer``: sidecar-flag → scorer fn
+    if sidecar:
+        lens = spark.read.parquet(f"{index_dir}/doc_lens")
+        per_range = (
+            posts.groupBy("rng")
+            .cogroup(lens.groupBy("rng"))
+            .applyInPandas(factory_scorer, BATCH_RESULT_SCHEMA)
+        )
+    else:
+        per_range = posts.groupBy("rng").applyInPandas(
+            factory_scorer, BATCH_RESULT_SCHEMA
+        )
+    return per_range, sidecar
 
 
 def search_batch(
@@ -384,15 +452,17 @@ def search_batch(
     qmap = {i: qw for i, qw in enumerate(folded) if qw}
     if not qmap:
         return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
-    scorer = _score_range_batch_factory(
-        qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
-        s["range_width"], k, maxscore=maxscore
-    )
     all_terms = sorted({t for qw in qmap.values() for t in qw})
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(all_terms)
     )
-    per_range = posts.groupBy("rng").applyInPandas(scorer, BATCH_RESULT_SCHEMA)
+    per_range, _ = _scored_ranges(
+        spark, index_dir, posts,
+        lambda sc: _score_range_batch_factory(
+            qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+            s["range_width"], k, maxscore=maxscore, sidecar=sc,
+        ),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
         per_range.withColumn("_rn", F.row_number().over(w))
@@ -415,14 +485,16 @@ def search(
     qweights = fold_query_terms(spark, index_dir, query)
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
-    scorer = _score_range_batch_factory(
-        {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
-        s["range_width"], k, maxscore=maxscore
-    )
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(qweights))
     )
-    per_range = posts.groupBy("rng").applyInPandas(scorer, BATCH_RESULT_SCHEMA)
+    per_range, _ = _scored_ranges(
+        spark, index_dir, posts,
+        lambda sc: _score_range_batch_factory(
+            {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+            s["range_width"], k, maxscore=maxscore, sidecar=sc,
+        ),
+    )
     return (
         per_range.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -455,27 +527,25 @@ def search_join(
             T.StructField("term", T.StringType()),
             T.StructField("doc_id", T.LongType()),
             T.StructField("tf", T.LongType()),
-            T.StructField("dl", T.LongType()),
         ]
     )
 
     def decode(batches):
         for b in batches:
             outs = []
-            for term, gaps, tfs, dls, n in zip(b["term"], b["gaps"], b["tfs"], b["dls"], b["n"]):
-                ids, tf, dl = unpack_block(gaps, tfs, dls, int(n))
+            for term, gaps, tfs, n in zip(b["term"], b["gaps"], b["tfs"], b["n"]):
+                ids, tf, _ = unpack_block(gaps, tfs, None, int(n))
                 outs.append(
                     pd.DataFrame(
                         {
                             "term": term,
                             "doc_id": ids.astype(np.int64),
                             "tf": tf.astype(np.int64),
-                            "dl": dl.astype(np.int64),
                         }
                     )
                 )
             yield pd.concat(outs) if outs else pd.DataFrame(
-                {"term": [], "doc_id": [], "tf": [], "dl": []}
+                {"term": [], "doc_id": [], "tf": []}
             )
 
     qdf = spark.createDataFrame(
@@ -485,7 +555,13 @@ def search_join(
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(qweights))
     )
-    long_form = posts.mapInPandas(decode, decode_schema)
+    # dl comes from doc_stats (layout-independent: blocks may or may not
+    # inline dls under the sidecar migration; the per-doc table always has
+    # it and this is the declarative cross-check path, not the hot one)
+    long_form = posts.mapInPandas(decode, decode_schema).join(
+        spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl"),
+        "doc_id",
+    )
     from searchengine_spark.functions.codec import B as b_
     from searchengine_spark.functions.codec import K1 as k1
     scored = (

@@ -169,6 +169,7 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
     stages (fold_map, term_dict, postings, doc_stats). Resumable: group
     rebuilds recommit through the manifest like the batch build."""
     from searchengine_spark.operators.index_build import (
+        build_doc_lens,
         build_fold_map,
         build_posting_groups,
         build_term_dict,
@@ -326,6 +327,14 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
         F.max("tf").alias("max_f"),
     )
     doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+    # sidecar refresh BEFORE any posting rebuild: new groups pack without
+    # per-posting dls, so their ranges' doc-length arrays must exist first.
+    # Old docs' dl values are immutable (append-only dense ids), so the
+    # rewrite only extends coverage — a crash anywhere after it leaves a
+    # sidecar that is correct for every doc the surviving postings can
+    # reference (same non-atomic-overwrite window as doc_stats/term_dict;
+    # with Iceberg all three become snapshot commits).
+    build_doc_lens(spark, index_dir, man)
     stats = (
         spark.read.parquet(f"{index_dir}/doc_stats")
         .agg(F.sum("dl").alias("toks"))

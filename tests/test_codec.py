@@ -103,3 +103,53 @@ def test_unpack_run_equals_chained_unpack_block():
     # empty run
     e = unpack_run([], [], [], [])
     assert all(len(x) == 0 for x in e)
+
+
+def test_sidecar_layout_pack_and_run_decode():
+    """store_dls=False (doc-length sidecar layout): blocks carry dls=b"",
+    decode returns None for the dl stream, everything else is identical
+    to the inline layout."""
+    from searchengine_spark.functions.codec import pack_blocks, unpack_block, unpack_run
+
+    rng = np.random.default_rng(3)
+    ids = np.unique(rng.integers(0, 10**6, 700).astype(np.uint64))
+    tfs = rng.integers(1, 40, len(ids)).astype(np.uint64)
+    dls = rng.integers(1, 300, len(ids)).astype(np.uint64)
+    inline = list(pack_blocks(ids, tfs, dls, avgdl=80.0, store_dls=True))
+    side = list(pack_blocks(ids, tfs, dls, avgdl=80.0, store_dls=False))
+    for a, b in zip(inline, side):
+        assert b["dls"] == b""
+        # only the dls stream differs: block-max, gaps, tfs are layout-free
+        assert {k: v for k, v in a.items() if k != "dls"} == {
+            k: v for k, v in b.items() if k != "dls"
+        }
+    i, t, d = unpack_block(side[0]["gaps"], side[0]["tfs"], side[0]["dls"], side[0]["n"])
+    assert d is None and len(i) == side[0]["n"]
+    ri, rt, rd = unpack_run(
+        [b["gaps"] for b in side], [b["tfs"] for b in side],
+        [b["dls"] for b in side], [b["n"] for b in side],
+    )
+    assert rd is None
+    assert np.array_equal(ri, ids) and np.array_equal(rt, tfs)
+
+
+def test_doc_lens_roundtrip_with_gaps():
+    """encode_doc_lens: dense offset-indexed array; absent docs (zero-term
+    docs — never referenced by postings) read back as 0; every present
+    doc's offset is in-bounds by construction (n = max offset + 1)."""
+    from searchengine_spark.functions.codec import decode_doc_lens, encode_doc_lens
+
+    base = 1280
+    doc_ids = np.array([1280, 1283, 1290, 1391], dtype=np.int64)
+    dls = np.array([7, 300, 1, 65000], dtype=np.uint64)
+    n, buf = encode_doc_lens(doc_ids, dls, base)
+    assert n == 112
+    arr = decode_doc_lens(buf, n)
+    assert arr.shape == (112,)
+    assert np.array_equal(arr[doc_ids - base], dls)
+    present = np.zeros(n, dtype=bool)
+    present[doc_ids - base] = True
+    assert (arr[~present] == 0).all()
+    # empty range
+    n0, buf0 = encode_doc_lens(np.array([], dtype=np.int64), np.array([], dtype=np.uint64), 0)
+    assert n0 == 0 and decode_doc_lens(buf0, n0).size == 0

@@ -86,3 +86,55 @@ def test_case_folding(spark, index_1k, oracle_1k):
     for t in vocab:
         if t != t.lower():
             assert t.lower() not in vocab, t
+
+
+def test_doc_lens_sidecar_matches_oracle(spark, index_1k, oracle_1k):
+    """Sidecar layout (SCALE.md): postings inline NO per-posting dls; the
+    doc_lens table holds one offset-indexed varint array per range whose
+    entries equal every indexed doc's true dl."""
+    from searchengine_spark.functions.codec import decode_doc_lens
+
+    posts = spark.read.parquet(f"{index_1k}/postings").toPandas()
+    assert (posts["dls"].map(len) == 0).all()
+
+    lens = spark.read.parquet(f"{index_1k}/doc_lens").toPandas()
+    range_width = 128  # index_1k fixture builds with range_width=128
+    got = {}
+    for row in lens.itertuples(index=False):
+        arr = decode_doc_lens(row.lens, row.n)
+        for off, dl in enumerate(arr):
+            if dl:
+                got[row.rng * range_width + off] = int(dl)
+    want = {
+        i: sum(d.values()) for i, d in enumerate(oracle_1k.folded) if d
+    }
+    assert got == want
+
+
+def test_legacy_inline_dls_layout_still_scores(spark, monkeypatch, tmp_path,
+                                               small_corpus_pdf, oracle_1k):
+    """Pre-sidecar indexes (blocks inline dls, no doc_lens table) must keep
+    scoring bit-identically: build one under the legacy layout, delete its
+    sidecar, and require rank+score identity with the oracle."""
+    import shutil
+
+    import searchengine_spark.operators.index_build as ib
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search_batch
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES, corpus_df
+
+    monkeypatch.setattr(ib, "STORE_DLS_IN_BLOCKS", True)
+    d = str(tmp_path / "legacy_idx")
+    docs = corpus_df(spark, 1000, seed=42, partitions=6)
+    build_index(spark, docs, d, range_width=128, n_groups=3)
+    posts = spark.read.parquet(f"{d}/postings").limit(5).toPandas()
+    assert (posts["dls"].map(len) > 0).all()
+    shutil.rmtree(f"{d}/doc_lens")
+
+    queries = REFERENCE_QUERIES[:5]
+    got = search_batch(spark, d, queries, k=10).toPandas()
+    for qid, query in enumerate(queries):
+        golden = oracle_1k.search(query, k=10)
+        sub = got[got["query_id"] == qid]
+        assert sub["doc_id"].tolist() == golden["doc_id"].tolist(), query
+        assert np.allclose(sub["score"], golden["score"], atol=1e-9, rtol=0), query

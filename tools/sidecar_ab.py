@@ -1,0 +1,154 @@
+"""A/B: doc-length sidecar vs legacy inline-dls postings layout (SCALE.md
+"doc-length sidecar", VERDICT r01/r02 perf thread).
+
+Given an existing LEGACY-layout index (posting blocks inline per-posting
+dls, no ``doc_lens`` table), this tool:
+
+1. materializes a SIDECAR-layout sibling that shares the exact same
+   corpus-derived tables (doc_terms/doc_map/doc_stats/fold_map/term_dict
+   are hardlinked, so both sides index the identical corpus) and repacks
+   only the postings + doc_lens sidecar;
+2. reports on-disk postings bytes for both layouts (the sidecar's claim is
+   ~1/3 of posting bytes are redundant per-doc lengths);
+3. runs the 20-query reference batch through ``search_batch`` on both
+   indexes INTERLEAVED for ``--passes`` rounds (interleaving is the only
+   trustworthy A/B shape on this sandbox — run-to-run variance is 2-4x,
+   see BENCH/BASELINE.md) and prints per-pass walls;
+4. asserts the two layouts return IDENTICAL (query_id, doc_id, score)
+   triples — the layout change may not move a single float bit.
+
+Usage::
+
+    python tools/sidecar_ab.py [--legacy-dir /tmp/se_scaling_idx_32]
+        [--sidecar-dir /tmp/se_scaling_idx_32_sidecar] [--passes 3]
+        [--json-out BENCH/doc_len_sidecar.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def make_sidecar_copy(spark, legacy: str, side: str) -> None:
+    """Hardlink the corpus-derived tables, then repack postings under the
+    sidecar layout and build doc_lens. Reuses the production build path
+    (build_posting_groups/build_doc_lens), so the repack exercises exactly
+    the code a real migration compaction would."""
+    from searchengine_spark.operators.index_build import (
+        build_doc_lens,
+        build_posting_groups,
+    )
+    from searchengine_spark.plans.manifest import Manifest
+
+    shutil.rmtree(side, ignore_errors=True)
+    os.makedirs(side)
+    for sub in ("doc_map", "doc_stats", "doc_terms", "fold_map", "term_dict"):
+        shutil.copytree(
+            f"{legacy}/{sub}", f"{side}/{sub}", copy_function=os.link
+        )
+    shutil.copy(f"{legacy}/manifest.json", f"{side}/manifest.json")
+    man = Manifest(side)
+    man.data["posting_groups"] = {}
+    man.save()
+    build_doc_lens(spark, side, man)
+    build_posting_groups(spark, side, man)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--legacy-dir", default="/tmp/se_scaling_idx_32")
+    ap.add_argument("--sidecar-dir", default="/tmp/se_scaling_idx_32_sidecar")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH", "doc_len_sidecar.json"))
+    args = ap.parse_args()
+
+    from searchengine_spark.operators.wand import search_batch
+    from searchengine_spark.session import get_session
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+    spark = get_session(app_name="sidecar-ab")
+
+    if os.path.exists(f"{args.legacy_dir}/doc_lens"):
+        raise SystemExit(
+            f"{args.legacy_dir} has a doc_lens table — not a legacy-layout "
+            "index; point --legacy-dir at a pre-sidecar build"
+        )
+    if not os.path.exists(f"{args.sidecar_dir}/doc_lens"):
+        t0 = time.time()
+        make_sidecar_copy(spark, args.legacy_dir, args.sidecar_dir)
+        print(f"sidecar repack: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    sides = {"legacy": args.legacy_dir, "sidecar": args.sidecar_dir}
+    sizes = {
+        name: {
+            "postings_bytes": dir_bytes(f"{d}/postings"),
+            "doc_lens_bytes": (
+                dir_bytes(f"{d}/doc_lens") if os.path.exists(f"{d}/doc_lens") else 0
+            ),
+        }
+        for name, d in sides.items()
+    }
+
+    walls: dict = {name: [] for name in sides}
+    outputs: dict = {}
+    for p in range(args.passes):
+        for name, d in sides.items():
+            t0 = time.time()
+            out = (
+                search_batch(spark, d, REFERENCE_QUERIES, k=args.k)
+                .toPandas()
+                .sort_values(["query_id", "score", "doc_id"],
+                             ascending=[True, False, True])
+                .reset_index(drop=True)
+            )
+            walls[name].append(round(time.time() - t0, 3))
+            outputs[name] = out
+
+    identical = (
+        outputs["legacy"]["query_id"].tolist() == outputs["sidecar"]["query_id"].tolist()
+        and outputs["legacy"]["doc_id"].tolist() == outputs["sidecar"]["doc_id"].tolist()
+        and outputs["legacy"]["score"].tolist() == outputs["sidecar"]["score"].tolist()
+    )
+
+    lb, sb = sizes["legacy"]["postings_bytes"], sizes["sidecar"]["postings_bytes"]
+    st = sb + sizes["sidecar"]["doc_lens_bytes"]
+    summary = {
+        "metric": "doc_len_sidecar_ab",
+        "legacy_dir": args.legacy_dir,
+        "n_queries": len(REFERENCE_QUERIES),
+        "k": args.k,
+        "passes": args.passes,
+        "sizes": sizes,
+        "postings_bytes_saved_frac": round(1 - sb / lb, 4),
+        "total_bytes_saved_frac": round(1 - st / lb, 4),
+        "query_batch_walls_sec": walls,
+        "warm_wall_legacy": walls["legacy"][-1],
+        "warm_wall_sidecar": walls["sidecar"][-1],
+        "outputs_bit_identical": identical,
+    }
+    print(json.dumps(summary))
+    with open(args.json_out, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    if not identical:
+        raise SystemExit("FAIL: layouts disagree on the reference query set")
+
+
+if __name__ == "__main__":
+    main()

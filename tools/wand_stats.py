@@ -56,8 +56,18 @@ def main() -> None:
         .where(F.col("term").isin(all_terms))
         .toPandas()
     )
+    # doc-length sidecar (if this index uses that layout): one lens pdf
+    # per range, handed to the cogroup-shaped scorer exactly as the
+    # distributed stage would
+    sidecar = os.path.exists(f"{args.index_dir}/doc_lens")
+    lens_by_rng = {}
+    if sidecar:
+        lpdf = spark.read.parquet(f"{args.index_dir}/doc_lens").toPandas()
+        lens_by_rng = {int(r): g for r, g in lpdf.groupby("rng")}
+        empty_lens = lpdf.iloc[0:0]
     print(f"{len(qmap)}/{len(REFERENCE_QUERIES)} queries resolve; "
-          f"{len(all_terms)} terms; {len(pdf)} posting blocks in scope",
+          f"{len(all_terms)} terms; {len(pdf)} posting blocks in scope; "
+          f"sidecar={sidecar}",
           file=sys.stderr)
 
     results = {}
@@ -67,12 +77,17 @@ def main() -> None:
         scorer = _score_range_batch_factory(
             qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
             s["range_width"], args.k,
-            maxscore=(mode == "maxscore"), stats=stats,
+            maxscore=(mode == "maxscore"), stats=stats, sidecar=sidecar,
         )
         t0 = time.time()
         outs = []
         for rng, grp in pdf.groupby("rng"):
-            outs.append(scorer((rng,), grp))
+            if sidecar:
+                outs.append(
+                    scorer((rng,), grp, lens_by_rng.get(int(rng), empty_lens))
+                )
+            else:
+                outs.append(scorer((rng,), grp))
         wall = time.time() - t0
         import pandas as pd
 
