@@ -22,6 +22,9 @@ def main() -> None:
     ap.add_argument("--queries-file")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--scorer", default="wand", choices=["wand", "cosine"])
+    ap.add_argument("--where", help="SQL predicate over doc_map metadata "
+                    "(repo, path, commit, lang, content_sha256) restricting "
+                    "eligibility; scores stay whole-corpus (wand only)")
     ap.add_argument("--csv-out", help="also write (query_id, doc_id, score) "
                     "results as CSV (S5, utils.write_csv parity)")
     args = ap.parse_args()
@@ -39,8 +42,19 @@ def main() -> None:
     if args.scorer == "wand":
         from searchengine_spark.operators.wand import search_batch
 
-        result = search_batch(spark, args.index_dir, queries, k=args.k)
+        allowed = None
+        if args.where:
+            allowed = (
+                spark.read.parquet(f"{args.index_dir}/doc_map")
+                .where(args.where)
+                .select("doc_id")
+            )
+        result = search_batch(
+            spark, args.index_dir, queries, k=args.k, allowed=allowed
+        )
     else:
+        if args.where:
+            raise SystemExit("--where requires --scorer wand")
         from searchengine_spark.operators import parity
 
         parity.build_cosine_tables(spark, args.index_dir, prune=True)

@@ -38,10 +38,19 @@ def cosine_topk(
     k: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k vs a literal query vector → (vec_id, cos).
     A zero query vector has no defined cosine: empty result. Zero-norm
-    rows are excluded (ANSI mode would otherwise raise DIVIDE_BY_ZERO)."""
+    rows are excluded (ANSI mode would otherwise raise DIVIDE_BY_ZERO).
+
+    ``allowed`` (any DataFrame with an ``id_col`` column, e.g. a metadata
+    predicate) restricts eligibility via a semi-join BEFORE the scan —
+    pre-filter semantics, so the filtered top-k equals the full ranking
+    restricted to the allowed set (scores unchanged: cosine depends only
+    on the row)."""
+    if allowed is not None:
+        emb = emb.join(allowed.select(id_col), id_col, "leftsemi")
     qn = float(np.sqrt(np.dot(query_vec, query_vec)))
     if qn == 0.0:
         return (
@@ -244,13 +253,23 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k: probe the ``nprobe`` cells whose
     centroids are nearest the query, exact re-rank inside → (vec_id, cos).
     ``nprobe == n_cells`` degenerates to the exact brute-force scan.
     Pass precomputed ``centroids`` (from :func:`ivf_train_centroids`) to
     skip training — the serving shape, where assignment is also
-    prematerialized (see :func:`ivf_assign`)."""
+    prematerialized (see :func:`ivf_assign`).
+
+    ``allowed`` pre-filters eligibility (semi-join on ``id_col``) before
+    cell assignment, so the probed cells are scanned over the eligible
+    subset only; with prematerialized assignment the semi-join lands on
+    the assignment table and composes with ``_cell`` partition pruning.
+    Note the standard filtered-ANN caveat: recall under a fixed ``nprobe``
+    is measured against the FILTERED ground truth, and a highly selective
+    facet thins every probed cell — raise ``nprobe`` with selectivity
+    (training on the full corpus is unaffected)."""
     C = (
         centroids
         if centroids is not None
@@ -258,6 +277,8 @@ def ivf_cosine_topk(
             emb, n_cells, sample, seed=seed, id_col=id_col, vec_col=vec_col
         )
     )
+    if allowed is not None:
+        emb = emb.join(allowed.select(id_col), id_col, "leftsemi")
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = np.linalg.norm(qv)
     if qn > 1e-12:
@@ -276,11 +297,17 @@ def lsh_cosine_topk(
     multiprobe: bool = True,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: probe the query's LSH bucket (+Hamming-1
-    neighbors when multiprobe), exact re-rank inside. → (vec_id, cos)."""
+    neighbors when multiprobe), exact re-rank inside. → (vec_id, cos).
+    ``allowed`` pre-filters eligibility before signature assignment (see
+    :func:`ivf_cosine_topk` for the filtered-ANN recall caveat — here the
+    lever is more probe bits flipped, i.e. multiprobe radius)."""
     dim = len(query_vec)
     planes = _hyperplanes(dim, bits, seed)
+    if allowed is not None:
+        emb = emb.join(allowed.select(id_col), id_col, "leftsemi")
     qv = np.asarray(query_vec, dtype=np.float64)
     qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
     probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])

@@ -142,7 +142,7 @@ BATCH_RESULT_SCHEMA = T.StructType(
 def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                                range_width: int, k: int,
                                maxscore: bool = True, stats: dict | None = None,
-                               sidecar: bool = False):
+                               sidecar: bool = False, filtered: bool = False):
     """Build the per-range pandas scorer for a BATCH of queries.
     ``qmap``: {query_id: {term: (qtf, df)}}.
 
@@ -180,6 +180,17 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     values are identical; a range with neither (sidecar row missing AND
     blocks packed without dls) raises rather than mis-scoring.
 
+    ``filtered=True`` (also a cogroup: the aux side carries a per-range
+    ``fmask`` bitmap of eligible local doc offsets, optionally joined with
+    the ``doc_lens`` sidecar row): candidates outside the mask are dropped
+    at selection time — BEFORE they enter ``seen``/θ — so the running
+    threshold prunes against eligible scores only, and surviving scores
+    are bit-identical to the unfiltered scorer's for the same docs (the
+    per-doc addend set and order are unchanged; eligibility only selects
+    rows). A postings range that reaches the scorer without a mask row
+    contributes nothing (its eligible set is empty) — though the plan
+    semi-joins such ranges away before the shuffle.
+
     Batching amortizes the dominant shared costs across queries: one
     postings scan + one shuffle + one Python stage per BATCH (not per
     query), and decoded blocks (doc offsets + query-independent BM25 tf
@@ -191,7 +202,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
         for qid, qw in qmap.items()
     }
 
-    def _score(key, pdf: pd.DataFrame, dl_arr) -> pd.DataFrame:
+    def _score(key, pdf: pd.DataFrame, dl_arr, fmask=None) -> pd.DataFrame:
         base = int(key[0]) * range_width
         n_chunks = (range_width + CHUNK - 1) // CHUNK
         per_term: dict = {}  # term -> (first, last, bmax, gaps, tfs, dls, ns)
@@ -307,8 +318,13 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                     s1 = int(np.searchsorted(off, hi, side="left"))
                     if s0 < s1:
                         sel = off[s0:s1] - lo
-                        contribs.append((t, sel, w[t] * tf_part[s0:s1]))
-                        seen[sel] = True
+                        vals = w[t] * tf_part[s0:s1]
+                        if fmask is not None:
+                            keep = fmask[lo + sel]
+                            sel, vals = sel[keep], vals[keep]
+                        if sel.size:
+                            contribs.append((t, sel, vals))
+                            seen[sel] = True
                 for t in sorted(ness):
                     first, last = per_term[t][:2]
                     b0 = int(np.searchsorted(last, lo, side="left"))
@@ -379,7 +395,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
             }
         )
 
-    if not sidecar:
+    if not (sidecar or filtered):
         # groupBy().applyInPandas validates a (key, pdf) signature — wrap
         def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return _score(key, pdf, None)
@@ -393,17 +409,70 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 {"query_id": np.array([], np.int32),
                  "doc_id": np.array([], np.int64), "score": []}
             )
+        fmask = None
+        if filtered:
+            fm = None if lens_pdf.empty else lens_pdf.iloc[0]["fmask"]
+            if fm is None:
+                # no mask row ⇒ no eligible doc in this range (the plan's
+                # semi-join normally prunes these before the shuffle)
+                return pd.DataFrame(
+                    {"query_id": np.array([], np.int32),
+                     "doc_id": np.array([], np.int64), "score": []}
+                )
+            fmask = np.unpackbits(
+                np.frombuffer(bytes(fm), dtype=np.uint8)
+            )[:range_width].astype(bool)
         dl_arr = None
         if not lens_pdf.empty:
             row = lens_pdf.iloc[0]
-            dl_arr = decode_doc_lens(row["lens"], int(row["n"]))
-        return _score(key, posts_pdf, dl_arr)
+            # under filtered+legacy the mask row left-joins a missing
+            # sidecar row: lens is null and dls stay inline in the blocks
+            if "lens" in lens_pdf.columns and row["lens"] is not None:
+                dl_arr = decode_doc_lens(row["lens"], int(row["n"]))
+        return _score(key, posts_pdf, dl_arr, fmask)
 
     return score_range_cogrouped
 
 
+MASK_SCHEMA = T.StructType(
+    [
+        T.StructField("rng", T.IntegerType(), False),
+        T.StructField("fmask", T.BinaryType(), False),
+    ]
+)
+
+
+def _range_masks(allowed: DataFrame, range_width: int) -> DataFrame:
+    """(rng, fmask) — one packed bitmap of eligible LOCAL doc offsets per
+    document range, built with a single shuffle of the allowed doc_ids by
+    ``rng`` (the same key the postings shuffle uses). range_width/8 bytes
+    per range regardless of selectivity, so even a 'lang IN (python)'
+    filter matching 20% of 10^12 docs ships ~2 KB per 16k-doc range — the
+    filter never routes through the driver or a broadcast."""
+
+    def to_mask(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        loc = pdf["doc_id"].to_numpy(np.int64) - rng * range_width
+        m = np.zeros(range_width, dtype=bool)
+        m[loc] = True
+        return pd.DataFrame(
+            {"rng": np.array([rng], np.int32),
+             "fmask": [np.packbits(m).tobytes()]}
+        )
+
+    return (
+        allowed.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            (F.col("doc_id") / F.lit(range_width)).cast("int").alias("rng"),
+        )
+        .groupBy("rng")
+        .applyInPandas(to_mask, MASK_SCHEMA)
+    )
+
+
 def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
-                   scorer) -> tuple:
+                   scorer, allowed: DataFrame | None = None,
+                   range_width: int | None = None) -> tuple:
     """Shared tail of the query plans: build the per-range scorer stage.
 
     Returns ``(per_range_df, sidecar)``. With the doc-length sidecar
@@ -411,10 +480,36 @@ def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
     length arrays — the same single shuffle by ``rng`` as the plain
     groupBy, plus a scan of the (tiny: one varint array per range) sidecar
     table; in a long-lived serving deployment those arrays are the part
-    you pin in executor memory."""
+    you pin in executor memory.
+
+    ``allowed`` (DataFrame with a ``doc_id`` column) restricts scoring to
+    those documents: it becomes a per-range eligibility bitmap on the aux
+    side of the cogroup, and postings ranges containing NO eligible doc
+    are pruned by a semi-join on ``rng`` before the shuffle — a selective
+    metadata filter (one repo out of millions) reduces the scan/shuffle to
+    the ranges that repo's docs live in."""
     sidecar = os.path.exists(f"{index_dir}/doc_lens")
-    factory_scorer = scorer(sidecar)  # ``scorer``: sidecar-flag → scorer fn
-    if sidecar:
+    filtered = allowed is not None
+    # ``scorer``: (sidecar, filtered) → scorer fn
+    factory_scorer = scorer(sidecar, filtered)
+    if filtered:
+        rngs = (
+            allowed.select(
+                (F.col("doc_id") / F.lit(range_width)).cast("int").alias("rng")
+            ).distinct()
+        )
+        posts = posts.join(rngs, "rng", "leftsemi")
+        aux = _range_masks(allowed, range_width)
+        if sidecar:
+            aux = aux.join(
+                spark.read.parquet(f"{index_dir}/doc_lens"), "rng", "left"
+            )
+        per_range = (
+            posts.groupBy("rng")
+            .cogroup(aux.groupBy("rng"))
+            .applyInPandas(factory_scorer, BATCH_RESULT_SCHEMA)
+        )
+    elif sidecar:
         lens = spark.read.parquet(f"{index_dir}/doc_lens")
         per_range = (
             posts.groupBy("rng")
@@ -434,6 +529,7 @@ def search_batch(
     queries: list[str],
     k: int = 10,
     maxscore: bool = True,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k for a batch of queries in ONE distributed job →
     DataFrame(query_id, doc_id, score) with per-query (score desc, doc_id
@@ -443,6 +539,14 @@ def search_batch(
     scan (pushed ``term IN (...)`` filter over the union of all query
     terms), the shuffle, the Python scorer stage, and the final top-k are
     all amortized over the batch.
+
+    ``allowed`` (any DataFrame with a ``doc_id`` column, e.g. a metadata
+    predicate over ``doc_map``) restricts results to those documents.
+    Eligibility only — corpus statistics (N, df/idf, avgdl) stay
+    whole-corpus, so a doc's score is identical with and without the
+    filter (the conventional faceted-search semantics; per-subcorpus idf
+    would make scores depend on the facet and is what a sub-index, not a
+    filter, is for). See ``_scored_ranges`` for the distributed shape.
     """
     from pyspark.sql import Window
 
@@ -458,10 +562,11 @@ def search_batch(
     )
     per_range, _ = _scored_ranges(
         spark, index_dir, posts,
-        lambda sc: _score_range_batch_factory(
+        lambda sc, fl: _score_range_batch_factory(
             qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
-            s["range_width"], k, maxscore=maxscore, sidecar=sc,
+            s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
         ),
+        allowed=allowed, range_width=s["range_width"],
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -478,8 +583,10 @@ def search(
     query: str,
     k: int = 10,
     maxscore: bool = True,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
-    """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally ordered."""
+    """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally
+    ordered. ``allowed`` restricts eligibility (see ``search_batch``)."""
     man = Manifest(index_dir)
     s = man.scalars
     qweights = fold_query_terms(spark, index_dir, query)
@@ -490,16 +597,40 @@ def search(
     )
     per_range, _ = _scored_ranges(
         spark, index_dir, posts,
-        lambda sc: _score_range_batch_factory(
+        lambda sc, fl: _score_range_batch_factory(
             {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
-            s["range_width"], k, maxscore=maxscore, sidecar=sc,
+            s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
         ),
+        allowed=allowed, range_width=s["range_width"],
     )
     return (
         per_range.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def search_where(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    where: str,
+    k: int = 10,
+    maxscore: bool = True,
+) -> DataFrame:
+    """BM25 top-k restricted by a SQL predicate over the index's
+    ``doc_map`` metadata (columns ``repo, path, commit, lang,
+    content_sha256``), e.g. ``search_where(spark, idx, 'parse tokens',
+    "lang = 'python' AND repo LIKE 'org1/%'")``.
+
+    The predicate is pushed into the doc_map parquet scan (Catalyst
+    pushdown); matching doc_ids become the eligibility bitmap of
+    ``search(..., allowed=...)``."""
+    allowed = (
+        spark.read.parquet(f"{index_dir}/doc_map").where(where).select("doc_id")
+    )
+    return search(spark, index_dir, query, k=k, maxscore=maxscore,
+                  allowed=allowed)
 
 
 def search_join(

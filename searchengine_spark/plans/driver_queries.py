@@ -156,6 +156,45 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+FACET_LANGS = ["es", "de"]  # bm25_filtered eligibility facet
+
+
+def q_bm25_filtered(spark, sf_dir):
+    """Faceted retrieval: q_bm25_topk restricted to lang ∈ {es, de} —
+    the DataFrame-path mirror of ``search(allowed=...)`` /
+    ``search_where`` over the packed index (operators/wand.py).
+
+    Eligibility-only semantics: corpus statistics (N, df, avgdl) stay
+    whole-corpus, so a doc's score is identical with and without the
+    facet; the filter selects WHICH docs may appear in the top-20, pushed
+    as a semi-join before the stats/weights joins."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dt = q_doc_terms(spark, sf_dir)
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
+    avgdl = stats.agg(F.avg("dl")).collect()[0][0]
+    td = q_term_dict(spark, sf_dir).select("term", "df")
+    eligible = docs.where(F.col("lang").isin(FACET_LANGS)).select("doc_id")
+    contrib = (
+        dt.where(F.col("term").isin(QTERMS))
+        .join(eligible, "doc_id", "leftsemi")
+        .join(stats, "doc_id")
+        .join(F.broadcast(td), "term")
+        .withColumn(
+            "c",
+            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_candidates(spark, sf_dir):
     """J2: k-of-n posting intersection (searcher.py:30-61) — docs holding
     ≥2 of the query terms, with match count."""
@@ -255,6 +294,23 @@ def q_ann_cosine_topk(spark, sf_dir):
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
     return similarity.cosine_topk(emb, qvec, k=20)
+
+
+FACET_LABELS = [0, 1, 2]  # ann_filtered eligibility facet
+
+
+def q_ann_filtered(spark, sf_dir):
+    """Metadata-filtered exact ANN: cosine top-20 restricted to
+    label ∈ {0,1,2} via ``cosine_topk(allowed=...)`` — pre-filter
+    semi-join, so scores equal the unfiltered scores of surviving rows
+    (the vector-side mirror of ``bm25_filtered``)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    allowed = emb.where(F.col("label").isin(FACET_LABELS)).select("vec_id")
+    return similarity.cosine_topk(emb, qvec, k=20, allowed=allowed)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -640,6 +696,7 @@ QUERIES = {
     "term_dict": q_term_dict,
     "tfidf": q_tfidf,
     "bm25_topk": q_bm25_topk,
+    "bm25_filtered": q_bm25_filtered,
     "candidates_k_of_n": q_candidates,
     "exact_dedup": q_exact_dedup,
     "minhash_signatures": q_minhash,
@@ -652,6 +709,7 @@ QUERIES = {
     "token_counts": q_token_counts,
     "char_entropy": q_char_entropy,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_filtered": q_ann_filtered,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lsh_pairs": q_lsh_pairs,
@@ -744,6 +802,23 @@ ORACLES = {
         f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
         ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
     ),
+    "bm25_filtered": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+        " el AS (SELECT doc_id FROM documents WHERE lang IN ("
+        + ",".join(f"'{l}'" for l in FACET_LANGS)
+        + "))"
+        f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+        " AND dt.doc_id IN (SELECT doc_id FROM el)"
+        ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+    ),
     "candidates_k_of_n": (
         f"SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matched FROM ({SQL_DOC_TERMS})"
         f" WHERE term IN ({_QLIST}) GROUP BY doc_id HAVING count(*) >= 2"
@@ -806,6 +881,15 @@ ORACLES = {
         " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
         "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
         " FROM embeddings CROSS JOIN q ORDER BY cos DESC, vec_id ASC LIMIT 20"
+    ),
+    "ann_filtered": (
+        "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"
+        " SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], qv)"
+        " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
+        " FROM embeddings CROSS JOIN q"
+        " WHERE label IN (" + ",".join(str(lb) for lb in FACET_LABELS) + ")"
+        " ORDER BY cos DESC, vec_id ASC LIMIT 20"
     ),
     # IVF with nprobe == n_cells degenerates to the exact scan: same oracle
     "ann_ivf_topk": (

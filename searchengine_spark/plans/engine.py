@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from searchengine_spark.operators.index_build import build_index
-from searchengine_spark.operators.wand import search, search_join
+from searchengine_spark.operators.wand import search, search_join, search_where
 from searchengine_spark.plans.manifest import Manifest
 
 
@@ -19,7 +19,12 @@ class SparkSearchEngine:
     def build(self, docs: DataFrame, **kw) -> Manifest:
         return build_index(self.spark, docs, self.index_dir, **kw)
 
-    def search(self, query: str, k: int = 10, method: str = "wand") -> DataFrame:
+    def search(self, query: str, k: int = 10, method: str = "wand",
+               where: str | None = None) -> DataFrame:
+        """``where``: optional SQL predicate over the index's ``doc_map``
+        metadata (faceted retrieval; eligibility-only — scores unchanged)."""
+        if where is not None:
+            return search_where(self.spark, self.index_dir, query, where, k=k)
         fn = search if method == "wand" else search_join
         return fn(self.spark, self.index_dir, query, k)
 

@@ -1,0 +1,144 @@
+"""Metadata-filtered BM25 retrieval (``allowed=`` / ``search_where``).
+
+Semantics under test: ``allowed`` restricts ELIGIBILITY only — corpus
+statistics (N, df/idf, avgdl) stay whole-corpus, so a surviving doc's
+score is bit-identical to its unfiltered score and the filtered top-k
+equals the unfiltered FULL ranking restricted to the allowed set.
+
+The reference result is computed from the engine itself with the filter
+lifted out: score everything (k = corpus size, so pruning never drops a
+doc), restrict in pandas, re-apply the (score desc, doc_id asc) tiebreak.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.wand import search, search_batch, search_where
+from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+QUERIES = ["def return", "posting shard merge", "Apache Spark", "index"]
+
+
+def _ref_filtered(spark, index_dir, query, allowed_ids, k=10):
+    full = search(spark, index_dir, query, k=10**6).toPandas()
+    sub = full[full["doc_id"].isin(set(allowed_ids))]
+    return (
+        sub.sort_values(["score", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _allowed_df(spark, index_dir, predicate: str):
+    return (
+        spark.read.parquet(f"{index_dir}/doc_map")
+        .where(predicate)
+        .select("doc_id")
+    )
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_filtered_equals_restricted_full_ranking(spark, index_1k, query):
+    allowed = _allowed_df(spark, index_1k, "doc_id % 3 = 0")
+    ids = [r["doc_id"] for r in allowed.collect()]
+    want = _ref_filtered(spark, index_1k, query, ids)
+    got = search(spark, index_1k, query, k=10, allowed=allowed).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), query
+    # bit-identical, not just close: eligibility selects rows, it never
+    # changes a surviving doc's addends or their order
+    assert got["score"].tolist() == want["score"].tolist(), query
+
+
+def test_filtered_batch_lang_facet(spark, index_1k):
+    """The serving shape: one batch job, faceted to lang='python'."""
+    allowed = _allowed_df(spark, index_1k, "lang = 'python'")
+    ids = [r["doc_id"] for r in allowed.collect()]
+    assert 0 < len(ids) < 1000  # the facet is non-trivial both ways
+    got = search_batch(
+        spark, index_1k, REFERENCE_QUERIES, k=10, allowed=allowed
+    ).toPandas()
+    assert set(got["doc_id"]) <= set(ids)
+    for qid, query in enumerate(REFERENCE_QUERIES):
+        want = _ref_filtered(spark, index_1k, query, ids)
+        sub = got[got["query_id"] == qid]
+        assert sub["doc_id"].tolist() == want["doc_id"].tolist(), query
+        assert sub["score"].tolist() == want["score"].tolist(), query
+
+
+def test_search_where_matches_manual_allowed(spark, index_1k):
+    pred = "lang = 'python' AND repo LIKE 'org1/%'"
+    via_where = search_where(spark, index_1k, "def return", pred, k=10).toPandas()
+    manual = search(
+        spark, index_1k, "def return", k=10,
+        allowed=_allowed_df(spark, index_1k, pred),
+    ).toPandas()
+    assert via_where["doc_id"].tolist() == manual["doc_id"].tolist()
+    assert via_where["score"].tolist() == manual["score"].tolist()
+    assert len(via_where) > 0
+
+
+def test_empty_allowed_empty_result(spark, index_1k):
+    allowed = _allowed_df(spark, index_1k, "doc_id < 0")
+    assert search(spark, index_1k, "def return", k=10, allowed=allowed).count() == 0
+
+
+def test_single_range_filter_prunes_and_scores(spark, index_1k):
+    """Filter confined to range 0 (doc_id < 128 at range_width=128): the
+    postings scan is semi-join-pruned to eligible ranges, and results are
+    exactly the restricted ranking."""
+    allowed = _allowed_df(spark, index_1k, "doc_id < 128")
+    df = search(spark, index_1k, "def return", k=10, allowed=allowed)
+    plan = df._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+    got = df.toPandas()
+    assert (got["doc_id"] < 128).all()
+    want = _ref_filtered(spark, index_1k, "def return", range(128))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_filtered_maxscore_identity(spark, index_1k):
+    """MaxScore pruning must stay invisible under a filter: θ now tracks
+    eligible-only scores, but emitted (doc_id, score) lists are the same
+    with pruning on and off."""
+    allowed = _allowed_df(spark, index_1k, "doc_id % 2 = 0")
+    on = search_batch(spark, index_1k, REFERENCE_QUERIES, k=10,
+                      maxscore=True, allowed=allowed).toPandas()
+    off = search_batch(spark, index_1k, REFERENCE_QUERIES, k=10,
+                       maxscore=False, allowed=allowed).toPandas()
+    assert on["query_id"].tolist() == off["query_id"].tolist()
+    assert on["doc_id"].tolist() == off["doc_id"].tolist()
+    assert on["score"].tolist() == off["score"].tolist()
+
+
+@pytest.fixture(scope="module")
+def legacy_index(spark, tmp_path_factory):
+    """A pre-sidecar (inline-dls, no doc_lens table) index for layout
+    compatibility: filtering must work on old indexes too."""
+    import shutil
+
+    import searchengine_spark.operators.index_build as ib
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.sources.corpus import corpus_df
+
+    d = str(tmp_path_factory.mktemp("legacy_filtered"))
+    old = ib.STORE_DLS_IN_BLOCKS
+    ib.STORE_DLS_IN_BLOCKS = True
+    try:
+        docs = corpus_df(spark, 1000, seed=42, partitions=6)
+        build_index(spark, docs, d, range_width=128, n_groups=3)
+    finally:
+        ib.STORE_DLS_IN_BLOCKS = old
+    shutil.rmtree(f"{d}/doc_lens")
+    return d
+
+
+def test_filtered_on_legacy_layout(spark, legacy_index):
+    allowed = _allowed_df(spark, legacy_index, "doc_id % 2 = 0")
+    ids = [r["doc_id"] for r in allowed.collect()]
+    for query in QUERIES[:2]:
+        want = _ref_filtered(spark, legacy_index, query, ids)
+        got = search(spark, legacy_index, query, k=10, allowed=allowed).toPandas()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist(), query
+        assert got["score"].tolist() == want["score"].tolist(), query

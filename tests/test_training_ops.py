@@ -60,6 +60,48 @@ def test_ivf_probing_all_cells_is_exact(spark, emb, qvec):
     assert np.allclose(ivf["cos"], exact["cos"], atol=1e-9)
 
 
+def test_filtered_ann_equals_restricted_full_ranking(spark, emb, qvec):
+    """``allowed=`` is eligibility-only pre-filtering: the filtered top-k
+    equals the FULL exact ranking restricted to the allowed set, with the
+    surviving rows' cosines unchanged — on every ANN variant (exact; IVF
+    and LSH at exhaustive probe budgets, where approximation vanishes and
+    only the filter semantics remain)."""
+    allowed = emb.where(F.col("label") % 2 == 0).select("vec_id")
+    ids = {r["vec_id"] for r in allowed.collect()}
+    assert 0 < len(ids) < emb.count()
+    full = similarity.cosine_topk(emb, qvec, k=10**6).toPandas()
+    want = (
+        full[full["vec_id"].isin(ids)]
+        .sort_values(["cos", "vec_id"], ascending=[False, True])
+        .head(20)
+    )
+    got = similarity.cosine_topk(emb, qvec, k=20, allowed=allowed).toPandas()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["cos"].tolist() == want["cos"].tolist()
+    ivf = similarity.ivf_cosine_topk(
+        emb, qvec, k=20, n_cells=8, nprobe=8, allowed=allowed
+    ).toPandas()
+    assert ivf["vec_id"].tolist() == want["vec_id"].tolist()
+    # LSH at full multiprobe still probes a strict bucket subset, so
+    # compare against the exact ranking restricted to (allowed ∩ buckets)
+    bits = 6
+    planes = similarity._hyperplanes(len(qvec), bits)
+    qv = np.asarray(qvec)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
+    probes = [qsig] + [qsig ^ (1 << i) for i in range(bits)]
+    cands = (
+        similarity.lsh_assign(emb, planes, "embedding")
+        .where(F.col("_sig").isin(probes))
+        .join(allowed, "vec_id", "leftsemi")
+    )
+    want_lsh = similarity.cosine_topk(cands, qvec, k=20).toPandas()
+    got_lsh = similarity.lsh_cosine_topk(
+        emb, qvec, k=20, bits=bits, allowed=allowed
+    ).toPandas()
+    assert got_lsh["vec_id"].tolist() == want_lsh["vec_id"].tolist()
+    assert set(got_lsh["vec_id"]) <= ids
+
+
 def test_ivf_clustered_recall_and_determinism(spark):
     """On clustered embeddings, probing a fraction of cells recovers the
     brute-force top-k (cells adapt to the clusters); same seed → same

@@ -229,8 +229,18 @@ batched rounds of the 20-query reference set. Full per-stage metrics in
 `BENCH/scaling.json`; the per-round driver bench (sf0.1 documents table) is
 `BENCH_r{{N}}.json` from `bench.py`.
 """
-    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # BASELINE.md also carries hand-written sections (measurement history,
+    # ANN recall tables, sf1 bench, A/B notes); only the generated header
+    # above the marker is replaced — everything at/after it is preserved.
+    out_path = f"{REPO}/BENCH/BASELINE.md"
+    marker = "<!-- MANUAL SECTIONS BELOW: scaling_bench preserves from here -->"
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        if marker in prev:
+            tail = "\n" + marker + prev.split(marker, 1)[1]
+    with open(out_path, "w") as f:
+        f.write(md + tail)
     print(json.dumps(summary))
 
 
