@@ -1,0 +1,191 @@
+"""Corpus curation operators: deterministic splits, per-group quotas,
+benchmark decontamination.
+
+These are the selection/partitioning steps of a large-scale training-data
+pipeline (the reference engine has no counterpart — they extend the
+`documents`-table operator family alongside dedup/textstats):
+
+* :func:`hash_split` — stable train/val/test assignment from a keyed
+  hash, so membership is a pure function of (salt, id): re-runs,
+  backfills, and incremental ingests never migrate a document between
+  splits, and no global sort or sampling state is needed.
+* :func:`per_group_topn` — per-source quota capping (keep the N best
+  documents per domain/source), the standard counter to a handful of
+  giant crawl domains dominating a pretraining mix.
+* :func:`decontaminate` — flag documents sharing any token n-gram with a
+  benchmark/eval set (the Lee et al. 2021 / GPT-3 appendix-C style
+  overlap rule), so test data can be excised from the training corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 32-bit hash space of the md5-prefix family (dedup.md5_int)
+_MD5_SPACE = float(1 << 32)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split:",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Append a deterministic ``split`` label drawn from ``weights``
+    (label → fraction; fractions must sum to ~1). Assignment is a pure
+    narrow map — no shuffle, no sampling state, no driver action — so it
+    scales with the scan and is reproducible across runs, partitionings,
+    and cluster sizes: u = hash(salt || id) mapped to [0, 1), label by
+    cumulative-weight interval.
+
+    ``method='xxhash64'`` (default) keys on Spark's JVM xxhash64 — the
+    production path. ``method='md5'`` uses the repo's cross-engine
+    md5-prefix family (dedup.md5_int): bit-identical in any ANSI SQL
+    engine, which is what the DuckDB driver oracle checks; prefer it when
+    split membership must be recomputable outside Spark.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights sum to {total}, expected 1")
+    sid = F.col(id_col).cast("string")
+    if method == "xxhash64":
+        # xxhash64 → [0, 1): shift into [0, 2^63) then scale
+        u = (
+            F.shiftrightunsigned(F.xxhash64(F.concat(F.lit(salt), sid)), 1)
+            / F.lit(float(1 << 63))
+        )
+    elif method == "md5":
+        u = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(_MD5_SPACE)
+        )
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    acc = 0.0
+    expr = None
+    labels = sorted(weights)  # deterministic interval order
+    for label in labels[:-1]:
+        acc += weights[label] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    expr = (
+        F.lit(labels[-1])
+        if expr is None
+        else expr.otherwise(labels[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def per_group_topn(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Keep the top-``n`` rows per group, ordered by ``order_col``
+    (ties broken by ``id_col`` ascending — fully deterministic).
+
+    Default shape is one window (`row_number` over partitionBy(group)):
+    a single hash shuffle on the group key. That serializes each group
+    through one task, which is fine for bounded groups but a hotspot when
+    one crawl domain holds 10^9 documents. ``salt_partitions=S`` switches
+    to the two-phase skew shape: phase 1 ranks within (group, hash(id)%S)
+    — S parallel tasks per group, each emitting ≤ n rows — and phase 2
+    ranks the surviving ≤ S·n rows per group. Same result for any S
+    (both phases use the same total order), cost is one extra shuffle of
+    an already-n-bounded intermediate.
+    """
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc, F.col(id_col).asc()]
+    if salt_partitions is not None:
+        pre = Window.partitionBy(
+            group_col, F.pmod(F.xxhash64(F.col(id_col)), salt_partitions)
+        ).orderBy(*order)
+        df = (
+            df.withColumn("_prn", F.row_number().over(pre))
+            .where(F.col("_prn") <= n)
+            .drop("_prn")
+        )
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def _grams(df: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(id, gram) token-n-gram instances as xxhash64 longs — the same
+    JVM ``transform(sequence(...))`` extraction and hashed-gram shuffle
+    trade as textstats.dup_ngram_stats (collision odds ~m²/2⁶⁵)."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    return (
+        df.select(id_col, arr.alias("_arr"))
+        .where(F.size("_arr") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - n),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_arr"), i + 1, n))
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-overlap contamination flags: for every document, count
+    its token-``n``-gram instances that also occur anywhere in
+    ``benchmark`` (any DataFrame with a ``text_col``) →
+    (id, n_hit_ngrams, contaminated). Training pipelines drop or redact
+    ``contaminated`` rows so eval data never leaks into the train set
+    (n-gram collision rule of Lee et al. 2021 / GPT-3 appendix C).
+
+    Shape at 100 TB: benchmark grams distinct to one hashed-long set —
+    benchmarks are tiny next to the corpus, so Catalyst/AQE broadcasts
+    that side of the join by stats and corpus grams never shuffle; the
+    per-doc count is a map-side-combinable agg; the final left join
+    restores zero-hit docs. No all-pairs stage anywhere: cost is linear
+    in corpus tokens + |benchmark grams|.
+    """
+    bench_grams = (
+        _grams(benchmark, n, id_col, text_col).select("gram").distinct()
+    )
+    hits = (
+        _grams(docs, n, id_col, text_col)
+        .join(bench_grams, "gram", "leftsemi")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hit_ngrams"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit_ngrams"), F.lit(0).cast("long")).alias(
+                "n_hit_ngrams"
+            ),
+            (F.coalesce(F.col("n_hit_ngrams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -467,6 +467,46 @@ def q_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (sampling.hash_split) —
+    membership is a pure function of (salt, doc_id). The md5 hash family
+    is the cross-engine one, so the oracle recomputes the exact labels;
+    the xxhash64 production default is property-tested in pytest."""
+    from searchengine_spark.operators import sampling
+
+    return (
+        sampling.hash_split(
+            _docs(spark, sf_dir),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            method="md5",
+        ).select("doc_id", "split")
+    )
+
+
+def q_per_source_cap(spark, sf_dir):
+    """Per-source quota capping (sampling.per_group_topn): keep the 5
+    largest docs per source, deterministic (n_chars desc, doc_id asc)."""
+    from searchengine_spark.operators import sampling
+
+    return sampling.per_group_topn(
+        _docs(spark, sf_dir), "source", "n_chars", 5
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (sampling.decontaminate): docs outside
+    the held-out set (doc_id % 97 == 0 stands in for an eval benchmark)
+    flagged by shared 5-grams with it. The random-vocab gate corpus makes
+    real overlap rare — the planted-contamination branch is exercised in
+    tests/test_sampling.py."""
+    from searchengine_spark.operators import sampling
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    rest = docs.where(F.col("doc_id") % 97 != 0)
+    return sampling.decontaminate(rest, bench, n=5)
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -718,6 +758,9 @@ QUERIES = {
     "first_seen_docs": q_first_seen_docs,
     "dup_ngrams": q_dup_ngrams,
     "unigram_logprob": q_unigram_logprob,
+    "train_val_split": q_train_val_split,
+    "per_source_cap": q_per_source_cap,
+    "decontaminate": q_decontaminate,
     "lineitem_pricing": q_lineitem_pricing,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -970,6 +1013,36 @@ ORACLES = {
         " round(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)"
         "   AS dup_fraction"
         " FROM grams JOIN gdf USING (gram) GROUP BY doc_id"
+    ),
+    # hash_split(method='md5'): u = md5int('split:'||id)/2^32, labels by
+    # cumulative weight in sorted-label order (test .1 | train .8 | val .1)
+    "train_val_split": (
+        "SELECT doc_id, CASE WHEN u < 0.1 THEN 'test'"
+        " WHEN u < 0.9 THEN 'train' ELSE 'val' END AS split"
+        " FROM (SELECT doc_id, "
+        + _md5int_sql("'split:' || doc_id")
+        + " / 4294967296.0 AS u FROM documents)"
+    ),
+    "per_source_cap": (
+        "SELECT doc_id, source, n_chars FROM documents"
+        " QUALIFY row_number() OVER"
+        " (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 5"
+    ),
+    "decontaminate": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "             x -> x <> '') AS arr FROM documents),"
+        " grams AS (SELECT doc_id, array_to_string(arr[i:i+4], ' ') AS gram"
+        "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 4)) AS i"
+        "         FROM t WHERE len(arr) >= 5)),"
+        " bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),"
+        " hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n"
+        "   FROM grams WHERE doc_id % 97 <> 0"
+        "     AND gram IN (SELECT gram FROM bench) GROUP BY doc_id)"
+        " SELECT d.doc_id, COALESCE(n, CAST(0 AS BIGINT)) AS n_hit_ngrams,"
+        " COALESCE(n, 0) > 0 AS contaminated"
+        " FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d"
+        " LEFT JOIN hits USING (doc_id)"
     ),
     "unigram_logprob": (
         f"WITH toks AS ({SQL_TOKENS}),"

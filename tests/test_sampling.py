@@ -1,0 +1,134 @@
+"""Corpus-curation operators (operators/sampling.py): deterministic
+hash splits, per-group quota capping, benchmark decontamination.
+
+The driver gate hash-verifies the md5 split path, the QUALIFY-oracle
+quota cap, and the zero-overlap decontamination plumbing on the random-
+vocab corpus; these tests cover what the gate can't reach — the xxhash64
+production split, the salted two-phase skew shape, and genuinely planted
+contamination."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import sampling
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_hash_split_deterministic_and_proportional(spark, docs, method):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = sampling.hash_split(docs, w, method=method).select("doc_id", "split")
+    b = sampling.hash_split(docs, w, method=method).select("doc_id", "split")
+    pa, pb = a.toPandas().sort_values("doc_id"), b.toPandas().sort_values("doc_id")
+    assert pa["split"].tolist() == pb["split"].tolist()  # pure function
+    n = len(pa)
+    frac = pa["split"].value_counts(normalize=True)
+    assert abs(frac.get("train", 0) - 0.8) < 0.08, frac
+    assert abs(frac.get("val", 0) - 0.1) < 0.06, frac
+    assert abs(frac.get("test", 0) - 0.1) < 0.06, frac
+    assert set(pa["split"]) <= set(w)
+    # every doc gets exactly one label
+    assert n == docs.count()
+
+
+def test_hash_split_stable_under_corpus_growth(spark, docs):
+    """Membership is a function of (salt, id) alone: adding documents
+    never migrates an existing one between splits — the property that
+    makes incremental backfills safe."""
+    half = docs.where(F.col("doc_id") % 2 == 0)
+    small = sampling.hash_split(half).select("doc_id", "split").toPandas()
+    full = sampling.hash_split(docs).select("doc_id", "split").toPandas()
+    merged = small.merge(full, on="doc_id", suffixes=("_s", "_f"))
+    assert (merged["split_s"] == merged["split_f"]).all()
+
+
+def test_hash_split_bad_weights_raise(spark, docs):
+    with pytest.raises(ValueError, match="sum"):
+        sampling.hash_split(docs, {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="method"):
+        sampling.hash_split(docs, method="sha9000")
+
+
+def test_per_group_topn_matches_pandas(spark, docs):
+    got = (
+        sampling.per_group_topn(docs, "source", "n_chars", 3)
+        .select("doc_id", "source", "n_chars")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pdf = docs.select("doc_id", "source", "n_chars").toPandas()
+    want = (
+        pdf.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True]
+        )
+        .groupby("source")
+        .head(3)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
+def test_per_group_topn_salted_identity(spark, docs):
+    """The two-phase skew shape returns the same rows for any salt count
+    (phase 1 can never evict a global top-n row: within its salt bucket
+    it outranks everything below it)."""
+    plain = sampling.per_group_topn(docs, "source", "n_chars", 5)
+    ids = sorted(r["doc_id"] for r in plain.select("doc_id").collect())
+    for s in (1, 3, 16):
+        salted = sampling.per_group_topn(
+            docs, "source", "n_chars", 5, salt_partitions=s
+        )
+        assert sorted(r["doc_id"] for r in salted.select("doc_id").collect()) == ids
+
+
+def test_per_group_topn_ascending(spark, docs):
+    got = sampling.per_group_topn(
+        docs, "source", "n_chars", 1, descending=False
+    ).toPandas()
+    pdf = docs.select("source", "n_chars").toPandas()
+    want_min = pdf.groupby("source")["n_chars"].min()
+    for _, row in got.iterrows():
+        assert row["n_chars"] == want_min[row["source"]]
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Docs sharing a 5-gram with the benchmark are flagged with the
+    right instance counts; clean docs survive with zero hits."""
+    leak = "the quick brown fox jumps"
+    rows = [
+        Row(doc_id=0, text=f"intro words then {leak} and a tail"),
+        # the leaked 5-gram occurs twice → n_hit_ngrams counts instances
+        Row(doc_id=1, text=f"{leak} padding padding {leak}"),
+        Row(doc_id=2, text="completely clean text with no overlap at all"),
+        Row(doc_id=3, text="too short"),  # < 5 tokens: no grams, clean
+    ]
+    docs = spark.createDataFrame(rows)
+    bench = spark.createDataFrame(
+        [Row(doc_id=100, text=f"eval question: {leak}? answer: maybe")]
+    )
+    got = {
+        r["doc_id"]: (r["n_hit_ngrams"], r["contaminated"])
+        for r in sampling.decontaminate(docs, bench, n=5).collect()
+    }
+    assert got[0] == (1, True)
+    assert got[1][1] is True and got[1][0] >= 2
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert len(got) == 4  # every input doc reported exactly once
+
+
+def test_decontaminate_empty_benchmark(spark, docs):
+    bench = docs.where(F.lit(False))
+    out = sampling.decontaminate(docs.limit(50), bench).toPandas()
+    assert len(out) == 50
+    assert (out["n_hit_ngrams"] == 0).all()
+    assert (~out["contaminated"]).all()
