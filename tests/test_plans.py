@@ -193,3 +193,37 @@ def test_first_seen_docs_single_window_shuffle(spark):
     plan = _plan(q_first_seen_docs(spark, "/root/testdata/sf0.001"), "simple")
     assert "Window" in plan
     assert "Join" not in plan  # none at all
+
+
+def test_hash_split_is_shuffle_free_jvm_map(spark):
+    """Split assignment is a pure narrow map: no Exchange, no Python
+    stage — it scales with the scan, full stop."""
+    from searchengine_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for method in ("xxhash64", "md5"):
+        plan = _plan(hash_split(docs, method=method), "simple")
+        assert "Exchange" not in plan, method
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, (method, marker)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set (tiny next to the corpus) joins in as a
+    broadcast semi-join: corpus grams never shuffle for the hit test."""
+    from searchengine_spark.plans.driver_queries import q_decontaminate
+
+    plan = _plan(q_decontaminate(spark, "/root/testdata/sf0.001"), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, marker
+
+
+def test_bm25_filtered_semi_joins_before_stats(spark):
+    """Faceted BM25 (DataFrame path): the eligibility semi-join must sit
+    below the stats/weights joins so ineligible docs never reach them."""
+    from searchengine_spark.plans.driver_queries import q_bm25_filtered
+
+    plan = _plan(q_bm25_filtered(spark, "/root/testdata/sf0.001"), "simple")
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan  # term_dict still broadcast
