@@ -1,0 +1,163 @@
+"""Phrase (exact token-sequence) matching and phrase-restricted ranking.
+
+Beyond-reference query capability (the reference engine is bag-of-words
+only — searcher.py treats a multi-word query as term weights). Phrase
+semantics here are the conventional ones: the phrase's words occur
+consecutively in the document's RAW token stream (lowercased,
+``[^a-z0-9]+``-split — the same normalization family as the
+textstats/dedup/sampling operators). The packed index stores no
+positions, and the reference tokenizer's saved-term stream deliberately
+destroys adjacency (stop-word removal, capital-run merging, number
+folding), so verification reads the candidate documents' text — the
+late-materialization recheck shape — rather than a positional index.
+
+Scale shape of :func:`search_phrase` at 100 TB:
+1. candidates: decode ONLY the phrase terms' postings (pushed ``term
+   IN`` scan) and keep docs containing every term — the same cost as any
+   conjunctive query, a groupBy(doc) count;
+2. verify: semi-join the corpus table down to those candidates and
+   evaluate the adjacency count as a single narrow JVM expression
+   (:func:`phrase_count_col` — no Python, no explode, no shuffle);
+3. rank: feed the verified doc set into ``wand.search(allowed=...)`` —
+   per-range eligibility bitmaps + range pruning, BM25 scores stay
+   whole-corpus.
+The full-corpus tokenize is never on the path; only candidates (bounded
+by the rarest phrase term's df) are ever re-read.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SPLIT = "[^a-z0-9]+"
+
+
+def phrase_terms(phrase: str) -> list[str]:
+    """Phrase → its raw token sequence (lowercase, ``[^a-z0-9]+`` split)."""
+    return [t for t in re.split(_SPLIT, phrase.lower()) if t]
+
+
+def phrase_count_col(text_col: Column | str, phrase: str) -> Column:
+    """Column: number of occurrences of ``phrase`` as a consecutive token
+    sequence in ``text_col`` — one JVM array expression (split →
+    window-slice equality over ``transform(sequence(...))``), so a
+    corpus-wide phrase scan is a pure narrow map with zero shuffles."""
+    terms = phrase_terms(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokens after normalization")
+    L = len(terms)
+    joined = " ".join(terms)
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col),
+                _SPLIT),
+        lambda x: x != "",
+    )
+    hits = F.size(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - L),
+                lambda i: F.concat_ws(" ", F.slice(arr, i + 1, L)),
+            ),
+            lambda g: g == F.lit(joined),
+        )
+    )
+    # sequence(0, negative) would run descending — guard short docs
+    return F.when(F.size(arr) >= L, hits).otherwise(F.lit(0)).cast("long")
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_occurrences) for every document containing ``phrase`` at
+    least once. Narrow scan + filter; no shuffle."""
+    return (
+        docs.select(
+            id_col, phrase_count_col(text_col, phrase).alias("n_occurrences")
+        )
+        .where(F.col("n_occurrences") > 0)
+    )
+
+
+def phrase_candidates(
+    spark: SparkSession, index_dir: str, phrase: str
+) -> DataFrame | None:
+    """doc_ids containing ALL of the phrase's index-resolvable terms,
+    from the packed postings (conjunctive candidate retrieval). Terms the
+    index tokenizer dropped (stop words, merged forms) are skipped — the
+    result is then a candidate SUPERSET, which verification narrows, so
+    correctness never depends on tokenizer parity between the two worlds.
+    Returns ``None`` when no phrase word resolves to an index term (the
+    caller must verify against the full corpus)."""
+    from searchengine_spark.functions.codec import delta_decode, varint_decode
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    qweights = fold_query_terms(spark, index_dir, phrase)
+    if not qweights:
+        return None
+    terms = sorted(qweights)
+
+    schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+        ]
+    )
+
+    def decode(batches):
+        for b in batches:
+            outs = []
+            for term, gaps, n in zip(b["term"], b["gaps"], b["n"]):
+                ids = delta_decode(varint_decode(gaps, int(n)))
+                outs.append(
+                    pd.DataFrame({"term": term, "doc_id": ids.astype(np.int64)})
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"term": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype=np.int64)}
+            )
+
+    posts = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("term").isin(terms))
+        .select("term", "gaps", "n")
+    )
+    return (
+        posts.mapInPandas(decode, schema)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("_nt"))
+        .where(F.col("_nt") == len(terms))
+        .select("doc_id")
+    )
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    phrase: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k over documents that contain ``phrase`` as a consecutive
+    token sequence → DataFrame(doc_id, score), (score desc, doc_id asc).
+    ``docs`` is the corpus table the index was built from (the index
+    stores no text). Candidates come from the postings, adjacency is
+    verified on candidates only, ranking reuses ``search(allowed=...)``
+    so scores equal the docs' whole-corpus BM25 scores for the phrase's
+    terms (see module docstring for the distributed shape)."""
+    from searchengine_spark.operators.wand import search
+
+    cand = phrase_candidates(spark, index_dir, phrase)
+    scoped = docs if cand is None else docs.join(cand, id_col, "leftsemi")
+    verified = phrase_match(scoped, phrase, id_col, text_col).select(id_col)
+    return search(spark, index_dir, phrase, k=k, allowed=verified)

@@ -507,6 +507,54 @@ def q_decontaminate(spark, sf_dir):
     return sampling.decontaminate(rest, bench, n=5)
 
 
+PHRASE = "key order"  # fixed phrase for the phrase entries
+
+
+def q_phrase_match(spark, sf_dir):
+    """Exact token-sequence matching (operators/phrase.py): docs where
+    the phrase occurs consecutively, with occurrence counts — one narrow
+    JVM array expression, no shuffle (plan-asserted)."""
+    from searchengine_spark.operators import phrase
+
+    return phrase.phrase_match(_docs(spark, sf_dir), PHRASE)
+
+
+def q_phrase_topk(spark, sf_dir):
+    """Phrase-restricted BM25 top-20 — the gate-world mirror of
+    ``phrase.search_phrase`` over the packed index: eligibility = docs
+    containing the phrase (semi-join), scores = whole-corpus BM25 of the
+    phrase's terms. Hash-verifying this verifies the composition
+    semantics; the packed-index path is tested in test_phrase.py."""
+    from searchengine_spark.operators import phrase
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    terms = phrase.phrase_terms(PHRASE)
+    dt = q_doc_terms(spark, sf_dir)
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
+    avgdl = stats.agg(F.avg("dl")).collect()[0][0]
+    td = q_term_dict(spark, sf_dir).select("term", "df")
+    eligible = phrase.phrase_match(docs, PHRASE).select("doc_id")
+    contrib = (
+        dt.where(F.col("term").isin(terms))
+        .join(eligible, "doc_id", "leftsemi")
+        .join(stats, "doc_id")
+        .join(F.broadcast(td), "term")
+        .withColumn(
+            "c",
+            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -761,6 +809,8 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "per_source_cap": q_per_source_cap,
     "decontaminate": q_decontaminate,
+    "phrase_match": q_phrase_match,
+    "phrase_topk": q_phrase_topk,
     "lineitem_pricing": q_lineitem_pricing,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -1043,6 +1093,39 @@ ORACLES = {
         " COALESCE(n, 0) > 0 AS contaminated"
         " FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d"
         " LEFT JOIN hits USING (doc_id)"
+    ),
+    "phrase_match": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "             x -> x <> '') AS arr FROM documents),"
+        " grams AS (SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS gram"
+        "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i"
+        "         FROM t WHERE len(arr) >= 2))"
+        f" SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences"
+        f" FROM grams WHERE gram = '{PHRASE}' GROUP BY doc_id"
+    ),
+    "phrase_topk": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+        " t AS (SELECT doc_id,"
+        "   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "               x -> x <> '') AS arr FROM documents),"
+        " el AS (SELECT DISTINCT doc_id FROM ("
+        "   SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS gram"
+        "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i"
+        "         FROM t WHERE len(arr) >= 2))"
+        f"   WHERE gram = '{PHRASE}')"
+        f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ("
+        + ",".join(f"'{w}'" for w in PHRASE.split())
+        + ") AND dt.doc_id IN (SELECT doc_id FROM el)"
+        ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
     ),
     "unigram_logprob": (
         f"WITH toks AS ({SQL_TOKENS}),"

@@ -1,0 +1,132 @@
+"""Phrase matching + phrase-restricted BM25 (operators/phrase.py).
+
+The driver gate hash-verifies phrase_match counts and the phrase_topk
+composition on the documents table; these tests cover the packed-index
+path (candidate retrieval from postings, verify-on-candidates,
+search(allowed=...) ranking) and the reference semantics in pandas."""
+
+import re
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import phrase
+from searchengine_spark.operators.wand import search
+from searchengine_spark.sources.corpus import corpus_df
+
+PHRASE = "result flag"  # occurs as consecutive tokens in ~15% of the corpus
+
+
+def _count_occurrences(text: str, terms: list[str]) -> int:
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    L = len(terms)
+    return sum(
+        1 for i in range(len(toks) - L + 1) if toks[i : i + L] == terms
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark, index_1k):
+    """(doc_id, text) for the exact corpus index_1k was built from: the
+    deterministic generator re-emits the text, the index's doc_map
+    supplies the ids it assigned (corpus_df itself carries no doc_id)."""
+    corpus = corpus_df(spark, 1000, seed=42, partitions=6)
+    dm = spark.read.parquet(f"{index_1k}/doc_map").select(
+        "doc_id", "repo", "path", "commit"
+    )
+    return (
+        corpus.join(dm, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text"))
+        .cache()
+    )
+
+
+def test_phrase_match_counts_vs_python(spark, docs):
+    terms = phrase.phrase_terms(PHRASE)
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase.phrase_match(docs, PHRASE).collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        c = _count_occurrences(r["text"], terms)
+        if c:
+            want[r["doc_id"]] = c
+    assert got == want
+    assert len(want) > 0  # the fixture phrase actually occurs
+
+
+def test_phrase_match_edge_cases(spark):
+    rows = [
+        Row(doc_id=0, text="key order at the start and key order again"),
+        Row(doc_id=1, text="ends with key order"),
+        Row(doc_id=2, text="KEY   Order! mixed case and punctuation"),
+        Row(doc_id=3, text="key then other words then order"),  # not adjacent
+        Row(doc_id=4, text="order key"),  # wrong direction
+        Row(doc_id=5, text="key"),  # shorter than the phrase
+        Row(doc_id=6, text="keykey order"),  # token boundary respected
+    ]
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase.phrase_match(
+            spark.createDataFrame(rows), "key order"
+        ).collect()
+    }
+    assert got == {0: 2, 1: 1, 2: 1}
+
+
+def test_phrase_match_empty_phrase_raises(spark, docs):
+    with pytest.raises(ValueError):
+        phrase.phrase_match(docs, "!!!")
+
+
+def test_phrase_candidates_superset_of_matches(spark, index_1k, docs):
+    cand = phrase.phrase_candidates(spark, index_1k, PHRASE)
+    cand_ids = {r["doc_id"] for r in cand.collect()}
+    match_ids = {
+        r["doc_id"] for r in phrase.phrase_match(docs, PHRASE).collect()
+    }
+    assert match_ids <= cand_ids
+    # conjunctive retrieval is selective: strictly fewer docs than corpus
+    assert len(cand_ids) < 1000
+
+
+def test_search_phrase_equals_filtered_search(spark, index_1k, docs):
+    """search_phrase == search(allowed = phrase matchers over the whole
+    corpus): the candidate stage must only prune, never change results —
+    and every hit's score is its whole-corpus BM25 score."""
+    verified = phrase.phrase_match(docs, PHRASE).select("doc_id")
+    want = search(
+        spark, index_1k, PHRASE, k=10, allowed=verified
+    ).toPandas()
+    got = phrase.search_phrase(spark, index_1k, docs, PHRASE, k=10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    match_ids = {r["doc_id"] for r in verified.collect()}
+    assert len(got) > 0
+    assert set(got["doc_id"]) <= match_ids
+    # scores equal the unfiltered scores of the same docs
+    full = search(spark, index_1k, PHRASE, k=10**6).toPandas()
+    by_id = dict(zip(full["doc_id"], full["score"]))
+    for _, r in got.iterrows():
+        assert r["score"] == by_id[r["doc_id"]]
+
+
+def test_search_phrase_no_matches_is_empty(spark, index_1k, docs):
+    out = phrase.search_phrase(
+        spark, index_1k, docs, "zzzunseen tokens here", k=10
+    )
+    assert out.count() == 0
+
+
+def test_phrase_match_plan_is_narrow(spark, docs):
+    df = phrase.phrase_match(docs, PHRASE)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Exchange" not in plan.split("InMemoryTableScan")[0]
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan.split("InMemoryTableScan")[0], marker
