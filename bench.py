@@ -84,13 +84,45 @@ def main() -> None:
         lambda: search_batch(spark, index_dir, REFERENCE_QUERIES, k=10).collect(),
     )
 
+    # faceted search over the packed index (eligibility bitmaps + range
+    # pruning) and phrase search (postings candidates -> verify -> rank)
+    from searchengine_spark.operators.phrase import search_phrase
+    from searchengine_spark.operators.wand import search_where
+
+    timed(
+        "bm25_where",
+        lambda: search_where(
+            spark, index_dir, "fast key order", "lang = 'es'", k=10
+        ).collect(),
+    )
+    dm = spark.read.parquet(f"{index_dir}/doc_map").select("doc_id", "path")
+    docs_txt = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "text",
+        )
+        .join(dm, "path")
+        .select("doc_id", "text")
+    )
+    timed(
+        "phrase_search_idx",
+        lambda: search_phrase(
+            spark, index_dir, docs_txt, "key order", k=10
+        ).collect(),
+    )
+
     bench_queries = [
-        "doc_terms", "term_dict", "bm25_topk", "exact_dedup",
+        "doc_terms", "term_dict", "bm25_topk", "bm25_filtered",
+        "exact_dedup",
         "minhash_signatures", "near_dup_jaccard", "simhash", "lsh_pairs",
         "cosine_topk_docs", "pruned_doc_stats", "text_quality",
-        "language_id", "ann_cosine_topk", "ann_lsh_topk", "lineitem_pricing",
+        "language_id", "ann_cosine_topk", "ann_filtered", "ann_lsh_topk",
+        "lineitem_pricing",
         "top_customers", "events_hourly", "events_sessions",
         "first_seen_docs", "dup_ngrams", "unigram_logprob",
+        "train_val_split", "per_source_cap", "decontaminate",
+        "phrase_match", "phrase_topk", "more_like_this",
     ]
     for name in bench_queries:
         timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())

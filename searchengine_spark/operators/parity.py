@@ -684,3 +684,39 @@ def two_pass_search_batch(
         .select("query_id", "doc_id", "score")
         .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    doc_id: int,
+    m: int = 5,
+    k: int = 10,
+) -> DataFrame:
+    """Documents similar to ``doc_id``: its top-``m`` cosine/tf-idf
+    weighted terms (ties: weight desc, term asc) become an explicit BM25
+    term query via ``wand.search_terms``, seed excluded → top-k
+    (doc_id, score). The Lucene MoreLikeThis shape, composed from the
+    cosine weights table (build_cosine_tables must have run) and the
+    packed-index scorer. The m-term pick is a bounded driver collect —
+    the same query-shaping pattern as the ANN entries' query vector."""
+    from searchengine_spark.operators.wand import RESULT_SCHEMA, search_terms
+
+    top = (
+        spark.read.parquet(f"{index_dir}/cosine/weights")
+        .where(F.col("doc_id") == doc_id)
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(m)
+        .select("term")
+        .collect()
+    )
+    if not top:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    hits = search_terms(
+        spark, index_dir, {r["term"]: 1 for r in top}, k=k + 1
+    )
+    return (
+        hits.where(F.col("doc_id") != doc_id)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

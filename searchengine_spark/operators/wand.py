@@ -610,6 +610,47 @@ def search(
     )
 
 
+def search_terms(
+    spark: SparkSession,
+    index_dir: str,
+    term_weights: dict,
+    k: int = 10,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k for an EXPLICIT ``{term: qtf}`` dict, bypassing query
+    parsing → DataFrame(doc_id, score). The programmatic entry for
+    callers whose terms are already canonical index terms (query
+    expansion, more-like-this, learned rewriters): terms are looked up
+    verbatim in the term dictionary (no casing fallback, no tokenizer
+    quirks — ``"3.5M$"``-style terms round-trip exactly); absent terms
+    contribute nothing. Scoring tail is identical to :func:`search`
+    (same plan, same distributed shape)."""
+    man = Manifest(index_dir)
+    s = man.scalars
+    terms = sorted(t for t, qtf in term_weights.items() if qtf > 0)
+    vocab = _term_df_lookup(spark, index_dir, terms) if terms else {}
+    qweights = {t: (int(term_weights[t]), vocab[t]) for t in terms if t in vocab}
+    if not qweights:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    posts = spark.read.parquet(f"{index_dir}/postings").where(
+        F.col("term").isin(sorted(qweights))
+    )
+    per_range, _ = _scored_ranges(
+        spark, index_dir, posts,
+        lambda sc, fl: _score_range_batch_factory(
+            {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+            s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
+        ),
+        allowed=allowed, range_width=s["range_width"],
+    )
+    return (
+        per_range.select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def search_where(
     spark: SparkSession,
     index_dir: str,

@@ -555,6 +555,52 @@ def q_phrase_topk(spark, sf_dir):
     )
 
 
+MLT_SEED_DOC = 0  # more_like_this seed document
+MLT_M = 5  # query terms taken from the seed
+
+
+def q_more_like_this(spark, sf_dir):
+    """More-like-this (Q2-family query rewriting, beyond-reference): the
+    seed doc's top-5 reference-tfidf terms (ties: tfidf desc, term asc)
+    become a BM25 query, seed excluded, top-20 — the gate-world mirror of
+    ``parity.more_like_this`` over the packed index (tested in
+    test_more_like_this.py). The 5-term pick is a bounded driver collect,
+    the same query-shaping pattern as the ANN entries' query vector."""
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    dt = q_doc_terms(spark, sf_dir)
+    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
+    avgdl = stats.agg(F.avg("dl")).collect()[0][0]
+    td = q_term_dict(spark, sf_dir).select("term", "df")
+    top = (
+        q_tfidf(spark, sf_dir)
+        .where(F.col("doc_id") == MLT_SEED_DOC)
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(MLT_M)
+        .select("term")
+        .collect()
+    )
+    terms = [r["term"] for r in top]
+    contrib = (
+        dt.where(F.col("term").isin(terms))
+        .where(F.col("doc_id") != MLT_SEED_DOC)
+        .join(stats, "doc_id")
+        .join(F.broadcast(td), "term")
+        .withColumn(
+            "c",
+            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -811,6 +857,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "phrase_match": q_phrase_match,
     "phrase_topk": q_phrase_topk,
+    "more_like_this": q_more_like_this,
     "lineitem_pricing": q_lineitem_pricing,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -1125,6 +1172,27 @@ ORACLES = {
         f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ("
         + ",".join(f"'{w}'" for w in PHRASE.split())
         + ") AND dt.doc_id IN (SELECT doc_id FROM el)"
+        ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+    ),
+    "more_like_this": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " nd AS (SELECT doc_id, count(*) AS n_distinct FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+        " qt AS (SELECT dt.term FROM dt JOIN nd USING (doc_id) JOIN td USING (term)"
+        "   CROSS JOIN n"
+        f"   WHERE dt.doc_id = {MLT_SEED_DOC}"
+        "   ORDER BY round((tf / CAST(n_distinct AS DOUBLE))"
+        "     * log2(CAST(n.n AS DOUBLE) / df), 6) DESC, dt.term ASC"
+        f"   LIMIT {MLT_M})"
+        f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad"
+        f" WHERE dt.term IN (SELECT term FROM qt) AND dt.doc_id <> {MLT_SEED_DOC}"
         ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
     ),
     "unigram_logprob": (

@@ -1,0 +1,78 @@
+"""More-like-this retrieval (wand.search_terms + parity.more_like_this):
+a document's top-weighted terms become an explicit BM25 term query —
+the Lucene MoreLikeThis shape over the packed index."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import parity
+from searchengine_spark.operators.wand import search, search_terms
+
+
+def test_search_terms_matches_parsed_search(spark, index_1k):
+    """For plain lowercase terms the explicit-terms path must equal the
+    parsed-query path (same qtf/df resolution, same scoring tail)."""
+    want = search(spark, index_1k, "posting shard merge", k=10).toPandas()
+    got = search_terms(
+        spark, index_1k, {"posting": 1, "shard": 1, "merge": 1}, k=10
+    ).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_search_terms_repeated_term_weight(spark, index_1k):
+    """qtf > 1 must weight the term like repeating it in a parsed query."""
+    want = search(spark, index_1k, "merge merge posting", k=10).toPandas()
+    got = search_terms(
+        spark, index_1k, {"merge": 2, "posting": 1}, k=10
+    ).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_search_terms_unknown_terms_drop(spark, index_1k):
+    got = search_terms(
+        spark, index_1k, {"zzznotaterm": 3, "merge": 1}, k=5
+    ).toPandas()
+    want = search(spark, index_1k, "merge", k=5).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert search_terms(spark, index_1k, {"zzznotaterm": 1}, k=5).count() == 0
+    assert search_terms(spark, index_1k, {}, k=5).count() == 0
+
+
+@pytest.fixture(scope="module")
+def cosine_tables(spark, index_1k):
+    parity.build_cosine_tables(spark, index_1k, prune=True)
+    return index_1k
+
+
+def test_more_like_this_excludes_seed_and_ranks(spark, cosine_tables):
+    index_dir = cosine_tables
+    # smallest doc_id that actually has weights (docs whose content
+    # tokenizes to nothing are unindexed — doc 0 can be one of them)
+    seed = (
+        spark.read.parquet(f"{index_dir}/cosine/weights")
+        .agg(F.min("doc_id"))
+        .collect()[0][0]
+    )
+    got = parity.more_like_this(spark, index_dir, seed, m=5, k=10).toPandas()
+    assert len(got) == 10
+    assert seed not in set(got["doc_id"])
+    # reference: the seed's top-5 weighted terms, searched explicitly,
+    # seed row dropped, next k kept
+    w = (
+        spark.read.parquet(f"{index_dir}/cosine/weights")
+        .where(F.col("doc_id") == seed)
+        .orderBy(F.desc("w"), F.asc("term"))
+        .limit(5)
+        .collect()
+    )
+    terms = {r["term"]: 1 for r in w}
+    full = search_terms(spark, index_dir, terms, k=12).toPandas()
+    want = full[full["doc_id"] != seed].head(10)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+
+
+def test_more_like_this_unknown_doc_empty(spark, cosine_tables):
+    assert parity.more_like_this(spark, cosine_tables, 10**9, k=10).count() == 0
