@@ -313,3 +313,89 @@ def lsh_cosine_topk(
     probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
     cands = lsh_assign(emb, planes, vec_col).where(F.col("_sig").isin(probes))
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+BATCH_ANN_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.IntegerType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("cos", T.DoubleType(), False),
+    ]
+)
+
+
+def cosine_topk_batch(
+    emb: DataFrame,
+    query_vecs: list,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in ONE distributed
+    job → (query_id, vec_id, cos), per-query (cos desc, vec_id asc) — the
+    vector-side mirror of ``wand.search_batch``: one scan + one Arrow
+    stage amortized over all queries instead of |Q| separate jobs.
+
+    Shape: the (q, dim) query matrix ships once per task in the UDF
+    closure; each Arrow batch computes an (n, q) normalized matmul and
+    emits only its per-query top-k (so the shuffle into the final
+    per-query window carries ≤ |batches|·q·k rows, never n·q). Cosines
+    are rounded to 6 dp BEFORE candidate selection so batch-local and
+    global tie-breaks agree. Zero-norm rows are excluded; zero-norm
+    queries return no rows (matching :func:`cosine_topk`). ``allowed``
+    pre-filters eligibility as everywhere else."""
+    from pyspark.sql import Window
+
+    Q = np.asarray(query_vecs, dtype=np.float64)
+    if Q.ndim != 2:
+        raise ValueError("query_vecs must be a list of equal-length vectors")
+    qn = np.linalg.norm(Q, axis=1)
+    live = qn > 0
+    Qn = np.zeros_like(Q)
+    Qn[live] = Q[live] / qn[live, None]
+    live_ids = np.flatnonzero(live).astype(np.int32)
+    if allowed is not None:
+        emb = emb.join(allowed.select(id_col), id_col, "leftsemi")
+    if not live_ids.size:
+        return emb.sparkSession.createDataFrame([], BATCH_ANN_SCHEMA)
+
+    def score(batches):
+        import pandas as pd
+
+        for b in batches:
+            ids = b[id_col].to_numpy(np.int64)
+            V = np.asarray([list(v) for v in b[vec_col]], dtype=np.float64)
+            if not len(V):
+                continue
+            vn = np.linalg.norm(V, axis=1)
+            keep = vn > 0
+            ids, V, vn = ids[keep], V[keep], vn[keep]
+            if not len(V):
+                continue
+            S = np.round((V / vn[:, None]) @ Qn[live_ids].T, 6)  # (n, q)
+            top = min(k, len(ids))
+            outs = []
+            for j, qid in enumerate(live_ids):
+                col = S[:, j]
+                # exact batch-local top-k under (cos desc, id asc)
+                order = np.lexsort((ids, -col))[:top]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(top, qid, dtype=np.int32),
+                            "vec_id": ids[order],
+                            "cos": col[order],
+                        }
+                    )
+                )
+            yield pd.concat(outs, ignore_index=True)
+
+    per_batch = emb.select(id_col, vec_col).mapInPandas(score, BATCH_ANN_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        per_batch.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("cos"), F.asc("vec_id"))
+    )

@@ -313,6 +313,24 @@ def q_ann_filtered(spark, sf_dir):
     return similarity.cosine_topk(emb, qvec, k=20, allowed=allowed)
 
 
+ANN_BATCH_Q = 5  # query vectors (vec_id 0..4) for ann_batch_topk
+
+
+def q_ann_batch_topk(spark, sf_dir):
+    """Batched exact ANN (similarity.cosine_topk_batch): 5 query vectors
+    in ONE job — one scan + one Arrow matmul stage, per-batch top-k, then
+    a per-query window. The vector-side mirror of search_batch."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = (
+        emb.where(F.col("vec_id") < ANN_BATCH_Q)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    qvecs = [[float(x) for x in r[0]] for r in rows]
+    return similarity.cosine_topk_batch(emb, qvecs, k=10)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN with nprobe == n_cells — exact by construction, so the
     exact-cosine SQL oracle hash-verifies the whole IVF pipeline (sampled
@@ -844,6 +862,7 @@ QUERIES = {
     "char_entropy": q_char_entropy,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
+    "ann_batch_topk": q_ann_batch_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lsh_pairs": q_lsh_pairs,
@@ -1021,6 +1040,19 @@ ORACLES = {
         " / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
         "    * sqrt(list_dot_product(qv, qv))), 6) AS cos"
         " FROM embeddings CROSS JOIN q ORDER BY cos DESC, vec_id ASC LIMIT 20"
+    ),
+    "ann_batch_topk": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv"
+        f"   FROM embeddings WHERE vec_id < {ANN_BATCH_Q}),"
+        " e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        " s AS (SELECT q.query_id, e.vec_id,"
+        "   round(list_dot_product(v, qv)"
+        "     / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos"
+        "   FROM e CROSS JOIN q WHERE list_dot_product(v, v) > 0)"
+        " SELECT CAST(query_id AS INTEGER) AS query_id, vec_id, cos FROM s"
+        " QUALIFY row_number() OVER"
+        " (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) <= 10"
+        " ORDER BY query_id, cos DESC, vec_id ASC"
     ),
     "ann_filtered": (
         "WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)"

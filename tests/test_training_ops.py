@@ -474,3 +474,25 @@ def test_unigram_logprob_orders_gibberish_below_normal(spark):
     got = {r["doc_id"]: r["mean_logprob"] for r in unigram_logprob(docs).collect()}
     assert got[0] == got[8]
     assert got[9] < got[0]  # rare-token doc is less probable
+
+
+def test_cosine_topk_batch_equals_per_query(spark, emb, qvec):
+    """The batched path must equal |Q| independent exact searches —
+    including tie order — and handle zero-norm queries (no rows) and the
+    allowed= pre-filter."""
+    rows = (
+        emb.where(F.col("vec_id") < 3).orderBy("vec_id")
+        .select("embedding").collect()
+    )
+    qvecs = [[float(x) for x in r[0]] for r in rows] + [[0.0] * len(qvec)]
+    got = similarity.cosine_topk_batch(emb, qvecs, k=7).toPandas()
+    assert set(got["query_id"]) == {0, 1, 2}  # zero-norm query 3: no rows
+    for qid in range(3):
+        want = similarity.cosine_topk(emb, qvecs[qid], k=7).toPandas()
+        sub = got[got["query_id"] == qid]
+        assert sub["vec_id"].tolist() == want["vec_id"].tolist(), qid
+        assert np.allclose(sub["cos"], want["cos"], atol=1e-9)
+    allowed = emb.where(F.col("vec_id") % 2 == 1).select("vec_id")
+    fg = similarity.cosine_topk_batch(emb, qvecs[:1], k=7, allowed=allowed).toPandas()
+    fw = similarity.cosine_topk(emb, qvecs[0], k=7, allowed=allowed).toPandas()
+    assert fg["vec_id"].tolist() == fw["vec_id"].tolist()
