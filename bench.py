@@ -122,7 +122,7 @@ def main() -> None:
         "top_customers", "events_hourly", "events_sessions",
         "first_seen_docs", "dup_ngrams", "unigram_logprob",
         "train_val_split", "per_source_cap", "decontaminate",
-        "phrase_match", "phrase_topk", "more_like_this",
+        "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
     ]
     for name in bench_queries:
         timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())

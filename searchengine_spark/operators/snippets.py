@@ -1,0 +1,70 @@
+"""Result snippets: a token window around the first query-term hit.
+
+Retrieval-UX operator (beyond-reference — the reference prints bare
+doc ids, search_engine.py:150-166): given a scored hit list and the
+corpus table, attach the ±``width``-token context around each document's
+first occurrence of any query term. Late materialization, same as phrase
+verification: only the HIT rows' text is ever read — a semi-join narrows
+the corpus scan to k docs, then one narrow JVM array expression builds
+the window. No Python, no extra shuffle beyond the hit join.
+
+Token conventions match the textstats/phrase family (lowercase,
+``[^a-z0-9]+`` split), so snippets are deterministic and cross-engine
+reproducible (the driver oracle rebuilds them in SQL with
+``list_position`` + list slicing).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPLIT = "[^a-z0-9]+"
+
+
+def snippet_col(
+    text_col: Column | str, terms: list[str], width: int = 5
+) -> Column:
+    """Column: ``2*width+1``-token window (joined with single spaces)
+    around the FIRST occurrence of any of ``terms`` (earliest position
+    wins, regardless of which term); NULL when no term occurs. The
+    window is fixed-size where the document allows: clamping at the
+    left edge extends it rightwards, and only the document end truncates
+    it. ``terms`` must be normalized tokens (lowercase ``[a-z0-9]+``)."""
+    if not terms:
+        raise ValueError("no snippet terms given")
+    for t in terms:
+        if not re.fullmatch("[a-z0-9]+", t):
+            raise ValueError(f"snippet term {t!r} is not a normalized token")
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.filter(F.split(F.lower(col), _SPLIT), lambda x: x != "")
+    # array_position: 1-based, 0 when absent -> NULL so least() skips it
+    positions = [
+        F.nullif(F.array_position(arr, t), F.lit(0)) for t in terms
+    ]
+    pos = positions[0] if len(positions) == 1 else F.least(*positions)
+    start = F.greatest(F.lit(1), pos - width)
+    return F.when(
+        pos.isNotNull(),
+        F.array_join(F.slice(arr, start, 2 * width + 1), " "),
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def attach_snippets(
+    hits: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    width: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """hits(id, ...) ⋈ docs(id, text) → hits + ``snippet``. The join
+    keys the k-row hit side against the corpus scan; Catalyst broadcasts
+    the hit side by stats, so the corpus is scanned once with only
+    (id, text) read and the window computed inline."""
+    snip = docs.select(
+        id_col, snippet_col(text_col, terms, width).alias("snippet")
+    )
+    return hits.join(snip, id_col, "left")

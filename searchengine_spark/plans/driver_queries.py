@@ -573,6 +573,21 @@ def q_phrase_topk(spark, sf_dir):
     )
 
 
+SNIPPET_WIDTH = 5  # tokens either side for search_snippets
+
+
+def q_search_snippets(spark, sf_dir):
+    """Hit-list snippets (operators/snippets.py): the BM25 top-20 with
+    the ±5-token window around each doc's first query-term occurrence —
+    late materialization: only hit rows' text is read."""
+    from searchengine_spark.operators.snippets import attach_snippets
+
+    hits = q_bm25_topk(spark, sf_dir)
+    return attach_snippets(
+        hits, _docs(spark, sf_dir), QTERMS, width=SNIPPET_WIDTH
+    ).select("doc_id", "score", "snippet")
+
+
 MLT_SEED_DOC = 0  # more_like_this seed document
 MLT_M = 5  # query terms taken from the seed
 
@@ -877,6 +892,7 @@ QUERIES = {
     "phrase_match": q_phrase_match,
     "phrase_topk": q_phrase_topk,
     "more_like_this": q_more_like_this,
+    "search_snippets": q_search_snippets,
     "lineitem_pricing": q_lineitem_pricing,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -1205,6 +1221,32 @@ ORACLES = {
         + ",".join(f"'{w}'" for w in PHRASE.split())
         + ") AND dt.doc_id IN (SELECT doc_id FROM el)"
         ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+    ),
+    "search_snippets": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+        " hits AS (SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f"   SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f"   * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f"   FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f"   CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+        "  ) GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),"
+        " tok AS (SELECT doc_id,"
+        "   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "               x -> x <> '') AS arr FROM documents),"
+        " sn AS (SELECT doc_id,"
+        "   least(" + ", ".join(
+            f"nullif(list_position(arr, '{t}'), 0)" for t in QTERMS
+        ) + ") AS pos, arr FROM tok)"
+        " SELECT h.doc_id, h.score,"
+        f" CASE WHEN pos IS NOT NULL THEN array_to_string("
+        f"   arr[greatest(1, pos - {SNIPPET_WIDTH}) :"
+        f"       greatest(1, pos - {SNIPPET_WIDTH}) + {2 * SNIPPET_WIDTH}], ' ')"
+        "  ELSE NULL END AS snippet"
+        " FROM hits h LEFT JOIN sn USING (doc_id)"
     ),
     "more_like_this": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"

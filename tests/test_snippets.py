@@ -1,0 +1,62 @@
+"""Snippet extraction (operators/snippets.py) — the hash-gated driver
+entry covers the composition; these cover windowing edge cases."""
+
+import pytest
+from pyspark.sql import Row
+
+from searchengine_spark.operators.snippets import attach_snippets, snippet_col
+
+
+def _snips(spark, rows, terms, width=2):
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "doc_id", snippet_col("text", terms, width).alias("s")
+    ).collect()
+    return {r["doc_id"]: r["s"] for r in out}
+
+
+def test_snippet_windows_and_edges(spark):
+    rows = [
+        Row(doc_id=0, text="a b c KEY d e f"),      # centered window
+        Row(doc_id=1, text="key x y z w"),          # hit at doc start
+        Row(doc_id=2, text="x y z w key"),          # hit at doc end
+        Row(doc_id=3, text="nothing relevant here"),  # no hit -> NULL
+        Row(doc_id=4, text="key key key"),          # first occurrence wins
+    ]
+    got = _snips(spark, rows, ["key"], width=2)
+    assert got[0] == "b c key d e"
+    # the window is a fixed 2w+1 tokens where available: clamping at the
+    # left edge extends it rightwards (and truncates only at the doc end)
+    assert got[1] == "key x y z w"
+    assert got[2] == "z w key"
+    assert got[3] is None
+    assert got[4] == "key key key"
+
+
+def test_snippet_earliest_term_wins(spark):
+    rows = [Row(doc_id=0, text="late comes order but key was first here")]
+    got = _snips(spark, rows, ["key", "order"], width=1)
+    # 'order' at position 3 precedes 'key' at position 5
+    assert got[0] == "comes order but"
+
+
+def test_snippet_rejects_unnormalized_terms(spark):
+    rows = [Row(doc_id=0, text="x")]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError):
+        df.select(snippet_col("text", ["Key"]))
+    with pytest.raises(ValueError):
+        df.select(snippet_col("text", []))
+
+
+def test_attach_snippets_left_join_keeps_all_hits(spark):
+    hits = spark.createDataFrame(
+        [Row(doc_id=0, score=1.0), Row(doc_id=9, score=0.5)]
+    )
+    docs = spark.createDataFrame([Row(doc_id=0, text="only this key doc")])
+    out = {
+        r["doc_id"]: r["snippet"]
+        for r in attach_snippets(hits, docs, ["key"], width=1).collect()
+    }
+    assert out[0] == "this key doc"
+    assert out[9] is None  # hit without a corpus row survives with NULL
