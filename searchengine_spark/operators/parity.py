@@ -693,19 +693,24 @@ def more_like_this(
     m: int = 5,
     k: int = 10,
 ) -> DataFrame:
-    """Documents similar to ``doc_id``: its top-``m`` cosine/tf-idf
-    weighted terms (ties: weight desc, term asc) become an explicit BM25
-    term query via ``wand.search_terms``, seed excluded → top-k
+    """Documents similar to ``doc_id``: its top-``m`` tf-idf weighted
+    terms (w × idf — ties: weight desc, term asc) become an explicit
+    BM25 term query via ``wand.search_terms``, seed excluded → top-k
     (doc_id, score). The Lucene MoreLikeThis shape, composed from the
-    cosine weights table (build_cosine_tables must have run) and the
-    packed-index scorer. The m-term pick is a bounded driver collect —
+    cosine tables (build_cosine_tables must have run) and the
+    packed-index scorer. The idf join matters: ``weights.w`` alone is
+    only the tf half (tf/n_distinct), which would pick the seed's most
+    REPEATED terms — common low-information words — instead of its most
+    DISCRIMINATIVE ones. The m-term pick is a bounded driver collect —
     the same query-shaping pattern as the ANN entries' query vector."""
     from searchengine_spark.operators.wand import RESULT_SCHEMA, search_terms
 
     top = (
         spark.read.parquet(f"{index_dir}/cosine/weights")
         .where(F.col("doc_id") == doc_id)
-        .orderBy(F.desc("w"), F.asc("term"))
+        .join(spark.read.parquet(f"{index_dir}/cosine/idf"), "term")
+        .select("term", (F.col("w") * F.col("idf")).alias("_tfidf"))
+        .orderBy(F.desc("_tfidf"), F.asc("term"))
         .limit(m)
         .select("term")
         .collect()

@@ -13,8 +13,9 @@ late-materialization recheck shape — rather than a positional index.
 
 Scale shape of :func:`search_phrase` at 100 TB:
 1. candidates: decode ONLY the phrase terms' postings (pushed ``term
-   IN`` scan) and keep docs containing every term — the same cost as any
-   conjunctive query, a groupBy(doc) count;
+   IN`` scan) into the union of their doc ids — the cost of any OR
+   query (union, not intersection: see :func:`phrase_candidates` for
+   why AND-retrieval would be unsound);
 2. verify: semi-join the corpus table down to those candidates and
    evaluate the adjacency count as a single narrow JVM expression
    (:func:`phrase_count_col` — no Python, no explode, no shuffle);
@@ -22,7 +23,7 @@ Scale shape of :func:`search_phrase` at 100 TB:
    per-range eligibility bitmaps + range pruning, BM25 scores stay
    whole-corpus.
 The full-corpus tokenize is never on the path; only candidates (bounded
-by the rarest phrase term's df) are ever re-read.
+by the sum of the resolved terms' dfs) are ever re-read.
 """
 
 from __future__ import annotations
@@ -87,13 +88,22 @@ def phrase_match(
 def phrase_candidates(
     spark: SparkSession, index_dir: str, phrase: str
 ) -> DataFrame | None:
-    """doc_ids containing ALL of the phrase's index-resolvable terms,
-    from the packed postings (conjunctive candidate retrieval). Terms the
-    index tokenizer dropped (stop words, merged forms) are skipped — the
-    result is then a candidate SUPERSET, which verification narrows, so
-    correctness never depends on tokenizer parity between the two worlds.
+    """doc_ids containing AT LEAST ONE of the phrase's index-resolvable
+    terms, decoded from the packed postings (union candidate retrieval).
+
+    Union — not intersection — is what makes pruning SOUND under
+    :func:`search_phrase`'s contract: that function returns phrase
+    matchers ranked by BM25 of the resolved terms, and a document scores
+    nonzero iff it holds ≥1 resolved-term posting, i.e. iff it is in
+    this union. An intersection would silently drop real results — e.g.
+    text "key order-processing": the raw token stream [key, order,
+    processing] matches the phrase "key order", but the index tokenizer
+    (space-split) stores terms {key, order-processing}, so the doc has
+    no 'order' posting and an AND-retrieval would never surface it even
+    though its BM25 score for 'key' is nonzero.
+
     Returns ``None`` when no phrase word resolves to an index term (the
-    caller must verify against the full corpus)."""
+    phrase is unscorable — the caller returns empty without scanning)."""
     from searchengine_spark.functions.codec import delta_decode, varint_decode
     from searchengine_spark.operators.wand import fold_query_terms
 
@@ -102,38 +112,30 @@ def phrase_candidates(
         return None
     terms = sorted(qweights)
 
-    schema = T.StructType(
-        [
-            T.StructField("term", T.StringType()),
-            T.StructField("doc_id", T.LongType()),
-        ]
-    )
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
 
     def decode(batches):
         for b in batches:
-            outs = []
-            for term, gaps, n in zip(b["term"], b["gaps"], b["n"]):
-                ids = delta_decode(varint_decode(gaps, int(n)))
-                outs.append(
-                    pd.DataFrame({"term": term, "doc_id": ids.astype(np.int64)})
-                )
-            yield pd.concat(outs) if outs else pd.DataFrame(
-                {"term": pd.Series([], dtype=object),
-                 "doc_id": pd.Series([], dtype=np.int64)}
+            outs = [
+                delta_decode(varint_decode(gaps, int(n)))
+                for gaps, n in zip(b["gaps"], b["n"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": (
+                        np.concatenate(outs).astype(np.int64)
+                        if outs
+                        else np.array([], dtype=np.int64)
+                    )
+                }
             )
 
     posts = (
         spark.read.parquet(f"{index_dir}/postings")
         .where(F.col("term").isin(terms))
-        .select("term", "gaps", "n")
+        .select("gaps", "n")
     )
-    return (
-        posts.mapInPandas(decode, schema)
-        .groupBy("doc_id")
-        .agg(F.count_distinct("term").alias("_nt"))
-        .where(F.col("_nt") == len(terms))
-        .select("doc_id")
-    )
+    return posts.mapInPandas(decode, schema).distinct()
 
 
 def search_phrase(
@@ -148,13 +150,26 @@ def search_phrase(
     """BM25 top-k over documents that contain ``phrase`` as a consecutive
     token sequence → DataFrame(doc_id, score), (score desc, doc_id asc).
     ``docs`` is the corpus table the index was built from (the index
-    stores no text). Candidates come from the postings, adjacency is
-    verified on candidates only, ranking reuses ``search(allowed=...)``
-    so scores equal the docs' whole-corpus BM25 scores for the phrase's
-    terms (see module docstring for the distributed shape)."""
-    from searchengine_spark.operators.wand import search
+    stores no text). Candidates are the union of the resolved terms'
+    postings, adjacency is verified on candidates only, ranking reuses
+    ``search(allowed=...)`` so scores equal the docs' whole-corpus BM25
+    scores for the phrase's terms (see module docstring for the shape).
+
+    Contract: results are phrase matchers with NONZERO BM25 for the
+    resolved terms. A doc can match the phrase in raw text yet hold none
+    of the resolved terms (its words only appear fused inside larger
+    index tokens, e.g. "key-order processing" for the phrase "key
+    order") — such docs score 0 and are omitted, consistently with the
+    candidate union; use :func:`phrase_match` directly for exhaustive
+    raw matching. A phrase with no index-resolvable word (all stop
+    words) returns empty WITHOUT scanning the corpus — ``search`` would
+    score nothing, so the expensive verification could never surface a
+    result."""
+    from searchengine_spark.operators.wand import RESULT_SCHEMA, search
 
     cand = phrase_candidates(spark, index_dir, phrase)
-    scoped = docs if cand is None else docs.join(cand, id_col, "leftsemi")
+    if cand is None:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    scoped = docs.join(cand, id_col, "leftsemi")
     verified = phrase_match(scoped, phrase, id_col, text_col).select(id_col)
     return search(spark, index_dir, phrase, k=k, allowed=verified)

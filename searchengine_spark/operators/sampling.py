@@ -167,8 +167,24 @@ def decontaminate(
     restores zero-hit docs. No all-pairs stage anywhere: cost is linear
     in corpus tokens + |benchmark grams|.
     """
+    # benchmark side needs no id column — only its distinct gram set
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
     bench_grams = (
-        _grams(benchmark, n, id_col, text_col).select("gram").distinct()
+        benchmark.select(arr.alias("_arr"))
+        .where(F.size("_arr") >= n)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - n),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("_arr"), i + 1, n))
+                    ),
+                )
+            ).alias("gram")
+        )
+        .distinct()
     )
     hits = (
         _grams(docs, n, id_col, text_col)

@@ -60,11 +60,18 @@ def attach_snippets(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """hits(id, ...) ⋈ docs(id, text) → hits + ``snippet``. The join
-    keys the k-row hit side against the corpus scan; Catalyst broadcasts
-    the hit side by stats, so the corpus is scanned once with only
-    (id, text) read and the window computed inline."""
-    snip = docs.select(
+    """hits(id, ...) ⋈ docs(id, text) → hits + ``snippet``. The corpus
+    is first semi-joined down to the hit ids (the k-row hit side is the
+    broadcastable build side of the semi-join), so the split/position
+    window expression runs on ≤ k rows, never the whole corpus; the
+    resulting ≤ k-row snippet table then left-joins back onto the hits —
+    both joins broadcast the small side. (A plain
+    ``hits.join(snip, "left")`` could NOT broadcast: left-outer preserves
+    the left side, so Spark may only build the right — the full corpus —
+    and would fall back to shuffling the snippet expression over every
+    document.)"""
+    scoped = docs.join(hits.select(id_col), id_col, "leftsemi")
+    snip = scoped.select(
         id_col, snippet_col(text_col, terms, width).alias("snippet")
     )
     return hits.join(snip, id_col, "left")

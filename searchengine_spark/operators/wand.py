@@ -577,21 +577,20 @@ def search_batch(
     )
 
 
-def search(
+def _topk_for_qweights(
     spark: SparkSession,
     index_dir: str,
-    query: str,
-    k: int = 10,
-    maxscore: bool = True,
-    allowed: DataFrame | None = None,
+    qweights: dict,
+    k: int,
+    maxscore: bool,
+    allowed: DataFrame | None,
 ) -> DataFrame:
-    """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally
-    ordered. ``allowed`` restricts eligibility (see ``search_batch``)."""
-    man = Manifest(index_dir)
-    s = man.scalars
-    qweights = fold_query_terms(spark, index_dir, query)
+    """Shared single-query scoring tail: postings scan (pushed ``term
+    IN``), per-range scorer stage, global (score desc, doc_id asc)
+    top-k. ``qweights``: {term: (qtf, df)} with resolved index terms."""
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    s = Manifest(index_dir).scalars
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(qweights))
     )
@@ -608,6 +607,20 @@ def search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally
+    ordered. ``allowed`` restricts eligibility (see ``search_batch``)."""
+    qweights = fold_query_terms(spark, index_dir, query)
+    return _topk_for_qweights(spark, index_dir, qweights, k, maxscore, allowed)
 
 
 def search_terms(
@@ -624,31 +637,15 @@ def search_terms(
     expansion, more-like-this, learned rewriters): terms are looked up
     verbatim in the term dictionary (no casing fallback, no tokenizer
     quirks — ``"3.5M$"``-style terms round-trip exactly); absent terms
-    contribute nothing. Scoring tail is identical to :func:`search`
-    (same plan, same distributed shape)."""
-    man = Manifest(index_dir)
-    s = man.scalars
+    contribute nothing. Fractional qtf is allowed (the scorer weights
+    are floats — expanded/learned queries use partial weights). Scoring
+    tail is identical to :func:`search` (same plan, same shape)."""
     terms = sorted(t for t, qtf in term_weights.items() if qtf > 0)
     vocab = _term_df_lookup(spark, index_dir, terms) if terms else {}
-    qweights = {t: (int(term_weights[t]), vocab[t]) for t in terms if t in vocab}
-    if not qweights:
-        return spark.createDataFrame([], RESULT_SCHEMA)
-    posts = spark.read.parquet(f"{index_dir}/postings").where(
-        F.col("term").isin(sorted(qweights))
-    )
-    per_range, _ = _scored_ranges(
-        spark, index_dir, posts,
-        lambda sc, fl: _score_range_batch_factory(
-            {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
-            s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
-        ),
-        allowed=allowed, range_width=s["range_width"],
-    )
-    return (
-        per_range.select("doc_id", "score")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    qweights = {
+        t: (float(term_weights[t]), vocab[t]) for t in terms if t in vocab
+    }
+    return _topk_for_qweights(spark, index_dir, qweights, k, maxscore, allowed)
 
 
 def search_where(

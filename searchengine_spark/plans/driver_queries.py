@@ -129,17 +129,26 @@ def q_tfidf(spark, sf_dir):
     )
 
 
-def q_bm25_topk(spark, sf_dir):
-    """R1-R4 as BM25 top-20 for the fixed query, declarative join plan."""
+def _bm25_topk_over(spark, sf_dir, terms, eligible=None, exclude_doc=None):
+    """Shared BM25 top-20 tail for the retrieval entries: pushed term
+    filter (+ optional eligibility semi-join below the stats/weights
+    joins, + optional seed exclusion), broadcast term_dict, two-phase
+    agg, (score desc, doc_id asc) LIMIT 20. Every BM25-shaped entry
+    (bm25_topk / bm25_filtered / phrase_topk / more_like_this) routes
+    through here so the scoring form cannot drift between them."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
     dt = q_doc_terms(spark, sf_dir)
     stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
     avgdl = stats.agg(F.avg("dl")).collect()[0][0]
     td = q_term_dict(spark, sf_dir).select("term", "df")
+    contrib = dt.where(F.col("term").isin(list(terms)))
+    if exclude_doc is not None:
+        contrib = contrib.where(F.col("doc_id") != exclude_doc)
+    if eligible is not None:
+        contrib = contrib.join(eligible, "doc_id", "leftsemi")
     contrib = (
-        dt.where(F.col("term").isin(QTERMS))
-        .join(stats, "doc_id")
+        contrib.join(stats, "doc_id")
         .join(F.broadcast(td), "term")
         .withColumn(
             "c",
@@ -154,6 +163,11 @@ def q_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """R1-R4 as BM25 top-20 for the fixed query, declarative join plan."""
+    return _bm25_topk_over(spark, sf_dir, QTERMS)
 
 
 FACET_LANGS = ["es", "de"]  # bm25_filtered eligibility facet
@@ -168,31 +182,12 @@ def q_bm25_filtered(spark, sf_dir):
     whole-corpus, so a doc's score is identical with and without the
     facet; the filter selects WHICH docs may appear in the top-20, pushed
     as a semi-join before the stats/weights joins."""
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    dt = q_doc_terms(spark, sf_dir)
-    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
-    avgdl = stats.agg(F.avg("dl")).collect()[0][0]
-    td = q_term_dict(spark, sf_dir).select("term", "df")
-    eligible = docs.where(F.col("lang").isin(FACET_LANGS)).select("doc_id")
-    contrib = (
-        dt.where(F.col("term").isin(QTERMS))
-        .join(eligible, "doc_id", "leftsemi")
-        .join(stats, "doc_id")
-        .join(F.broadcast(td), "term")
-        .withColumn(
-            "c",
-            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
-        )
+    eligible = (
+        _docs(spark, sf_dir)
+        .where(F.col("lang").isin(FACET_LANGS))
+        .select("doc_id")
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-    )
+    return _bm25_topk_over(spark, sf_dir, QTERMS, eligible=eligible)
 
 
 def q_candidates(spark, sf_dir):
@@ -545,31 +540,11 @@ def q_phrase_topk(spark, sf_dir):
     semantics; the packed-index path is tested in test_phrase.py."""
     from searchengine_spark.operators import phrase
 
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    terms = phrase.phrase_terms(PHRASE)
-    dt = q_doc_terms(spark, sf_dir)
-    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
-    avgdl = stats.agg(F.avg("dl")).collect()[0][0]
-    td = q_term_dict(spark, sf_dir).select("term", "df")
-    eligible = phrase.phrase_match(docs, PHRASE).select("doc_id")
-    contrib = (
-        dt.where(F.col("term").isin(terms))
-        .join(eligible, "doc_id", "leftsemi")
-        .join(stats, "doc_id")
-        .join(F.broadcast(td), "term")
-        .withColumn(
-            "c",
-            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
-        )
+    eligible = phrase.phrase_match(_docs(spark, sf_dir), PHRASE).select(
+        "doc_id"
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
+    return _bm25_topk_over(
+        spark, sf_dir, phrase.phrase_terms(PHRASE), eligible=eligible
     )
 
 
@@ -599,12 +574,6 @@ def q_more_like_this(spark, sf_dir):
     ``parity.more_like_this`` over the packed index (tested in
     test_more_like_this.py). The 5-term pick is a bounded driver collect,
     the same query-shaping pattern as the ANN entries' query vector."""
-    docs = _docs(spark, sf_dir)
-    n = docs.count()
-    dt = q_doc_terms(spark, sf_dir)
-    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
-    avgdl = stats.agg(F.avg("dl")).collect()[0][0]
-    td = q_term_dict(spark, sf_dir).select("term", "df")
     top = (
         q_tfidf(spark, sf_dir)
         .where(F.col("doc_id") == MLT_SEED_DOC)
@@ -613,24 +582,8 @@ def q_more_like_this(spark, sf_dir):
         .select("term")
         .collect()
     )
-    terms = [r["term"] for r in top]
-    contrib = (
-        dt.where(F.col("term").isin(terms))
-        .where(F.col("doc_id") != MLT_SEED_DOC)
-        .join(stats, "doc_id")
-        .join(F.broadcast(td), "term")
-        .withColumn(
-            "c",
-            F.log(1 + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * (F.col("tf") * (K1 + 1))
-            / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
-        )
-    )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
+    return _bm25_topk_over(
+        spark, sf_dir, [r["term"] for r in top], exclude_doc=MLT_SEED_DOC
     )
 
 

@@ -24,6 +24,8 @@ class SparkSearchEngine:
         """``where``: optional SQL predicate over the index's ``doc_map``
         metadata (faceted retrieval; eligibility-only — scores unchanged)."""
         if where is not None:
+            if method != "wand":
+                raise ValueError("where= requires method='wand'")
             return search_where(self.spark, self.index_dir, query, where, k=k)
         fn = search if method == "wand" else search_join
         return fn(self.spark, self.index_dir, query, k)

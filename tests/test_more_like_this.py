@@ -58,12 +58,13 @@ def test_more_like_this_excludes_seed_and_ranks(spark, cosine_tables):
     got = parity.more_like_this(spark, index_dir, seed, m=5, k=10).toPandas()
     assert len(got) == 10
     assert seed not in set(got["doc_id"])
-    # reference: the seed's top-5 weighted terms, searched explicitly,
-    # seed row dropped, next k kept
+    # reference: the seed's top-5 tf-idf (w × idf) terms, searched
+    # explicitly, seed row dropped, next k kept
     w = (
         spark.read.parquet(f"{index_dir}/cosine/weights")
         .where(F.col("doc_id") == seed)
-        .orderBy(F.desc("w"), F.asc("term"))
+        .join(spark.read.parquet(f"{index_dir}/cosine/idf"), "term")
+        .orderBy(F.desc(F.col("w") * F.col("idf")), F.asc("term"))
         .limit(5)
         .collect()
     )

@@ -106,7 +106,7 @@ def test_phrase_candidates_superset_of_matches(spark, index_1k, docs):
         r["doc_id"] for r in phrase.phrase_match(docs, PHRASE).collect()
     }
     assert match_ids <= cand_ids
-    # conjunctive retrieval is selective: strictly fewer docs than corpus
+    # union retrieval still prunes: strictly fewer docs than the corpus
     assert len(cand_ids) < 1000
 
 
@@ -148,3 +148,35 @@ def test_phrase_match_plan_is_narrow(spark, docs):
     assert "Exchange" not in plan.split("InMemoryTableScan")[0]
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan.split("InMemoryTableScan")[0], marker
+
+
+def test_search_phrase_fused_token_not_dropped(spark, tmp_path_factory):
+    """Soundness of union candidates: a doc whose phrase continuation is
+    fused inside a larger index token ("order-processing" is ONE index
+    term under the space-split tokenizer, but raw-splits to [order,
+    processing]) still raw-matches the phrase and holds a 'key' posting
+    — AND-retrieval over {key, order} would silently drop it."""
+    from searchengine_spark.operators.index_build import build_index
+
+    rows = [
+        ("r", "a.txt", "c0", "en", "key order-processing krampus waffle toast"),
+        ("r", "b.txt", "c0", "en", "key order krampus plainly waffle toast"),
+        ("r", "c.txt", "c0", "en", "unrelated krampus waffle toast words alone"),
+    ]
+    docs_src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path_factory.mktemp("fused_idx"))
+    build_index(spark, docs_src, d, range_width=64, n_groups=1)
+    dm = spark.read.parquet(f"{d}/doc_map").select("doc_id", "path")
+    docs = (
+        docs_src.select("path", F.col("content").alias("text"))
+        .join(dm, "path")
+        .select("doc_id", "text")
+    )
+    got = phrase.search_phrase(spark, d, docs, "key order", k=10).toPandas()
+    by_path = {r["path"]: r["doc_id"] for r in dm.collect()}
+    assert set(got["doc_id"]) == {by_path["a.txt"], by_path["b.txt"]}
+    assert (got["score"] > 0).all()
+    # all-stop-word phrase: unscorable -> empty WITHOUT a corpus scan
+    assert phrase.search_phrase(spark, d, docs, "and the of", k=10).count() == 0

@@ -132,3 +132,19 @@ def test_decontaminate_empty_benchmark(spark, docs):
     assert len(out) == 50
     assert (out["n_hit_ngrams"] == 0).all()
     assert (~out["contaminated"]).all()
+
+
+def test_decontaminate_benchmark_without_id_column(spark):
+    """The benchmark side only contributes its gram set — an eval table
+    with just a text column must work as-is."""
+    leak = "one two three four five"
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=f"padding {leak} padding"),
+         Row(doc_id=1, text="completely clean words only here")]
+    )
+    bench = spark.createDataFrame([Row(text=f"q: {leak}?")])
+    got = {
+        r["doc_id"]: r["contaminated"]
+        for r in sampling.decontaminate(docs, bench, n=5).collect()
+    }
+    assert got == {0: True, 1: False}

@@ -231,16 +231,26 @@ batched rounds of the 20-query reference set. Full per-stage metrics in
 """
     # BASELINE.md also carries hand-written sections (measurement history,
     # ANN recall tables, sf1 bench, A/B notes); only the generated header
-    # above the marker is replaced — everything at/after it is preserved.
+    # above the marker is replaced — everything after it is preserved. The
+    # marker is re-emitted with the generated header so the invariant
+    # self-heals; a marker-less existing file is preserved wholesale below
+    # the header rather than silently truncated.
     out_path = f"{REPO}/BENCH/BASELINE.md"
     marker = "<!-- MANUAL SECTIONS BELOW: scaling_bench preserves from here -->"
     tail = ""
     if os.path.exists(out_path):
         prev = open(out_path).read()
         if marker in prev:
-            tail = "\n" + marker + prev.split(marker, 1)[1]
+            tail = prev.split(marker, 1)[1]
+        elif prev.strip():
+            print(
+                "scaling_bench: no preservation marker in BASELINE.md — "
+                "keeping the whole previous file below the new header",
+                file=sys.stderr,
+            )
+            tail = "\n\n## Previous BASELINE.md (preserved verbatim)\n\n" + prev
     with open(out_path, "w") as f:
-        f.write(md + tail)
+        f.write(md + "\n" + marker + "\n" + tail)
     print(json.dumps(summary))
 
 
