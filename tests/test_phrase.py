@@ -180,3 +180,40 @@ def test_search_phrase_fused_token_not_dropped(spark, tmp_path_factory):
     assert (got["score"] > 0).all()
     # all-stop-word phrase: unscorable -> empty WITHOUT a corpus scan
     assert phrase.search_phrase(spark, d, docs, "and the of", k=10).count() == 0
+
+
+def test_phrase_match_randomized_differential(spark):
+    """Seeded-random differential: the zero-width-lookahead regex count
+    must equal the Python token-array scan on adversarial texts — tiny
+    alphabet (forces overlaps and repeats), mixed separators/case, and
+    phrases of length 1-3 including self-overlapping ones."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["aa", "ab", "b", "key", "order", "x1"]
+    seps = [" ", "  ", "-", ", ", "!", "_", ".\n", "?"]
+    rows = []
+    for i in range(400):
+        n = rng.randint(0, 12)
+        parts = []
+        for _ in range(n):
+            w = rng.choice(alphabet)
+            if rng.random() < 0.3:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            parts.append(w)
+            parts.append(rng.choice(seps))
+        rows.append((i, "".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    phrases = ["aa", "aa aa", "key order", "b b b", "ab b", "x1 key order"]
+    for ph in phrases:
+        terms = phrase.phrase_terms(ph)
+        got = {
+            r["doc_id"]: r["n_occurrences"]
+            for r in phrase.phrase_match(df, ph).collect()
+        }
+        want = {}
+        for i, text in rows:
+            c = _count_occurrences(text, terms)
+            if c:
+                want[i] = c
+        assert got == want, ph
