@@ -117,7 +117,8 @@ def main() -> None:
         "exact_dedup",
         "minhash_signatures", "near_dup_jaccard", "simhash", "lsh_pairs",
         "cosine_topk_docs", "pruned_doc_stats", "text_quality",
-        "language_id", "ann_cosine_topk", "ann_filtered", "ann_batch_topk", "ann_lsh_topk",
+        "language_id", "ann_cosine_topk", "ann_filtered", "ann_batch_topk", "ann_mmr_topk",
+        "ann_lsh_topk",
         "lineitem_pricing",
         "top_customers", "events_hourly", "events_sessions",
         "first_seen_docs", "dup_ngrams", "unigram_logprob",

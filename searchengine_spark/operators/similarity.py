@@ -399,3 +399,70 @@ def cosine_topk_batch(
         .drop("_rn")
         .orderBy("query_id", F.desc("cos"), F.asc("vec_id"))
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec: list,
+    k: int = 10,
+    pool: int = 100,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick argmax of
+    ``lam·cos(q, v) − (1−lam)·max_{s∈selected} cos(v, s)`` →
+    (vec_id, cos, mmr, rank). ``lam=1`` degenerates to the plain cosine
+    ranking; lower ``lam`` trades relevance for diversity (near-duplicate
+    hits stop crowding the result list).
+
+    Shape: the DISTRIBUTED part is :func:`cosine_topk` over the corpus
+    (narrow scan + TakeOrdered, ``allowed`` pre-filter as everywhere);
+    the greedy re-rank is inherently sequential, so it runs driver-side
+    over the ``pool`` collected candidates — O(pool²·dim) numpy on ≤pool
+    rows, the bounded-collect query-shaping pattern, never the corpus.
+    Ties break (mmr desc, vec_id asc); candidates carry their exact
+    rounded cosines unchanged."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    if k > pool:
+        raise ValueError(f"k={k} exceeds candidate pool={pool}")
+    cands = cosine_topk(emb, query_vec, k=pool, id_col=id_col,
+                        vec_col=vec_col, allowed=allowed)
+    rows = (
+        cands.join(emb.select(id_col, vec_col), id_col)
+        .select(id_col, "cos", vec_col)
+        .collect()
+    )
+    schema = f"{id_col} long, cos double, mmr double, rank int"
+    if not rows:
+        return emb.sparkSession.createDataFrame([], schema)
+    # deterministic candidate order regardless of collect order
+    rows.sort(key=lambda r: (-r["cos"], r[id_col]))
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    rel = np.array([r["cos"] for r in rows], dtype=np.float64)
+    V = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    Vn = V / np.maximum(norms, 1e-300)[:, None]
+    sim = Vn @ Vn.T  # candidate-candidate cosines, pool×pool
+    n = len(ids)
+    selected: list[int] = []
+    picked = np.zeros(n, dtype=bool)
+    max_sim = np.full(n, -np.inf)
+    out = []
+    for rank in range(min(k, n)):
+        pen = np.where(np.isfinite(max_sim), max_sim, 0.0)
+        score = lam * rel - (0.0 if not selected else (1 - lam)) * pen
+        score[picked] = -np.inf
+        # ties: mmr desc, id asc — lexsort on (-score, id), first unpicked
+        best = int(np.lexsort((ids, -score))[0])
+        out.append(
+            (int(ids[best]), float(rel[best]),
+             round(float(score[best]), 6), rank + 1)
+        )
+        picked[best] = True
+        selected.append(best)
+        max_sim = np.maximum(max_sim, sim[:, best])
+    return emb.sparkSession.createDataFrame(out, schema)

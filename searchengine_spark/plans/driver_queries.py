@@ -326,6 +326,20 @@ def q_ann_batch_topk(spark, sf_dir):
     return similarity.cosine_topk_batch(emb, qvecs, k=10)
 
 
+def q_ann_mmr_topk(spark, sf_dir):
+    """MMR-diversified top-10 (similarity.mmr_rerank): exact-cosine pool
+    of 50 distributed, greedy diversity re-rank driver-side. The greedy
+    selection is inherently sequential/iterative, so this entry has no
+    SQL oracle (rows-only driver check); the lam=1 degenerate-identity
+    and cluster-diversity behaviors are pytest-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.mmr_rerank(emb, qvec, k=10, pool=50, lam=0.7)
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN with nprobe == n_cells — exact by construction, so the
     exact-cosine SQL oracle hash-verifies the whole IVF pipeline (sampled
@@ -831,6 +845,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
     "ann_batch_topk": q_ann_batch_topk,
+    "ann_mmr_topk": q_ann_mmr_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "lsh_pairs": q_lsh_pairs,

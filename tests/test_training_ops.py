@@ -496,3 +496,39 @@ def test_cosine_topk_batch_equals_per_query(spark, emb, qvec):
     fg = similarity.cosine_topk_batch(emb, qvecs[:1], k=7, allowed=allowed).toPandas()
     fw = similarity.cosine_topk(emb, qvecs[0], k=7, allowed=allowed).toPandas()
     assert fg["vec_id"].tolist() == fw["vec_id"].tolist()
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Two tight clusters near the query: plain top-3 is swamped by the
+    nearer cluster's near-duplicates; MMR at moderate lambda picks from
+    both. lam=1 must degenerate to the plain cosine ranking."""
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal(16)
+    b = rng.standard_normal(16)
+    rows = []
+    for i in range(4):  # cluster A: near-duplicates, closest to query
+        rows.append((i, [float(x) for x in a + 0.001 * rng.standard_normal(16)]))
+    for i in range(4):  # cluster B: a bit further out
+        rows.append((10 + i, [float(x) for x in b + 0.001 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in (0.9 * a + 0.45 * b)]
+    plain = similarity.cosine_topk(emb, q, k=3).toPandas()
+    assert set(plain["vec_id"]) <= {0, 1, 2, 3}  # all from cluster A
+    mmr = similarity.mmr_rerank(emb, q, k=3, pool=8, lam=0.5).toPandas()
+    assert set(mmr["vec_id"]) & {10, 11, 12, 13}  # cluster B represented
+    assert mmr["rank"].tolist() == [1, 2, 3]
+    # lam=1: identical to the plain ranking, cosines unchanged
+    degen = similarity.mmr_rerank(emb, q, k=3, pool=8, lam=1.0).toPandas()
+    assert degen["vec_id"].tolist() == plain["vec_id"].tolist()
+    assert degen["cos"].tolist() == plain["cos"].tolist()
+
+
+def test_mmr_rerank_validation_and_filter(spark, emb, qvec):
+    with pytest.raises(ValueError, match="lam"):
+        similarity.mmr_rerank(emb, qvec, lam=1.5)
+    with pytest.raises(ValueError, match="pool"):
+        similarity.mmr_rerank(emb, qvec, k=50, pool=10)
+    allowed = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    out = similarity.mmr_rerank(emb, qvec, k=5, pool=20, allowed=allowed).toPandas()
+    assert len(out) == 5
+    assert (out["vec_id"] % 2 == 0).all()
