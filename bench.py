@@ -124,6 +124,7 @@ def main() -> None:
         "first_seen_docs", "dup_ngrams", "unigram_logprob",
         "train_val_split", "per_source_cap", "decontaminate",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
+        "curated_docs",
     ]
     for name in bench_queries:
         timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())

@@ -601,6 +601,19 @@ def q_more_like_this(spark, sf_dir):
     )
 
 
+def q_curated_docs(spark, sf_dir):
+    """The whole streaming-curation step (streaming/curation.curate) as
+    a batch entry — quality metrics, language tag, junk gates, split
+    assignment — hash-gated end-to-end (md5 split for cross-engine
+    label reproduction; stream≡batch identity is in test_streaming)."""
+    from searchengine_spark.streaming.curation import curate
+
+    return curate(_docs(spark, sf_dir), hash_method="md5").select(
+        "doc_id", "n_tokens", "n_distinct", "avg_token_len",
+        "stop_ratio", "quality", "pred_lang", "split",
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-shaped aggregate (relational coverage, SURVEY.md §2.3)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -861,6 +874,7 @@ QUERIES = {
     "phrase_topk": q_phrase_topk,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
+    "curated_docs": q_curated_docs,
     "lineitem_pricing": q_lineitem_pricing,
     "lineitem_rollup": q_lineitem_rollup,
     "top_customers": q_top_customers,
@@ -1215,6 +1229,45 @@ ORACLES = {
         f"       greatest(1, pos - {SNIPPET_WIDTH}) + {2 * SNIPPET_WIDTH}], ' ')"
         "  ELSE NULL END AS snippet"
         " FROM hits h LEFT JOIN sn USING (doc_id)"
+    ),
+    "curated_docs": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "             x -> x <> '') AS arr FROM documents),"
+        " m AS (SELECT doc_id, len(arr) AS n, len(list_distinct(arr)) AS nd,"
+        "   list_sum(list_transform(arr, x -> length(x))) AS tl,"
+        "   len(list_filter(arr, x -> list_contains(["
+        + ",".join(f"'{w}'" for w in textstats.EN_STOP)
+        + "], x))) AS stop, "
+        + ", ".join(
+            "len(list_filter(arr, x -> list_contains(["
+            + ",".join(f"'{w}'" for w in textstats.LANG_MARKERS[lang])
+            + f"], x))) AS c_{lang}"
+            for lang in textstats.LANG_ORDER
+        )
+        + " FROM t)"
+        " SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,"
+        " CAST(nd AS BIGINT) AS n_distinct,"
+        " round(tl / CAST(n AS DOUBLE), 6) AS avg_token_len,"
+        " round(stop / CAST(n AS DOUBLE), 6) AS stop_ratio,"
+        " round((nd / CAST(n AS DOUBLE))"
+        "   * (1 - round(stop / CAST(n AS DOUBLE), 6)), 6) AS quality,"
+        " CASE WHEN "
+        + "greatest(" + ", ".join(f"c_{l}" for l in textstats.LANG_ORDER) + ")"
+        + " = 0 THEN 'und' "
+        + " ".join(
+            f"WHEN c_{l} = greatest("
+            + ", ".join(f"c_{x}" for x in textstats.LANG_ORDER)
+            + f") THEN '{l}'"
+            for l in textstats.LANG_ORDER
+        )
+        + " END AS pred_lang,"
+        " CASE WHEN u < 0.05 THEN 'test' WHEN u < 0.95 THEN 'train'"
+        " ELSE 'val' END AS split"
+        " FROM (SELECT m.*, "
+        + _md5int_sql("'split:' || doc_id")
+        + " / 4294967296.0 AS u FROM m)"
+        " WHERE n >= 5 AND round(tl / CAST(n AS DOUBLE), 6) <= 20"
     ),
     "more_like_this": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"

@@ -1,0 +1,119 @@
+"""Streaming corpus curation: quality-gate, language-tag, and
+split-assign documents as they arrive.
+
+The batch text-quality operators (textstats.token_stats, language_id)
+are explode→groupBy aggregations — fine for batch, but on a stream they
+would force stateful aggregation plus a stream-stream join back onto
+the text. Per-document metrics don't need any of that: this module
+recomputes the SAME values as pure array expressions over the token
+array (split → size/filter/aggregate — one narrow projection, zero
+shuffle, zero state), verified value-identical to the batch operators
+in tests/test_streaming.py. Combined with sampling.hash_split (also a
+narrow map), the whole curation step runs per micro-batch with
+stream≡batch identity by construction.
+
+This is the ingest-side shape of a training-data pipeline at 100 TB:
+score and route documents once, on arrival, instead of re-scanning the
+corpus per curation pass. Stateful steps (first-seen dedup) chain via
+streaming/stateful.py; anything needing CORPUS statistics (unigram
+log-prob quality, dup-n-gram fraction, near-dup) runs as the periodic
+batch pass over the curated output — the same ingest+compact split as
+the index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from searchengine_spark.operators.textstats import EN_STOP, LANG_MARKERS, LANG_ORDER
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a documents-table directory (new parquet
+    files become micro-batches — the standard landing-zone shape)."""
+    r = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(source_dir)
+
+
+def _tok_arr(text_col: str) -> Column:
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+
+
+def curation_cols(text_col: str = "text") -> dict[str, Column]:
+    """The per-doc curation metrics as narrow Columns over one token
+    array — value-identical to textstats.token_stats / language_id for
+    docs with ≥1 token (the batch aggs drop zero-token docs; here they
+    surface with n_tokens=0 and null ratios, for the gate to drop)."""
+    arr = _tok_arr(text_col)
+    n = F.size(arr)
+    nd = F.size(F.array_distinct(arr))
+    nf = n.cast("double")
+    stop = F.size(F.filter(arr, lambda t: t.isin(EN_STOP)))
+    total_len = F.aggregate(
+        F.transform(arr, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_ratio = F.round(stop / nf, 6)
+    cols: dict[str, Column] = {
+        "n_tokens": n.cast("long"),
+        "n_distinct": nd.cast("long"),
+        "avg_token_len": F.round(total_len / nf, 6),
+        "stop_ratio": stop_ratio,
+        "quality": F.round((nd / nf) * (1 - stop_ratio), 6),
+    }
+    counts = {
+        lang: F.size(F.filter(arr, lambda t: t.isin(LANG_MARKERS[lang])))
+        for lang in LANG_ORDER
+    }
+    best = F.greatest(*counts.values())
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANG_ORDER:  # first language hitting the max wins
+        pred = pred.when(counts[lang] == best, F.lit(lang))
+    cols["pred_lang"] = pred
+    return cols
+
+
+def curate(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_avg_token_len: float = 20.0,
+    split_weights: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """Append curation columns and drop obvious junk — identical plan on
+    a static DataFrame and a stream (one narrow projection + filter):
+    quality signals and ``pred_lang`` from :func:`curation_cols`,
+    ``split`` from the deterministic hash split (stable across
+    re-ingests and backfills — a re-delivered document always lands in
+    the same split), and rows failing the cheap gates (< ``min_tokens``
+    tokens, gibberish average token length) dropped."""
+    from searchengine_spark.operators import sampling
+
+    out = docs.withColumns(curation_cols(text_col)).where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+    )
+    return sampling.hash_split(
+        out, split_weights, id_col=id_col, method=hash_method
+    )

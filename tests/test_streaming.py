@@ -600,3 +600,71 @@ def test_streaming_dedup_ttl_runs_under_processing_time_trigger(spark, tmp_path)
         assert got["doc_id"].tolist() == [1, 2]
     finally:
         q.stop()
+
+
+def test_curation_cols_match_batch_operators(spark):
+    """The narrow array-expression metrics must equal the batch
+    explode→groupBy operators value-for-value (docs with ≥1 token — the
+    batch aggs drop tokenless docs)."""
+    from searchengine_spark.operators import textstats
+    from searchengine_spark.streaming import curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    narrow = (
+        docs.withColumns(curation.curation_cols("text"))
+        .where(F.col("n_tokens") > 0)
+        .select("doc_id", "n_tokens", "n_distinct", "avg_token_len",
+                "stop_ratio", "quality", "pred_lang")
+        .toPandas()
+    )
+    batch = (
+        textstats.token_stats(docs)
+        .join(textstats.language_id(docs), "doc_id")
+        .toPandas()
+    )
+    a = _norm(narrow)
+    b = _norm(batch)
+    assert a.columns.tolist() == b.columns.tolist()
+    assert len(a) == len(b) > 0
+    for c in a.columns:
+        if a[c].dtype.kind == "f":
+            assert np.allclose(a[c], b[c], atol=1e-9), c
+        else:
+            assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_curate_stream_equals_batch(spark, tmp_path):
+    """Streaming curation over file micro-batches == curate() on the
+    static table: same surviving rows, metrics, and split labels."""
+    from searchengine_spark.streaming import curation
+
+    src = f"{tmp_path}/docs_src"
+    os.makedirs(src)
+    full = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    # two files -> two micro-batches under maxFilesPerTrigger=1
+    full.iloc[: len(full) // 2].to_parquet(f"{src}/part0.parquet")
+    full.iloc[len(full) // 2 :].to_parquet(f"{src}/part1.parquet")
+
+    stream = curation.curate(
+        curation.read_document_stream(spark, src, max_files_per_trigger=1)
+    )
+    ev.run_to_memory(stream, "curated_sink", f"{tmp_path}/ckpt", mode="append")
+    got = _norm(spark.table("curated_sink").drop("text").toPandas())
+
+    want = _norm(
+        curation.curate(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        .drop("text")
+        .toPandas()
+    )
+    assert got.columns.tolist() == want.columns.tolist()
+    assert len(got) == len(want) > 0
+    for c in got.columns:
+        if got[c].dtype.kind == "f":
+            assert np.allclose(got[c], want[c], atol=1e-9), c
+        else:
+            assert got[c].tolist() == want[c].tolist(), c
+    # the gate actually gates: some rows were dropped, splits all valid
+    assert len(got) <= len(full)
+    assert set(spark.table("curated_sink").select("split").toPandas()["split"]) <= {
+        "train", "val", "test"
+    }
