@@ -511,7 +511,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     except (UnsupportedMediaError, ValueError):
         raise
     except (struct.error, IndexError, KeyError, OverflowError,
-            ZeroDivisionError) as e:
+            ZeroDivisionError, MemoryError) as e:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}: {e}") from e
 
 
@@ -581,6 +581,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 raise UnsupportedMediaError(f"JPEG precision {prec} (only 8)")
             if fh == 0 or fw == 0 or fh * fw > MAX_PIXELS:
                 raise ValueError(f"JPEG dimensions {fw}×{fh} out of range")
+            if n_comp not in (1, 3):
+                # reject BEFORE plane allocation: a forged header with
+                # n_comp=255 would otherwise multiply MAX_PIXELS 255×
+                # in memory and entropy-decode every MCU first
+                raise UnsupportedMediaError(
+                    f"JPEG with {n_comp} components (only 1 or 3)"
+                )
             comps = []
             for ci in range(n_comp):
                 cid, hv, tq = struct.unpack(
@@ -614,6 +621,13 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 def _decode_scan(d, start, frame, scan_sel, qtables, huff, restart_interval):
     comps = frame["comps"]
     by_id = {c["id"]: c for c in comps}
+    scan_ids = [s["id"] for s in scan_sel]
+    if len(set(scan_ids)) != len(scan_ids):
+        # a duplicate id would decode one plane twice and leave another
+        # all-zero — silent garbage rather than the typed-error contract
+        raise ValueError("JPEG SOS lists a duplicate component id")
+    if any(cid not in by_id for cid in scan_ids):
+        raise ValueError("JPEG SOS references an undeclared component")
     order = [by_id[s["id"]] for s in scan_sel]
     if len(order) != len(comps):
         raise UnsupportedMediaError("multi-scan JPEG (non-interleaved)")
