@@ -424,7 +424,14 @@ def mmr_rerank(
     over the ``pool`` collected candidates — O(pool²·dim) numpy on ≤pool
     rows, the bounded-collect query-shaping pattern, never the corpus.
     Ties break (mmr desc, vec_id asc); candidates carry their exact
-    rounded cosines unchanged."""
+    rounded cosines unchanged.
+
+    Determinism contract: candidate-candidate cosines are rounded to 6
+    decimals (the same contract as every cosine this module emits), so
+    the greedy trajectory is a pure function of 6-decimal inputs — any
+    engine that replays the loop over the same rounded values (e.g. the
+    DuckDB recursive-CTE oracle in ``plans/driver_queries.py``) selects
+    the identical sequence."""
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")
     if k > pool:
@@ -446,15 +453,16 @@ def mmr_rerank(
     V = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(V, axis=1)
     Vn = V / np.maximum(norms, 1e-300)[:, None]
-    sim = Vn @ Vn.T  # candidate-candidate cosines, pool×pool
+    sim = np.round(Vn @ Vn.T, 6)  # candidate-candidate cosines, pool×pool
     n = len(ids)
     selected: list[int] = []
     picked = np.zeros(n, dtype=bool)
     max_sim = np.full(n, -np.inf)
     out = []
     for rank in range(min(k, n)):
+        # before the first pick max_sim is all -inf -> penalty 0
         pen = np.where(np.isfinite(max_sim), max_sim, 0.0)
-        score = lam * rel - (0.0 if not selected else (1 - lam)) * pen
+        score = lam * rel - (1 - lam) * pen
         score[picked] = -np.inf
         # ties: mmr desc, id asc — lexsort on (-score, id), first unpicked
         best = int(np.lexsort((ids, -score))[0])

@@ -326,18 +326,82 @@ def q_ann_batch_topk(spark, sf_dir):
     return similarity.cosine_topk_batch(emb, qvecs, k=10)
 
 
+MMR_K, MMR_POOL, MMR_LAM = 10, 50, 0.7
+
+
 def q_ann_mmr_topk(spark, sf_dir):
     """MMR-diversified top-10 (similarity.mmr_rerank): exact-cosine pool
     of 50 distributed, greedy diversity re-rank driver-side. The greedy
-    selection is inherently sequential/iterative, so this entry has no
-    SQL oracle (rows-only driver check); the lam=1 degenerate-identity
-    and cluster-diversity behaviors are pytest-verified."""
+    loop is a pure function of 6-decimal-rounded cosines (the operator's
+    determinism contract), so the oracle replays it exactly as a DuckDB
+    recursive CTE (:func:`_mmr_oracle_sql`); lam=1 degenerate-identity
+    and cluster-diversity behaviors are additionally pytest-verified."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    return similarity.mmr_rerank(emb, qvec, k=10, pool=50, lam=0.7)
+    return similarity.mmr_rerank(emb, qvec, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
+
+
+def _mmr_oracle_sql() -> str:
+    """Greedy MMR replayed as a recursive CTE: ``pool`` is the exact
+    rounded-cosine top-``MMR_POOL`` (identical to similarity.cosine_topk's
+    plan: round BEFORE order/limit, zero-norm rows excluded), ``sim`` the
+    pool×pool rounded candidate cosines, and each recursion step carries
+    the full per-candidate state (running max-sim to the picked set,
+    picked flag) plus that round's argmax under (score desc, vec_id asc)
+    — exactly mmr_rerank's numpy loop, where the pre-first-pick penalty
+    is 0 (msim starts NULL here, -inf there)."""
+    lam, one_m = repr(MMR_LAM), repr(1 - MMR_LAM)
+    score = f"{lam} * t.rel - {one_m} * coalesce(t.msim, 0.0)"
+    return f"""
+WITH RECURSIVE
+pool AS (
+  SELECT vec_id,
+         round(list_dot_product(embedding::DOUBLE[], q.qv)
+           / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS rel,
+         embedding::DOUBLE[] AS v
+  FROM embeddings CROSS JOIN
+       (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+  ORDER BY rel DESC, vec_id ASC LIMIT {MMR_POOL}
+),
+sim AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         round(list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS s
+  FROM pool a CROSS JOIN pool b
+),
+st AS (
+  SELECT 0 AS r, vec_id, rel, CAST(NULL AS DOUBLE) AS msim, FALSE AS picked,
+         CAST(NULL AS BIGINT) AS pick_id, CAST(NULL AS DOUBLE) AS pick_rel,
+         CAST(NULL AS DOUBLE) AS pick_mmr
+  FROM pool
+  UNION ALL
+  SELECT u.r + 1, u.vec_id, u.rel,
+         CASE WHEN u.msim IS NULL THEN ps.s ELSE greatest(u.msim, ps.s) END,
+         u.picked OR u.vec_id = u.best,
+         u.best, u.best_rel, round(u.best_score, 6)
+  FROM (
+    SELECT t.*,
+      first_value(t.vec_id) OVER w AS best,
+      first_value(t.rel) OVER w AS best_rel,
+      first_value({score}) OVER w AS best_score
+    FROM st t
+    WHERE t.r < {MMR_K}
+    WINDOW w AS (ORDER BY
+      CASE WHEN t.picked THEN -1e308 ELSE {score} END DESC,
+      t.vec_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  ) u
+  JOIN sim ps ON ps.i = u.vec_id AND ps.j = u.best
+)
+SELECT pick_id AS vec_id, pick_rel AS cos, pick_mmr AS mmr, CAST(r AS INTEGER) AS rank
+FROM (SELECT DISTINCT r, pick_id, pick_rel, pick_mmr FROM st WHERE r >= 1)
+ORDER BY rank
+"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1081,6 +1145,7 @@ ORACLES = {
         " FROM h JOIN t USING (doc_id) GROUP BY doc_id, t.n_chars"
     ),
     "ann_lsh_topk": _lsh_oracle_sql(),
+    "ann_mmr_topk": _mmr_oracle_sql(),
     "lsh_pairs": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
         " mh AS (SELECT doc_id, "
