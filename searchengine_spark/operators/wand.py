@@ -453,6 +453,14 @@ def _range_masks(allowed: DataFrame, range_width: int) -> DataFrame:
     def to_mask(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rng = int(key[0])
         loc = pdf["doc_id"].to_numpy(np.int64) - rng * range_width
+        if loc.min() < 0 or loc.max() >= range_width:
+            # a negative doc_id truncates toward zero in the rng cast and
+            # would wrap via numpy negative indexing — silently marking
+            # the wrong offset eligible; malformed input must raise
+            raise ValueError(
+                f"allowed doc_id outside range {rng} "
+                f"[{rng * range_width}, {(rng + 1) * range_width})"
+            )
         m = np.zeros(range_width, dtype=bool)
         m[loc] = True
         return pd.DataFrame(

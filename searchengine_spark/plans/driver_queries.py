@@ -65,30 +65,58 @@ def _t(spark, sf_dir, name):
 # one cached copy per corpus dir makes every branch an in-memory scan.
 _DT_CACHE: dict = {}
 
+# live cache entries per application are LRU-capped: a long-lived session
+# touching many sf_dir corpora would otherwise accumulate .cache()'d
+# DataFrames in executor storage without bound
+_CACHE_MAX_PER_APP = 4
+
+
+def _drop_entry(cache: dict, key) -> None:
+    v = cache.pop(key)
+    if hasattr(v, "unpersist"):
+        try:
+            v.unpersist(False)
+        except Exception:
+            pass  # a previous session's JVM may already be gone
+
 
 def _evict_dead_apps(cache: dict, app_id: str) -> None:
     """Drop cache entries from previous SparkSessions — they pin dead
     DataFrame/session object graphs and would grow without bound in a
     long-lived process that restarts sessions."""
     for k in [k for k in cache if k[0] != app_id]:
-        del cache[k]
+        _drop_entry(cache, k)
+
+
+def _cache_get(cache: dict, key, build):
+    """Memoize ``build()`` under ``key=(app_id, sf_dir)`` with dead-app
+    eviction and an LRU cap on live entries (evicted DataFrames are
+    unpersisted so executor storage is released, not just the dict slot)."""
+    if key in cache:
+        cache[key] = cache.pop(key)  # refresh recency
+        return cache[key]
+    _evict_dead_apps(cache, key[0])
+    while len(cache) >= _CACHE_MAX_PER_APP:
+        _drop_entry(cache, next(iter(cache)))
+    cache[key] = build()
+    return cache[key]
 
 
 def q_doc_terms(spark, sf_dir):
     """A1: per-doc term frequency (parser_module.py:311-317 as groupBy)."""
     # keyed on the application too: a DataFrame cached under a previous
     # SparkSession must never be handed to a new one
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    if key not in _DT_CACHE:
-        _evict_dead_apps(_DT_CACHE, app)
-        _DT_CACHE[key] = (
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _cache_get(
+        _DT_CACHE,
+        key,
+        lambda: (
             dedup.tokens(_docs(spark, sf_dir))
             .groupBy("doc_id", "term")
             .agg(F.count("*").cast("long").alias("tf"))
             .cache()
-        )
-    return _DT_CACHE[key]
+        ),
+    )
 
 
 def q_doc_stats(spark, sf_dir):
@@ -217,12 +245,10 @@ _NDOCS_MEMO: dict = {}
 
 
 def _n_docs(spark, sf_dir) -> int:
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    if key not in _NDOCS_MEMO:
-        _evict_dead_apps(_NDOCS_MEMO, app)
-        _NDOCS_MEMO[key] = _docs(spark, sf_dir).count()
-    return _NDOCS_MEMO[key]
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _cache_get(
+        _NDOCS_MEMO, key, lambda: _docs(spark, sf_dir).count()
+    )
 
 
 def q_near_dup_jaccard(spark, sf_dir):

@@ -54,6 +54,13 @@ def first_occurrence_stream(
     ``key_col`` (ties within a micro-batch broken by ``tiebreak_col``
     ascending — deterministic), drop all later arrivals.
 
+    Precondition for the stream≡batch identity: ``(key_col,
+    tiebreak_col)`` must be unique. Among rows with EQUAL tiebreaks this
+    operator keeps the earliest-arriving one (stable sort), while
+    :func:`first_occurrence_batch`'s ``row_number`` picks an arbitrary
+    equal-tiebreak row — with duplicate tiebreaks the kept rows can
+    differ in their other columns.
+
     ``ttl`` (e.g. ``"30 minutes"``): processing-time state expiry; None
     keeps state forever (exact dedup, memory grows with distinct keys).
     Output schema == input schema.
@@ -110,7 +117,8 @@ def first_occurrence_batch(
     df: DataFrame, key_col: str, tiebreak_col: str
 ) -> DataFrame:
     """Batch oracle for :func:`first_occurrence_stream` (no TTL): the
-    first-wins row per key, same tiebreak."""
+    first-wins row per key, same tiebreak. The identity requires
+    ``(key_col, tiebreak_col)`` unique — see the stream docstring."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(F.asc(tiebreak_col))

@@ -142,3 +142,11 @@ def test_filtered_on_legacy_layout(spark, legacy_index):
         got = search(spark, legacy_index, query, k=10, allowed=allowed).toPandas()
         assert got["doc_id"].tolist() == want["doc_id"].tolist(), query
         assert got["score"].tolist() == want["score"].tolist(), query
+
+
+def test_negative_doc_id_in_allowed_raises(spark, index_1k):
+    """A malformed eligibility input (negative doc_id) must raise, not
+    silently wrap via numpy negative indexing onto the wrong offset."""
+    bad = spark.createDataFrame([(-5,), (0,)], "doc_id long")
+    with pytest.raises(Exception, match="outside range"):
+        search(spark, index_1k, QUERIES[0], k=10, allowed=bad).collect()
