@@ -26,6 +26,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+    # ambient host load BEFORE Spark spins up: this sandbox shows 2-4x
+    # timing noise under concurrent load, so every bench JSON records the
+    # 1-min loadavg at start and end — a reader can tell signal (load
+    # well under the cpu count) from a contaminated run without forensics
+    load_start = round(os.getloadavg()[0], 2)
+
     from pyspark.sql import functions as F
 
     from searchengine_spark.session import get_session
@@ -142,6 +148,8 @@ def main() -> None:
                 "docs_per_sec_build": round(n_docs / timings["index_build"], 1),
                 "cpus": cpus,
                 "python_worker_warmup_sec": warmup_sec,
+                "ambient_load_start": load_start,
+                "ambient_load_end": round(os.getloadavg()[0], 2),
             }
         )
     )
