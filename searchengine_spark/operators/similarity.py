@@ -242,6 +242,95 @@ def ivf_assign(
     return emb.mapInPandas(assign, out_schema)
 
 
+def ivf_build(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Prematerialize the IVF serving layout: train the coarse quantizer,
+    assign every row its ``_cell``, and write
+
+    * ``{out_dir}/cells/`` — the full table ``partitionBy("_cell")``
+      (the Iceberg analog is a partition transform on ``_cell``), so a
+      query's ``nprobe`` cells become a PARTITION-PRUNED scan — the 100 TB
+      serving shape, where assignment runs once at ingest, not per query;
+    * ``{out_dir}/ivf.json`` — centroids + layout metadata, the few-KB
+      driver-side artifact :func:`ivf_serve_topk` probes with.
+
+    Returns the centroids. Plan-asserted in ``tests/test_plans.py``: the
+    serve scan's ``PartitionFilters`` covers exactly the probe set."""
+    import json
+    import os
+
+    C = ivf_train_centroids(
+        emb, n_cells, sample, iters, seed, id_col=id_col, vec_col=vec_col
+    )
+    (
+        ivf_assign(emb, C, vec_col)
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(f"{out_dir}/cells")
+    )
+    meta = {
+        "n_cells": int(C.shape[0]),
+        "dim": int(C.shape[1]),
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "centroids": [[float(x) for x in row] for row in C],
+    }
+    tmp = os.path.join(out_dir, "ivf.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "ivf.json"))
+    return C
+
+
+def ivf_probe_cells(centroids: np.ndarray, query_vec: list, nprobe: int) -> list:
+    """The ``nprobe`` cell ids whose centroids are nearest the query by
+    cosine (stable order — deterministic under centroid ties)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    if qn > 1e-12:
+        qv = qv / qn
+    return [int(x) for x in np.argsort(-(centroids @ qv), kind="stable")[:nprobe]]
+
+
+def ivf_serve_topk(
+    spark,
+    ivf_dir: str,
+    query_vec: list,
+    k: int = 20,
+    nprobe: int = 4,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve IVF ANN from a :func:`ivf_build` layout: load the few-KB
+    centroid artifact driver-side, pick the probe cells, and scan ONLY
+    those partitions of ``{ivf_dir}/cells`` (``_cell`` is the parquet
+    partition column, so the ``isin`` lands in ``PartitionFilters`` and
+    the other cells are never read), exact re-rank inside → (id, cos).
+    ``allowed`` semi-joins the assignment table, composing with the
+    partition pruning."""
+    import json
+
+    with open(f"{ivf_dir}/ivf.json") as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    probes = ivf_probe_cells(C, query_vec, nprobe)
+    cells = spark.read.parquet(f"{ivf_dir}/cells").where(
+        F.col("_cell").isin(probes)
+    )
+    if allowed is not None:
+        cells = cells.join(allowed.select(meta["id_col"]), meta["id_col"], "leftsemi")
+    return cosine_topk(cells, query_vec, k, meta["id_col"], meta["vec_col"])
+
+
 def ivf_cosine_topk(
     emb: DataFrame,
     query_vec: list,
@@ -279,11 +368,7 @@ def ivf_cosine_topk(
     )
     if allowed is not None:
         emb = emb.join(allowed.select(id_col), id_col, "leftsemi")
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qn = np.linalg.norm(qv)
-    if qn > 1e-12:
-        qv = qv / qn
-    probes = [int(x) for x in np.argsort(-(C @ qv), kind="stable")[:nprobe]]
+    probes = ivf_probe_cells(C, query_vec, nprobe)
     cands = ivf_assign(emb, C, vec_col).where(F.col("_cell").isin(probes))
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
 

@@ -227,3 +227,28 @@ def test_bm25_filtered_semi_joins_before_stats(spark):
     plan = _plan(q_bm25_filtered(spark, "/root/testdata/sf0.001"), "simple")
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan  # term_dict still broadcast
+
+
+def test_ivf_serve_scan_prunes_cell_partitions(spark, tmp_path):
+    """The prematerialized IVF layout's promise: the probe scan reads ONLY
+    the probed _cell partitions — PartitionFilters covers exactly the
+    probe set, the other cells are never read."""
+    import re
+
+    from searchengine_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    d = str(tmp_path / "ivf")
+    C = similarity.ivf_build(spark, emb, d, n_cells=4)
+    probes = similarity.ivf_probe_cells(C, qvec, nprobe=2)
+    df = similarity.ivf_serve_topk(spark, d, qvec, k=5, nprobe=2)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "_cell" in scan[0], plan[:2000]
+    m = re.search(r"_cell#\d+ IN \(([^)]*)\)", scan[0])
+    assert m, scan[0]
+    assert {int(x) for x in m.group(1).split(",")} == set(probes), scan[0]

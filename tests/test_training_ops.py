@@ -532,3 +532,18 @@ def test_mmr_rerank_validation_and_filter(spark, emb, qvec):
     out = similarity.mmr_rerank(emb, qvec, k=5, pool=20, allowed=allowed).toPandas()
     assert len(out) == 5
     assert (out["vec_id"] % 2 == 0).all()
+
+
+def test_ivf_serve_equals_inline(spark, emb, qvec, tmp_path):
+    """Serving from the prematerialized partitioned layout returns the
+    same rows as the inline assign-and-filter path given the same
+    centroids — at partial nprobe, where the probe set actually matters."""
+    d = str(tmp_path / "ivf_serve")
+    C = similarity.ivf_build(spark, emb, d, n_cells=6)
+    for nprobe in (2, 6):
+        served = similarity.ivf_serve_topk(spark, d, qvec, k=12, nprobe=nprobe).toPandas()
+        inline = similarity.ivf_cosine_topk(
+            emb, qvec, k=12, n_cells=6, nprobe=nprobe, centroids=C
+        ).toPandas()
+        assert served["vec_id"].tolist() == inline["vec_id"].tolist(), nprobe
+        assert served["cos"].tolist() == inline["cos"].tolist(), nprobe
