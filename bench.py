@@ -122,6 +122,7 @@ def main() -> None:
         "doc_terms", "term_dict", "bm25_topk", "bm25_filtered",
         "exact_dedup",
         "minhash_signatures", "near_dup_jaccard", "simhash", "lsh_pairs",
+        "embedding_dup_clusters",
         "cosine_topk_docs", "pruned_doc_stats", "text_quality",
         "language_id", "ann_cosine_topk", "ann_filtered", "ann_batch_topk", "ann_mmr_topk",
         "ann_lsh_topk",

@@ -274,6 +274,91 @@ def q_near_dup_jaccard(spark, sf_dir):
     )
 
 
+# SemDeDup-style gate calibration: the provisioned test embeddings are
+# STRUCTURELESS (max off-diagonal cosine ~0.51 at sf0.01), so a production
+# 0.95 threshold would gate an always-empty result; 0.45 with 4-bit
+# signatures yields a small deterministic pair set that exercises every
+# stage (LSH banding, bucket self-join, exact re-rank, clustering)
+EMB_DUP_THRESHOLD, EMB_DUP_BITS, EMB_DUP_TABLES = 0.45, 4, 2
+
+
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Semantic dedup END-TO-END (the SemDeDup pipeline shape):
+    embedding_near_dup_pairs (seeded multi-table sign-LSH candidates →
+    exact cosine ≥ threshold) → connected_components (large-star/
+    small-star) → representative pick: component = min vec_id, ``keep``
+    marks the canonical row. Nodes with no near-dup partner don't appear
+    (they are trivially kept). Oracle: the same seeded hyperplanes as SQL
+    literals + recursive-CTE closure — every stage hash-verified."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb,
+        threshold=EMB_DUP_THRESHOLD,
+        bits=EMB_DUP_BITS,
+        n_tables=EMB_DUP_TABLES,
+        seed=LSH_SEED,
+    )
+    cc = dedup.connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(
+        F.col("node").alias("vec_id"),
+        "component",
+        (F.col("node") == F.col("component")).alias("keep"),
+    )
+
+
+def _emb_dup_oracle_sql() -> str:
+    """Replay q_embedding_dup_clusters in DuckDB: per-table seeded-plane
+    signatures (the ann_lsh_topk embed-the-constants pattern), bucket-cap
+    self-joins, exact rounded cosine ≥ threshold, recursive-CTE
+    transitive closure with component = min reachable node."""
+    dim, bits = LSH_DIM, EMB_DUP_BITS
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    def sig(col, planes):
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({col}, {lit(p)}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+
+    tables = []
+    for t in range(EMB_DUP_TABLES):
+        planes = similarity._hyperplanes(dim, bits, LSH_SEED + 7919 * t)
+        tables.append(
+            f"SELECT vec_id, ({sig('v', planes)}) AS sig, {t} AS tab FROM e"
+        )
+    sigs = " UNION ALL ".join(tables)
+    return (
+        "WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v"
+        "   FROM embeddings),"
+        f" sigs AS ({sigs}),"
+        " ok AS (SELECT tab, sig FROM sigs GROUP BY tab, sig"
+        "        HAVING count(*) <= 2000),"
+        " s2 AS (SELECT sigs.* FROM sigs JOIN ok USING (tab, sig)),"
+        " cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b"
+        "   FROM s2 x JOIN s2 y USING (tab, sig) WHERE x.vec_id < y.vec_id),"
+        " nz AS (SELECT vec_id, v FROM e WHERE list_dot_product(v, v) > 0),"
+        " pairs AS (SELECT id_a, id_b FROM ("
+        "   SELECT c.id_a, c.id_b,"
+        "     round(list_dot_product(a.v, b.v)"
+        "       / (sqrt(list_dot_product(a.v, a.v))"
+        "          * sqrt(list_dot_product(b.v, b.v))), 6) AS cos"
+        "   FROM cand c JOIN nz a ON a.vec_id = c.id_a"
+        "   JOIN nz b ON b.vec_id = c.id_b)"
+        f"   WHERE cos >= {EMB_DUP_THRESHOLD}),"
+        " ed AS (SELECT id_a AS a, id_b AS b FROM pairs"
+        "        UNION SELECT id_b, id_a FROM pairs),"
+        " r(a, b) AS (SELECT a, b FROM ed"
+        "   UNION SELECT r.a, ed.b FROM r JOIN ed ON r.b = ed.a),"
+        " reach AS (SELECT a, b FROM r UNION SELECT a, a FROM ed)"
+        " SELECT CAST(a AS BIGINT) AS vec_id,"
+        " CAST(min(b) AS BIGINT) AS component,"
+        " (a = min(b)) AS keep FROM reach GROUP BY a"
+    )
+
+
 def q_dup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the exact-Jaccard
     pair list (dedup.connected_components, large-star/small-star) — the
@@ -969,6 +1054,7 @@ QUERIES = {
     "minhash_signatures": q_minhash,
     "near_dup_jaccard": q_near_dup_jaccard,
     "dup_clusters": q_dup_clusters,
+    "embedding_dup_clusters": q_embedding_dup_clusters,
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "language_id": q_langid,
@@ -1202,6 +1288,7 @@ ORACLES = {
     ),
     "ann_lsh_topk": _lsh_oracle_sql(),
     "ann_mmr_topk": _mmr_oracle_sql(),
+    "embedding_dup_clusters": _emb_dup_oracle_sql(),
     "lsh_pairs": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
         " mh AS (SELECT doc_id, "

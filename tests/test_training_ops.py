@@ -547,3 +547,29 @@ def test_ivf_serve_equals_inline(spark, emb, qvec, tmp_path):
         ).toPandas()
         assert served["vec_id"].tolist() == inline["vec_id"].tolist(), nprobe
         assert served["cos"].tolist() == inline["cos"].tolist(), nprobe
+
+
+def test_embedding_dup_clusters_planted(spark):
+    """Semantic-dedup composition (pairs -> connected components ->
+    representative pick): two planted duplicate groups (same direction,
+    different scales: cosine exactly 1) among random noise come back as
+    clusters labeled by their min id, with keep only on the canonical."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    a, b = rng.standard_normal(64), rng.standard_normal(64)
+    rows = [(10, (1.0 * a).tolist()), (11, (2.0 * a).tolist()),
+            (12, (0.5 * a).tolist()), (20, (1.0 * b).tolist()),
+            (21, (3.0 * b).tolist())]
+    rows += [(100 + i, rng.standard_normal(64).tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.95, bits=4, n_tables=2, seed=1234
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    got = {
+        (r["node"], r["component"]): r["node"] == r["component"]
+        for r in cc.collect()
+    }
+    assert got == {(10, 10): True, (11, 10): False, (12, 10): False,
+                   (20, 20): True, (21, 20): False}
