@@ -668,3 +668,63 @@ def test_curate_stream_equals_batch(spark, tmp_path):
     assert set(spark.table("curated_sink").select("split").toPandas()["split"]) <= {
         "train", "val", "test"
     }
+
+
+def test_streaming_curation_then_dedup_composed_restart(spark, tmp_path):
+    """The composed ingest topology — file stream → curate (gate + tag +
+    split) → first-seen dedup — across a checkpoint restart: junk is
+    gated before it reaches dedup state, re-arrivals of an old hash are
+    suppressed by recovered state, and the cumulative output equals the
+    batch composition over the cumulative input."""
+    from searchengine_spark.streaming import curation
+    from searchengine_spark.streaming import stateful as st
+
+    schema = curation.DOCS_SCHEMA
+    good = "the quick brown fox jumps over the lazy dog again"
+    other = "een heel ander document met veel nederlandse woorden erin"
+    rows1 = [(1, good, "en", "web", len(good)),
+             (2, "too short", "en", "web", 9),          # gated: < 5 tokens
+             (3, good, "en", "mirror", len(good))]      # intra-batch dup
+    rows2 = [(4, good, "en", "web", len(good)),         # cross-restart dup
+             (5, other, "nl", "web", len(other)),       # novel
+             (6, "x", "en", "web", 1)]                  # gated
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(
+        f"{tmp_path}/src/f1"
+    )
+
+    def with_hash(df):
+        return df.withColumn("content_hash", F.md5(F.col("text")))
+
+    def drain():
+        stream = curation.read_document_stream(
+            spark, f"{tmp_path}/src/*", max_files_per_trigger=1
+        )
+        out = st.first_occurrence_stream(
+            with_hash(curation.curate(stream)), "content_hash", "doc_id"
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{tmp_path}/out")
+            .option("checkpointLocation", f"{tmp_path}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(f"{tmp_path}/out").toPandas()
+
+    got1 = drain()
+    assert sorted(got1["doc_id"]) == [1]
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        f"{tmp_path}/src/f2"
+    )
+    got2 = drain()
+    assert sorted(got2["doc_id"]) == [1, 5]
+
+    batch = st.first_occurrence_batch(
+        with_hash(curation.curate(spark.createDataFrame(rows1 + rows2, schema))),
+        "content_hash",
+        "doc_id",
+    ).toPandas()
+    pd.testing.assert_frame_equal(_norm(got2), _norm(batch))
