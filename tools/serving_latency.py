@@ -1,0 +1,194 @@
+"""Warm per-query serving-latency distributions for the retrieval
+surfaces — ``search`` (single BM25), ``search_batch`` (20 queries, one
+job), ``search_where`` (faceted), ``search_phrase`` — at sf1 (50k docs)
+and on the 800k-doc scaling index.
+
+The totals in bench.py answer "how much work per round"; a serving
+engine also needs the warm PER-QUERY distribution (p50/p95), which this
+tool measures: warm each surface first, then time ``--reps`` repetitions
+cycling through the reference query set. Writes one JSON document
+(stdout + ``--out``), with ambient load recorded per the repo's
+measurement doctrine (only idle-window runs are comparable; this sandbox
+shows 2-4x noise under load).
+
+Usage:
+  python tools/serving_latency.py --out BENCH/serving_latency.json
+Prereqs (regenerated if missing): /tmp/sf1 (tools/gen_sf.py --scale 10),
+/tmp/se_scaling_idx_32 + its corpus (tools/scaling_bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PHRASES = ["key order", "merge policy", "query plan", "hash join"]
+
+
+def _pct(xs: list, q: float) -> float:
+    ys = sorted(xs)
+    pos = (len(ys) - 1) * q
+    lo = int(pos)
+    hi = min(lo + 1, len(ys) - 1)
+    return round(ys[lo] + (ys[hi] - ys[lo]) * (pos - lo), 4)
+
+
+def measure(fn, inputs: list, reps: int, warmup: int = 2) -> dict:
+    for x in inputs[:warmup]:
+        fn(x)
+    times = []
+    for i in range(reps):
+        t0 = time.time()
+        fn(inputs[i % len(inputs)])
+        times.append(time.time() - t0)
+    return {
+        "n": reps,
+        "p50_sec": _pct(times, 0.50),
+        "p95_sec": _pct(times, 0.95),
+        "min_sec": round(min(times), 4),
+        "max_sec": round(max(times), 4),
+        "mean_sec": round(sum(times) / len(times), 4),
+    }
+
+
+def ensure_sf1_index(spark, index_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.index_build import build_index
+
+    if os.path.exists(f"{index_dir}/manifest.json"):
+        return
+    docs = (
+        spark.read.parquet("/tmp/sf1/documents.parquet")
+        .select(
+            F.col("source").alias("repo"),
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            F.lit("0" * 40).alias("commit"),
+            F.col("lang"),
+            F.col("text").alias("content"),
+        )
+    )
+    build_index(spark, docs, index_dir, n_groups=2)
+
+
+def bench_index(spark, index_dir: str, docs_txt, reps: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.phrase import search_phrase
+    from searchengine_spark.operators.wand import search, search_batch, search_where
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+    dm = spark.read.parquet(f"{index_dir}/doc_map")
+    facet_lang = (
+        dm.groupBy("lang").count().orderBy(F.desc("count"), "lang").first()["lang"]
+    )
+    out = {
+        "search": measure(
+            lambda q: search(spark, index_dir, q, k=10).collect(),
+            REFERENCE_QUERIES,
+            reps,
+        ),
+        "search_where": measure(
+            lambda q: search_where(
+                spark, index_dir, q, f"lang = '{facet_lang}'", k=10
+            ).collect(),
+            REFERENCE_QUERIES,
+            reps,
+        ),
+        "search_batch20": measure(
+            lambda _: search_batch(
+                spark, index_dir, REFERENCE_QUERIES, k=10
+            ).collect(),
+            [None],
+            max(5, reps // 4),
+        ),
+        "search_phrase": measure(
+            lambda p: search_phrase(spark, index_dir, docs_txt, p, k=10).collect(),
+            PHRASES,
+            max(6, reps // 2),
+        ),
+        "facet_lang": facet_lang,
+    }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-800k", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.session import get_session
+
+    spark = get_session(
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+        app_name="serving-latency",
+    )
+    load_start = round(os.getloadavg()[0], 2)
+    # spin up the Python worker pool outside the timings (a long-lived
+    # server pays this at executor start, not per query)
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+
+    result: dict = {
+        "metric": "warm_per_query_latency",
+        "unit": "sec",
+        "cpus": args.cpus,
+        "ambient_load_start": load_start,
+        "indexes": {},
+    }
+
+    sf1_idx = "/tmp/se_latency_idx_sf1"
+    ensure_sf1_index(spark, sf1_idx)
+    n1 = json.load(open(f"{sf1_idx}/manifest.json"))["scalars"]["n_docs"]
+    docs_txt_sf1 = (
+        spark.read.parquet("/tmp/sf1/documents.parquet")
+        .select(
+            F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+            "text",
+        )
+        .join(spark.read.parquet(f"{sf1_idx}/doc_map").select("doc_id", "path"), "path")
+        .select("doc_id", "text")
+    )
+    result["indexes"][f"sf1_{n1}docs"] = bench_index(
+        spark, sf1_idx, docs_txt_sf1, args.reps
+    )
+
+    idx800 = "/tmp/se_scaling_idx_32"
+    corpus800 = "/tmp/se_scaling_corpus_800000_7"
+    if not args.skip_800k and os.path.exists(f"{idx800}/manifest.json"):
+        n8 = json.load(open(f"{idx800}/manifest.json"))["scalars"]["n_docs"]
+        docs_txt_800k = (
+            spark.read.parquet(corpus800)
+            .select("path", F.col("content").alias("text"))
+            .join(
+                spark.read.parquet(f"{idx800}/doc_map").select("doc_id", "path"),
+                "path",
+            )
+            .select("doc_id", "text")
+        )
+        result["indexes"][f"scaling_{n8}docs"] = bench_index(
+            spark, idx800, docs_txt_800k, args.reps
+        )
+
+    result["ambient_load_end"] = round(os.getloadavg()[0], 2)
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
