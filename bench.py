@@ -128,7 +128,7 @@ def main() -> None:
         "ann_lsh_topk",
         "lineitem_pricing",
         "top_customers", "events_hourly", "events_sessions",
-        "first_seen_docs", "dup_ngrams", "unigram_logprob",
+        "first_seen_docs", "dup_ngrams", "unigram_logprob", "bpe_token_counts",
         "train_val_split", "per_source_cap", "decontaminate",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
         "curated_docs",

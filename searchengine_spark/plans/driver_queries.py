@@ -368,6 +368,51 @@ def q_dup_clusters(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-doc token counts under the CORPUS-TRAINED BPE tokenizer
+    (functions/bpe.py; merges artifact trained by tools/train_bpe.py on
+    the provisioned corpus — whose synthetic vocabulary is tiny, ~31
+    base terms, so training saturates at 89 merges; the mechanism is the
+    production one: distributed word counts → bounded driver merge loop
+    → broadcast merges → Arrow-batched encode). Oracle: the same ranked
+    merges as VALUES literals, applied over the distinct vocabulary by a
+    recursive CTE — SQL replace() shares encode_word's single-pass
+    left-to-right semantics by construction."""
+    from searchengine_spark.functions import bpe
+    from searchengine_spark.functions._bpe_merges_data import MERGES
+
+    return bpe.bpe_token_counts(_docs(spark, sf_dir), MERGES)
+
+
+def _bpe_oracle_sql() -> str:
+    from searchengine_spark.functions._bpe_merges_data import MERGES
+
+    vals = ", ".join(
+        f"({i + 1}, '{x}', '{y}')" for i, (x, y) in enumerate(MERGES)
+    )
+    n = len(MERGES)
+    return (
+        "WITH RECURSIVE"
+        f" words AS (SELECT doc_id, term AS w FROM ({SQL_TOKENS})),"
+        " vocab AS (SELECT DISTINCT w FROM words),"
+        f" merges(r, x, y) AS (VALUES {vals}),"
+        " seg AS ("
+        "   SELECT 0 AS r, w,"
+        "     array_to_string(string_split(w, ''), ' ') AS s FROM vocab"
+        "   UNION ALL"
+        "   SELECT seg.r + 1, seg.w,"
+        "     replace(seg.s, m.x || ' ' || m.y, m.x || m.y)"
+        "   FROM seg JOIN merges m ON m.r = seg.r + 1"
+        f"   WHERE seg.r < {n}),"
+        f" fin AS (SELECT w, len(string_split(s, ' ')) AS n"
+        f"   FROM seg WHERE r = {n}),"
+        " cnt AS (SELECT doc_id, sum(n) AS n FROM words"
+        "   JOIN fin USING (w) GROUP BY doc_id)"
+        " SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe_tokens"
+        " FROM documents d LEFT JOIN cnt c ON c.doc_id = d.doc_id"
+    )
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(_docs(spark, sf_dir), bits=SIMHASH_BITS)
 
@@ -1055,6 +1100,7 @@ QUERIES = {
     "near_dup_jaccard": q_near_dup_jaccard,
     "dup_clusters": q_dup_clusters,
     "embedding_dup_clusters": q_embedding_dup_clusters,
+    "bpe_token_counts": q_bpe_token_counts,
     "simhash": q_simhash,
     "text_quality": q_text_quality,
     "language_id": q_langid,
@@ -1289,6 +1335,7 @@ ORACLES = {
     "ann_lsh_topk": _lsh_oracle_sql(),
     "ann_mmr_topk": _mmr_oracle_sql(),
     "embedding_dup_clusters": _emb_dup_oracle_sql(),
+    "bpe_token_counts": _bpe_oracle_sql(),
     "lsh_pairs": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
         " mh AS (SELECT doc_id, "

@@ -1,0 +1,102 @@
+"""Corpus-trained BPE: training determinism, the rank-order ==
+priority-loop encode equivalence the SQL oracle depends on, and the
+Arrow-batched distributed counter."""
+
+import re
+
+import pandas as pd
+
+from searchengine_spark.functions import bpe
+from searchengine_spark.functions._bpe_merges_data import MERGES
+
+EXAMPLE = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def _priority_encode(word: str, merges: list) -> list:
+    """Independent reference: the classic lowest-rank-present loop
+    (Sennrich et al. 2016), implemented separately from encode_word."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        cands = [
+            (ranks[(syms[i], syms[i + 1])], i)
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not cands:
+            break
+        r = min(cands)[0]
+        x, y = merges[r]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_first_merge_and_input_order_independence():
+    # e-s and s-t both occur 9 times (newest 6 + widest 3); the tie breaks
+    # to the lexicographically smaller pair
+    m = bpe.train_bpe(EXAMPLE, 10)
+    assert m[0] == ("e", "s")
+    assert m == bpe.train_bpe(dict(reversed(list(EXAMPLE.items()))), 10)
+
+
+def test_training_stops_when_no_pair_repeats():
+    assert bpe.train_bpe({"ab": 1}, 100) == []
+    assert bpe.train_bpe({"ab": 2}, 100) == [("a", "b")]
+
+
+def test_encode_rank_order_equals_priority_loop_small():
+    merges = bpe.train_bpe(EXAMPLE, 10)
+    for w in list(EXAMPLE) + ["lowest", "wider", "stew", "a", "zzz"]:
+        assert bpe.encode_word(w, merges) == _priority_encode(w, merges), w
+
+
+def test_encode_equivalence_on_real_vocab():
+    """The oracle replays encode_word's sequential semantics; this pins
+    sequential == priority-loop (the classic algorithm) over the full
+    provisioned vocabulary under the committed merges."""
+    text = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")["text"]
+    vocab = set()
+    for t in text:
+        vocab.update(w for w in re.split(r"[^a-z0-9]+", t.lower()) if w)
+    assert vocab
+    for w in sorted(vocab):
+        assert bpe.encode_word(w, MERGES) == _priority_encode(w, MERGES), w
+
+
+def test_zero_merges_is_character_count():
+    assert bpe.encode_word("tokens", []) == list("tokens")
+
+
+def test_token_counts_distributed(spark):
+    merges = bpe.train_bpe(EXAMPLE, 10)
+    df = spark.createDataFrame(
+        [(1, "Lower, NEWEST!"), (2, ""), (3, "?!?"), (4, "lowest low")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe.bpe_token_counts(df, merges).collect()
+    }
+    enc = lambda w: len(bpe.encode_word(w, merges))
+    assert got == {
+        1: enc("lower") + enc("newest"),
+        2: 0,
+        3: 0,
+        4: enc("lowest") + enc("low"),
+    }
+
+
+def test_committed_artifact_reproducible(spark):
+    """Retraining on the provisioned corpus reproduces the committed
+    merges exactly (the artifact is a deterministic function of the
+    data, not a checked-in opaque blob)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    assert bpe.train_bpe_distributed(docs, n_merges=256) == list(MERGES)

@@ -1,0 +1,66 @@
+"""Train the committed BPE merges artifact.
+
+Trains classic BPE (functions/bpe.py) on the provisioned test documents
+table — deterministic: seeded nothing, ties broken lexicographically —
+and writes the ranked merge list to
+``searchengine_spark/functions/_bpe_merges_data.py``, the fixed
+tokenizer the ``bpe_token_counts`` driver entry (and its DuckDB oracle)
+count under. Production would train on its own corpus via the same
+``train_bpe_distributed`` and ship the merges exactly like this.
+
+Usage: python tools/train_bpe.py [--sf-dir /root/testdata/sf0.01]
+                                 [--n-merges 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT = os.path.join(REPO, "searchengine_spark", "functions",
+                   "_bpe_merges_data.py")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--n-merges", type=int, default=256)
+    ap.add_argument("--max-vocab", type=int, default=50_000)
+    args = ap.parse_args()
+
+    from searchengine_spark.functions import bpe
+    from searchengine_spark.session import get_session
+
+    spark = get_session(master="local[8]", shuffle_partitions=8,
+                        app_name="bpe-train")
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    t0 = time.time()
+    merges = bpe.train_bpe_distributed(
+        docs, n_merges=args.n_merges, max_vocab=args.max_vocab
+    )
+    train_sec = round(time.time() - t0, 2)
+
+    with open(OUT, "w") as f:
+        f.write(
+            '"""BPE merges trained by tools/train_bpe.py on '
+            f'{args.sf_dir}/documents.parquet\n'
+            f'(n_merges={args.n_merges}, max_vocab={args.max_vocab}, '
+            'deterministic — regenerate with: python tools/train_bpe.py).\n'
+            'Ranked: MERGES[0] is the first (most frequent) merge."""\n\n'
+            "MERGES = [\n"
+        )
+        for x, y in merges:
+            f.write(f"    ({x!r}, {y!r}),\n")
+        f.write("]\n")
+    print(f"wrote {len(merges)} merges to {OUT} (train {train_sec}s)")
+    print("first 10:", merges[:10])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
