@@ -13,7 +13,7 @@ stub for those formats:
   payloads to a float64 sample array in [-1, 1].
 * JPEG — baseline sequential (SOF0/SOF1) Huffman decoder in
   ``functions/jpeg.py`` (numpy IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart
-  markers), re-exported here; progressive/arithmetic modes raise.
+  markers) and Huffman-progressive SOF2, re-exported here; arithmetic/lossless raise.
 
 MP3 / video containers remain honestly unsupported
 (``UnsupportedMediaError``) — in production the same operator shape plugs

@@ -8,7 +8,7 @@ walk + zlib inflate + scanline unfilter), baseline JPEG
 (:mod:`searchengine_spark.functions.jpeg` — Huffman + numpy IDCT,
 chroma subsampling, restart markers) and PCM WAV audio (stdlib
 ``wave``), with genuine pixel/sample feature math and an area-average
-resize. Formats needing external codecs (MP3/video, progressive JPEG) raise
+resize. Formats needing external codecs (MP3/video, arithmetic-coded JPEG) raise
 ``UnsupportedMediaError`` unless ``fake=True`` opts into the
 clearly-marked deterministic byte-statistics stand-in, so the distributed
 pipeline shape can still be exercised over undecodable payloads.
@@ -126,7 +126,7 @@ def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFr
     thumb[out_h*out_w]) — the real decode+resize path, Arrow-batched,
     narrow (no shuffle). Non-image rows are skipped (filter upstream on
     ``kind`` to control coverage), and so are payloads that sniff as an
-    image but fail to decode (progressive JPEG, corrupt bytes) — one
+    image but fail to decode (arithmetic-coded JPEG, corrupt bytes) — one
     poison row must not fail the job (same policy as ``extract_features``
     with ``on_error="skip"``; the typed-error decoder contract makes the
     catch precise)."""

@@ -166,14 +166,130 @@ def test_jpeg_sniff_and_features_dispatch():
     assert feats[0] == 12.0 and feats[1] == 10.0  # width, height
 
 
-def test_jpeg_progressive_raises_unsupported():
+def test_jpeg_relabeled_sof2_sequential_scan_rejected():
+    """A baseline stream relabeled SOF2 carries an illegal progressive
+    scan header (Ss=0 with Se=63): typed error, never garbage pixels."""
     from searchengine_spark.functions import jpeg
 
     b = bytearray(jpeg.encode_jpeg(np.full((8, 8), 9, np.uint8)))
     i = bytes(b).find(b"\xff\xc0")
     b[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
-    with pytest.raises(mc.UnsupportedMediaError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         jpeg.decode_jpeg(bytes(b))
+
+
+def test_jpeg_arithmetic_raises_unsupported():
+    from searchengine_spark.functions import jpeg
+
+    b = bytearray(jpeg.encode_jpeg(np.full((8, 8), 9, np.uint8)))
+    i = bytes(b).find(b"\xff\xc0")
+    b[i + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(mc.UnsupportedMediaError, match="arithmetic"):
+        jpeg.decode_jpeg(bytes(b))
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    color=st.booleans(),
+    sub=st.sampled_from([1, 2]),
+    ri=st.sampled_from([0, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, color, sub, ri, seed):
+    """The pin for the whole Annex G implementation: both encoders emit
+    IDENTICAL quantized coefficients, so the progressive decode (default
+    scan script: coarse DC, banded AC, two refinement passes, DC refine)
+    must reproduce the baseline decode bit-for-bit."""
+    from searchengine_spark.functions import jpeg
+
+    img = _smooth(h, w, seed, color)
+    if not color:
+        sub = 1
+    base = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(img, quality=85, subsample=sub, restart_interval=ri)
+    )
+    prog = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(
+            img, quality=85, subsample=sub, restart_interval=ri
+        )
+    )
+    assert np.array_equal(base, prog)
+
+
+@pytest.mark.parametrize(
+    "scans",
+    [
+        # plain spectral selection, no successive approximation
+        [("dc", [0], 0, 0), ("ac", 0, 1, 63, 0, 0)],
+        # split bands
+        [("dc", [0], 0, 0), ("ac", 0, 1, 5, 0, 0), ("ac", 0, 6, 63, 0, 0)],
+        # deep successive approximation: 3 AC + 3 DC refinement passes
+        [("dc", [0], 0, 3), ("ac", 0, 1, 63, 0, 3),
+         ("ac", 0, 1, 63, 3, 2), ("ac", 0, 1, 63, 2, 1),
+         ("ac", 0, 1, 63, 1, 0),
+         ("dc", [0], 3, 2), ("dc", [0], 2, 1), ("dc", [0], 1, 0)],
+    ],
+)
+def test_jpeg_progressive_scan_scripts(scans):
+    from searchengine_spark.functions import jpeg
+
+    for seed in (0, 7):
+        img = _smooth(37, 29, seed, False)
+        base = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=85))
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(img, quality=85, scans=scans)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_planted_pixels_golden():
+    from searchengine_spark.functions import jpeg
+
+    flat = np.full((16, 16), 201, np.uint8)
+    assert (
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(flat, quality=95)) == 201
+    ).all()
+    tiles = np.zeros((16, 16), np.uint8)
+    tiles[:8, 8:] = 120
+    tiles[8:, :8] = 240
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(tiles, quality=95))
+    assert abs(int(out[2, 2]) - 0) <= 2
+    assert abs(int(out[2, 12]) - 120) <= 2
+    assert abs(int(out[12, 2]) - 240) <= 2
+
+
+def test_jpeg_progressive_dc_only_decodes():
+    """A DC-only progression is a legal (if blocky) progressive file;
+    AC coefficients stay zero and every 8×8 tile is its block mean."""
+    from searchengine_spark.functions import jpeg
+
+    img = _smooth(24, 24, 3, False)
+    out = jpeg.decode_jpeg(
+        jpeg.encode_jpeg_progressive(img, scans=[("dc", [0], 0, 0)])
+    )
+    assert out.shape == img.shape
+    assert all(
+        np.ptp(out[y : y + 8, x : x + 8]) == 0
+        for y in range(0, 24, 8)
+        for x in range(0, 24, 8)
+    )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    flip_at=st.integers(0, 10_000),
+    flip_to=st.integers(0, 255),
+)
+def test_fuzz_bitflipped_progressive_jpeg_typed_errors(seed, flip_at, flip_to):
+    from searchengine_spark.functions import jpeg
+
+    img = _smooth(24, 20, seed % 97, True)
+    b = bytearray(jpeg.encode_jpeg_progressive(img, quality=85, subsample=2))
+    b[flip_at % len(b)] = flip_to
+    _assert_typed_or_ok(jpeg.decode_jpeg, bytes(b))
 
 
 def test_jpeg_forged_dims_rejected():
