@@ -17,14 +17,21 @@ Words with Subword Units" — a public algorithm) Spark-first:
   cache hit rate high), no per-row Python.
 
 Merge-application semantics (the determinism contract): a word is
-space-joined into symbols and merges apply IN RANK ORDER, each as a
-single left-to-right non-overlapping ``str.replace`` — bit-identical to
-SQL ``replace()``, so the DuckDB oracle replays encoding exactly as a
-recursive CTE. Applying merges in rank order equals the classic
-lowest-rank-present priority loop because a merge's constituents can
-only be produced by LOWER-ranked merges (pairs become frequent only
-after their parts exist) — asserted against an independent priority-loop
-implementation in tests/test_bpe.py.
+rendered as fully space-DELIMITED symbols (``" h e r "`` — a separator
+before every symbol and after the last, so a pattern ``" x y "`` can
+only match whole symbols, never across a symbol boundary), and merges
+apply IN RANK ORDER, each by repeatedly replacing the LEFTMOST
+occurrence until none remains. Leftmost-single-occurrence repetition
+equals simultaneous left-to-right non-overlapping merging, and rank
+order equals the classic lowest-rank-present priority loop because a
+merge's constituents can only be produced by LOWER-ranked merges (pairs
+become frequent only after their parts exist) — both asserted against
+an independent priority-loop implementation in tests/test_bpe.py,
+including boundary-collision words like "her" (where a naive
+``str.replace`` over space-joined symbols would match ``"h e"`` across
+the ``h|er`` boundary). The find/slice steps are bit-identical to SQL
+``strpos``/``substr``, so the DuckDB oracle replays encoding exactly as
+a recursive CTE.
 """
 
 from __future__ import annotations
@@ -120,13 +127,21 @@ def train_bpe_distributed(docs: DataFrame, n_merges: int = 256,
 
 
 def encode_word(word: str, merges: list) -> list:
-    """Apply merges in rank order, each a single left-to-right
-    non-overlapping replace over the space-joined symbols (== SQL
-    ``replace``). Returns the symbol list."""
-    s = " ".join(word)
+    """Apply merges in rank order over the fully delimited symbol string,
+    replacing the LEFTMOST occurrence until none remains (find/slice ==
+    SQL ``strpos``/``substr``; delimiters on both sides of every symbol
+    make boundary-crossing matches impossible). Returns the symbol
+    list."""
+    s = " " + " ".join(word) + " "
     for x, y in merges:
-        s = s.replace(x + " " + y, x + y)
-    return s.split(" ") if s else []
+        pat = f" {x} {y} "
+        rep = f" {x}{y} "
+        while True:
+            i = s.find(pat)
+            if i < 0:
+                break
+            s = s[:i] + rep + s[i + len(pat):]
+    return s.split()
 
 
 COUNT_SCHEMA = T.StructType(
@@ -166,6 +181,8 @@ def bpe_token_counts(docs: DataFrame, merges: list, id_col: str = "doc_id",
             ids = b[id_col].to_numpy(np.int64)
             out = np.zeros(len(b), dtype=np.int64)
             for i, text in enumerate(b[text_col]):
+                if not isinstance(text, str):  # null text counts 0 tokens
+                    continue
                 total = 0
                 for w in word_re.split(text.lower()):
                     if w:

@@ -413,7 +413,6 @@ def encode_jpeg(
         img, quality, subsample
     )
     gray = len(grids) == 1
-    planes = grids  # component count source below
 
     # quantized zigzag blocks in interleaved MCU order
     mcu_blocks: list[list[tuple[int, np.ndarray]]] = []  # [(comp, block64)]
@@ -430,7 +429,7 @@ def encode_jpeg(
 
     # DC differencing + symbol collection per table class, grouped by MCU
     # (DC predictors reset at restart boundaries, T.81 §E.2.4)
-    n_comp = len(planes)
+    n_comp = len(grids)
     pred = [0] * n_comp
     per_mcu: list[list[tuple[int, list, list]]] = []
     dc_syms: dict[int, list[int]] = {0: [], 1: []}
@@ -540,8 +539,7 @@ def _default_scan_script(n_comp: int) -> list:
             script += [("ac", ci, 1, 63, 0, 1)]
     script += [("ac", 0, 1, 63, 2, 1)]
     for ci in range(n_comp):
-        al_from = 1 if ci == 0 else 1
-        script += [("ac", ci, 1, 63, al_from, 0)]
+        script += [("ac", ci, 1, 63, 1, 0)]
     script += [("dc", list(range(n_comp)), 1, 0)]
     return script
 
@@ -586,10 +584,6 @@ class _ScanEmitter:
                 bw = _BitWriter()
         parts.append(bw.flush())
         return b"".join(parts), table
-
-
-def _nbits_of(v: int) -> int:
-    return v.bit_length()
 
 
 def _emit_eobrun(em: _ScanEmitter, state: dict) -> None:
@@ -800,8 +794,7 @@ def encode_jpeg_progressive(
             out += seg(0xC4, bytes([(cls << 4) | 0]) + bytes(bits) + bytes(vals))
         sos = bytes([len(scan_comps)])
         for cid, _, _ in scan_comps:
-            td_ta = 0 if scan[0] == "dc" else (0 << 4) | 0
-            sos += bytes([cid, td_ta])
+            sos += bytes([cid, 0])  # Td=Ta=0: each scan re-emits table 0
         sos += bytes([ss, se, (scan[2] << 4) | scan[3] if scan[0] == "dc"
                       else (scan[4] << 4) | scan[5]])
         out += seg(0xDA, sos)

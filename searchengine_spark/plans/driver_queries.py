@@ -385,27 +385,40 @@ def q_bpe_token_counts(spark, sf_dir):
 
 
 def _bpe_oracle_sql() -> str:
+    """Replays encode_word exactly: the fully delimited symbol string
+    (" h e r " — a separator on BOTH sides of every symbol, so a
+    " x y " pattern can never match across a symbol boundary) with each
+    ranked merge applied by replacing the LEFTMOST occurrence until none
+    remains, one strpos/substr step per recursion; r advances to the
+    next merge when the pattern no longer occurs and the word is done at
+    r = n_merges + 1."""
     from searchengine_spark.functions._bpe_merges_data import MERGES
 
     vals = ", ".join(
-        f"({i + 1}, '{x}', '{y}')" for i, (x, y) in enumerate(MERGES)
+        f"({i + 1}, ' {x} {y} ', ' {x}{y} ')"
+        for i, (x, y) in enumerate(MERGES)
     )
     n = len(MERGES)
     return (
         "WITH RECURSIVE"
         f" words AS (SELECT doc_id, term AS w FROM ({SQL_TOKENS})),"
         " vocab AS (SELECT DISTINCT w FROM words),"
-        f" merges(r, x, y) AS (VALUES {vals}),"
+        f" merges(r, pat, rep) AS (VALUES {vals}),"
         " seg AS ("
-        "   SELECT 0 AS r, w,"
-        "     array_to_string(string_split(w, ''), ' ') AS s FROM vocab"
+        "   SELECT w,"
+        "     ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s,"
+        "     1 AS r FROM vocab"
         "   UNION ALL"
-        "   SELECT seg.r + 1, seg.w,"
-        "     replace(seg.s, m.x || ' ' || m.y, m.x || m.y)"
-        "   FROM seg JOIN merges m ON m.r = seg.r + 1"
-        f"   WHERE seg.r < {n}),"
-        f" fin AS (SELECT w, len(string_split(s, ' ')) AS n"
-        f"   FROM seg WHERE r = {n}),"
+        "   SELECT w,"
+        "     CASE WHEN p > 0 THEN"
+        "       substr(s, 1, p - 1) || rep || substr(s, p + length(pat))"
+        "     ELSE s END,"
+        "     CASE WHEN p > 0 THEN r ELSE r + 1 END"
+        "   FROM (SELECT seg.w, seg.s, seg.r, m.pat, m.rep,"
+        "           strpos(seg.s, m.pat) AS p"
+        "         FROM seg JOIN merges m ON m.r = seg.r)),"
+        f" fin AS (SELECT w, len(string_split(trim(s), ' ')) AS n"
+        f"   FROM seg WHERE r = {n + 1}),"
         " cnt AS (SELECT doc_id, sum(n) AS n FROM words"
         "   JOIN fin USING (w) GROUP BY doc_id)"
         " SELECT d.doc_id, CAST(coalesce(c.n, 0) AS BIGINT) AS n_bpe_tokens"
@@ -544,7 +557,11 @@ st AS (
     SELECT t.*,
       first_value(t.vec_id) OVER w AS best,
       first_value(t.rel) OVER w AS best_rel,
-      first_value({score}) OVER w AS best_score
+      first_value({score}) OVER w AS best_score,
+      -- true when every candidate is already picked: mmr_rerank stops
+      -- at min(k, n), so the recursion must too instead of re-emitting
+      -- an already-picked row on corpora with fewer than k candidates
+      bool_and(t.picked) OVER w AS exhausted
     FROM st t
     WHERE t.r < {MMR_K}
     WINDOW w AS (ORDER BY
@@ -553,6 +570,7 @@ st AS (
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
   ) u
   JOIN sim ps ON ps.i = u.vec_id AND ps.j = u.best
+  WHERE NOT u.exhausted
 )
 SELECT pick_id AS vec_id, pick_rel AS cos, pick_mmr AS mmr, CAST(r AS INTEGER) AS rank
 FROM (SELECT DISTINCT r, pick_id, pick_rel, pick_mmr FROM st WHERE r >= 1)
@@ -564,15 +582,19 @@ IVF_CELLS = 8
 
 
 def _ivf_layout(spark, sf_dir) -> str:
-    """Build (once per corpus dir) the prematerialized IVF serving layout
-    — cells/ partitioned by _cell + the centroid artifact — under /tmp;
-    the layout is deterministic (seeded training over a hash-ordered
-    sample), so rebuilds are idempotent."""
+    """Build (once per corpus CONTENT) the prematerialized IVF serving
+    layout — cells/ partitioned by _cell + the centroid artifact — under
+    /tmp; the layout is deterministic (seeded training over a
+    hash-ordered sample), so rebuilds are idempotent. The cache key
+    includes the source's mtime+size so a regenerated corpus at the same
+    path never serves a stale layout."""
     import hashlib
     import os
     import tempfile
 
-    key = f"v1:{sf_dir}:{IVF_CELLS}"
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    key = f"v1:{sf_dir}:{IVF_CELLS}:{st.st_mtime_ns}:{st.st_size}"
     d = os.path.join(
         tempfile.gettempdir(),
         "se_ivf_" + hashlib.md5(key.encode()).hexdigest()[:10],

@@ -58,6 +58,19 @@ def test_encode_rank_order_equals_priority_loop_small():
         assert bpe.encode_word(w, merges) == _priority_encode(w, merges), w
 
 
+def test_encode_never_merges_across_symbol_boundaries():
+    """Regression for the review finding: with merges [(e,r), (h,e)],
+    'her' must become [h, er] — rank 0 merges e+r first, and 'h'+'er'
+    is NOT a (h, e) pair. A naive replace over space-joined symbols
+    would match 'h e' across the h|er boundary and emit ['her']."""
+    merges = [("e", "r"), ("h", "e")]
+    assert bpe.encode_word("her", merges) == ["h", "er"]
+    assert bpe.encode_word("he", merges) == ["he"]
+    assert bpe.encode_word("herhe", merges) == ["h", "er", "he"]
+    for w in ["her", "there", "mother", "where", "father", "others"]:
+        assert bpe.encode_word(w, MERGES) == _priority_encode(w, MERGES), w
+
+
 def test_encode_equivalence_on_real_vocab():
     """The oracle replays encode_word's sequential semantics; this pins
     sequential == priority-loop (the classic algorithm) over the full
@@ -78,7 +91,8 @@ def test_zero_merges_is_character_count():
 def test_token_counts_distributed(spark):
     merges = bpe.train_bpe(EXAMPLE, 10)
     df = spark.createDataFrame(
-        [(1, "Lower, NEWEST!"), (2, ""), (3, "?!?"), (4, "lowest low")],
+        [(1, "Lower, NEWEST!"), (2, ""), (3, "?!?"), (4, "lowest low"),
+         (5, None)],
         "doc_id long, text string",
     )
     got = {
@@ -91,6 +105,7 @@ def test_token_counts_distributed(spark):
         2: 0,
         3: 0,
         4: enc("lowest") + enc("low"),
+        5: 0,  # null text counts zero, never crashes the job
     }
 
 

@@ -573,3 +573,32 @@ def test_embedding_dup_clusters_planted(spark):
     }
     assert got == {(10, 10): True, (11, 10): False, (12, 10): False,
                    (20, 20): True, (21, 20): False}
+
+
+def test_mmr_oracle_stops_at_n_when_fewer_than_k(spark, tmp_path):
+    """Review regression: with fewer nonzero embeddings than MMR_K the
+    recursive-CTE oracle must stop at n picks exactly like mmr_rerank,
+    not re-emit already-picked rows."""
+    import duckdb
+    import pandas as pd
+
+    from searchengine_spark.plans import driver_queries as dq
+
+    rng = np.random.default_rng(5)
+    rows = [(i, rng.standard_normal(8).tolist()) for i in range(3)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    emb = spark.createDataFrame(pdf)
+    qvec = rows[0][1]
+    got = (
+        similarity.mmr_rerank(
+            emb, qvec, k=dq.MMR_K, pool=dq.MMR_POOL, lam=dq.MMR_LAM
+        )
+        .orderBy("rank")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.execute(dq._mmr_oracle_sql()).df()
+    assert len(got) == len(want) == 3
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert got["mmr"].tolist() == want["mmr"].tolist()

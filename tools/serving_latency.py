@@ -13,8 +13,10 @@ shows 2-4x noise under load).
 
 Usage:
   python tools/serving_latency.py --out BENCH/serving_latency.json
-Prereqs (regenerated if missing): /tmp/sf1 (tools/gen_sf.py --scale 10),
-/tmp/se_scaling_idx_32 + its corpus (tools/scaling_bench.py).
+Prereqs: /tmp/sf1 must exist (generate with: python tools/gen_sf.py
+--scale 10 — the tool exits with that instruction if it is missing);
+the sf1 INDEX is built on demand. The 800k section is skipped unless
+/tmp/se_scaling_idx_32 + its corpus exist (tools/scaling_bench.py).
 """
 
 from __future__ import annotations
@@ -125,6 +127,12 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-800k", action="store_true")
     args = ap.parse_args()
+
+    if not os.path.exists("/tmp/sf1/documents.parquet"):
+        raise SystemExit(
+            "missing /tmp/sf1 corpus — generate it first with:\n"
+            "  python tools/gen_sf.py --scale 10"
+        )
 
     from pyspark.sql import functions as F
 
