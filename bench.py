@@ -125,7 +125,6 @@ def main() -> None:
         "embedding_dup_clusters",
         "cosine_topk_docs", "pruned_doc_stats", "text_quality",
         "language_id", "ann_cosine_topk", "ann_filtered", "ann_batch_topk", "ann_mmr_topk",
-        "ann_lsh_topk",
         "lineitem_pricing",
         "top_customers", "events_hourly", "events_sessions",
         "first_seen_docs", "dup_ngrams", "unigram_logprob", "bpe_token_counts",
@@ -135,6 +134,40 @@ def main() -> None:
     ]
     for name in bench_queries:
         timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())
+
+    # IVF / LSH ANN through the prematerialized serving layouts: cold =
+    # layout build (train/derive + assign + partitionBy write) + first
+    # probe; warm = the steady-state partition-pruned probe scan a serving
+    # tier actually pays. The /tmp layout caches are cleared first so
+    # "cold" is deterministic run-to-run.
+    import glob
+
+    for pat in ("se_ivf_*", "se_lsh_*"):
+        for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
+            shutil.rmtree(d, ignore_errors=True)
+    timed("ann_ivf_cold", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
+    timed("ann_ivf_topk", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
+    timed("ann_lsh_cold", lambda: QUERIES["ann_lsh_topk"](spark, sf_dir).count())
+    timed("ann_lsh_topk", lambda: QUERIES["ann_lsh_topk"](spark, sf_dir).count())
+
+    # production-shaped semantic dedup: the gated embedding_dup_clusters
+    # entry runs low-bit/low-threshold CALIBRATION parameters (the
+    # synthetic embeddings are structureless, see driver_queries.py), so
+    # its cost grows near-quadratically with the corpus; this times the
+    # production shape — 0.95 cosine, signature bits scaled so buckets
+    # stay O(10-100) rows — which is the ~linear 100 TB path
+    import math
+
+    from searchengine_spark.operators import similarity as _sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    bits = max(8, int(math.log2(max(emb.count(), 32) / 16)))
+    timed(
+        "embedding_dup_prod_shape",
+        lambda: _sim.embedding_near_dup_pairs(
+            emb, threshold=0.95, bits=bits, n_tables=2
+        ).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]

@@ -393,11 +393,104 @@ def lsh_cosine_topk(
     planes = _hyperplanes(dim, bits, seed)
     if allowed is not None:
         emb = emb.join(allowed.select(id_col), id_col, "leftsemi")
-    qv = np.asarray(query_vec, dtype=np.float64)
-    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
-    probes = [qsig] + ([qsig ^ (1 << i) for i in range(bits)] if multiprobe else [])
+    probes = lsh_probe_sigs(planes, query_vec, multiprobe)
     cands = lsh_assign(emb, planes, vec_col).where(F.col("_sig").isin(probes))
     return cosine_topk(cands, query_vec, k, id_col, vec_col)
+
+
+def lsh_probe_sigs(planes: np.ndarray, query_vec: list, multiprobe: bool = True) -> list:
+    """The probe-bucket signatures for a query: its own sign-LSH bucket
+    plus (when ``multiprobe``) the ``bits`` Hamming-1 neighbors — the
+    buckets a near-duplicate most likely fell into when one plane's sign
+    flipped. Deterministic; shared by the inline and prematerialized
+    serving paths so their results are bit-identical."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qsig = int(sum((1 << i) for i, p in enumerate(planes) if float(qv @ p) > 0))
+    return [qsig] + (
+        [qsig ^ (1 << i) for i in range(len(planes))] if multiprobe else []
+    )
+
+
+def lsh_build(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    bits: int = 8,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Prematerialize the sign-LSH serving layout — the :func:`ivf_build`
+    analog:
+
+    * ``{out_dir}/buckets`` — the full table ``partitionBy("_sig")``
+      (Iceberg: a partition transform on ``_sig``), so a query's probe set
+      (own bucket + Hamming-1 neighbors) becomes a PARTITION-PRUNED scan
+      of ``bits + 1`` of the ``2^bits`` buckets — assignment runs once at
+      ingest, never per query;
+    * ``{out_dir}/lsh.json`` — hyperplanes + layout metadata, the few-KB
+      driver artifact :func:`lsh_serve_topk` probes with.
+
+    ``2^bits`` partition directories is a deliberate trade: at serving
+    signature widths (8–12 bits) that is 256–4096 directories; for wider
+    signatures partition on a fixed-width PREFIX of the signature and
+    filter the suffix in-scan. Plan-asserted in ``tests/test_plans.py``:
+    the serve scan's ``PartitionFilters`` covers exactly the probe set.
+    Returns the planes."""
+    import json
+    import os
+
+    probe = emb.select(vec_col).first()
+    if probe is None:
+        raise ValueError("lsh_build: empty embeddings input")
+    planes = _hyperplanes(len(probe[0]), bits, seed)
+    (
+        lsh_assign(emb, planes, vec_col)
+        .write.partitionBy("_sig")
+        .mode("overwrite")
+        .parquet(f"{out_dir}/buckets")
+    )
+    meta = {
+        "bits": bits,
+        "dim": int(planes.shape[1]),
+        "seed": seed,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "planes": [[float(x) for x in row] for row in planes],
+    }
+    tmp = os.path.join(out_dir, "lsh.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "lsh.json"))
+    return planes
+
+
+def lsh_serve_topk(
+    spark,
+    lsh_dir: str,
+    query_vec: list,
+    k: int = 20,
+    multiprobe: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve sign-LSH ANN from a :func:`lsh_build` layout: load the
+    hyperplane artifact driver-side, derive the probe signatures, and scan
+    ONLY those partitions of ``{lsh_dir}/buckets`` (``_sig`` is the
+    parquet partition column, so the ``isin`` lands in
+    ``PartitionFilters``), exact cosine re-rank inside → (id, cos).
+    Bit-identical to :func:`lsh_cosine_topk` with the same planes —
+    the probe set comes from the shared :func:`lsh_probe_sigs`.
+    ``allowed`` semi-joins the bucket table, composing with the pruning."""
+    import json
+
+    with open(f"{lsh_dir}/lsh.json") as f:
+        meta = json.load(f)
+    planes = np.asarray(meta["planes"], dtype=np.float64)
+    probes = lsh_probe_sigs(planes, query_vec, multiprobe)
+    b = spark.read.parquet(f"{lsh_dir}/buckets").where(F.col("_sig").isin(probes))
+    if allowed is not None:
+        b = b.join(allowed.select(meta["id_col"]), meta["id_col"], "leftsemi")
+    return cosine_topk(b, query_vec, k, meta["id_col"], meta["vec_col"])
 
 
 BATCH_ANN_SCHEMA = T.StructType(

@@ -278,7 +278,13 @@ def q_near_dup_jaccard(spark, sf_dir):
 # STRUCTURELESS (max off-diagonal cosine ~0.51 at sf0.01), so a production
 # 0.95 threshold would gate an always-empty result; 0.45 with 4-bit
 # signatures yields a small deterministic pair set that exercises every
-# stage (LSH banding, bucket self-join, exact re-rank, clustering)
+# stage (LSH banding, bucket self-join, exact re-rank, clustering).
+# These are CALIBRATION parameters, not the scale shape: 4 bits = 16
+# buckets makes the self-join near-quadratic as the corpus grows (46 s at
+# sf1/20k vectors). Production runs threshold≈0.95 with bits scaled so
+# buckets stay O(10-100) rows (bits ≈ log2(n/16); real near-dups at 0.95
+# still collide with ~0.948^bits per table) — that shape is timed in
+# bench.py as embedding_dup_prod_shape and is ~linear in the corpus.
 EMB_DUP_THRESHOLD, EMB_DUP_BITS, EMB_DUP_TABLES = 0.45, 4, 2
 
 
@@ -630,19 +636,53 @@ LSH_DIM = 64  # testdata embeddings are dim-64 at every sf
 LSH_SEED = 1234
 
 
+def _lsh_layout(spark, sf_dir) -> str:
+    """Build (once per corpus CONTENT) the prematerialized sign-LSH
+    serving layout — buckets/ partitioned by _sig + the hyperplane
+    artifact — under /tmp; same content-keyed idempotent cache scheme as
+    :func:`_ivf_layout`."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    key = f"v1:{sf_dir}:{LSH_BITS}:{LSH_SEED}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_lsh_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(os.path.join(d, "lsh.json")):
+        similarity.lsh_build(
+            spark,
+            _t(spark, sf_dir, "embeddings"),
+            d,
+            bits=LSH_BITS,
+            seed=LSH_SEED,
+        )
+    return d
+
+
 def q_ann_lsh_topk(spark, sf_dir):
-    """Sign-LSH ANN top-k with Hamming-1 multiprobe and exact re-rank —
-    the bucketed ANN scale path, driver-gated: the oracle reproduces the
-    SAME seeded hyperplanes as DOUBLE[] literals and derives the probe-
-    bucket set in SQL (qsig + xor(qsig, 1<<i)), so every stage — Arrow
-    signature assignment, probe filter, exact cosine — is hash-verified."""
+    """Sign-LSH ANN top-k with Hamming-1 multiprobe and exact re-rank,
+    served from the PREMATERIALIZED layout (similarity.lsh_build →
+    lsh_serve_topk): signature assignment runs once at build, the probe
+    scan is partition-pruned to the qsig + Hamming-1 buckets
+    (plan-asserted in tests/test_plans.py). Driver-gated: the oracle
+    reproduces the SAME seeded hyperplanes as DOUBLE[] literals and
+    derives the probe-bucket set in SQL (qsig + xor(qsig, 1<<i)), so
+    every stage — Arrow signature assignment, partitioned write, pruned
+    probe scan, exact cosine — is hash-verified (lsh_serve_topk is
+    bit-identical to the inline lsh_cosine_topk by the shared
+    lsh_probe_sigs; the inline path keeps its own identity test in
+    pytest)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [
         float(x)
         for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     ]
-    return similarity.lsh_cosine_topk(
-        emb, qvec, k=20, bits=LSH_BITS, seed=LSH_SEED, multiprobe=True
+    return similarity.lsh_serve_topk(
+        spark, _lsh_layout(spark, sf_dir), qvec, k=20, multiprobe=True
     )
 
 

@@ -252,3 +252,28 @@ def test_ivf_serve_scan_prunes_cell_partitions(spark, tmp_path):
     m = re.search(r"_cell#\d+ IN \(([^)]*)\)", scan[0])
     assert m, scan[0]
     assert {int(x) for x in m.group(1).split(",")} == set(probes), scan[0]
+
+
+def test_lsh_serve_scan_prunes_sig_partitions(spark, tmp_path):
+    """The prematerialized sign-LSH layout's promise: the probe scan reads
+    ONLY the qsig + Hamming-1 bucket partitions — PartitionFilters covers
+    exactly the probe set."""
+    import re
+
+    from searchengine_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    d = str(tmp_path / "lsh")
+    planes = similarity.lsh_build(spark, emb, d, bits=5)
+    probes = similarity.lsh_probe_sigs(planes, qvec, multiprobe=True)
+    df = similarity.lsh_serve_topk(spark, d, qvec, k=5, multiprobe=True)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "_sig" in scan[0], plan[:2000]
+    m = re.search(r"_sig#\d+L? IN \(([^)]*)\)", scan[0])
+    assert m, scan[0]
+    assert {int(x) for x in m.group(1).split(",")} == set(probes), scan[0]

@@ -549,6 +549,33 @@ def test_ivf_serve_equals_inline(spark, emb, qvec, tmp_path):
         assert served["cos"].tolist() == inline["cos"].tolist(), nprobe
 
 
+def test_lsh_serve_equals_inline(spark, emb, qvec, tmp_path):
+    """Serving sign-LSH from the prematerialized partitioned layout is
+    bit-identical to the inline assign-and-filter path (shared planes and
+    probe set), with and without multiprobe and under a facet filter."""
+    d = str(tmp_path / "lsh_serve")
+    similarity.lsh_build(spark, emb, d, bits=6, seed=77)
+    allowed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    for mp in (True, False):
+        served = similarity.lsh_serve_topk(spark, d, qvec, k=12, multiprobe=mp).toPandas()
+        inline = similarity.lsh_cosine_topk(
+            emb, qvec, k=12, bits=6, seed=77, multiprobe=mp
+        ).toPandas()
+        assert served["vec_id"].tolist() == inline["vec_id"].tolist(), mp
+        assert served["cos"].tolist() == inline["cos"].tolist(), mp
+    sf = similarity.lsh_serve_topk(spark, d, qvec, k=12, allowed=allowed).toPandas()
+    inf = similarity.lsh_cosine_topk(
+        emb, qvec, k=12, bits=6, seed=77, allowed=allowed
+    ).toPandas()
+    assert sf["vec_id"].tolist() == inf["vec_id"].tolist()
+    assert (sf["vec_id"] % 3 == 0).all()
+
+
+def test_lsh_build_empty_raises(spark, emb):
+    with pytest.raises(ValueError, match="empty"):
+        similarity.lsh_build(spark, emb.limit(0), "/tmp/se_lsh_should_not_exist")
+
+
 def test_embedding_dup_clusters_planted(spark):
     """Semantic-dedup composition (pairs -> connected components ->
     representative pick): two planted duplicate groups (same direction,
