@@ -114,7 +114,24 @@ def main() -> None:
     timed(
         "phrase_search_idx",
         lambda: search_phrase(
-            spark, index_dir, docs_txt, "key order", k=10
+            spark, index_dir, docs_txt, "key order", k=10,
+            use_positions=False,
+        ).collect(),
+    )
+
+    # positional sidecar: one-time build cost, then phrase search answered
+    # from the index alone (no corpus re-read — the serving shape for
+    # phrase-heavy workloads, SCALE.md "Query path")
+    from searchengine_spark.operators.positions import build_positions
+
+    timed(
+        "positions_build",
+        lambda: build_positions(spark, docs_txt, index_dir),
+    )
+    timed(
+        "phrase_search_pos",
+        lambda: search_phrase(
+            spark, index_dir, None, "key order", k=10
         ).collect(),
     )
 
@@ -142,9 +159,15 @@ def main() -> None:
     # "cold" is deterministic run-to-run.
     import glob
 
-    for pat in ("se_ivf_*", "se_lsh_*"):
+    for pat in ("se_ivf_*", "se_lsh_*", "se_pos_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
             shutil.rmtree(d, ignore_errors=True)
+    # positional-sidecar gate entries over the documents table: cold =
+    # standalone sidecar build + first probe; warm = pushed term-IN scan
+    # + per-range intersection only
+    timed("phrase_pos_cold", lambda: QUERIES["phrase_match_idx"](spark, sf_dir).count())
+    timed("phrase_match_idx", lambda: QUERIES["phrase_match_idx"](spark, sf_dir).count())
+    timed("phrase_topk_idx", lambda: QUERIES["phrase_topk_idx"](spark, sf_dir).count())
     timed("ann_ivf_cold", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
     timed("ann_ivf_topk", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
     timed("ann_lsh_cold", lambda: QUERIES["ann_lsh_topk"](spark, sf_dir).count())

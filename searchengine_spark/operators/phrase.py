@@ -141,11 +141,12 @@ def phrase_candidates(
 def search_phrase(
     spark: SparkSession,
     index_dir: str,
-    docs: DataFrame,
+    docs: DataFrame | None,
     phrase: str,
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    use_positions: bool | str = "auto",
 ) -> DataFrame:
     """BM25 top-k over documents that contain ``phrase`` as a consecutive
     token sequence → DataFrame(doc_id, score), (score desc, doc_id asc).
@@ -164,9 +165,33 @@ def search_phrase(
     raw matching. A phrase with no index-resolvable word (all stop
     words) returns empty WITHOUT scanning the corpus — ``search`` would
     score nothing, so the expensive verification could never surface a
-    result."""
+    result.
+
+    ``use_positions`` — when the positional sidecar exists
+    (``operators/positions.py``; ``"auto"`` probes for it), verification
+    is answered from the index alone: the matcher set comes from
+    ``positions.phrase_count_indexed`` (value-equal to
+    :func:`phrase_match` over the corpus, tested), so ``docs`` may be
+    ``None`` and the corpus is never read. Candidate retrieval from the
+    packed postings is skipped too — the positional intersection IS the
+    exact matcher set, strictly tighter than the union candidates."""
+    from searchengine_spark.operators.positions import (
+        has_positions,
+        phrase_count_indexed,
+    )
     from searchengine_spark.operators.wand import RESULT_SCHEMA, search
 
+    if use_positions == "auto":
+        use_positions = has_positions(index_dir)
+    if use_positions:
+        verified = phrase_count_indexed(spark, index_dir, phrase).select("doc_id")
+        return search(spark, index_dir, phrase, k=k, allowed=verified)
+    if docs is None:
+        raise ValueError(
+            "search_phrase needs the corpus DataFrame for text verification "
+            "when the index has no positional sidecar (operators/positions."
+            "build_positions)"
+        )
     cand = phrase_candidates(spark, index_dir, phrase)
     if cand is None:
         return spark.createDataFrame([], RESULT_SCHEMA)

@@ -1,0 +1,315 @@
+"""Positional sidecar: raw-token positions, rng-sharded like postings.
+
+The packed index deliberately stores no positions (SCALE.md "Query path":
+positional postings roughly triple index size for one query type), so
+phrase verification re-reads candidate documents' text. This module is
+the documented upgrade for phrase-heavy workloads: an OPTIONAL sidecar
+table ``{index_dir}/positions`` holding, per (term, doc-range), the
+token positions of every occurrence of the term in the documents' RAW
+token stream (lowercased, ``[^a-z0-9]+``-split — the exact semantics of
+``phrase.phrase_count_col``; NOT the index tokenizer's saved terms,
+which destroy adjacency). With it, :func:`phrase_count_indexed` answers
+"which docs contain this phrase, how many times" from the index alone —
+no corpus scan, no regex pass — and ``phrase.search_phrase`` routes
+through it automatically.
+
+Layout — one row per (term, rng), partitioned by the same contiguous
+commit group as postings (``grp = rng // group_width``):
+
+  term      the raw token
+  rng       doc range (doc_id // range_width — same sharding as postings)
+  n_docs    documents in this range containing the term
+  doc_gaps  varint(delta(doc_ids))           — ascending doc ids
+  counts    varint(per-doc occurrence count) — aligned with doc_gaps
+  pos_gaps  varint(per-doc position delta chains, first value absolute),
+            concatenated in doc order (decoded with the same segmented
+            cumsum as codec.unpack_run)
+
+Scale shape (the 100 TB argument):
+* build: one hash shuffle of (doc_id, text) by ``rng`` — the same key
+  and volume class as the postings build — then a narrow per-range
+  Arrow-batched pack. A stop-word-class term's positions spread over
+  all ranges by construction (document-range sharding), so skew is
+  structural, not reactive.
+* query: parquet ``term IN (...)`` pushdown reads only the phrase
+  terms' rows; the per-range intersection is numpy over composite
+  (local-doc, position) keys — no Python per token, no shuffle beyond
+  one ≤|phrase|-rows-per-range exchange; output is only matching docs.
+* size: Σ positions = Σ raw tokens, delta+varint ≈ 1–2 B each — ~2×
+  the postings' size class, which is exactly the cost the main index
+  refuses to impose on non-phrase workloads; hence a sidecar.
+* compaction: ``streaming.ingest.compact`` records invalidated groups
+  in the manifest (``positions_stale_groups``); :func:`refresh_positions`
+  rebuilds only those partitions from the corpus (positions need raw
+  text, which compaction's doc_terms no longer carry).
+
+Reference parity note: the reference engine (shiloari/SearchEngine) has
+no phrase queries at all (searcher.py treats multi-word queries as bag-
+of-words weights); this is a beyond-reference capability, verified
+value-equal to the regex/text path on the full test corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from searchengine_spark.functions.codec import (
+    delta_decode,
+    delta_encode,
+    varint_decode,
+    varint_encode,
+)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+POSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("rng", T.IntegerType(), False),
+        T.StructField("n_docs", T.IntegerType(), False),
+        T.StructField("doc_gaps", T.BinaryType(), False),
+        T.StructField("counts", T.BinaryType(), False),
+        T.StructField("pos_gaps", T.BinaryType(), False),
+    ]
+)
+
+COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_occurrences", T.LongType(), False),
+    ]
+)
+
+
+def _segmented_positions(pos: np.ndarray, counts: np.ndarray) -> bytes:
+    """Per-doc position delta chains (first value absolute), concatenated
+    in doc order — the inverse of the segmented cumsum in
+    :func:`_decode_term_row`."""
+    gaps = pos.astype(np.uint64).copy()
+    gaps[1:] -= pos[:-1].astype(np.uint64)
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    gaps[starts] = pos[starts]
+    return varint_encode(gaps)
+
+
+def _decode_term_row(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One (term, rng) row → (doc_ids, counts, positions-concatenated)."""
+    n = int(row["n_docs"])
+    doc_ids = delta_decode(varint_decode(row["doc_gaps"], n))
+    counts = varint_decode(row["counts"], n)
+    total = int(counts.sum())
+    raw = varint_decode(row["pos_gaps"], total)
+    cs = np.cumsum(raw.astype(np.uint64), dtype=np.uint64)
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(counts[:-1].astype(np.int64), out=starts[1:])
+    corr = np.repeat(cs[starts] - raw[starts], counts.astype(np.int64))
+    return doc_ids, counts, cs - corr
+
+
+def _meta_path(index_dir: str) -> str:
+    # leading underscore: the parquet reader ignores _-prefixed files, so
+    # the meta can live inside the partitioned directory it describes
+    return f"{index_dir}/positions/_positions_meta.json"
+
+
+def build_positions(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    range_width: int | None = None,
+    group_width: int | None = None,
+    groups: list[int] | None = None,
+) -> None:
+    """Build (or selectively rebuild) the positional sidecar for
+    ``index_dir`` from the corpus ``docs`` (must carry the SAME doc ids
+    the index assigned — join ``doc_map`` on the natural key to get
+    them; each doc_id must appear once).
+
+    ``range_width=None`` reads the main index's manifest so the sidecar
+    shares its sharding; pass it explicitly for a STANDALONE positional
+    index (no packed postings — phrase counting only), in which case the
+    layout is recorded in ``_positions_meta.json``.
+
+    ``groups`` limits the build to those commit groups (compaction
+    refresh): only their partitions are overwritten (dynamic partition
+    overwrite), everything else is untouched.
+    """
+    from searchengine_spark.operators.index_build import grp_expr
+    from searchengine_spark.plans.manifest import Manifest
+
+    if range_width is None:
+        man = Manifest(index_dir)
+        range_width = man.scalars["range_width"]
+        group_width = group_width or man.scalars["group_width"]
+    elif group_width is None:
+        group_width = max(1, 4 * spark.sparkContext.defaultParallelism)
+
+    def pack_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        terms_all: list[np.ndarray] = []
+        locs_all: list[np.ndarray] = []
+        pos_all: list[np.ndarray] = []
+        base = rng * range_width
+        for doc_id, text in zip(pdf["doc_id"].to_numpy(np.int64), pdf["text"]):
+            toks = _TOKEN_RE.findall(text.lower()) if text else []
+            if not toks:
+                continue
+            terms_all.append(np.asarray(toks, dtype=object))
+            locs_all.append(np.full(len(toks), doc_id - base, dtype=np.int64))
+            pos_all.append(np.arange(len(toks), dtype=np.uint64))
+        if not terms_all:
+            return pd.DataFrame(columns=[f.name for f in POSITIONS_SCHEMA.fields])
+        df = pd.DataFrame(
+            {
+                "term": np.concatenate(terms_all),
+                "loc": np.concatenate(locs_all),
+                "pos": np.concatenate(pos_all),
+            }
+        )
+        rows = []
+        # groupby preserves the (doc asc, pos asc) construction order
+        for term, sub in df.groupby("term", sort=True):
+            locs = sub["loc"].to_numpy(np.int64)
+            pos = sub["pos"].to_numpy(np.uint64)
+            u_locs, counts = np.unique(locs, return_counts=True)
+            doc_ids = (u_locs + base).astype(np.uint64)
+            rows.append(
+                (
+                    term,
+                    rng,
+                    len(u_locs),
+                    varint_encode(delta_encode(doc_ids)),
+                    varint_encode(counts.astype(np.uint64)),
+                    _segmented_positions(pos, counts),
+                )
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in POSITIONS_SCHEMA.fields])
+
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
+    if groups is not None:
+        src = src.where(
+            grp_expr(F.col("rng"), group_width).isin([int(g) for g in groups])
+        )
+    packed = (
+        src.groupBy("rng")
+        .applyInPandas(pack_range, POSITIONS_SCHEMA)
+        .withColumn("grp", grp_expr(F.col("rng"), group_width))
+    )
+
+    out = f"{index_dir}/positions"
+    if groups is None:
+        packed.write.mode("overwrite").partitionBy("grp").parquet(out)
+    else:
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            packed.write.mode("overwrite").partitionBy("grp").parquet(out)
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump({"version": 1, "range_width": range_width,
+                   "group_width": group_width}, f)
+
+
+def has_positions(index_dir: str) -> bool:
+    return os.path.exists(_meta_path(index_dir))
+
+
+def refresh_positions(spark: SparkSession, docs: DataFrame, index_dir: str,
+                      id_col: str = "doc_id", text_col: str = "text") -> list[int]:
+    """Rebuild the groups ``streaming.ingest.compact`` marked stale
+    (``positions_stale_groups`` in the manifest — compaction itself can't
+    rebuild them: its merged doc_terms no longer carry raw text). ``docs``
+    is the POST-ingest corpus with index doc ids. Returns the rebuilt
+    group ids and clears the stale marker."""
+    from searchengine_spark.plans.manifest import Manifest
+
+    man = Manifest(index_dir)
+    stale = sorted(set(man.scalars.get("positions_stale_groups", [])))
+    if stale:
+        build_positions(
+            spark, docs, index_dir, id_col=id_col, text_col=text_col, groups=stale
+        )
+        man.set_scalars(positions_stale_groups=[])
+    return stale
+
+
+def phrase_count_indexed(
+    spark: SparkSession, index_dir: str, phrase: str
+) -> DataFrame:
+    """(doc_id, n_occurrences) for every document where ``phrase`` occurs
+    as a consecutive raw-token sequence — answered ENTIRELY from the
+    positional sidecar (value-equal to ``phrase.phrase_match`` over the
+    corpus text, without reading it).
+
+    Plan: pushed ``term IN (phrase terms)`` scan of positions → one
+    exchange of ≤|distinct terms| rows per range → per-range numpy
+    intersection: an occurrence starts at position p in doc d iff every
+    phrase term tᵢ has a position p+i in d, i.e. the composite keys
+    ``(local_doc << 32) | (pos - i)`` intersect across terms. Repeated
+    phrase words reuse one decoded row with different shifts, and a
+    range missing any required term short-circuits empty.
+    """
+    from searchengine_spark.operators.phrase import phrase_terms
+
+    with open(_meta_path(index_dir)) as f:
+        range_width = json.load(f)["range_width"]
+    terms = phrase_terms(phrase)
+    if not terms:
+        raise ValueError("phrase has no tokens after normalization")
+    required = sorted(set(terms))
+
+    def count_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "n_occurrences": pd.Series(dtype=np.int64)})
+        present = set(pdf["term"])
+        if not all(t in present for t in required):
+            return empty
+        decoded = {}
+        for _, row in pdf.iterrows():
+            docs, counts, pos = _decode_term_row(row)
+            base = int(key[0]) * range_width
+            locs = (docs.astype(np.int64) - base)
+            decoded[row["term"]] = (
+                np.repeat(locs, counts.astype(np.int64)),
+                pos.astype(np.int64),
+            )
+        keys = None
+        for i, t in enumerate(terms):
+            loc_rep, pos = decoded[t]
+            shifted = pos - i
+            m = shifted >= 0
+            k = (loc_rep[m] << np.int64(32)) | shifted[m]
+            keys = k if keys is None else np.intersect1d(
+                keys, k, assume_unique=True
+            )
+            if keys.size == 0:
+                return empty
+        hit_locs = keys >> np.int64(32)
+        u, n = np.unique(hit_locs, return_counts=True)
+        base = int(key[0]) * range_width
+        return pd.DataFrame(
+            {"doc_id": u + base, "n_occurrences": n.astype(np.int64)}
+        )
+
+    rows = (
+        spark.read.parquet(f"{index_dir}/positions")
+        .where(F.col("term").isin(required))
+        .select("term", "rng", "n_docs", "doc_gaps", "counts", "pos_gaps")
+    )
+    return rows.groupBy("rng").applyInPandas(count_range, COUNT_SCHEMA)

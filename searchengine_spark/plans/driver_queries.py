@@ -874,6 +874,66 @@ def q_phrase_topk(spark, sf_dir):
     )
 
 
+def _positions_layout(spark, sf_dir) -> str:
+    """Build (once per corpus CONTENT) a STANDALONE positional sidecar
+    over the documents table under /tmp — same content-keyed idempotent
+    cache scheme as :func:`_ivf_layout`. Holding it outside any packed
+    index exercises the sidecar's standalone mode (explicit range_width,
+    layout recorded in _positions_meta.json)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from searchengine_spark.operators import positions
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    st = os.stat(src)
+    key = f"v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_pos_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not positions.has_positions(d):
+        positions.build_positions(
+            spark,
+            _docs(spark, sf_dir).select("doc_id", "text"),
+            d,
+            range_width=512,
+        )
+    return d
+
+
+def q_phrase_match_idx(spark, sf_dir):
+    """Phrase occurrence counts answered ENTIRELY from the positional
+    sidecar (operators/positions.py): pushed term-IN scan of the
+    rng-sharded positions table → per-range numpy intersection of
+    (doc, position−offset) keys. Same oracle as phrase_match — the text
+    is never read, so a hash match verifies the whole encode (varint
+    delta chains, segmented per-doc positions) / decode / intersect
+    machinery against the regex-over-text definition."""
+    from searchengine_spark.operators import positions
+
+    return positions.phrase_count_indexed(
+        spark, _positions_layout(spark, sf_dir), PHRASE
+    )
+
+
+def q_phrase_topk_idx(spark, sf_dir):
+    """Phrase-restricted BM25 top-20 with eligibility from the positional
+    sidecar instead of a corpus regex pass — the serving shape of
+    ``phrase.search_phrase`` on a positions-equipped index. Same oracle
+    as phrase_topk: identical results, corpus text never read on the
+    eligibility path."""
+    from searchengine_spark.operators import phrase, positions
+
+    eligible = positions.phrase_count_indexed(
+        spark, _positions_layout(spark, sf_dir), PHRASE
+    ).select("doc_id")
+    return _bm25_topk_over(
+        spark, sf_dir, phrase.phrase_terms(PHRASE), eligible=eligible
+    )
+
+
 SNIPPET_WIDTH = 5  # tokens either side for search_snippets
 
 
@@ -1186,6 +1246,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "phrase_match": q_phrase_match,
     "phrase_topk": q_phrase_topk,
+    "phrase_match_idx": q_phrase_match_idx,
+    "phrase_topk_idx": q_phrase_topk_idx,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -1739,3 +1801,10 @@ ORACLES["dup_clusters"] = (
     " SELECT a AS node, CAST(min(b) AS BIGINT) AS component"
     " FROM reach GROUP BY a"
 )
+
+# the positional-sidecar entries are value-identical to their text-path
+# twins BY CONTRACT — same oracle, different engine path (index-only):
+# a hash match proves the sidecar encode/decode/intersect machinery
+# reproduces the regex-over-text definition exactly
+ORACLES["phrase_match_idx"] = ORACLES["phrase_match"]
+ORACLES["phrase_topk_idx"] = ORACLES["phrase_topk"]

@@ -408,6 +408,21 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
         to_rebuild.update(int(r["grp"]) for r in rows)
     for g in to_rebuild:
         man.data["posting_groups"].pop(str(g), None)
+    # positional sidecar (if built): raw-token positions are immutable per
+    # doc and independent of case-folding, so ONLY groups holding new docs
+    # go stale. Compaction can't rebuild them here — merged doc_terms no
+    # longer carry raw text — so the obligation is persisted for
+    # positions.refresh_positions (same crash-safety rule as the cosine
+    # groups below: durable before any batch status flips).
+    from searchengine_spark.operators.positions import has_positions
+
+    if first_new_doc is not None and has_positions(index_dir):
+        first_new_grp = (first_new_doc // range_width) // group_width
+        stale = sorted(
+            set(man.scalars.get("positions_stale_groups", []))
+            | set(range(first_new_grp, n_groups_total))
+        )
+        man.set_scalars(positions_stale_groups=stale)
     # persist the cosine-refresh obligation BEFORE batch statuses flip: a
     # crash during the long postings/cosine rebuilds below would otherwise
     # leave the rerun with first_new_doc=None and an empty invalidation

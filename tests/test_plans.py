@@ -277,3 +277,25 @@ def test_lsh_serve_scan_prunes_sig_partitions(spark, tmp_path):
     m = re.search(r"_sig#\d+L? IN \(([^)]*)\)", scan[0])
     assert m, scan[0]
     assert {int(x) for x in m.group(1).split(",")} == set(probes), scan[0]
+
+
+def test_positions_scan_pushes_term_filter(spark, tmp_path):
+    """Positional phrase counting reads ONLY the phrase terms' rows: the
+    term IN (...) predicate reaches the positions parquet scan, and the
+    decode stage is one Arrow-batched applyInPandas over ≤|terms| rows
+    per range — no full-sidecar read, no corpus scan anywhere."""
+    from searchengine_spark.operators import positions
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(300)],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "pos")
+    positions.build_positions(spark, docs, d, range_width=64)
+    out = positions.phrase_count_indexed(spark, d, "alpha beta")
+    plan = _plan(out)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan.lower()
+    # exactly one exchange: the per-range regroup of the filtered rows
+    assert plan.count("+- Exchange") == 1, plan[:3000]

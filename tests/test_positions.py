@@ -1,0 +1,219 @@
+"""Positional sidecar (operators/positions.py): index-only phrase
+verification must be value-equal to the regex/text path, across the full
+synthetic corpus, adversarial randomized texts, selective group rebuilds,
+and the ingest→compact→refresh lifecycle."""
+
+import os
+import random
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import phrase, positions
+from searchengine_spark.sources.corpus import corpus_df
+
+PHRASE = "result flag"  # occurs as consecutive tokens in ~15% of the corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark, index_1k):
+    corpus = corpus_df(spark, 1000, seed=42, partitions=6)
+    dm = spark.read.parquet(f"{index_1k}/doc_map").select(
+        "doc_id", "repo", "path", "commit"
+    )
+    return (
+        corpus.join(dm, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def pos_idx(spark, docs, tmp_path_factory):
+    """STANDALONE positional index (no packed postings) over the same
+    docs/ids as index_1k — kept outside index_1k so the session-scoped
+    index fixture is not mutated for other test modules."""
+    d = str(tmp_path_factory.mktemp("positions_only"))
+    positions.build_positions(spark, docs, d, range_width=128)
+    return d
+
+
+def _counts(df):
+    return {r["doc_id"]: r["n_occurrences"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("ph", [PHRASE, "result", "the result flag", "def main"])
+def test_counts_equal_regex_path(spark, docs, pos_idx, ph):
+    got = _counts(positions.phrase_count_indexed(spark, pos_idx, ph))
+    want = _counts(phrase.phrase_match(docs, ph))
+    assert got == want
+    if ph == PHRASE:
+        assert len(want) > 0  # the fixture phrase actually occurs
+
+
+def test_unseen_term_is_empty(spark, pos_idx):
+    out = positions.phrase_count_indexed(spark, pos_idx, "zzzunseen flag")
+    assert out.count() == 0
+
+
+def test_empty_phrase_raises(spark, pos_idx):
+    with pytest.raises(ValueError):
+        positions.phrase_count_indexed(spark, pos_idx, "!!!")
+
+
+def test_randomized_differential(spark, tmp_path):
+    """Adversarial texts (tiny alphabet → overlaps/repeats, mixed case and
+    separators) — positional counts must equal the Python token-array scan
+    for every phrase, including self-overlapping and repeated-word ones."""
+    rng = random.Random(99)
+    alphabet = ["aa", "ab", "b", "key", "order", "x1"]
+    seps = [" ", "  ", "-", ", ", "!", "_", ".\n", "?"]
+    rows = []
+    for i in range(300):
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            w = rng.choice(alphabet)
+            if rng.random() < 0.3:
+                w = w.upper() if rng.random() < 0.5 else w.capitalize()
+            parts.append(w)
+            parts.append(rng.choice(seps))
+        rows.append((i, "".join(parts)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "pos")
+    positions.build_positions(spark, df, d, range_width=64)
+
+    def scan(text, terms):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        L = len(terms)
+        return sum(
+            1 for i in range(len(toks) - L + 1) if toks[i : i + L] == terms
+        )
+
+    for ph in ["aa", "aa aa", "key order", "b b b", "ab b", "x1 key order"]:
+        terms = phrase.phrase_terms(ph)
+        got = _counts(positions.phrase_count_indexed(spark, d, ph))
+        want = {}
+        for i, text in rows:
+            c = scan(text, terms)
+            if c:
+                want[i] = c
+        assert got == want, ph
+
+
+def test_search_phrase_routes_through_positions(spark, tmp_path):
+    """With the sidecar inside the index dir, search_phrase(docs=None)
+    auto-routes through it and returns exactly what the text-verification
+    path returns — including the fused-token doc the union-candidate
+    machinery exists to protect ("order" IS a raw token even though the
+    index term is "order-processing")."""
+    from searchengine_spark.operators.index_build import build_index
+
+    rows = [
+        ("r", "a.txt", "c0", "en", "key order-processing krampus waffle toast"),
+        ("r", "b.txt", "c0", "en", "key order krampus plainly waffle toast"),
+        ("r", "c.txt", "c0", "en", "unrelated krampus waffle toast words alone"),
+    ]
+    docs_src = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    d = str(tmp_path / "idx")
+    build_index(spark, docs_src, d, range_width=64, n_groups=1)
+    dm = spark.read.parquet(f"{d}/doc_map").select("doc_id", "path")
+    docs = (
+        docs_src.select("path", F.col("content").alias("text"))
+        .join(dm, "path")
+        .select("doc_id", "text")
+    )
+    want = phrase.search_phrase(
+        spark, d, docs, "key order", k=10, use_positions=False
+    ).toPandas()
+    # no sidecar + no docs: loud error, not a silent empty result
+    with pytest.raises(ValueError):
+        phrase.search_phrase(spark, d, None, "key order", k=10)
+    positions.build_positions(spark, docs, d)  # sharding from the manifest
+    got = phrase.search_phrase(spark, d, None, "key order", k=10).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    by_path = {r["path"]: r["doc_id"] for r in dm.collect()}
+    assert set(got["doc_id"]) == {by_path["a.txt"], by_path["b.txt"]}
+
+
+def test_group_rebuild_is_idempotent_and_selective(spark, docs, tmp_path):
+    d = str(tmp_path / "pos")
+    positions.build_positions(spark, docs, d, range_width=128, group_width=3)
+    before = _counts(positions.phrase_count_indexed(spark, d, PHRASE))
+    import glob
+
+    grps = sorted(glob.glob(f"{d}/positions/grp=*"))
+    assert len(grps) >= 2
+    mt = {p: os.path.getmtime(p) for p in glob.glob(f"{grps[-1]}/*.parquet")}
+    # rebuild ONLY group 0 from the same data: counts unchanged, the last
+    # group's files untouched (dynamic partition overwrite)
+    positions.build_positions(
+        spark, docs, d, range_width=128, group_width=3, groups=[0]
+    )
+    after = _counts(positions.phrase_count_indexed(spark, d, PHRASE))
+    assert after == before
+    assert {
+        p: os.path.getmtime(p) for p in glob.glob(f"{grps[-1]}/*.parquet")
+    } == mt
+
+
+def test_compact_marks_stale_and_refresh_rebuilds(spark, tmp_path):
+    """Ingest lifecycle: compaction records the positions-refresh
+    obligation (it cannot rebuild raw-token positions from doc_terms);
+    refresh_positions rebuilds exactly the stale groups, after which
+    index-only phrase counts match the regex path over the full
+    post-ingest corpus."""
+    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.streaming import ingest as ing
+
+    def docs_df(lo, hi):
+        rows = [
+            (f"org/r{i}", f"f{i}.py", "c" * 40, "python",
+             f"word{i} alpha beta gamma delta")
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, content string",
+        )
+
+    idx = f"{tmp_path}/idx"
+    os.makedirs(idx)
+    ing.ingest_batch(spark, docs_df(0, 600), 0, idx)
+    ing.compact(spark, idx, n_groups=3)
+
+    def corpus_with_ids():
+        dm = spark.read.parquet(f"{idx}/doc_map").select(
+            "doc_id", "repo", "path", "commit"
+        )
+        all_docs = docs_df(0, Manifest(idx).scalars["n_docs"])
+        return all_docs.join(dm, ["repo", "path", "commit"]).select(
+            "doc_id", F.col("content").alias("text")
+        )
+
+    positions.build_positions(spark, corpus_with_ids(), idx)
+    assert positions.has_positions(idx)
+
+    ing.ingest_batch(spark, docs_df(600, 700), 1, idx)
+    ing.compact(spark, idx)
+    man = Manifest(idx)
+    stale = man.scalars.get("positions_stale_groups", [])
+    assert stale, "compaction must record the positions-refresh obligation"
+    assert len(stale) < man.scalars["n_groups"], "refresh must be selective"
+
+    full = corpus_with_ids().cache()
+    rebuilt = positions.refresh_positions(spark, full, idx)
+    assert rebuilt == sorted(stale)
+    assert Manifest(idx).scalars["positions_stale_groups"] == []
+
+    got = _counts(positions.phrase_count_indexed(spark, idx, "alpha beta"))
+    want = _counts(phrase.phrase_match(full, "alpha beta"))
+    assert got == want and len(want) == 700
+    # new docs' unique leading token is phrase-findable too
+    assert _counts(
+        positions.phrase_count_indexed(spark, idx, "word650 alpha")
+    ) and not _counts(positions.phrase_count_indexed(spark, idx, "word777 alpha"))
+    full.unpersist()

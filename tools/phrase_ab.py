@@ -1,0 +1,138 @@
+"""A/B: positional-sidecar phrase search vs text-verification phrase
+search on the 800k-doc scaling index (operators/positions.py, SCALE.md
+"Query path" positional upgrade).
+
+Measures, INTERLEAVED over ``--passes`` rounds (interleaving is the only
+trustworthy A/B shape on this sandbox — run-to-run variance is 2-4x):
+
+* ``text``: ``search_phrase(use_positions=False)`` — union candidates
+  from the packed postings, semi-join the corpus, codegen regex verify,
+  then ``search(allowed=...)``;
+* ``pos``: ``search_phrase(docs=None)`` through the positional sidecar —
+  pushed term-IN scan of positions, per-range numpy intersection, then
+  the same ranked search. The corpus table is never read.
+
+Also records the sidecar's one-time build wall and on-disk size next to
+the postings size (the cost the main index deliberately refuses to
+carry for non-phrase workloads), and asserts both paths return IDENTICAL
+(doc_id, score) lists per phrase.
+
+Usage::
+
+    python tools/phrase_ab.py [--index /tmp/se_scaling_idx_32]
+        [--corpus /tmp/se_scaling_corpus_800000_7] [--passes 3]
+        [--json-out BENCH/phrase_positions.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PHRASES = [
+    "result flag",          # mid-frequency two-term
+    "the result",           # stop-word + frequent term
+    "parse input data",     # three-term
+    "batch batch",          # self-overlapping
+    "fast key order",       # head terms
+]
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default="/tmp/se_scaling_idx_32")
+    ap.add_argument("--corpus", default="/tmp/se_scaling_corpus_800000_7")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH", "phrase_positions.json"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.phrase import search_phrase
+    from searchengine_spark.operators.positions import build_positions, has_positions
+    from searchengine_spark.session import get_session
+
+    load_start = round(os.getloadavg()[0], 2)
+    spark = get_session(master="local[32]", app_name="phrase-ab",
+                        shuffle_partitions=32)
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+
+    docs_txt = (
+        spark.read.parquet(args.corpus)
+        .select("path", F.col("content").alias("text"))
+        .join(
+            spark.read.parquet(f"{args.index}/doc_map").select("doc_id", "path"),
+            "path",
+        )
+        .select("doc_id", "text")
+    )
+
+    build_sec = None
+    if not has_positions(args.index):
+        t0 = time.time()
+        build_positions(spark, docs_txt, args.index)
+        build_sec = round(time.time() - t0, 3)
+
+    # identity gate first: the sidecar may not move a single float bit
+    for ph in PHRASES:
+        a = search_phrase(spark, args.index, docs_txt, ph, k=args.k,
+                          use_positions=False).collect()
+        b = search_phrase(spark, args.index, None, ph, k=args.k).collect()
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ], f"path divergence for {ph!r}"
+
+    walls = {"text": [], "pos": []}
+    for _ in range(args.passes):
+        t0 = time.time()
+        for ph in PHRASES:
+            search_phrase(spark, args.index, docs_txt, ph, k=args.k,
+                          use_positions=False).collect()
+        walls["text"].append(round(time.time() - t0, 3))
+        t0 = time.time()
+        for ph in PHRASES:
+            search_phrase(spark, args.index, None, ph, k=args.k).collect()
+        walls["pos"].append(round(time.time() - t0, 3))
+
+    out = {
+        "metric": "phrase_search_positions_ab",
+        "index": args.index,
+        "n_phrases": len(PHRASES),
+        "phrases": PHRASES,
+        "passes": args.passes,
+        "wall_sec": walls,
+        "best_text_sec": min(walls["text"]),
+        "best_pos_sec": min(walls["pos"]),
+        "speedup_best": round(min(walls["text"]) / min(walls["pos"]), 2),
+        "positions_build_sec": build_sec,
+        "positions_bytes": dir_bytes(f"{args.index}/positions"),
+        "postings_bytes": dir_bytes(f"{args.index}/postings"),
+        "results_identical": True,
+        "ambient_load_start": load_start,
+        "ambient_load_end": round(os.getloadavg()[0], 2),
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
