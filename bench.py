@@ -159,7 +159,8 @@ def main() -> None:
     # "cold" is deterministic run-to-run.
     import glob
 
-    for pat in ("se_ivf_*", "se_lsh_*", "se_pos_*"):
+    for pat in ("se_ivf_*", "se_lsh_*", "se_pos_*", "se_idx_*", "se_tomb_*",
+                "se_purged_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
             shutil.rmtree(d, ignore_errors=True)
     # positional-sidecar gate entries over the documents table: cold =
@@ -168,6 +169,15 @@ def main() -> None:
     timed("phrase_pos_cold", lambda: QUERIES["phrase_match_idx"](spark, sf_dir).count())
     timed("phrase_match_idx", lambda: QUERIES["phrase_match_idx"](spark, sf_dir).count())
     timed("phrase_topk_idx", lambda: QUERIES["phrase_topk_idx"](spark, sf_dir).count())
+    # packed-index gate entries: cold = raw-analyzer index build (+ the
+    # delete/purge lifecycle for the deletion ones); warm = the steady
+    # serving path (WAND over the prebuilt layout)
+    timed("bm25_packed_cold", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
+    timed("bm25_topk_packed", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
+    timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
+    timed("bm25_tombstoned", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
+    timed("bm25_purge_cold", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())
+    timed("bm25_after_delete", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())
     timed("ann_ivf_cold", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
     timed("ann_ivf_topk", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
     timed("ann_lsh_cold", lambda: QUERIES["ann_lsh_topk"](spark, sf_dir).count())

@@ -1,0 +1,59 @@
+"""spark-submit entry point: tombstone (and optionally purge) documents.
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/delete_job.py \\
+        --index-dir <dir> --where "repo = 'org/bad'" [--purge]
+
+or ``--ids-file ids.txt`` (newline-delimited doc ids). Tombstones take
+effect on every ranked-search surface immediately with unchanged scores
+for survivors (eligibility-only, Lucene liveDocs semantics); ``--purge``
+physically rebuilds the affected commit groups and moves the statistics
+world (N, df/idf, avgdl) to the surviving corpus. Prints one JSON line:
+``{"tombstoned": N, "purged_groups": [...] | null}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--where", help="SQL predicate over doc_map metadata "
+                    "(repo, path, commit, lang, content_sha256) selecting "
+                    "the docs to delete")
+    ap.add_argument("--ids-file", help="newline-delimited doc ids to delete")
+    ap.add_argument("--purge", action="store_true",
+                    help="physically remove tombstoned docs after marking")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+    if not args.where and not args.ids_file:
+        raise SystemExit("nothing to delete (--where / --ids-file)")
+
+    from searchengine_spark.operators import deletion
+    from searchengine_spark.session import get_session
+
+    spark = get_session(
+        master=f"local[{args.cpus}]",
+        app_name="searchengine-spark-delete",
+        shuffle_partitions=args.cpus,
+    )
+    n = 0
+    if args.where:
+        n = deletion.delete_where(spark, args.index_dir, args.where)
+    if args.ids_file:
+        with open(args.ids_file) as f:
+            ids = [(int(ln.strip()),) for ln in f if ln.strip()]
+        n = deletion.delete_docs(
+            spark, args.index_dir, spark.createDataFrame(ids, "doc_id long")
+        )
+    purged = None
+    if args.purge:
+        purged = deletion.purge_deleted(spark, args.index_dir)
+    print(json.dumps({"tombstoned": n, "purged_groups": purged}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

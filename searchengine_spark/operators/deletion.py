@@ -1,0 +1,469 @@
+"""Document deletion: query-time tombstones + physical purge.
+
+An index that serves a living corpus needs deletes (takedowns, license
+removals, dedup-driven eviction). The reference engine has none (its
+pickle dictionaries are write-once, utils.py:5-23); this is the standard
+two-phase design every production index uses (Lucene's liveDocs →
+segment-merge purge), re-expressed in the engine's range-sharded layout:
+
+**Phase 1 — tombstones** (:func:`delete_docs` / :func:`delete_where`):
+deleted doc ids become per-range BITMAPS (``tombstones`` table: one
+``range_width/8``-byte mask per affected range — the same shape as the
+faceted-search eligibility masks, and the same scale argument: deleting
+20% of 10^12 docs ships ~2 KB per 16k-doc range, never a driver
+round-trip, never a broadcast). The WAND scorer cogroups the masks on
+its aux side and drops tombstoned candidates at selection time —
+eligibility-only semantics: corpus statistics (N, df/idf, avgdl) stay
+pre-delete until a purge, so surviving docs' scores are unchanged (the
+Lucene deleted-docs-still-count-in-stats behavior, and the same
+semantics contract as ``search(allowed=...)``).
+
+**Phase 2 — purge** (:func:`purge_deleted`): physically rebuilds exactly
+the commit groups holding deleted docs — drop their doc_terms rows
+(staged partition swap, crash-safe like compaction's merge), filter
+doc_map, refresh doc_stats/doc_lens/scalars, rebuild fold_map with the
+same snapshot-diff compaction uses (deleting the only lowercase twin
+UN-folds its uppercase variants — the diff finds every group holding a
+fold-changed term), rebuild term_dict, repack invalidated posting
+groups, and clear the tombstones. Doc ids are NEVER reused: the id
+space keeps its holes (dense ids are an arrival-order log; range
+sharding is hole-tolerant by construction), so concurrent readers and
+future ingest stay correct. Statistics move to the surviving corpus
+(``n_docs_indexed``/``avgdl``), making post-purge scores identical to a
+from-scratch index over the survivors (tested by rank identity).
+
+Cosine parity tables, if built, are rebuilt wholesale: the incremental
+refresh's completeness argument is append-monotone (df never decreases,
+so an old doc's term can never become newly pruned) and deletion breaks
+it — a selective variant would need a term_dict diff for df crossings
+of the prune boundary; documented trade, deletes are rare.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from searchengine_spark.plans.manifest import Manifest
+
+TOMB_SCHEMA = T.StructType(
+    [
+        T.StructField("rng", T.IntegerType(), False),
+        T.StructField("tmask", T.BinaryType(), False),
+    ]
+)
+
+_IDS_SCHEMA = T.StructType([T.StructField("doc_id", T.LongType(), False)])
+
+
+def _tombstones_path(index_dir: str) -> str:
+    return f"{index_dir}/tombstones"
+
+
+def has_tombstones(index_dir: str) -> bool:
+    """True if any tombstones exist (including a crash-recoverable
+    snapshot: the `.old` backup from an interrupted delete swap)."""
+    return os.path.exists(_tombstones_path(index_dir)) or os.path.exists(
+        _tombstones_path(index_dir) + ".old"
+    )
+
+
+def tombstone_masks(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """(rng, tmask) or None. Reads the `.old` backup if a crashed delete
+    left only it (recovery completes on the next delete/purge)."""
+    p = _tombstones_path(index_dir)
+    if os.path.exists(p):
+        return spark.read.parquet(p)
+    if os.path.exists(p + ".old"):
+        return spark.read.parquet(p + ".old")
+    return None
+
+
+def deleted_ids(spark: SparkSession, index_dir: str) -> DataFrame:
+    """DataFrame(doc_id) of all tombstoned docs — distributed bitmap
+    decode, rows ∝ deleted docs."""
+    masks = tombstone_masks(spark, index_dir)
+    if masks is None:
+        return spark.createDataFrame([], _IDS_SCHEMA)
+    range_width = Manifest(index_dir).scalars["range_width"]
+
+    def decode(batches):
+        for b in batches:
+            outs = []
+            for rng, tm in zip(b["rng"], b["tmask"]):
+                bits = np.unpackbits(np.frombuffer(bytes(tm), dtype=np.uint8))
+                outs.append(
+                    np.flatnonzero(bits[:range_width]).astype(np.int64)
+                    + int(rng) * range_width
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": (
+                        np.concatenate(outs)
+                        if outs
+                        else np.array([], dtype=np.int64)
+                    )
+                }
+            )
+
+    return masks.mapInPandas(decode, _IDS_SCHEMA)
+
+
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> int:
+    """Tombstone ``doc_ids`` (any DataFrame with a ``doc_id`` column).
+    Accumulates with prior deletes (idempotent for re-deleted ids);
+    takes effect on every ranked-search surface immediately. Returns the
+    TOTAL tombstoned count after the merge.
+
+    Out-of-range ids raise (same contract as the eligibility masks: a
+    malformed id must never silently mark the wrong offset). The merge
+    is a staged write + two-rename swap with an `.old` backup, so a
+    crash at any point leaves either the old or the new table readable.
+    """
+    man = Manifest(index_dir)
+    range_width = man.scalars["range_width"]
+    n_docs = man.scalars["n_docs"]
+
+    ids = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    prior = deleted_ids(spark, index_dir)
+    merged = ids.unionByName(prior).distinct()
+
+    def to_mask(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        loc = pdf["doc_id"].to_numpy(np.int64) - rng * range_width
+        if loc.min() < 0 or loc.max() >= range_width:
+            raise ValueError(
+                f"deleted doc_id outside range {rng} "
+                f"[{rng * range_width}, {(rng + 1) * range_width})"
+            )
+        m = np.zeros(range_width, dtype=bool)
+        m[loc] = True
+        return pd.DataFrame(
+            {"rng": np.array([rng], np.int32), "tmask": [np.packbits(m).tobytes()]}
+        )
+
+    bad = merged.where(
+        (F.col("doc_id") < 0) | (F.col("doc_id") >= n_docs)
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"delete_docs: doc_id {bad[0]['doc_id']} outside the index's "
+            f"id space [0, {n_docs})"
+        )
+
+    masks = (
+        merged.withColumn(
+            "rng", (F.col("doc_id") / F.lit(range_width)).cast("int")
+        )
+        .groupBy("rng")
+        .applyInPandas(to_mask, TOMB_SCHEMA)
+    )
+
+    p = _tombstones_path(index_dir)
+    tmp = p + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    masks.write.parquet(tmp)
+    shutil.rmtree(p + ".old", ignore_errors=True)
+    if os.path.exists(p):
+        os.rename(p, p + ".old")
+    os.rename(tmp, p)
+    shutil.rmtree(p + ".old", ignore_errors=True)
+    n_total = int(deleted_ids(spark, index_dir).count())
+    man.set_scalars(n_tombstoned=n_total)
+    return n_total
+
+
+def delete_where(spark: SparkSession, index_dir: str, where: str) -> int:
+    """Tombstone every doc matching a SQL predicate over ``doc_map``
+    (columns ``repo, path, commit, lang, content_sha256``) — the
+    takedown shape: ``delete_where(spark, idx, "repo = 'org/bad'")``.
+    The predicate is pushed into the doc_map parquet scan."""
+    ids = (
+        spark.read.parquet(f"{index_dir}/doc_map").where(where).select("doc_id")
+    )
+    return delete_docs(spark, index_dir, ids)
+
+
+def purge_deleted(spark: SparkSession, index_dir: str) -> list[int]:
+    """Physically remove tombstoned docs (module docstring, phase 2).
+    Returns the posting groups rebuilt. No-op without tombstones.
+
+    Refuses to purge the ENTIRE corpus (mirrors the build's empty-corpus
+    refusal: a zero-row partitioned index is unreadable — drop the
+    directory instead)."""
+    from searchengine_spark.operators.index_build import (
+        build_doc_lens,
+        build_fold_map,
+        build_posting_groups,
+        build_term_dict,
+        grp_expr,
+    )
+
+    man = Manifest(index_dir)
+    s = man.scalars
+    range_width, group_width = s["range_width"], s["group_width"]
+
+    dead = deleted_ids(spark, index_dir)
+    dead_grps = sorted(
+        int(r["grp"])
+        for r in dead.select(
+            grp_expr(
+                (F.col("doc_id") / F.lit(range_width)).cast("int"), group_width
+            ).alias("grp")
+        )
+        .distinct()
+        .collect()
+    )
+    if not dead_grps:
+        return []
+
+    # 1. doc_terms: rebuild affected partitions without the dead rows —
+    # staged write + per-partition swap (the compaction merge pattern:
+    # tmp/_SUCCESS marks a COMPLETE staging, so a crash mid-swap resumes
+    # the swap instead of recomputing from a half-swapped main table).
+    # The anti-join is idempotent, so any pre-crash state re-converges.
+    tmp = f"{index_dir}/doc_terms_purge_tmp"
+
+    def swap_in():
+        for g in dead_grps:
+            # a group whose every doc died stages no partition at all —
+            # its old partition (pure dead rows) must still be dropped
+            dest = f"{index_dir}/doc_terms/grp={g}"
+            if not os.path.exists(f"{tmp}/grp={g}"):
+                shutil.rmtree(dest, ignore_errors=True)
+        for d in sorted(glob.glob(f"{tmp}/grp=*")):
+            dest = f"{index_dir}/doc_terms/{os.path.basename(d)}"
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(d, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if os.path.exists(f"{tmp}/_SUCCESS"):
+        swap_in()
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        kept = (
+            spark.read.parquet(f"{index_dir}/doc_terms")
+            .where(F.col("grp").isin(dead_grps))
+            .join(dead, "doc_id", "left_anti")
+            .select("doc_id", "term", "tf", "dl", "rng", "grp")
+        )
+        kept.write.partitionBy("grp").parquet(tmp)
+        swap_in()
+
+    # 2. doc_map: whole-table filter, two-rename swap with .old recovery
+    # (metadata-sized: one row per doc)
+    if not os.path.exists(f"{index_dir}/doc_map") and os.path.exists(
+        f"{index_dir}/doc_map.old"
+    ):
+        os.rename(f"{index_dir}/doc_map.old", f"{index_dir}/doc_map")
+    dm_tmp = f"{index_dir}/doc_map.tmp"
+    shutil.rmtree(dm_tmp, ignore_errors=True)
+    dm_new = spark.read.parquet(f"{index_dir}/doc_map").join(
+        dead, "doc_id", "left_anti"
+    )
+    n_surv = dm_new.count()
+    if n_surv == 0:
+        shutil.rmtree(dm_tmp, ignore_errors=True)
+        raise ValueError(
+            "purge_deleted would remove every document — a zero-row "
+            "partitioned index is unreadable; drop the index directory "
+            "instead"
+        )
+    dm_new.write.parquet(dm_tmp)
+    shutil.rmtree(f"{index_dir}/doc_map.old", ignore_errors=True)
+    os.rename(f"{index_dir}/doc_map", f"{index_dir}/doc_map.old")
+    os.rename(dm_tmp, f"{index_dir}/doc_map")
+    shutil.rmtree(f"{index_dir}/doc_map.old", ignore_errors=True)
+
+    # 3. doc_stats + scalars over the survivors. n_docs (the id-space
+    # high-water mark: future ingest allocates from it) and the range/
+    # group geometry never change; the SCORING population does:
+    # n_docs_indexed and avgdl move to the surviving corpus, n_purged
+    # accumulates so compaction keeps the distinction too.
+    dt = spark.read.parquet(f"{index_dir}/doc_terms")
+    doc_stats = dt.groupBy("doc_id").agg(
+        F.first("dl").alias("dl"),
+        F.count("*").alias("n_distinct"),
+        F.max("tf").alias("max_f"),
+    )
+    doc_stats.write.mode("overwrite").parquet(f"{index_dir}/doc_stats")
+    n_tokens = int(
+        spark.read.parquet(f"{index_dir}/doc_stats")
+        .agg(F.sum("dl"))
+        .collect()[0][0]
+        or 0
+    )
+    n_dead_total = int(dead.count())
+    man.set_scalars(
+        n_tokens=n_tokens,
+        n_docs_indexed=n_surv,
+        avgdl=(n_tokens / n_surv) if n_surv else 0.0,
+        n_purged=int(s.get("n_purged", 0)) + n_dead_total,
+        n_tombstoned=0,
+    )
+
+    # 4. doc-length sidecar: rebuilt from the surviving doc_stats BEFORE
+    # any posting repack (new blocks carry no inline dls). Ranges that
+    # lost docs keep 0-slots at the holes — no surviving posting can
+    # reference them.
+    build_doc_lens(spark, index_dir, man)
+
+    # 5. case-fold diff (the compaction machinery, deletion direction):
+    # removing the last lowercase twin un-folds its uppercase variants.
+    # Snapshot-by-rename, rebuild, distributed full-outer diff, semi-join
+    # doc_terms for affected groups; the snapshot outlives the manifest
+    # write below so a crash re-diffs against the true pre-purge map.
+    prev_fm = f"{index_dir}/fold_map.prev"
+    if (
+        not os.path.exists(prev_fm)
+        and man.stage_done("fold_map")
+        and os.path.exists(f"{index_dir}/fold_map")
+    ):
+        os.rename(f"{index_dir}/fold_map", prev_fm)
+    for stage in ("fold_map", "term_dict"):
+        man.data["stages"].pop(stage, None)
+    man.save()
+    build_fold_map(spark, index_dir, man)
+    build_term_dict(spark, index_dir, man)
+    to_rebuild = set(dead_grps)
+    if os.path.exists(prev_fm):
+        old_fm = spark.read.parquet(prev_fm).select(
+            "term", F.col("canon").alias("_old_canon")
+        )
+        new_fm = spark.read.parquet(f"{index_dir}/fold_map").select(
+            "term", F.col("canon").alias("_new_canon")
+        )
+        changed = (
+            old_fm.join(new_fm, "term", "full_outer")
+            .where(~F.col("_old_canon").eqNullSafe(F.col("_new_canon")))
+            .select("term")
+        )
+        rows = (
+            dt.join(changed, "term", "left_semi").select("grp").distinct().collect()
+        )
+        to_rebuild.update(int(r["grp"]) for r in rows)
+
+    # 6. repack the invalidated posting groups (durable invalidation
+    # first: a crash during the repack resumes it from the manifest)
+    for g in to_rebuild:
+        man.data["posting_groups"].pop(str(g), None)
+    man.save()
+    shutil.rmtree(prev_fm, ignore_errors=True)
+    build_posting_groups(spark, index_dir, man)
+
+    # 7. cosine parity tables: full rebuild if present (see module
+    # docstring — deletion breaks the append-monotone incremental
+    # argument; a df-crossing diff is the documented optimization)
+    stage = (
+        "cosine_pruned"
+        if man.stage_done("cosine_pruned")
+        else "cosine" if man.stage_done("cosine") else None
+    )
+    if stage is not None:
+        from searchengine_spark.operators.parity import build_cosine_tables
+
+        man.data["stages"].pop(stage, None)
+        man.save()
+        build_cosine_tables(spark, index_dir, prune=stage == "cosine_pruned")
+
+    # 8. positional sidecar: rows rewritten WITHOUT the dead docs'
+    # entries — pure decode→filter→re-encode over the affected groups'
+    # partitions; needs no corpus text (unlike the ingest refresh)
+    from searchengine_spark.operators import positions as _pos
+
+    if _pos.has_positions(index_dir):
+        _purge_positions(spark, index_dir, dead, dead_grps, range_width)
+
+    # 9. tombstones served their purpose (kept until every derived
+    # structure is rebuilt: a crash anywhere above re-runs the purge
+    # against the same delete set — every step is idempotent)
+    shutil.rmtree(_tombstones_path(index_dir), ignore_errors=True)
+    shutil.rmtree(_tombstones_path(index_dir) + ".old", ignore_errors=True)
+    return sorted(to_rebuild)
+
+
+def _purge_positions(spark, index_dir, dead: DataFrame, dead_grps, range_width):
+    """Rewrite the positional sidecar's affected group partitions with the
+    dead docs' (doc, count, positions) entries filtered out — distributed
+    cogroup by rng, no corpus read."""
+    from searchengine_spark.operators.positions import (
+        POSITIONS_SCHEMA,
+        _decode_term_row,
+        _segmented_positions,
+    )
+    from searchengine_spark.functions.codec import delta_encode, varint_encode
+    from searchengine_spark.operators.index_build import grp_expr
+
+    pos = spark.read.parquet(f"{index_dir}/positions").where(
+        F.col("grp").isin(list(dead_grps))
+    )
+    dead_rng = dead.withColumn(
+        "rng", (F.col("doc_id") / F.lit(range_width)).cast("int")
+    )
+
+    def rewrite(key, pos_pdf: pd.DataFrame, dead_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [f.name for f in POSITIONS_SCHEMA.fields]
+        if pos_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        gone = set(dead_pdf["doc_id"].tolist())
+        rows = []
+        for _, row in pos_pdf.iterrows():
+            docs, counts, posv = _decode_term_row(row)
+            keep = ~np.isin(docs.astype(np.int64), list(gone))
+            if keep.all():
+                rows.append(tuple(row[c] for c in cols))
+                continue
+            if not keep.any():
+                continue
+            kcounts = counts[keep].astype(np.int64)
+            kpos = posv[np.repeat(keep, counts.astype(np.int64))]
+            rows.append(
+                (
+                    row["term"],
+                    int(key[0]),
+                    int(keep.sum()),
+                    varint_encode(delta_encode(docs[keep])),
+                    varint_encode(counts[keep]),
+                    _segmented_positions(kpos, kcounts),
+                )
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    group_width = Manifest(index_dir).scalars["group_width"]
+    rewritten = (
+        pos.drop("grp")
+        .groupBy("rng")
+        .cogroup(dead_rng.groupBy("rng"))
+        .applyInPandas(rewrite, POSITIONS_SCHEMA)
+        .withColumn("grp", grp_expr(F.col("rng"), group_width))
+    )
+    # staged write + per-partition swap (same pattern as the doc_terms
+    # purge): a group whose every positioned doc died stages NO partition
+    # and its old one must still be dropped; a crash mid-swap resumes via
+    # tmp/_SUCCESS, and re-running the whole rewrite is idempotent (dead
+    # docs already absent pass rows through unchanged)
+    tmp = f"{index_dir}/positions_purge_tmp"
+
+    def swap_in():
+        for g in dead_grps:
+            if not os.path.exists(f"{tmp}/grp={g}"):
+                shutil.rmtree(f"{index_dir}/positions/grp={g}", ignore_errors=True)
+        for d in sorted(glob.glob(f"{tmp}/grp=*")):
+            dest = f"{index_dir}/positions/{os.path.basename(d)}"
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(d, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if os.path.exists(f"{tmp}/_SUCCESS"):
+        swap_in()
+    else:
+        shutil.rmtree(tmp, ignore_errors=True)
+        rewritten.write.partitionBy("grp").parquet(tmp)
+        swap_in()

@@ -279,11 +279,15 @@ def build_index(
     n_groups: int = 4,
     resume: bool = True,
     stem: bool = False,
+    analyzer: str = "reference",
 ) -> Manifest:
     """Build (or resume building) the index for ``docs`` into ``index_dir``.
 
     ``stem=True`` turns on Porter stemming (P12) at index time; the flag is
-    recorded in the manifest so the query path stems symmetrically."""
+    recorded in the manifest so the query path stems symmetrically.
+    ``analyzer`` selects the tokenizer (see ``tokenize_docs``): the
+    reference pipeline or the plain ``raw`` lowercase split — also
+    recorded in the manifest for symmetric query parsing."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     if not resume:
@@ -319,7 +323,7 @@ def build_index(
         group_width = max(1, math.ceil(n_ranges / n_groups)) if n_ranges else 1
         actual_groups = math.ceil(n_ranges / group_width) if n_ranges else 0
         doc_terms = (
-            tokenize_docs(with_id, stem=stem)
+            tokenize_docs(with_id, stem=stem, analyzer=analyzer)
             .withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
             .withColumn("grp", grp_expr(F.col("rng"), group_width))
         )
@@ -356,6 +360,7 @@ def build_index(
             n_groups=actual_groups,
             block_size=BLOCK_SIZE,
             stemming=stem,
+            analyzer=analyzer,
         )
         man.mark_stage(
             "docs",

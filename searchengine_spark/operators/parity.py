@@ -361,8 +361,14 @@ def _parse_query(index_dir: str, query: str) -> dict:
     Stemming happens BEFORE ‖q‖ is taken (terms merging under the stem merge
     their tfs first), matching the reference where parsing stems
     (parser_module.py:302-309) and the ranker sees the stemmed dict."""
-    qd = tokenize(query)
-    if Manifest(index_dir).scalars.get("stemming"):
+    s = Manifest(index_dir).scalars
+    if s.get("analyzer", "reference") == "raw":
+        from searchengine_spark.operators.tokenize import raw_token_counts
+
+        qd = raw_token_counts(query)
+    else:
+        qd = tokenize(query)
+    if s.get("stemming"):
         from searchengine_spark.functions.stemmer import stem_terms
 
         qd = stem_terms(qd)

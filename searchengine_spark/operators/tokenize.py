@@ -31,14 +31,45 @@ DOC_TERMS_SCHEMA = T.StructType(
 )
 
 
+_RAW_RE = None  # compiled lazily in the workers
+
+
+def raw_token_counts(text: str) -> dict:
+    """The ``raw`` analyzer: lowercase, ``[a-z0-9]+`` tokens (the exact
+    normalization family of the textstats/dedup/sampling/positions
+    operators, and the SQL-expressible one) → {term: tf}. ``dl`` is Σtf =
+    the raw token count."""
+    global _RAW_RE
+    if _RAW_RE is None:
+        import re
+
+        _RAW_RE = re.compile(r"[a-z0-9]+")
+    d: dict = {}
+    for t in _RAW_RE.findall(text.lower()):
+        d[t] = d.get(t, 0) + 1
+    return d
+
+
 def tokenize_docs(
-    docs_with_id: DataFrame, text_col: str = "content", stem: bool = False
+    docs_with_id: DataFrame,
+    text_col: str = "content",
+    stem: bool = False,
+    analyzer: str = "reference",
 ) -> DataFrame:
     """(doc_id, content, ...) → (doc_id, term, tf, dl) exploded long-form.
 
     ``stem=True`` applies the optional Porter stage (P12, reference
     parser_module.py:302-309 via stemmer.stem_terms) after tokenization,
-    matching the reference's config toggle (configuration.py:7)."""
+    matching the reference's config toggle (configuration.py:7).
+
+    ``analyzer`` selects the tokenizer: ``"reference"`` (default) is the
+    quirk-faithful reference pipeline (functions/tokenizer.py);
+    ``"raw"`` is the plain lowercase ``[a-z0-9]+`` split — the pluggable-
+    analyzer seam every production index has. The flag is recorded in the
+    manifest by ``build_index`` so queries tokenize symmetrically."""
+    if analyzer not in ("reference", "raw"):
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    raw = analyzer == "raw"
     if stem:
         from searchengine_spark.functions.stemmer import stem_terms
 
@@ -46,7 +77,7 @@ def tokenize_docs(
         for b in batches:
             doc_ids, terms, tfs, dls = [], [], [], []
             for doc_id, text in zip(b["doc_id"].values, b[text_col].values):
-                d = tokenize(text or "")
+                d = raw_token_counts(text or "") if raw else tokenize(text or "")
                 if stem and d:
                     d = stem_terms(d)
                 if not d:

@@ -98,10 +98,18 @@ def fold_query_terms_batch(
     ``{canonical_term: (qtf, df)}`` dict per query (empty if no term hits).
     If the index was built with stemming (manifest ``stemming`` scalar),
     queries stem symmetrically (reference search_engine.py:129-131 passes
-    the same config flag to the query parser).
+    the same config flag to the query parser); likewise a ``raw``-analyzer
+    index (manifest ``analyzer`` scalar) parses queries with the same
+    plain lowercase split.
     """
-    qdicts = [tokenize(q) for q in queries]
-    if Manifest(index_dir).scalars.get("stemming"):
+    s = Manifest(index_dir).scalars
+    if s.get("analyzer", "reference") == "raw":
+        from searchengine_spark.operators.tokenize import raw_token_counts
+
+        qdicts = [raw_token_counts(q) for q in queries]
+    else:
+        qdicts = [tokenize(q) for q in queries]
+    if s.get("stemming"):
         from searchengine_spark.functions.stemmer import stem_terms
 
         qdicts = [stem_terms(d) for d in qdicts]
@@ -142,7 +150,8 @@ BATCH_RESULT_SCHEMA = T.StructType(
 def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                                range_width: int, k: int,
                                maxscore: bool = True, stats: dict | None = None,
-                               sidecar: bool = False, filtered: bool = False):
+                               sidecar: bool = False, filtered: bool = False,
+                               tombstoned: bool = False):
     """Build the per-range pandas scorer for a BATCH of queries.
     ``qmap``: {query_id: {term: (qtf, df)}}.
 
@@ -191,6 +200,13 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     contributes nothing (its eligible set is empty) — though the plan
     semi-joins such ranges away before the shuffle.
 
+    ``tombstoned=True`` (cogroup: the aux side may carry a per-range
+    ``tmask`` bitmap of DELETED local offsets — operators/deletion.py):
+    tombstoned candidates are dropped at the same selection point as the
+    eligibility filter, with the same bit-exactness argument — corpus
+    statistics stay pre-delete until a purge, so surviving docs' scores
+    are unchanged (eligibility-only semantics, Lucene liveDocs shape).
+
     Batching amortizes the dominant shared costs across queries: one
     postings scan + one shuffle + one Python stage per BATCH (not per
     query), and decoded blocks (doc offsets + query-independent BM25 tf
@@ -202,7 +218,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
         for qid, qw in qmap.items()
     }
 
-    def _score(key, pdf: pd.DataFrame, dl_arr, fmask=None) -> pd.DataFrame:
+    def _score(key, pdf: pd.DataFrame, dl_arr, fmask=None, tmask=None) -> pd.DataFrame:
         base = int(key[0]) * range_width
         n_chunks = (range_width + CHUNK - 1) // CHUNK
         per_term: dict = {}  # term -> (first, last, bmax, gaps, tfs, dls, ns)
@@ -322,6 +338,9 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                         if fmask is not None:
                             keep = fmask[lo + sel]
                             sel, vals = sel[keep], vals[keep]
+                        if tmask is not None and sel.size:
+                            keep = ~tmask[lo + sel]
+                            sel, vals = sel[keep], vals[keep]
                         if sel.size:
                             contribs.append((t, sel, vals))
                             seen[sel] = True
@@ -395,7 +414,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
             }
         )
 
-    if not (sidecar or filtered):
+    if not (sidecar or filtered or tombstoned):
         # groupBy().applyInPandas validates a (key, pdf) signature — wrap
         def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return _score(key, pdf, None)
@@ -423,13 +442,20 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 np.frombuffer(bytes(fm), dtype=np.uint8)
             )[:range_width].astype(bool)
         dl_arr = None
+        tmask = None
         if not lens_pdf.empty:
             row = lens_pdf.iloc[0]
             # under filtered+legacy the mask row left-joins a missing
             # sidecar row: lens is null and dls stay inline in the blocks
             if "lens" in lens_pdf.columns and row["lens"] is not None:
                 dl_arr = decode_doc_lens(row["lens"], int(row["n"]))
-        return _score(key, posts_pdf, dl_arr, fmask)
+            # tombstone bitmap rides the same aux row (left join: ranges
+            # with no deletes carry null)
+            if "tmask" in lens_pdf.columns and row["tmask"] is not None:
+                tmask = np.unpackbits(
+                    np.frombuffer(bytes(row["tmask"]), dtype=np.uint8)
+                )[:range_width].astype(bool)
+        return _score(key, posts_pdf, dl_arr, fmask, tmask)
 
     return score_range_cogrouped
 
@@ -495,11 +521,19 @@ def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
     side of the cogroup, and postings ranges containing NO eligible doc
     are pruned by a semi-join on ``rng`` before the shuffle — a selective
     metadata filter (one repo out of millions) reduces the scan/shuffle to
-    the ranges that repo's docs live in."""
+    the ranges that repo's docs live in.
+
+    Tombstones (``operators/deletion.py``), when present, left-join their
+    per-range deleted-doc bitmaps onto the same aux side — the identical
+    single shuffle, ~range_width/8 extra bytes per affected range."""
+    from searchengine_spark.operators.deletion import tombstone_masks
+
     sidecar = os.path.exists(f"{index_dir}/doc_lens")
     filtered = allowed is not None
-    # ``scorer``: (sidecar, filtered) → scorer fn
-    factory_scorer = scorer(sidecar, filtered)
+    tomb = tombstone_masks(spark, index_dir)
+    tombstoned = tomb is not None
+    # ``scorer``: (sidecar, filtered, tombstoned) → scorer fn
+    factory_scorer = scorer(sidecar, filtered, tombstoned)
     if filtered:
         rngs = (
             allowed.select(
@@ -512,16 +546,23 @@ def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
             aux = aux.join(
                 spark.read.parquet(f"{index_dir}/doc_lens"), "rng", "left"
             )
+        if tombstoned:
+            aux = aux.join(tomb, "rng", "left")
         per_range = (
             posts.groupBy("rng")
             .cogroup(aux.groupBy("rng"))
             .applyInPandas(factory_scorer, BATCH_RESULT_SCHEMA)
         )
-    elif sidecar:
-        lens = spark.read.parquet(f"{index_dir}/doc_lens")
+    elif sidecar or tombstoned:
+        if sidecar:
+            aux = spark.read.parquet(f"{index_dir}/doc_lens")
+            if tombstoned:
+                aux = aux.join(tomb, "rng", "left")
+        else:
+            aux = tomb
         per_range = (
             posts.groupBy("rng")
-            .cogroup(lens.groupBy("rng"))
+            .cogroup(aux.groupBy("rng"))
             .applyInPandas(factory_scorer, BATCH_RESULT_SCHEMA)
         )
     else:
@@ -570,9 +611,10 @@ def search_batch(
     )
     per_range, _ = _scored_ranges(
         spark, index_dir, posts,
-        lambda sc, fl: _score_range_batch_factory(
+        lambda sc, fl, tb: _score_range_batch_factory(
             qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
             s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
+            tombstoned=tb,
         ),
         allowed=allowed, range_width=s["range_width"],
     )
@@ -604,9 +646,10 @@ def _topk_for_qweights(
     )
     per_range, _ = _scored_ranges(
         spark, index_dir, posts,
-        lambda sc, fl: _score_range_batch_factory(
+        lambda sc, fl, tb: _score_range_batch_factory(
             {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
             s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
+            tombstoned=tb,
         ),
         allowed=allowed, range_width=s["range_width"],
     )
@@ -752,4 +795,11 @@ def search_join(
         .groupBy("doc_id")
         .agg(F.sum("contrib").alias("score"))
     )
+    # tombstoned docs are excluded here too (declaratively: an anti-join
+    # against the decoded delete set) so the cross-check path stays
+    # value-identical to the WAND path under deletes
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+
+    if has_tombstones(index_dir):
+        scored = scored.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

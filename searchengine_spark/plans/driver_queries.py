@@ -16,6 +16,8 @@ Conventions keeping Spark and DuckDB hash-identical:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators import dedup, similarity, textstats
@@ -903,6 +905,142 @@ def _positions_layout(spark, sf_dir) -> str:
     return d
 
 
+def _docs_as_corpus(spark, sf_dir):
+    """documents table → the index corpus shape (repo/path/commit/lang/
+    content); path encodes the original doc_id so results map back."""
+    return _docs(spark, sf_dir).select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0" * 40).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _packed_layout(spark, sf_dir) -> str:
+    """Build (once per corpus CONTENT) a PACKED index over the documents
+    table with the ``raw`` analyzer — the plain lowercase [a-z0-9]+ split
+    is exactly what the SQL oracles tokenize with, so the REAL serving
+    engine (codec blocks, doc-length sidecar, block-max WAND/MaxScore,
+    global top-k) becomes hash-verifiable end-to-end, not only via the
+    declarative composition entries. Same content-keyed idempotent /tmp
+    cache scheme as :func:`_ivf_layout`."""
+    import hashlib
+    import os
+    import tempfile
+
+    from searchengine_spark.operators.index_build import build_index
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    st = os.stat(src)
+    key = f"v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(f"{d}/manifest.json") or not os.path.exists(
+        f"{d}/postings"
+    ):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, n_groups=2, analyzer="raw"
+        )
+    return d
+
+
+def _linked_copy(src: str, dst: str) -> None:
+    """Hardlink-copy an index directory (cheap, content-shared). Safe for
+    the mutations delete/purge perform: Manifest.save writes via
+    tmp+os.replace (breaks the link), Spark overwrites/renames unlink
+    rather than truncate, and tombstones are a new directory."""
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
+    shutil.copytree(src, dst, copy_function=os.link)
+
+
+def _deleted_layout(spark, sf_dir, purged: bool) -> str:
+    """Linked copy of :func:`_packed_layout` with every doc whose ORIGINAL
+    doc_id ≡ 0 (mod 7) tombstoned — and, for ``purged=True``, physically
+    purged (operators/deletion.py)."""
+    import hashlib
+    import tempfile
+
+    from searchengine_spark.operators import deletion
+
+    base = _packed_layout(spark, sf_dir)
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    st = os.stat(src)
+    kind = "purged" if purged else "tomb"
+    key = f"v1:{kind}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        f"se_{kind}_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    marker = f"{d}/.layout_done"
+    if not os.path.exists(marker):
+        _linked_copy(base, d)
+        deletion.delete_where(
+            spark, d, "CAST(substring(path, 5) AS LONG) % 7 = 0"
+        )
+        if purged:
+            deletion.purge_deleted(spark, d)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def _packed_topk(spark, layout_dir, k=20):
+    """Packed-index WAND top-k → (original doc_id, score rounded 6dp),
+    re-sorted on the ROUNDED score like the oracle (a 6dp tie must break
+    on doc_id identically on both sides); k=60 buffer absorbs rounding
+    re-orderings at the cut."""
+    from searchengine_spark.operators.wand import search
+
+    hits = search(spark, layout_dir, " ".join(QTERMS), k=60)
+    dm = spark.read.parquet(f"{layout_dir}/doc_map").select(
+        "doc_id", F.substring("path", 5, 30).cast("long").alias("orig_id")
+    )
+    return (
+        hits.join(dm, "doc_id")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def q_bm25_topk_packed(spark, sf_dir):
+    """The REAL serving path, hash-gated: raw-analyzer packed index
+    (delta+varint blocks, dl sidecar, fold/term_dict stages) scored by
+    chunked block-max WAND + MaxScore with the global top-k tail — same
+    oracle as bm25_topk, so a hash match pins the whole build+query
+    engine against the declarative SQL definition."""
+    return _packed_topk(spark, _packed_layout(spark, sf_dir))
+
+
+def q_bm25_tombstoned(spark, sf_dir):
+    """Tombstoned retrieval, hash-gated: docs (orig_id % 7 == 0) deleted
+    but NOT purged — eligibility-only semantics, so the oracle keeps
+    WHOLE-corpus statistics and only filters results to survivors
+    (the same contract as bm25_filtered, with the filter being the
+    tombstone bitmap cogrouped into the scorer)."""
+    return _packed_topk(spark, _deleted_layout(spark, sf_dir, purged=False))
+
+
+def q_bm25_after_delete(spark, sf_dir):
+    """Post-purge retrieval, hash-gated: the same deletes physically
+    purged (group repack, doc_map/doc_stats/doc_lens/fold/term_dict
+    refresh, survivor statistics) — the oracle recomputes N/df/avgdl
+    over the SURVIVING corpus only, so a hash match proves purge moved
+    the whole statistics world, not just the posting rows."""
+    return _packed_topk(spark, _deleted_layout(spark, sf_dir, purged=True))
+
+
 def q_phrase_match_idx(spark, sf_dir):
     """Phrase occurrence counts answered ENTIRELY from the positional
     sidecar (operators/positions.py): pushed term-IN scan of the
@@ -1248,6 +1386,9 @@ QUERIES = {
     "phrase_topk": q_phrase_topk,
     "phrase_match_idx": q_phrase_match_idx,
     "phrase_topk_idx": q_phrase_topk_idx,
+    "bm25_topk_packed": q_bm25_topk_packed,
+    "bm25_tombstoned": q_bm25_tombstoned,
+    "bm25_after_delete": q_bm25_after_delete,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -1808,3 +1949,46 @@ ORACLES["dup_clusters"] = (
 # reproduces the regex-over-text definition exactly
 ORACLES["phrase_match_idx"] = ORACLES["phrase_match"]
 ORACLES["phrase_topk_idx"] = ORACLES["phrase_topk"]
+
+# the packed-index entry answers from the REAL engine (raw analyzer ==
+# the oracle's tokenization) — same SQL as the declarative composition
+ORACLES["bm25_topk_packed"] = ORACLES["bm25_topk"]
+
+# tombstoned (pre-purge): eligibility-only — WHOLE-corpus statistics,
+# results filtered to survivors (the bm25_filtered contract, with the
+# filter being the tombstone bitmap)
+ORACLES["bm25_tombstoned"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    " AND dt.doc_id % 7 <> 0"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# post-purge: the statistics world is the SURVIVING corpus — N, df, dl,
+# avgdl all recomputed over doc_id % 7 <> 0 only
+ORACLES["bm25_after_delete"] = (
+    "WITH surv AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),"
+    " tok AS (SELECT doc_id, term FROM ("
+    "   SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term"
+    "   FROM surv) WHERE term <> ''),"
+    " dt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok"
+    "   GROUP BY doc_id, term),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM surv),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)

@@ -92,7 +92,11 @@ def ingest_batch(
     # tokenize with the INDEX's stemming mode (manifest scalar, recorded at
     # build): streaming unstemmed docs into a stemmed index would make them
     # unreachable — queries stem per the manifest and miss the raw terms
-    dt = tokenize_docs(with_id, stem=bool(man.scalars.get("stemming")))
+    dt = tokenize_docs(
+        with_id,
+        stem=bool(man.scalars.get("stemming")),
+        analyzer=man.scalars.get("analyzer", "reference"),
+    )
     dt.write.mode("overwrite").parquet(f"{index_dir}/delta/doc_terms/{part}")
     persisted.unpersist()
 

@@ -1,0 +1,232 @@
+"""Document deletion (operators/deletion.py): tombstones are
+eligibility-only (scores bit-identical, deleted docs gone from every
+ranked surface), purge makes the index identical to a from-scratch build
+over the survivors (stats, case-fold, postings, sidecars), and the raw
+pluggable analyzer round-trips symmetrically."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import deletion
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.wand import search, search_batch, search_join
+from searchengine_spark.sources.corpus import corpus_df
+
+QUERY = "fast key order"
+
+
+@pytest.fixture()
+def del_idx(spark, tmp_path):
+    """Fresh small index per test — deletion mutates it."""
+    d = str(tmp_path / "idx")
+    docs = corpus_df(spark, 300, seed=11, partitions=4)
+    build_index(spark, docs, d, range_width=64, n_groups=2)
+    return d
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_tombstones_exclude_without_score_change(spark, del_idx):
+    full = _rows(search(spark, del_idx, QUERY, k=10**6))
+    assert len(full) > 20
+    dead = {doc for doc, _ in full[::5]}
+    n = deletion.delete_docs(
+        spark, del_idx, spark.createDataFrame([(d,) for d in dead], "doc_id long")
+    )
+    assert n == len(dead)
+    post = _rows(search(spark, del_idx, QUERY, k=10**6))
+    # exactly the surviving rows, scores untouched (eligibility-only)
+    assert post == [(d, s) for d, s in full if d not in dead]
+
+
+def test_maxscore_identity_under_tombstones(spark, del_idx):
+    deletion.delete_where(spark, del_idx, "doc_id % 3 = 0")
+    a = _rows(search(spark, del_idx, QUERY, k=25, maxscore=True))
+    b = _rows(search(spark, del_idx, QUERY, k=25, maxscore=False))
+    assert a == b and len(a) == 25
+    assert all(d % 3 != 0 for d, _ in a)
+
+
+def test_batch_and_join_surfaces_honor_tombstones(spark, del_idx):
+    deletion.delete_where(spark, del_idx, "doc_id % 2 = 0")
+    batch = search_batch(spark, del_idx, [QUERY, "slow merge"], k=15).collect()
+    assert batch and all(r["doc_id"] % 2 == 1 for r in batch)
+    wand = _rows(search(spark, del_idx, QUERY, k=15))
+    cross = _rows(search_join(spark, del_idx, QUERY, k=15))
+    # search_join's Spark-side sum is association-order nondeterministic →
+    # last-ulp wiggle vs WAND's lexicographic addend order; 9dp is exact
+    # for everything but that artifact
+    assert [(d, round(s, 9)) for d, s in wand] == [
+        (d, round(s, 9)) for d, s in cross
+    ]
+
+
+def test_delete_accumulates_and_is_idempotent(spark, del_idx):
+    ids = lambda xs: spark.createDataFrame([(x,) for x in xs], "doc_id long")
+    assert deletion.delete_docs(spark, del_idx, ids([1, 2, 3])) == 3
+    assert deletion.delete_docs(spark, del_idx, ids([2, 3])) == 3  # no-op
+    assert deletion.delete_docs(spark, del_idx, ids([7])) == 4
+    got = {r["doc_id"] for r in deletion.deleted_ids(spark, del_idx).collect()}
+    assert got == {1, 2, 3, 7}
+
+
+def test_delete_out_of_range_raises(spark, del_idx):
+    with pytest.raises(Exception, match="id space|outside"):
+        deletion.delete_docs(
+            spark, del_idx, spark.createDataFrame([(10**9,)], "doc_id long")
+        )
+    with pytest.raises(Exception, match="id space|outside"):
+        deletion.delete_docs(
+            spark, del_idx, spark.createDataFrame([(-1,)], "doc_id long")
+        )
+
+
+def test_purge_matches_fresh_build(spark, tmp_path):
+    """Post-purge index ≡ from-scratch index over the survivors — stats
+    (N, avgdl, df/idf), postings, and the case-fold map (the deleted doc
+    holds the ONLY lowercase twin of an uppercase term, so purge must
+    un-fold it; a stale fold map would mis-score both casings)."""
+    rows = []
+    for i in range(40):
+        rows.append(
+            (f"r{i}", f"f{i}.py", "c" * 40, "py",
+             f"alpha KRAMPUS beta gamma delta word{i} fast key order")
+        )
+    # doc 40: the only lowercase 'krampus' — and it's the doc we delete
+    rows.append(("rX", "dead.py", "c" * 40, "py",
+                 "alpha krampus beta gamma delta fast key order"))
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = spark.createDataFrame(rows, schema)
+
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, range_width=16, n_groups=2)
+    dm = spark.read.parquet(f"{idx}/doc_map")
+    dead_id = dm.where(F.col("path") == "dead.py").collect()[0]["doc_id"]
+
+    fold_pre = spark.read.parquet(f"{idx}/fold_map").count()
+    deletion.delete_docs(
+        spark, idx, spark.createDataFrame([(dead_id,)], "doc_id long")
+    )
+    rebuilt = deletion.purge_deleted(spark, idx)
+    assert rebuilt, "purge must rebuild at least the dead doc's group"
+    assert not deletion.has_tombstones(idx)
+    fold_post = spark.read.parquet(f"{idx}/fold_map").count()
+    assert fold_post < fold_pre, "deleting the lone twin must un-fold"
+
+    fresh = str(tmp_path / "fresh")
+    build_index(
+        spark, docs.where(F.col("path") != "dead.py"), fresh,
+        range_width=16, n_groups=2,
+    )
+
+    def by_path(index_dir, query):
+        dmp = spark.read.parquet(f"{index_dir}/doc_map").select("doc_id", "path")
+        return {
+            r["path"]: r["score"]
+            for r in search(spark, index_dir, query, k=10**6)
+            .join(dmp, "doc_id")
+            .collect()
+        }
+
+    for q in ("fast key order", "krampus", "KRAMPUS", "alpha beta word7"):
+        assert by_path(idx, q) == by_path(fresh, q), q
+
+
+def test_purge_updates_positions_sidecar(spark, del_idx):
+    from searchengine_spark.operators import phrase, positions
+
+    dm = spark.read.parquet(f"{del_idx}/doc_map").select(
+        "doc_id", "repo", "path", "commit"
+    )
+    docs = (
+        corpus_df(spark, 300, seed=11, partitions=4)
+        .join(dm, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text"))
+        .cache()
+    )
+    positions.build_positions(spark, docs, del_idx)
+    ph = "result flag"
+    pre = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in positions.phrase_count_indexed(spark, del_idx, ph).collect()
+    }
+    assert pre
+    dead = set(list(pre)[::2])
+    deletion.delete_docs(
+        spark, del_idx, spark.createDataFrame([(d,) for d in dead], "doc_id long")
+    )
+    # pre-purge: ranked phrase search already excludes the dead
+    hits = phrase.search_phrase(spark, del_idx, None, ph, k=10**6).collect()
+    assert hits and not ({r["doc_id"] for r in hits} & dead)
+    deletion.purge_deleted(spark, del_idx)
+    post = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in positions.phrase_count_indexed(spark, del_idx, ph).collect()
+    }
+    assert post == {d: c for d, c in pre.items() if d not in dead}
+    want = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase.phrase_match(
+            docs.join(
+                spark.createDataFrame([(d,) for d in dead], "doc_id long"),
+                "doc_id",
+                "left_anti",
+            ),
+            ph,
+        ).collect()
+    }
+    assert post == want
+    docs.unpersist()
+
+
+def test_purge_refuses_total_deletion(spark, tmp_path):
+    rows = [(f"r{i}", f"f{i}.py", "c" * 40, "py", "alpha beta gamma") for i in range(5)]
+    schema = "repo string, path string, commit string, lang string, content string"
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(rows, schema), idx,
+                range_width=16, n_groups=1)
+    deletion.delete_where(spark, idx, "doc_id >= 0")
+    with pytest.raises(ValueError, match="every document"):
+        deletion.purge_deleted(spark, idx)
+
+
+def test_raw_analyzer_symmetric_roundtrip(spark, tmp_path):
+    """analyzer='raw': doc_terms equal the plain lowercase [a-z0-9]+
+    counts, queries parse with the same split (manifest-recorded), and
+    the WAND path equals the declarative cross-check scorer."""
+    import re
+    from collections import Counter
+
+    rows = [
+        ("r", "a.py", "c" * 40, "py", "The FAST the fast; key-order... key! 42"),
+        ("r", "b.py", "c" * 40, "py", "slow merge under key order pressure"),
+        ("r", "c.py", "c" * 40, "py", "fast fast fast key unrelated words"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    docs = spark.createDataFrame(rows, schema)
+    idx = str(tmp_path / "idx")
+    build_index(spark, docs, idx, range_width=16, n_groups=1, analyzer="raw")
+
+    dm = {r["path"]: r["doc_id"]
+          for r in spark.read.parquet(f"{idx}/doc_map").collect()}
+    dt = spark.read.parquet(f"{idx}/doc_terms").toPandas()
+    got = {
+        (int(r.doc_id), r.term): int(r.tf) for r in dt.itertuples(index=False)
+    }
+    want = {}
+    for _, path, _, _, content in rows:
+        c = Counter(re.findall(r"[a-z0-9]+", content.lower()))
+        for t, n in c.items():
+            want[(dm[path], t)] = n
+    assert got == want
+
+    # query parses through the same analyzer: "The FAST" hits 'the'+'fast'
+    out = _rows(search(spark, idx, "The FAST!", k=3))
+    cross = _rows(search_join(spark, idx, "the fast", k=3))
+    assert out and [(d, round(s, 9)) for d, s in out] == [
+        (d, round(s, 9)) for d, s in cross
+    ]
