@@ -174,6 +174,7 @@ def main() -> None:
     # serving path (WAND over the prebuilt layout)
     timed("bm25_packed_cold", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
     timed("bm25_topk_packed", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
+    timed("bool_topk", lambda: QUERIES["bool_topk"](spark, sf_dir).count())
     timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_tombstoned", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_purge_cold", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())

@@ -27,6 +27,9 @@ def main() -> None:
                     "eligibility; scores stay whole-corpus (wand only)")
     ap.add_argument("--csv-out", help="also write (query_id, doc_id, score) "
                     "results as CSV (S5, utils.write_csv parity)")
+    ap.add_argument("--bool", action="store_true",
+                    help="treat each query as a boolean/fielded expression "
+                    '(+must -not field:value "phrase" — operators/boolquery)')
     args = ap.parse_args()
 
     queries = list(args.query)
@@ -39,6 +42,20 @@ def main() -> None:
     from searchengine_spark.session import get_session
 
     spark = get_session(app_name="searchengine-search")
+    if args.bool:
+        if args.where or args.scorer != "wand":
+            raise SystemExit("--bool composes its own filters (no --where/"
+                             "--scorer cosine)")
+        from searchengine_spark.operators.boolquery import search_bool
+
+        for q in queries:
+            hits = [
+                {"doc_id": r["doc_id"], "score": r["score"]}
+                for r in search_bool(spark, args.index_dir, q, k=args.k).collect()
+            ]
+            print(json.dumps({"query": q, "hits": hits}))
+        spark.stop()
+        return
     if args.scorer == "wand":
         from searchengine_spark.operators.wand import search_batch
 

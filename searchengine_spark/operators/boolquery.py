@@ -1,0 +1,241 @@
+"""Boolean / fielded query surface over the packed index.
+
+Beyond-reference query capability (the reference engine is bag-of-words
+only): the conventional search-box grammar —
+
+  ``fast +key -slow lang:python repo:org/x "key order"``
+
+* bare words      rank (BM25) — a doc needs ≥1 of them to score;
+* ``+word``       MUST contain the index term (also contributes to rank);
+* ``-word``       MUST NOT contain the index term;
+* ``field:value`` metadata equality over ``doc_map`` columns
+                  (``repo, path, commit, lang``); ``-field:value``
+                  negates. Values are exact strings (no spaces).
+* ``"..."``       exact phrase (raw-token adjacency — the phrase module's
+                  semantics); its words also contribute to rank.
+
+Everything compiles onto machinery that already exists — no new scorer,
+no new shuffle shape:
+
+* MUST / MUST-NOT terms → their postings' doc-id sets (pushed ``term
+  IN`` scan + the same vectorized gap decode as phrase candidates),
+  intersected / anti-joined DataFrame-side;
+* field clauses → ONE pushed predicate over the doc_map scan;
+* phrases → ``positions.phrase_count_indexed`` when the index has the
+  positional sidecar, else the text-verification path (requires
+  ``docs``);
+* the combined eligibility DataFrame feeds ``search(allowed=...)`` —
+  per-range bitmaps, range semi-join pruning, whole-corpus statistics
+  (eligibility-only semantics: a doc's score is independent of which
+  boolean filters selected it).
+
+Scale shape: each clause is a bounded distributed set (df(term) rows, a
+pushed metadata scan, or a positional probe); the combination is hash
+joins on doc_id; nothing routes through the driver. A MUST-NOT of a
+frequent term stays an anti-join — the complement is never materialized.
+
+Scoring terms are the DISTINCT union of bare, MUST, and phrase words,
+qtf = 1 each (the search-box convention; use ``wand.search_terms`` for
+explicit weights).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FIELD_COLS = ("repo", "path", "commit", "lang")
+
+_CLAUSE_RE = re.compile(
+    r"""
+    (?P<neg>-)?"(?P<phrase>[^"]*)"      # quoted phrase (negatable)
+  | (?P<pneg>[+-])?(?P<field>[a-z_]+):(?P<value>\S+)   # field:value
+  | (?P<tneg>[+-])?(?P<word>\S+)        # bare / +must / -not word
+    """,
+    re.VERBOSE,
+)
+
+
+def parse_bool_query(q: str) -> dict:
+    """Parse the grammar above → clause dict. Raises on an unknown field
+    or an empty/only-negative query (a pure negation has no ranking set —
+    same refusal as an empty query)."""
+    free, must, must_not, phrases, not_phrases, fields = [], [], [], [], [], []
+    for m in _CLAUSE_RE.finditer(q):
+        if m.group("phrase") is not None:
+            (not_phrases if m.group("neg") else phrases).append(m.group("phrase"))
+        elif m.group("field") is not None:
+            f = m.group("field")
+            if f not in FIELD_COLS:
+                raise ValueError(
+                    f"unknown field {f!r} (doc_map metadata: {FIELD_COLS})"
+                )
+            fields.append((f, m.group("value"), m.group("pneg") == "-"))
+        else:
+            w, neg = m.group("word"), m.group("tneg")
+            if neg == "-":
+                must_not.append(w)
+            elif neg == "+":
+                must.append(w)
+            else:
+                free.append(w)
+    if not (free or must or phrases):
+        raise ValueError(
+            "boolean query has no positive ranking clause (bare word, "
+            "+must, or phrase)"
+        )
+    return {
+        "free": free,
+        "must": must,
+        "must_not": must_not,
+        "phrases": phrases,
+        "not_phrases": not_phrases,
+        "fields": fields,
+    }
+
+
+def _postings_ids(spark: SparkSession, index_dir: str, terms: list[str]) -> DataFrame:
+    """Distinct doc ids holding ANY of ``terms`` (already-canonical index
+    terms) — pushed term-IN scan + bulk gap decode, df(term) rows."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_spark.functions.codec import delta_decode, varint_decode
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType())])
+
+    def decode(batches):
+        for b in batches:
+            outs = [
+                delta_decode(varint_decode(gaps, int(n)))
+                for gaps, n in zip(b["gaps"], b["n"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": (
+                        np.concatenate(outs).astype(np.int64)
+                        if outs
+                        else np.array([], dtype=np.int64)
+                    )
+                }
+            )
+
+    return (
+        spark.read.parquet(f"{index_dir}/postings")
+        .where(F.col("term").isin(sorted(terms)))
+        .select("gaps", "n")
+        .mapInPandas(decode, schema)
+        .distinct()
+    )
+
+
+def _resolve(spark, index_dir, word: str) -> list[str]:
+    """One query word → its canonical index term(s) through the index's
+    analyzer + casing fallback (may be several terms if the analyzer
+    splits it; empty if unresolvable)."""
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    return sorted(fold_query_terms(spark, index_dir, word))
+
+
+def search_bool(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    docs: DataFrame | None = None,
+    maxscore: bool = True,
+) -> DataFrame:
+    """Boolean/fielded BM25 top-k → DataFrame(doc_id, score) (module
+    docstring for grammar and semantics).
+
+    Unresolvable words: a MUST that resolves to no index term makes the
+    result empty (it can never be satisfied); a MUST-NOT that resolves to
+    nothing is a no-op; a phrase uses raw-token semantics (independent of
+    the analyzer). ``docs`` is only needed for phrase clauses on an index
+    without the positional sidecar."""
+    from searchengine_spark.operators.phrase import phrase_match
+    from searchengine_spark.operators.positions import (
+        has_positions,
+        phrase_count_indexed,
+    )
+    from searchengine_spark.operators.wand import (
+        RESULT_SCHEMA,
+        _topk_for_qweights,
+        fold_query_terms,
+    )
+
+    c = parse_bool_query(query)
+
+    # --- ranking weights: distinct union of positive words, qtf=1 -------
+    scoring_words = list(
+        dict.fromkeys(
+            c["free"]
+            + c["must"]
+            + [w for p in c["phrases"] for w in p.split()]
+        )
+    )
+    qweights = {
+        t: (1.0, df)
+        for t, (_qtf, df) in fold_query_terms(
+            spark, index_dir, " ".join(scoring_words)
+        ).items()
+    }
+    if not qweights:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+
+    def phrase_ids(p: str) -> DataFrame | None:
+        if has_positions(index_dir):
+            return phrase_count_indexed(spark, index_dir, p).select("doc_id")
+        if docs is None:
+            raise ValueError(
+                f"phrase clause {p!r} needs the positional sidecar "
+                "(operators/positions.build_positions) or the corpus "
+                "DataFrame via docs="
+            )
+        return phrase_match(docs, p).select("doc_id")
+
+    # --- eligibility -----------------------------------------------------
+    allowed: DataFrame | None = None
+
+    def intersect(base, extra):
+        return extra if base is None else base.join(extra, "doc_id", "leftsemi")
+
+    for w in c["must"]:
+        terms = _resolve(spark, index_dir, w)
+        if not terms:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
+    for p in c["phrases"]:
+        allowed = intersect(allowed, phrase_ids(p))
+    pos_fields = [(f, v) for f, v, neg in c["fields"] if not neg]
+    neg_fields = [(f, v) for f, v, neg in c["fields"] if neg]
+    if pos_fields or neg_fields:
+        dm = spark.read.parquet(f"{index_dir}/doc_map")
+        cond = F.lit(True)
+        for f, v in pos_fields:
+            cond = cond & (F.col(f) == v)
+        for f, v in neg_fields:
+            cond = cond & (F.col(f) != v)
+        allowed = intersect(allowed, dm.where(cond).select("doc_id"))
+
+    neg_terms = [
+        t for w in c["must_not"] for t in _resolve(spark, index_dir, w)
+    ]
+    neg_sets = []
+    if neg_terms:
+        neg_sets.append(_postings_ids(spark, index_dir, neg_terms))
+    for p in c["not_phrases"]:
+        neg_sets.append(phrase_ids(p))
+    if neg_sets:
+        if allowed is None:
+            # negation needs a positive universe: the scoring terms'
+            # candidate union (exactly the docs that could score anyway)
+            allowed = _postings_ids(spark, index_dir, sorted(qweights))
+        for ns in neg_sets:
+            allowed = allowed.join(ns, "doc_id", "left_anti")
+
+    return _topk_for_qweights(spark, index_dir, qweights, k, maxscore, allowed)

@@ -933,7 +933,7 @@ def _packed_layout(spark, sf_dir) -> str:
 
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     st = os.stat(src)
-    key = f"v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    key = f"v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     d = os.path.join(
         tempfile.gettempdir(),
         "se_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
@@ -943,9 +943,19 @@ def _packed_layout(spark, sf_dir) -> str:
     ):
         import shutil
 
+        from searchengine_spark.operators.positions import build_positions
+
         shutil.rmtree(d, ignore_errors=True)
-        build_index(
-            spark, _docs_as_corpus(spark, sf_dir), d, n_groups=2, analyzer="raw"
+        corpus = _docs_as_corpus(spark, sf_dir)
+        build_index(spark, corpus, d, n_groups=2, analyzer="raw")
+        # fully-loaded layout: the positional sidecar rides along so the
+        # phrase clause of the boolean entry (and purge's positional
+        # rewrite) run against a real packed index
+        dm = spark.read.parquet(f"{d}/doc_map").select("doc_id", "path")
+        build_positions(
+            spark,
+            corpus.select("path", F.col("content").alias("text")).join(dm, "path"),
+            d,
         )
     return d
 
@@ -974,7 +984,7 @@ def _deleted_layout(spark, sf_dir, purged: bool) -> str:
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     st = os.stat(src)
     kind = "purged" if purged else "tomb"
-    key = f"v1:{kind}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    key = f"v2:{kind}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     d = os.path.join(
         tempfile.gettempdir(),
         f"se_{kind}_" + hashlib.md5(key.encode()).hexdigest()[:10],
@@ -992,14 +1002,11 @@ def _deleted_layout(spark, sf_dir, purged: bool) -> str:
     return d
 
 
-def _packed_topk(spark, layout_dir, k=20):
-    """Packed-index WAND top-k → (original doc_id, score rounded 6dp),
+def _orig_topk(spark, layout_dir, hits, k=20):
+    """Packed-index hits → (original doc_id, score rounded 6dp),
     re-sorted on the ROUNDED score like the oracle (a 6dp tie must break
-    on doc_id identically on both sides); k=60 buffer absorbs rounding
-    re-orderings at the cut."""
-    from searchengine_spark.operators.wand import search
-
-    hits = search(spark, layout_dir, " ".join(QTERMS), k=60)
+    on doc_id identically on both sides); the caller over-fetches so
+    rounding re-orderings at the cut are absorbed."""
     dm = spark.read.parquet(f"{layout_dir}/doc_map").select(
         "doc_id", F.substring("path", 5, 30).cast("long").alias("orig_id")
     )
@@ -1011,6 +1018,14 @@ def _packed_topk(spark, layout_dir, k=20):
         )
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def _packed_topk(spark, layout_dir, k=20):
+    from searchengine_spark.operators.wand import search
+
+    return _orig_topk(
+        spark, layout_dir, search(spark, layout_dir, " ".join(QTERMS), k=60), k
     )
 
 
@@ -1039,6 +1054,23 @@ def q_bm25_after_delete(spark, sf_dir):
     over the SURVIVING corpus only, so a hash match proves purge moved
     the whole statistics world, not just the posting rows."""
     return _packed_topk(spark, _deleted_layout(spark, sf_dir, purged=True))
+
+
+BOOL_QUERY = 'fast +key -slow lang:en "key order"'
+
+
+def q_bool_topk(spark, sf_dir):
+    """Boolean/fielded retrieval over the PACKED index, hash-gated
+    end-to-end (operators/boolquery.py): must/must-not term sets decoded
+    from postings, a pushed doc_map field predicate, a positional-sidecar
+    phrase clause, all intersected into the eligibility bitmaps of the
+    WAND scorer — whole-corpus statistics, rank by the distinct positive
+    words. The oracle restates every clause in SQL over the documents
+    table."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(spark, layout, search_bool(spark, layout, BOOL_QUERY, k=60))
 
 
 def q_phrase_match_idx(spark, sf_dir):
@@ -1389,6 +1421,7 @@ QUERIES = {
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_tombstoned": q_bm25_tombstoned,
     "bm25_after_delete": q_bm25_after_delete,
+    "bool_topk": q_bool_topk,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -1990,5 +2023,37 @@ ORACLES["bm25_after_delete"] = (
     f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
     f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
     f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# boolean/fielded retrieval: every clause restated in SQL — must (term
+# containment), must-not (anti), field equality, phrase adjacency (the
+# phrase_match gram formulation) — whole-corpus statistics, rank terms =
+# distinct positive words {fast, key, order}
+ORACLES["bool_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " t AS (SELECT doc_id,"
+    "   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    "               x -> x <> '') AS arr FROM documents),"
+    " ph AS (SELECT DISTINCT doc_id FROM ("
+    "   SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS gram"
+    "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i"
+    "         FROM t WHERE len(arr) >= 2))"
+    "   WHERE gram = 'key order'),"
+    " el AS (SELECT d.doc_id FROM documents d"
+    "   WHERE d.lang = 'en'"
+    "     AND d.doc_id IN (SELECT doc_id FROM dt WHERE term = 'key')"
+    "     AND d.doc_id NOT IN (SELECT doc_id FROM dt WHERE term = 'slow')"
+    "     AND d.doc_id IN (SELECT doc_id FROM ph))"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ('fast','key','order')"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
 )

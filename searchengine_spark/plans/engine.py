@@ -30,6 +30,43 @@ class SparkSearchEngine:
         fn = search if method == "wand" else search_join
         return fn(self.spark, self.index_dir, query, k)
 
+    def search_bool(self, query: str, k: int = 10,
+                    docs: DataFrame | None = None) -> DataFrame:
+        """Boolean/fielded grammar: ``fast +key -slow lang:python
+        "key order"`` (operators/boolquery.py)."""
+        from searchengine_spark.operators.boolquery import search_bool
+
+        return search_bool(self.spark, self.index_dir, query, k=k, docs=docs)
+
+    def search_phrase(self, phrase: str, k: int = 10,
+                      docs: DataFrame | None = None) -> DataFrame:
+        """Exact-phrase BM25; index-only when the positional sidecar is
+        built (operators/positions.build_positions), else needs ``docs``."""
+        from searchengine_spark.operators.phrase import search_phrase
+
+        return search_phrase(self.spark, self.index_dir, docs, phrase, k=k)
+
+    def build_positions(self, docs: DataFrame, **kw) -> None:
+        from searchengine_spark.operators.positions import build_positions
+
+        build_positions(self.spark, docs, self.index_dir, **kw)
+
+    def delete(self, where: str | None = None,
+               doc_ids: DataFrame | None = None, purge: bool = False) -> int:
+        """Tombstone docs by doc_map predicate or explicit ids; ``purge``
+        physically rebuilds the affected groups (operators/deletion.py)."""
+        from searchengine_spark.operators import deletion
+
+        if (where is None) == (doc_ids is None):
+            raise ValueError("exactly one of where=/doc_ids= required")
+        if where is not None:
+            n = deletion.delete_where(self.spark, self.index_dir, where)
+        else:
+            n = deletion.delete_docs(self.spark, self.index_dir, doc_ids)
+        if purge:
+            deletion.purge_deleted(self.spark, self.index_dir)
+        return n
+
     @property
     def manifest(self) -> Manifest:
         return Manifest(self.index_dir)

@@ -1,0 +1,145 @@
+"""Boolean/fielded query surface (operators/boolquery.py): grammar,
+clause semantics (must / must-not / field / phrase), eligibility-only
+scoring, and equivalence to manually composed search(allowed=...)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import boolquery as bq
+from searchengine_spark.operators.wand import search
+from searchengine_spark.sources.corpus import corpus_df
+
+QUERY_TERM = "result"
+
+
+@pytest.fixture(scope="module")
+def docs(spark, index_1k):
+    corpus = corpus_df(spark, 1000, seed=42, partitions=6)
+    dm = spark.read.parquet(f"{index_1k}/doc_map").select(
+        "doc_id", "repo", "path", "commit"
+    )
+    return (
+        corpus.join(dm, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text"))
+        .cache()
+    )
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def test_parser_clauses():
+    c = bq.parse_bool_query('fast +key -slow lang:python -repo:org0/repo0 "key order"')
+    assert c["free"] == ["fast"]
+    assert c["must"] == ["key"]
+    assert c["must_not"] == ["slow"]
+    assert c["phrases"] == ["key order"]
+    assert c["fields"] == [("lang", "python", False), ("repo", "org0/repo0", True)]
+    c2 = bq.parse_bool_query('-"bad phrase" good')
+    assert c2["not_phrases"] == ["bad phrase"] and c2["free"] == ["good"]
+
+
+def test_parser_rejections():
+    with pytest.raises(ValueError, match="unknown field"):
+        bq.parse_bool_query("nosuchfield:x term")
+    with pytest.raises(ValueError, match="no positive"):
+        bq.parse_bool_query("-only -negatives lang:python")
+
+
+def test_bare_words_equal_plain_search(spark, index_1k):
+    got = _rows(bq.search_bool(spark, index_1k, "fast key order", k=15))
+    want = _rows(search(spark, index_1k, "fast key order", k=15))
+    assert got == want and got
+
+
+def test_must_restricts_and_keeps_scores(spark, index_1k):
+    full = dict(_rows(search(spark, index_1k, "fast result", k=10**6)))
+    got = _rows(bq.search_bool(spark, index_1k, f"fast +{QUERY_TERM}", k=10**6))
+    assert got
+    holders = {
+        r["doc_id"]
+        for r in bq._postings_ids(
+            spark, index_1k, bq._resolve(spark, index_1k, QUERY_TERM)
+        ).collect()
+    }
+    assert {d for d, _ in got} == set(full) & holders
+    # eligibility-only: surviving scores equal the unfiltered ones
+    assert all(full[d] == s for d, s in got)
+
+
+def test_must_not_excludes(spark, index_1k):
+    holders = {
+        r["doc_id"]
+        for r in bq._postings_ids(
+            spark, index_1k, bq._resolve(spark, index_1k, QUERY_TERM)
+        ).collect()
+    }
+    got = _rows(bq.search_bool(spark, index_1k, f"fast key -{QUERY_TERM}", k=10**6))
+    assert got and not ({d for d, _ in got} & holders)
+    full = dict(_rows(search(spark, index_1k, "fast key", k=10**6)))
+    assert {d for d, _ in got} == set(full) - holders
+    assert all(full[d] == s for d, s in got)
+
+
+def test_field_clause(spark, index_1k):
+    dm = spark.read.parquet(f"{index_1k}/doc_map")
+    py = {r["doc_id"] for r in dm.where("lang = 'python'").collect()}
+    got = _rows(bq.search_bool(spark, index_1k, "fast key lang:python", k=10**6))
+    assert got and {d for d, _ in got} <= py
+    neg = _rows(bq.search_bool(spark, index_1k, "fast key -lang:python", k=10**6))
+    assert neg and not ({d for d, _ in neg} & py)
+    assert {d for d, _ in got} | {d for d, _ in neg} == {
+        d for d, _ in _rows(search(spark, index_1k, "fast key", k=10**6))
+    }
+
+
+def test_phrase_clause_text_fallback_and_positions(spark, index_1k, docs, tmp_path):
+    from searchengine_spark.operators import positions
+    from searchengine_spark.operators.phrase import phrase_match
+
+    ph = "result flag"
+    matchers = {r["doc_id"] for r in phrase_match(docs, ph).collect()}
+    assert matchers
+    got = _rows(bq.search_bool(spark, index_1k, f'fast "{ph}"', k=10**6, docs=docs))
+    assert got and {d for d, _ in got} <= matchers
+    # no sidecar, no docs → loud error
+    with pytest.raises(ValueError, match="positional sidecar"):
+        bq.search_bool(spark, index_1k, f'fast "{ph}"', k=5)
+    # with the sidecar: identical results, no docs needed
+    import shutil
+
+    idx2 = str(tmp_path / "idx2")
+    shutil.copytree(index_1k, idx2)
+    positions.build_positions(spark, docs, idx2)
+    got2 = _rows(bq.search_bool(spark, idx2, f'fast "{ph}"', k=10**6))
+    assert got2 == got
+
+
+def test_composed_query_matches_manual_allowed(spark, index_1k, docs):
+    from searchengine_spark.operators.phrase import phrase_match
+
+    q = 'fast +key -order lang:c "result flag"'
+    got = _rows(bq.search_bool(spark, index_1k, q, k=10**6, docs=docs))
+    dm = spark.read.parquet(f"{index_1k}/doc_map")
+    manual = (
+        bq._postings_ids(spark, index_1k, bq._resolve(spark, index_1k, "key"))
+        .join(phrase_match(docs, "result flag").select("doc_id"), "doc_id", "leftsemi")
+        .join(dm.where("lang = 'c'").select("doc_id"), "doc_id", "leftsemi")
+        .join(
+            bq._postings_ids(spark, index_1k, bq._resolve(spark, index_1k, "order")),
+            "doc_id",
+            "left_anti",
+        )
+    )
+    want = _rows(
+        search(spark, index_1k, "fast key result flag", k=10**6, allowed=manual)
+    )
+    assert got == want and len(got) > 0
+
+
+def test_unresolvable_must_is_empty_and_not_is_noop(spark, index_1k):
+    assert bq.search_bool(spark, index_1k, "fast +zzzunseen", k=5).count() == 0
+    a = _rows(bq.search_bool(spark, index_1k, "fast key -zzzunseen", k=10))
+    b = _rows(search(spark, index_1k, "fast key", k=10))
+    assert a == b
