@@ -8,6 +8,12 @@ only): the conventional search-box grammar —
 * bare words      rank (BM25) — a doc needs ≥1 of them to score;
 * ``+word``       MUST contain the index term (also contributes to rank);
 * ``-word``       MUST NOT contain the index term;
+* ``word*``       trailing-wildcard prefix: expands against the term
+                  dictionary (case-insensitive, ``max_expansions``-capped
+                  with a LOUD overflow error — never a silent truncation)
+                  into an OR of index terms, each scoring with its own
+                  idf (the Lucene multi-term-query shape); composes with
+                  ``+``/``-``;
 * ``field:value`` metadata equality over ``doc_map`` columns
                   (``repo, path, commit, lang``); ``-field:value``
                   negates. Values are exact strings (no spaces).
@@ -132,6 +138,32 @@ def _postings_ids(spark: SparkSession, index_dir: str, terms: list[str]) -> Data
     )
 
 
+def expand_prefix(
+    spark: SparkSession, index_dir: str, prefix: str, max_expansions: int = 1024
+) -> dict:
+    """``prefix`` → {index term: df} for every vocabulary term starting
+    with it (case-insensitive). One narrow scan of the |V|-row term
+    dictionary (the same tiny job as a term lookup — at a 10^7-term
+    production vocabulary this is a serving-tier broadcast dict anyway,
+    SCALE.md "Query path"). Raises LOUDLY past ``max_expansions``:
+    a too-broad wildcard must fail, not silently drop terms."""
+    if not prefix:
+        raise ValueError("empty wildcard prefix")
+    rows = (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .where(F.lower(F.col("term")).startswith(prefix.lower()))
+        .select("term", "df")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"wildcard {prefix!r}* expands past max_expansions="
+            f"{max_expansions}; narrow the prefix or raise the cap"
+        )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
 def _resolve(spark, index_dir, word: str) -> list[str]:
     """One query word → its canonical index term(s) through the index's
     analyzer + casing fallback (may be several terms if the analyzer
@@ -148,6 +180,7 @@ def search_bool(
     k: int = 10,
     docs: DataFrame | None = None,
     maxscore: bool = True,
+    max_expansions: int = 1024,
 ) -> DataFrame:
     """Boolean/fielded BM25 top-k → DataFrame(doc_id, score) (module
     docstring for grammar and semantics).
@@ -170,11 +203,24 @@ def search_bool(
 
     c = parse_bool_query(query)
 
-    # --- ranking weights: distinct union of positive words, qtf=1 -------
+    def split_wild(words):
+        lit = [w for w in words if not w.endswith("*")]
+        wild = [w[:-1] for w in words if w.endswith("*")]
+        return lit, wild
+
+    free_lit, free_wild = split_wild(c["free"])
+    must_lit, must_wild = split_wild(c["must"])
+    not_lit, not_wild = split_wild(c["must_not"])
+
+    def expansions(prefix: str) -> dict:
+        return expand_prefix(spark, index_dir, prefix, max_expansions)
+
+    # --- ranking weights: distinct union of positive words (wildcards
+    # expand to every matching index term, each with its own idf), qtf=1
     scoring_words = list(
         dict.fromkeys(
-            c["free"]
-            + c["must"]
+            free_lit
+            + must_lit
             + [w for p in c["phrases"] for w in p.split()]
         )
     )
@@ -184,6 +230,11 @@ def search_bool(
             spark, index_dir, " ".join(scoring_words)
         ).items()
     }
+    pos_wild_terms: dict[str, dict] = {}
+    for prefix in dict.fromkeys(free_wild + must_wild):
+        pos_wild_terms[prefix] = expansions(prefix)
+        for t, df in pos_wild_terms[prefix].items():
+            qweights.setdefault(t, (1.0, df))
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -204,8 +255,13 @@ def search_bool(
     def intersect(base, extra):
         return extra if base is None else base.join(extra, "doc_id", "leftsemi")
 
-    for w in c["must"]:
+    for w in must_lit:
         terms = _resolve(spark, index_dir, w)
+        if not terms:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
+    for prefix in must_wild:
+        terms = sorted(pos_wild_terms[prefix])
         if not terms:
             return spark.createDataFrame([], RESULT_SCHEMA)
         allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
@@ -222,9 +278,9 @@ def search_bool(
             cond = cond & (F.col(f) != v)
         allowed = intersect(allowed, dm.where(cond).select("doc_id"))
 
-    neg_terms = [
-        t for w in c["must_not"] for t in _resolve(spark, index_dir, w)
-    ]
+    neg_terms = [t for w in not_lit for t in _resolve(spark, index_dir, w)]
+    for prefix in not_wild:
+        neg_terms.extend(sorted(expansions(prefix)))
     neg_sets = []
     if neg_terms:
         neg_sets.append(_postings_ids(spark, index_dir, neg_terms))

@@ -1073,6 +1073,23 @@ def q_bool_topk(spark, sf_dir):
     return _orig_topk(spark, layout, search_bool(spark, layout, BOOL_QUERY, k=60))
 
 
+WILDCARD_QUERY = "fa* +key"
+
+
+def q_wildcard_topk(spark, sf_dir):
+    """Trailing-wildcard retrieval over the PACKED index, hash-gated:
+    'fa*' expands against the term dictionary (capped, loud overflow)
+    into an OR of index terms each scoring with its own idf, intersected
+    with the +key containment set. The oracle restates the expansion as
+    a vocabulary LIKE."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, WILDCARD_QUERY, k=60)
+    )
+
+
 def q_phrase_match_idx(spark, sf_dir):
     """Phrase occurrence counts answered ENTIRELY from the positional
     sidecar (operators/positions.py): pushed term-IN scan of the
@@ -1422,6 +1439,7 @@ QUERIES = {
     "bm25_tombstoned": q_bm25_tombstoned,
     "bm25_after_delete": q_bm25_after_delete,
     "bool_topk": q_bool_topk,
+    "wildcard_topk": q_wildcard_topk,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -2054,6 +2072,26 @@ ORACLES["bool_topk"] = (
     f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
     f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
     " CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ('fast','key','order')"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# wildcard: the prefix expansion is a vocabulary LIKE, ranked as an OR
+# of the matching terms (each with its own idf) over docs holding 'key'
+ORACLES["wildcard_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " qt AS (SELECT term FROM td WHERE term LIKE 'fa%' OR term = 'key'),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad"
+    " WHERE dt.term IN (SELECT term FROM qt)"
     " AND dt.doc_id IN (SELECT doc_id FROM el)"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
 )

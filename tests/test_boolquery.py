@@ -143,3 +143,38 @@ def test_unresolvable_must_is_empty_and_not_is_noop(spark, index_1k):
     a = _rows(bq.search_bool(spark, index_1k, "fast key -zzzunseen", k=10))
     b = _rows(search(spark, index_1k, "fast key", k=10))
     assert a == b
+
+
+def test_wildcard_expansion_and_scoring(spark, index_1k):
+    from searchengine_spark.operators.wand import search_terms
+
+    exp = bq.expand_prefix(spark, index_1k, "resu")
+    assert exp and all(t.lower().startswith("resu") for t in exp)
+    got = _rows(bq.search_bool(spark, index_1k, "resu*", k=25))
+    want = _rows(
+        search_terms(spark, index_1k, {t: 1.0 for t in exp}, k=25)
+    )
+    assert got == want and got
+
+
+def test_wildcard_must_and_not(spark, index_1k):
+    exp = bq.expand_prefix(spark, index_1k, "resu")
+    holders = {
+        r["doc_id"]
+        for r in bq._postings_ids(spark, index_1k, sorted(exp)).collect()
+    }
+    got = _rows(bq.search_bool(spark, index_1k, "fast +resu*", k=10**6))
+    full = dict(_rows(search(spark, index_1k, "fast " + " ".join(exp), k=10**6)))
+    assert got and {d for d, _ in got} == set(full) & holders
+    neg = _rows(bq.search_bool(spark, index_1k, "fast key -resu*", k=10**6))
+    assert neg and not ({d for d, _ in neg} & holders)
+
+
+def test_wildcard_cap_raises(spark, index_1k):
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.search_bool(spark, index_1k, "r*", k=5, max_expansions=2)
+    # unmatchable prefix: free -> empty result; must-not -> no-op
+    assert bq.search_bool(spark, index_1k, "zzz*", k=5).count() == 0
+    a = _rows(bq.search_bool(spark, index_1k, "fast key -zzz*", k=10))
+    b = _rows(search(spark, index_1k, "fast key", k=10))
+    assert a == b
