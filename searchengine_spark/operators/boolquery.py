@@ -14,6 +14,10 @@ only): the conventional search-box grammar —
                   into an OR of index terms, each scoring with its own
                   idf (the Lucene multi-term-query shape); composes with
                   ``+``/``-``;
+* ``word~`` / ``word~2``  fuzzy: expands to every vocabulary term within
+                  Levenshtein distance 1 (or N) — one narrow term-dict
+                  scan with the JVM ``levenshtein`` expression, same cap
+                  and scoring shape as wildcards; composes with ``+``/``-``;
 * ``field:value`` metadata equality over ``doc_map`` columns
                   (``repo, path, commit, lang``); ``-field:value``
                   negates. Values are exact strings (no spaces).
@@ -164,6 +168,76 @@ def expand_prefix(
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+def expand_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    word: str,
+    max_dist: int = 1,
+    max_expansions: int = 64,
+) -> dict:
+    """``word`` → {index term: df} for every vocabulary term within
+    Levenshtein distance ``max_dist`` (case-insensitive). One narrow
+    |V|-row scan evaluating the JVM ``levenshtein`` expression (Spark
+    ships the bounded-threshold variant, so far-away terms bail early);
+    a production serving tier swaps in a deletion-neighborhood /
+    Levenshtein-automaton table, same contract. Caps LOUDLY like
+    :func:`expand_prefix`."""
+    if not word:
+        raise ValueError("empty fuzzy term")
+    rows = (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .where(
+            F.levenshtein(F.lower(F.col("term")), F.lit(word.lower()), max_dist)
+            >= 0
+        )
+        .select("term", "df")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"fuzzy {word!r}~{max_dist} expands past max_expansions="
+            f"{max_expansions}; lower the distance or raise the cap"
+        )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    k: int = 20,
+) -> DataFrame:
+    """Facet aggregation over the query's FULL matcher set (every doc
+    holding ≥1 resolved query term — exactly the docs that would score
+    nonzero) → DataFrame(``field``, n_docs) ordered (n_docs desc, value
+    asc) LIMIT k. The search-results-page sidebar, distributed: postings
+    union (pushed term-IN scan + bulk gap decode) ⋈ doc_map, one
+    map-side-combined groupBy — never routes through the scorer or the
+    driver. Honors tombstones (deleted docs don't count)."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    if field not in FIELD_COLS:
+        raise ValueError(f"unknown field {field!r} (doc_map: {FIELD_COLS})")
+    qweights = fold_query_terms(spark, index_dir, query)
+    out_schema = f"{field} string, n_docs long"
+    if not qweights:
+        return spark.createDataFrame([], out_schema)
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    dm = spark.read.parquet(f"{index_dir}/doc_map").select("doc_id", field)
+    return (
+        matchers.join(dm, "doc_id")
+        .groupBy(field)
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc(field))
+        .limit(k)
+    )
+
+
 def _resolve(spark, index_dir, word: str) -> list[str]:
     """One query word → its canonical index term(s) through the index's
     analyzer + casing fallback (may be several terms if the analyzer
@@ -202,15 +276,23 @@ def search_bool(
     )
 
     c = parse_bool_query(query)
+    fuzzy_re = re.compile(r"^(.+?)~(\d*)$")
 
     def split_wild(words):
-        lit = [w for w in words if not w.endswith("*")]
-        wild = [w[:-1] for w in words if w.endswith("*")]
-        return lit, wild
+        lit, wild, fuzz = [], [], []
+        for w in words:
+            m = fuzzy_re.match(w)
+            if m:
+                fuzz.append((m.group(1), int(m.group(2) or 1)))
+            elif w.endswith("*"):
+                wild.append(w[:-1])
+            else:
+                lit.append(w)
+        return lit, wild, fuzz
 
-    free_lit, free_wild = split_wild(c["free"])
-    must_lit, must_wild = split_wild(c["must"])
-    not_lit, not_wild = split_wild(c["must_not"])
+    free_lit, free_wild, free_fuzz = split_wild(c["free"])
+    must_lit, must_wild, must_fuzz = split_wild(c["must"])
+    not_lit, not_wild, not_fuzz = split_wild(c["must_not"])
 
     def expansions(prefix: str) -> dict:
         return expand_prefix(spark, index_dir, prefix, max_expansions)
@@ -234,6 +316,11 @@ def search_bool(
     for prefix in dict.fromkeys(free_wild + must_wild):
         pos_wild_terms[prefix] = expansions(prefix)
         for t, df in pos_wild_terms[prefix].items():
+            qweights.setdefault(t, (1.0, df))
+    pos_fuzz_terms: dict[tuple, dict] = {}
+    for wf in dict.fromkeys(free_fuzz + must_fuzz):
+        pos_fuzz_terms[wf] = expand_fuzzy(spark, index_dir, wf[0], wf[1])
+        for t, df in pos_fuzz_terms[wf].items():
             qweights.setdefault(t, (1.0, df))
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
@@ -265,6 +352,11 @@ def search_bool(
         if not terms:
             return spark.createDataFrame([], RESULT_SCHEMA)
         allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
+    for wf in must_fuzz:
+        terms = sorted(pos_fuzz_terms[wf])
+        if not terms:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
     for p in c["phrases"]:
         allowed = intersect(allowed, phrase_ids(p))
     pos_fields = [(f, v) for f, v, neg in c["fields"] if not neg]
@@ -281,6 +373,8 @@ def search_bool(
     neg_terms = [t for w in not_lit for t in _resolve(spark, index_dir, w)]
     for prefix in not_wild:
         neg_terms.extend(sorted(expansions(prefix)))
+    for w, d in not_fuzz:
+        neg_terms.extend(sorted(expand_fuzzy(spark, index_dir, w, d)))
     neg_sets = []
     if neg_terms:
         neg_sets.append(_postings_ids(spark, index_dir, neg_terms))

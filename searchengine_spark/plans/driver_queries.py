@@ -1090,6 +1090,35 @@ def q_wildcard_topk(spark, sf_dir):
     )
 
 
+FUZZY_QUERY = "fazt~ +key"  # 'fazt' is edit-distance 1 from 'fast'
+
+
+def q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy retrieval over the PACKED index, hash-gated: 'fazt~'
+    expands to every vocabulary term within Levenshtein distance 1 (one
+    narrow term-dict scan, JVM levenshtein with early-bail threshold),
+    each scoring with its own idf, intersected with +key containment.
+    Oracle: DuckDB levenshtein over the vocabulary."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, FUZZY_QUERY, k=60)
+    )
+
+
+def q_facet_counts(spark, sf_dir):
+    """Facet aggregation over the query's full matcher set (every doc
+    holding ≥1 query term — the search-results sidebar): postings-union
+    doc ids ⋈ doc_map, one map-side-combined groupBy(lang). Runs over
+    the packed layout; the documents table's lang column rides into its
+    doc_map unchanged, so the oracle groups the same population."""
+    from searchengine_spark.operators.boolquery import facet_counts
+
+    layout = _packed_layout(spark, sf_dir)
+    return facet_counts(spark, layout, " ".join(QTERMS), "lang")
+
+
 def q_phrase_match_idx(spark, sf_dir):
     """Phrase occurrence counts answered ENTIRELY from the positional
     sidecar (operators/positions.py): pushed term-IN scan of the
@@ -1440,6 +1469,8 @@ QUERIES = {
     "bm25_after_delete": q_bm25_after_delete,
     "bool_topk": q_bool_topk,
     "wildcard_topk": q_wildcard_topk,
+    "fuzzy_topk": q_fuzzy_topk,
+    "facet_counts": q_facet_counts,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -2094,4 +2125,34 @@ ORACLES["wildcard_topk"] = (
     " WHERE dt.term IN (SELECT term FROM qt)"
     " AND dt.doc_id IN (SELECT doc_id FROM el)"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# fuzzy: the expansion is a vocabulary levenshtein scan, ranked as an OR
+# of matching terms over docs holding 'key'
+ORACLES["fuzzy_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " qt AS (SELECT term FROM td WHERE levenshtein(term, 'fazt') <= 1"
+    "        OR term = 'key'),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad"
+    " WHERE dt.term IN (SELECT term FROM qt)"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# facet counts: every doc holding >=1 query term, grouped by lang
+ORACLES["facet_counts"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST}))"
+    " SELECT lang, CAST(count(*) AS BIGINT) AS n_docs"
+    " FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"
+    " GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 20"
 )

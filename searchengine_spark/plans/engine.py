@@ -38,6 +38,13 @@ class SparkSearchEngine:
 
         return search_bool(self.spark, self.index_dir, query, k=k, docs=docs)
 
+    def facet_counts(self, query: str, field: str, k: int = 20) -> DataFrame:
+        """Facet aggregation over the query's full matcher set
+        (operators/boolquery.facet_counts)."""
+        from searchengine_spark.operators.boolquery import facet_counts
+
+        return facet_counts(self.spark, self.index_dir, query, field, k=k)
+
     def search_phrase(self, phrase: str, k: int = 10,
                       docs: DataFrame | None = None) -> DataFrame:
         """Exact-phrase BM25; index-only when the positional sidecar is

@@ -178,3 +178,56 @@ def test_wildcard_cap_raises(spark, index_1k):
     a = _rows(bq.search_bool(spark, index_1k, "fast key -zzz*", k=10))
     b = _rows(search(spark, index_1k, "fast key", k=10))
     assert a == b
+
+
+def test_fuzzy_expansion_and_scoring(spark, index_1k):
+    from searchengine_spark.operators.wand import search_terms
+
+    exp = bq.expand_fuzzy(spark, index_1k, "resutl", max_dist=2)
+    assert "result" in exp
+    got = _rows(bq.search_bool(spark, index_1k, "resutl~2", k=25))
+    want = _rows(search_terms(spark, index_1k, {t: 1.0 for t in exp}, k=25))
+    assert got == want and got
+    # distance 1 from a real term: typo 'resuly' -> result
+    assert "result" in bq.expand_fuzzy(spark, index_1k, "resuly")
+    # composes with must-not
+    holders = {
+        r["doc_id"]
+        for r in bq._postings_ids(
+            spark, index_1k, sorted(bq.expand_fuzzy(spark, index_1k, "resuly"))
+        ).collect()
+    }
+    neg = _rows(bq.search_bool(spark, index_1k, "fast key -resuly~", k=10**6))
+    assert neg and not ({d for d, _ in neg} & holders)
+
+
+def test_fuzzy_cap_raises(spark, index_1k):
+    # dist 0 matches exactly the term itself; cap 0 must refuse loudly
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.expand_fuzzy(
+            spark, index_1k, "result", max_dist=0, max_expansions=0
+        )
+
+
+def test_facet_counts(spark, index_1k):
+    got = {
+        r["lang"]: r["n_docs"]
+        for r in bq.facet_counts(spark, index_1k, "fast key", "lang").collect()
+    }
+    matchers = {
+        r["doc_id"]
+        for r in bq._postings_ids(
+            spark,
+            index_1k,
+            sorted(bq._resolve(spark, index_1k, "fast"))
+            + sorted(bq._resolve(spark, index_1k, "key")),
+        ).collect()
+    }
+    dm = spark.read.parquet(f"{index_1k}/doc_map").toPandas()
+    want = (
+        dm[dm["doc_id"].isin(matchers)].groupby("lang").size().to_dict()
+    )
+    assert got == want and sum(got.values()) == len(matchers)
+    with pytest.raises(ValueError, match="unknown field"):
+        bq.facet_counts(spark, index_1k, "fast", "nosuch")
+    assert bq.facet_counts(spark, index_1k, "zzzunseen", "lang").count() == 0
