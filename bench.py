@@ -178,6 +178,8 @@ def main() -> None:
     timed("wildcard_topk", lambda: QUERIES["wildcard_topk"](spark, sf_dir).count())
     timed("fuzzy_topk", lambda: QUERIES["fuzzy_topk"](spark, sf_dir).count())
     timed("facet_counts", lambda: QUERIES["facet_counts"](spark, sf_dir).count())
+    timed("boosted_topk", lambda: QUERIES["boosted_topk"](spark, sf_dir).count())
+    timed("near_match", lambda: QUERIES["near_match"](spark, sf_dir).count())
     timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_tombstoned", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_purge_cold", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())

@@ -18,6 +18,13 @@ only): the conventional search-box grammar —
                   Levenshtein distance 1 (or N) — one narrow term-dict
                   scan with the JVM ``levenshtein`` expression, same cap
                   and scoring shape as wildcards; composes with ``+``/``-``;
+* ``word^2.5``    query-time boost: the word's terms score with weight
+                  2.5 instead of 1 (a pure scorer-weight change — the
+                  WAND bounds scale with it, so pruning stays safe).
+                  Outermost suffix: ``tok*^2`` boosts every expansion.
+                  A term reached via several clauses takes the MAX boost
+                  (the unboosted default is 1, so plain queries are
+                  unchanged);
 * ``field:value`` metadata equality over ``doc_map`` columns
                   (``repo, path, commit, lang``); ``-field:value``
                   negates. Values are exact strings (no spaces).
@@ -276,52 +283,65 @@ def search_bool(
     )
 
     c = parse_bool_query(query)
+    boost_re = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
     fuzzy_re = re.compile(r"^(.+?)~(\d*)$")
 
     def split_wild(words):
+        """word → (literal | prefix* | fuzzy~) with an optional outermost
+        ^boost suffix."""
         lit, wild, fuzz = [], [], []
         for w in words:
+            boost = 1.0
+            mb = boost_re.match(w)
+            if mb:
+                w, boost = mb.group(1), float(mb.group(2))
             m = fuzzy_re.match(w)
             if m:
-                fuzz.append((m.group(1), int(m.group(2) or 1)))
+                fuzz.append((m.group(1), int(m.group(2) or 1), boost))
             elif w.endswith("*"):
-                wild.append(w[:-1])
+                wild.append((w[:-1], boost))
             else:
-                lit.append(w)
+                lit.append((w, boost))
         return lit, wild, fuzz
 
     free_lit, free_wild, free_fuzz = split_wild(c["free"])
     must_lit, must_wild, must_fuzz = split_wild(c["must"])
-    not_lit, not_wild, not_fuzz = split_wild(c["must_not"])
+    not_lit, not_wild, not_fuzz = split_wild(
+        c["must_not"]
+    )  # boosts on negations parse but are meaningless
 
     def expansions(prefix: str) -> dict:
         return expand_prefix(spark, index_dir, prefix, max_expansions)
 
-    # --- ranking weights: distinct union of positive words (wildcards
-    # expand to every matching index term, each with its own idf), qtf=1
-    scoring_words = list(
-        dict.fromkeys(
-            free_lit
-            + must_lit
-            + [w for p in c["phrases"] for w in p.split()]
+    # --- ranking weights: union of positive words; a term's weight is
+    # the MAX boost over the clauses that reach it (default 1, so plain
+    # queries are unchanged); wildcards/fuzzies expand to every matching
+    # index term, each with its own idf
+    qweights: dict = {}
+
+    def add_terms(term_dfs: dict, boost: float):
+        for t, df in term_dfs.items():
+            prev, _ = qweights.get(t, (0.0, df))
+            qweights[t] = (max(prev, boost), df)
+
+    word_boosts = list(free_lit) + list(must_lit) + [
+        (w, 1.0) for p in c["phrases"] for w in p.split()
+    ]
+    for w, boost in word_boosts:
+        add_terms(
+            {t: df for t, (_q, df) in fold_query_terms(spark, index_dir, w).items()},
+            boost,
         )
-    )
-    qweights = {
-        t: (1.0, df)
-        for t, (_qtf, df) in fold_query_terms(
-            spark, index_dir, " ".join(scoring_words)
-        ).items()
-    }
     pos_wild_terms: dict[str, dict] = {}
-    for prefix in dict.fromkeys(free_wild + must_wild):
-        pos_wild_terms[prefix] = expansions(prefix)
-        for t, df in pos_wild_terms[prefix].items():
-            qweights.setdefault(t, (1.0, df))
+    for prefix, boost in dict.fromkeys(free_wild + must_wild):
+        if prefix not in pos_wild_terms:
+            pos_wild_terms[prefix] = expansions(prefix)
+        add_terms(pos_wild_terms[prefix], boost)
     pos_fuzz_terms: dict[tuple, dict] = {}
-    for wf in dict.fromkeys(free_fuzz + must_fuzz):
-        pos_fuzz_terms[wf] = expand_fuzzy(spark, index_dir, wf[0], wf[1])
-        for t, df in pos_fuzz_terms[wf].items():
-            qweights.setdefault(t, (1.0, df))
+    for w, d, boost in dict.fromkeys(free_fuzz + must_fuzz):
+        if (w, d) not in pos_fuzz_terms:
+            pos_fuzz_terms[(w, d)] = expand_fuzzy(spark, index_dir, w, d)
+        add_terms(pos_fuzz_terms[(w, d)], boost)
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -342,18 +362,18 @@ def search_bool(
     def intersect(base, extra):
         return extra if base is None else base.join(extra, "doc_id", "leftsemi")
 
-    for w in must_lit:
+    for w, _b in must_lit:
         terms = _resolve(spark, index_dir, w)
         if not terms:
             return spark.createDataFrame([], RESULT_SCHEMA)
         allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
-    for prefix in must_wild:
+    for prefix, _b in must_wild:
         terms = sorted(pos_wild_terms[prefix])
         if not terms:
             return spark.createDataFrame([], RESULT_SCHEMA)
         allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
-    for wf in must_fuzz:
-        terms = sorted(pos_fuzz_terms[wf])
+    for w, d, _b in must_fuzz:
+        terms = sorted(pos_fuzz_terms[(w, d)])
         if not terms:
             return spark.createDataFrame([], RESULT_SCHEMA)
         allowed = intersect(allowed, _postings_ids(spark, index_dir, terms))
@@ -370,10 +390,12 @@ def search_bool(
             cond = cond & (F.col(f) != v)
         allowed = intersect(allowed, dm.where(cond).select("doc_id"))
 
-    neg_terms = [t for w in not_lit for t in _resolve(spark, index_dir, w)]
-    for prefix in not_wild:
+    neg_terms = [
+        t for w, _b in not_lit for t in _resolve(spark, index_dir, w)
+    ]
+    for prefix, _b in not_wild:
         neg_terms.extend(sorted(expansions(prefix)))
-    for w, d in not_fuzz:
+    for w, d, _b in not_fuzz:
         neg_terms.extend(sorted(expand_fuzzy(spark, index_dir, w, d)))
     neg_sets = []
     if neg_terms:

@@ -313,3 +313,93 @@ def phrase_count_indexed(
         .select("term", "rng", "n_docs", "doc_gaps", "counts", "pos_gaps")
     )
     return rows.groupBy("rng").applyInPandas(count_range, COUNT_SCHEMA)
+
+
+def proximity_count_indexed(
+    spark: SparkSession,
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    window: int,
+    ordered: bool = False,
+) -> DataFrame:
+    """NEAR operator: (doc_id, n_pairs) for every document where raw
+    tokens ``term_a`` and ``term_b`` occur within ``window`` positions of
+    each other (``|pos_a − pos_b| ≤ window``; ``ordered=True`` counts
+    only ``0 < pos_b − pos_a ≤ window`` — a before b). Answered entirely
+    from the positional sidecar, same plan shape as
+    :func:`phrase_count_indexed` (pushed term-IN scan, one exchange,
+    per-range numpy) — the pair count per doc is two ``searchsorted``
+    passes over the composite (doc, position) key arrays, clamped to the
+    doc's key block so windows never leak across documents. Both terms
+    are single raw tokens (a phrase is not a NEAR operand); equal terms
+    count self-pairs at distance ≥ 1 once per unordered pair.
+
+    Scale: cost ∝ the two terms' position-row bytes in each range —
+    never a corpus scan, never a positions self-join; a 10^12-doc NEAR
+    is the same two-term pushed scan any OR query pays.
+    """
+    a, b = term_a.lower(), term_b.lower()
+    if not _TOKEN_RE.fullmatch(a) or not _TOKEN_RE.fullmatch(b):
+        raise ValueError("NEAR operands must be single raw tokens ([a-z0-9]+)")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    with open(_meta_path(index_dir)) as f:
+        range_width = json.load(f)["range_width"]
+    required = sorted({a, b})
+
+    def near_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "n_pairs": pd.Series(dtype=np.int64)})
+        present = set(pdf["term"])
+        if a not in present or b not in present:
+            return empty
+        base = int(key[0]) * range_width
+        keys = {}
+        for _, row in pdf.iterrows():
+            docs, counts, pos = _decode_term_row(row)
+            locs = docs.astype(np.int64) - base
+            k = (np.repeat(locs, counts.astype(np.int64)) << np.int64(32)) | (
+                pos.astype(np.int64)
+            )
+            keys[row["term"]] = k
+        ka, kb = keys[a], keys[b]
+        blk = ka >> np.int64(32) << np.int64(32)  # each key's doc block base
+        if ordered:
+            lo = ka + 1
+            hi = np.minimum(ka + window, blk | np.int64(0xFFFFFFFF))
+        else:
+            lo = np.maximum(ka - window, blk)
+            hi = np.minimum(ka + window, blk | np.int64(0xFFFFFFFF))
+        n = np.searchsorted(kb, hi, side="right") - np.searchsorted(
+            kb, lo, side="left"
+        )
+        if a == b and not ordered:
+            # each a-position matched itself at distance 0, and every
+            # unordered {p, q} pair was counted from both ends
+            n = n - 1
+        # ka is doc-ascending: aggregate per doc with reduceat
+        valid = n > 0
+        if not valid.any():
+            return empty
+        dh = (ka[valid] >> np.int64(32)).astype(np.int64)
+        u, starts = np.unique(dh, return_index=True)
+        sums = np.add.reduceat(n[valid], starts)
+        if a == b and not ordered:
+            sums = sums // 2
+        return pd.DataFrame(
+            {"doc_id": u + base, "n_pairs": sums.astype(np.int64)}
+        )
+
+    rows = (
+        spark.read.parquet(f"{index_dir}/positions")
+        .where(F.col("term").isin(required))
+        .select("term", "rng", "n_docs", "doc_gaps", "counts", "pos_gaps")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_pairs", T.LongType(), False),
+        ]
+    )
+    return rows.groupBy("rng").applyInPandas(near_range, schema)

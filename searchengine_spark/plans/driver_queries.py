@@ -1090,6 +1090,22 @@ def q_wildcard_topk(spark, sf_dir):
     )
 
 
+BOOSTED_QUERY = "fast^3 key order^0.5"
+
+
+def q_boosted_topk(spark, sf_dir):
+    """Query-time boosting over the PACKED index, hash-gated: per-term
+    scorer weights (fast×3, key×1, order×0.5) — the WAND chunk bounds
+    scale with the weights, so pruning stays exact. Oracle multiplies
+    the same per-term factors into the BM25 contributions."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, BOOSTED_QUERY, k=60)
+    )
+
+
 FUZZY_QUERY = "fazt~ +key"  # 'fazt' is edit-distance 1 from 'fast'
 
 
@@ -1131,6 +1147,19 @@ def q_phrase_match_idx(spark, sf_dir):
 
     return positions.phrase_count_indexed(
         spark, _positions_layout(spark, sf_dir), PHRASE
+    )
+
+
+def q_near_match(spark, sf_dir):
+    """NEAR operator from the positional sidecar: docs where 'key' and
+    'value' occur within 4 raw-token positions (unordered), with pair
+    counts — pushed two-term scan + per-range searchsorted over composite
+    (doc, position) keys; the corpus text is never read. Oracle: the
+    positional self-join restated in SQL."""
+    from searchengine_spark.operators import positions
+
+    return positions.proximity_count_indexed(
+        spark, _positions_layout(spark, sf_dir), "key", "value", 4
     )
 
 
@@ -1471,6 +1500,8 @@ QUERIES = {
     "wildcard_topk": q_wildcard_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "facet_counts": q_facet_counts,
+    "near_match": q_near_match,
+    "boosted_topk": q_boosted_topk,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -2155,4 +2186,36 @@ ORACLES["facet_counts"] = (
     " SELECT lang, CAST(count(*) AS BIGINT) AS n_docs"
     " FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"
     " GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 20"
+)
+
+# NEAR: positional self-join restated in SQL (1-based SQL positions
+# cancel in the |pa-pb| distance)
+ORACLES["near_match"] = (
+    "WITH t AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    "             x -> x <> '') AS arr FROM documents),"
+    " p AS (SELECT doc_id, i AS pos, arr[i] AS term"
+    "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i"
+    "         FROM t WHERE len(arr) >= 1))"
+    " SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs"
+    " FROM p a JOIN p b ON a.doc_id = b.doc_id"
+    " AND a.term = 'key' AND b.term = 'value' AND abs(a.pos - b.pos) <= 4"
+    " GROUP BY a.doc_id"
+)
+
+# query-time boosts: per-term weight multiplies the BM25 contribution
+ORACLES["boosted_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    " SELECT dt.doc_id,"
+    " (CASE dt.term WHEN 'fast' THEN 3.0 WHEN 'order' THEN 0.5 ELSE 1.0 END)"
+    f" * ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
 )

@@ -231,3 +231,26 @@ def test_facet_counts(spark, index_1k):
     with pytest.raises(ValueError, match="unknown field"):
         bq.facet_counts(spark, index_1k, "fast", "nosuch")
     assert bq.facet_counts(spark, index_1k, "zzzunseen", "lang").count() == 0
+
+
+def test_boost_scales_term_weight(spark, index_1k):
+    from searchengine_spark.operators.wand import search_terms
+
+    got = _rows(bq.search_bool(spark, index_1k, "fast^3 key order^0.5", k=25))
+    want = _rows(
+        search_terms(
+            spark, index_1k, {"fast": 3.0, "key": 1.0, "order": 0.5}, k=25
+        )
+    )
+    assert got == want and got
+    # unboosted queries are unchanged (max(1,1) rule; 'key' twice)
+    a = _rows(bq.search_bool(spark, index_1k, "fast key +key", k=10))
+    b = _rows(search(spark, index_1k, "fast key", k=10))
+    assert a == b
+    # boost composes with wildcard and must
+    exp = bq.expand_prefix(spark, index_1k, "resu")
+    w = {t: 2.0 for t in exp}
+    w["fast"] = 1.0
+    got2 = _rows(bq.search_bool(spark, index_1k, "fast resu*^2", k=15))
+    want2 = _rows(search_terms(spark, index_1k, w, k=15))
+    assert got2 == want2

