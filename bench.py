@@ -160,7 +160,7 @@ def main() -> None:
     import glob
 
     for pat in ("se_ivf_*", "se_lsh_*", "se_pos_*", "se_idx_*", "se_tomb_*",
-                "se_purged_*"):
+                "se_purged_*", "se_k1b_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
             shutil.rmtree(d, ignore_errors=True)
     # positional-sidecar gate entries over the documents table: cold =
@@ -180,6 +180,7 @@ def main() -> None:
     timed("facet_counts", lambda: QUERIES["facet_counts"](spark, sf_dir).count())
     timed("boosted_topk", lambda: QUERIES["boosted_topk"](spark, sf_dir).count())
     timed("near_match", lambda: QUERIES["near_match"](spark, sf_dir).count())
+    timed("bm25_custom_params", lambda: QUERIES["bm25_custom_params"](spark, sf_dir).count())
     timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_tombstoned", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_purge_cold", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())

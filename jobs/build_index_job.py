@@ -34,6 +34,15 @@ def main() -> None:
     ap.add_argument("--stem", action="store_true",
                     help="Porter stemming at index time (P12; queries stem "
                          "symmetrically via the manifest flag)")
+    ap.add_argument("--analyzer", default="reference",
+                    choices=["reference", "raw"],
+                    help="tokenizer: reference-faithful pipeline or plain "
+                         "lowercase [a-z0-9]+ split (manifest-recorded; "
+                         "queries parse symmetrically)")
+    ap.add_argument("--k1", type=float, default=None,
+                    help="BM25 k1 (default 1.2; manifest-recorded)")
+    ap.add_argument("--b", type=float, default=None,
+                    help="BM25 b (default 0.75; manifest-recorded)")
     args = ap.parse_args()
 
     from searchengine_spark.operators.index_build import build_index
@@ -53,6 +62,9 @@ def main() -> None:
         n_groups=args.n_groups,
         resume=not args.no_resume,
         stem=args.stem,
+        analyzer=args.analyzer,
+        k1=args.k1,
+        b=args.b,
     )
     print(json.dumps({"scalars": man.scalars, "stages": man.data["stages"],
                       "posting_groups": man.data["posting_groups"]}))

@@ -82,15 +82,19 @@ def delta_decode(gaps: np.ndarray) -> np.ndarray:
     return np.cumsum(gaps.astype(np.uint64), dtype=np.uint64)
 
 
-def bm25_tf_part(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+def bm25_tf_part(tf: np.ndarray, dl: np.ndarray, avgdl: float,
+                 k1: float = K1, b: float = B) -> np.ndarray:
     """Idf-free BM25 term factor: tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)).
 
     Shared by the oracle, the build-time block-max computation, and the
     query-time scorer so float64 results are identical everywhere.
-    """
+    ``k1``/``b`` default to the reference-fixed constants; an index built
+    with custom parameters records them in its manifest and every path
+    reads them from there (block-max bounds are packed under the SAME
+    parameters they are pruned with)."""
     tf = tf.astype(np.float64)
     dl = dl.astype(np.float64)
-    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * (dl / avgdl)))
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
 
 
 def bm25_idf(df, n_docs: int):
@@ -105,7 +109,8 @@ def bm25_idf(df, n_docs: int):
 
 
 def pack_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
-                avgdl: float, store_dls: bool = True):
+                avgdl: float, store_dls: bool = True,
+                k1: float = K1, b: float = B):
     """Split one term's postings (doc_id-sorted) into compressed blocks.
 
     Yields dicts: block_seq, n, first_doc, last_doc, block_max_tf,
@@ -121,7 +126,7 @@ def pack_blocks(doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray,
     per-posting dl at pack time.
     """
     n = len(doc_ids)
-    tf_part = bm25_tf_part(tfs, dls, avgdl)
+    tf_part = bm25_tf_part(tfs, dls, avgdl, k1, b)
     for seq, lo in enumerate(range(0, n, BLOCK_SIZE)):
         hi = min(lo + BLOCK_SIZE, n)
         ids = doc_ids[lo:hi]

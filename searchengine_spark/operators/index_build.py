@@ -52,6 +52,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from searchengine_spark.functions.codec import BLOCK_SIZE, pack_blocks
+from searchengine_spark.functions.codec import B as BM25_B
+from searchengine_spark.functions.codec import K1 as BM25_K1
 from searchengine_spark.operators.doc_ids import assign_doc_ids
 from searchengine_spark.operators.tokenize import tokenize_docs
 from searchengine_spark.plans.manifest import Manifest
@@ -200,7 +202,11 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
     import glob
     import shutil
 
+    from searchengine_spark.functions.codec import B, K1
+
     avgdl = man.scalars["avgdl"]
+    k1 = float(man.scalars.get("k1", K1))
+    b = float(man.scalars.get("b", B))
     n_groups = man.scalars["n_groups"]
     # a rebuild with fewer groups than a previous build in the same dir
     # must not leave the old build's higher-numbered partitions behind —
@@ -226,7 +232,8 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
             ids = sub["doc_id"].to_numpy(np.uint64)
             tfs = sub["tf"].to_numpy(np.uint64)
             dls = sub["dl"].to_numpy(np.uint64)
-            for blk in pack_blocks(ids, tfs, dls, avgdl, store_dls=store_dls):
+            for blk in pack_blocks(ids, tfs, dls, avgdl, store_dls=store_dls,
+                                   k1=k1, b=b):
                 rows.append(
                     (
                         term,
@@ -280,6 +287,8 @@ def build_index(
     resume: bool = True,
     stem: bool = False,
     analyzer: str = "reference",
+    k1: float | None = None,
+    b: float | None = None,
 ) -> Manifest:
     """Build (or resume building) the index for ``docs`` into ``index_dir``.
 
@@ -287,7 +296,10 @@ def build_index(
     recorded in the manifest so the query path stems symmetrically.
     ``analyzer`` selects the tokenizer (see ``tokenize_docs``): the
     reference pipeline or the plain ``raw`` lowercase split — also
-    recorded in the manifest for symmetric query parsing."""
+    recorded in the manifest for symmetric query parsing.
+    ``k1``/``b`` override the BM25 parameters (defaults: the
+    reference-fixed 1.2/0.75); recorded in the manifest so block-max
+    packing and every query path use the same values."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     if not resume:
@@ -361,6 +373,8 @@ def build_index(
             block_size=BLOCK_SIZE,
             stemming=stem,
             analyzer=analyzer,
+            k1=float(k1) if k1 is not None else BM25_K1,
+            b=float(b) if b is not None else BM25_B,
         )
         man.mark_stage(
             "docs",

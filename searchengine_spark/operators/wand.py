@@ -151,7 +151,8 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                                range_width: int, k: int,
                                maxscore: bool = True, stats: dict | None = None,
                                sidecar: bool = False, filtered: bool = False,
-                               tombstoned: bool = False):
+                               tombstoned: bool = False,
+                               k1: float | None = None, b: float | None = None):
     """Build the per-range pandas scorer for a BATCH of queries.
     ``qmap``: {query_id: {term: (qtf, df)}}.
 
@@ -213,6 +214,11 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     part) are cached once per (term, block) for all queries that touch
     them.
     """
+    from searchengine_spark.functions.codec import B as _B
+    from searchengine_spark.functions.codec import K1 as _K1
+
+    k1 = _K1 if k1 is None else float(k1)
+    b = _B if b is None else float(b)
     weights = {
         qid: {t: qw[t][0] * float(bm25_idf(qw[t][1], n_docs)) for t in sorted(qw)}
         for qid, qw in qmap.items()
@@ -285,7 +291,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                             "layout (no inline dls) but the index has no "
                             "doc_lens row for this range"
                         )
-                    run = (loc, bm25_tf_part(tf, dl, avgdl))
+                    run = (loc, bm25_tf_part(tf, dl, avgdl, k1, b))
                     decoded[(t, b0, b1)] = run
                     if stats is not None:
                         stats["blocks_decoded"] = (
@@ -614,7 +620,7 @@ def search_batch(
         lambda sc, fl, tb: _score_range_batch_factory(
             qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
             s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
-            tombstoned=tb,
+            tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
         ),
         allowed=allowed, range_width=s["range_width"],
     )
@@ -649,7 +655,7 @@ def _topk_for_qweights(
         lambda sc, fl, tb: _score_range_batch_factory(
             {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
             s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
-            tombstoned=tb,
+            tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
         ),
         allowed=allowed, range_width=s["range_width"],
     )
@@ -782,8 +788,10 @@ def search_join(
         spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl"),
         "doc_id",
     )
-    from searchengine_spark.functions.codec import B as b_
-    from searchengine_spark.functions.codec import K1 as k1
+    from searchengine_spark.functions.codec import B as _defb
+    from searchengine_spark.functions.codec import K1 as _defk1
+    k1 = float(s.get("k1", _defk1))
+    b_ = float(s.get("b", _defb))
     scored = (
         long_form.join(F.broadcast(qdf), "term")
         .withColumn(

@@ -1090,6 +1090,38 @@ def q_wildcard_topk(spark, sf_dir):
     )
 
 
+CUSTOM_K1, CUSTOM_B = 0.9, 0.4  # the common web-search tuning
+
+
+def q_bm25_custom_params(spark, sf_dir):
+    """BM25 with per-index parameters (k1=0.9, b=0.4 — manifest scalars
+    recorded at build; block-max bounds packed under the SAME values, so
+    WAND pruning stays exact), hash-gated through the packed engine.
+    Oracle: the same formula with the custom constants."""
+    import hashlib
+    import tempfile
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    st = os.stat(src)
+    key = f"v1:k1b:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_k1b_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(f"{d}/manifest.json"):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, n_groups=2,
+            analyzer="raw", k1=CUSTOM_K1, b=CUSTOM_B,
+        )
+    return _orig_topk(spark, d, search(spark, d, " ".join(QTERMS), k=60))
+
+
 BOOSTED_QUERY = "fast^3 key order^0.5"
 
 
@@ -1502,6 +1534,7 @@ QUERIES = {
     "facet_counts": q_facet_counts,
     "near_match": q_near_match,
     "boosted_topk": q_boosted_topk,
+    "bm25_custom_params": q_bm25_custom_params,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -2215,6 +2248,22 @@ ORACLES["boosted_topk"] = (
     " (CASE dt.term WHEN 'fast' THEN 3.0 WHEN 'order' THEN 0.5 ELSE 1.0 END)"
     f" * ln(1 + (n.n - df + 0.5) / (df + 0.5))"
     f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# custom BM25 parameters: same formula, k1=0.9 / b=0.4
+ORACLES["bm25_custom_params"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({CUSTOM_K1} + 1)) / (tf + {CUSTOM_K1} * (1 - {CUSTOM_B} +"
+    f" {CUSTOM_B} * (dl / avgdl))) AS c"
     f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
     f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"

@@ -1,0 +1,77 @@
+"""Configurable BM25 parameters (k1/b manifest scalars): packing,
+pruning bounds, and every query path must use the index's own values."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.wand import search, search_join
+
+ROWS = [
+    ("r", f"f{i}.py", "c" * 40, "py",
+     " ".join(["fast"] * (i % 4) + ["key"] * (1 + i % 3) + ["pad"] * (3 * i)))
+    for i in range(40)
+]
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _pandas_bm25(spark, idx, terms, k1, b):
+    dt = spark.read.parquet(f"{idx}/doc_terms").toPandas()
+    dl = dt.groupby("doc_id")["tf"].sum()
+    n = spark.read.parquet(f"{idx}/doc_map").count()
+    avgdl = dl.sum() / n
+    df = dt.groupby("term")["doc_id"].nunique()
+    out = {}
+    for t in terms:
+        if t not in df.index:
+            continue
+        idf = np.log1p((n - df[t] + 0.5) / (df[t] + 0.5))
+        sub = dt[dt["term"] == t]
+        for doc, tf in zip(sub["doc_id"], sub["tf"]):
+            d = float(dl[doc])
+            c = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * d / avgdl))
+            out[doc] = out.get(doc, 0.0) + c
+    return out
+
+
+@pytest.mark.parametrize("k1,b", [(0.9, 0.4), (2.0, 0.0)])
+def test_custom_params_score_correctly(spark, tmp_path, k1, b):
+    idx = str(tmp_path / f"idx_{k1}_{b}")
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    build_index(spark, docs, idx, range_width=16, n_groups=2,
+                analyzer="raw", k1=k1, b=b)
+    from searchengine_spark.plans.manifest import Manifest
+
+    s = Manifest(idx).scalars
+    assert s["k1"] == k1 and s["b"] == b
+    got = {r["doc_id"]: r["score"]
+           for r in search(spark, idx, "fast key", k=10**6).collect()}
+    want = _pandas_bm25(spark, idx, ["fast", "key"], k1, b)
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-12, d
+    # block-max bounds were packed under the same params: pruning on/off
+    # identity must hold
+    a = [(r["doc_id"], r["score"])
+         for r in search(spark, idx, "fast key pad", k=15, maxscore=True).collect()]
+    c = [(r["doc_id"], r["score"])
+         for r in search(spark, idx, "fast key pad", k=15, maxscore=False).collect()]
+    assert a == c
+    # the declarative cross-check path reads the same manifest params
+    j = {r["doc_id"]: r["score"]
+         for r in search_join(spark, idx, "fast key", k=10**6).collect()}
+    for d in got:
+        assert abs(got[d] - j[d]) < 1e-9
+
+
+def test_default_params_unchanged(spark, tmp_path):
+    docs = spark.createDataFrame(ROWS, SCHEMA)
+    a = str(tmp_path / "default")
+    b_ = str(tmp_path / "explicit")
+    build_index(spark, docs, a, range_width=16, n_groups=1, analyzer="raw")
+    build_index(spark, docs, b_, range_width=16, n_groups=1, analyzer="raw",
+                k1=1.2, b=0.75)
+    ra = [(r["doc_id"], r["score"]) for r in search(spark, a, "fast key", k=20).collect()]
+    rb = [(r["doc_id"], r["score"]) for r in search(spark, b_, "fast key", k=20).collect()]
+    assert ra == rb and ra
