@@ -203,3 +203,119 @@ def unigram_logprob(
             ).alias("mean_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / secret scrubbing (Dolma/CCNet-style pre-training hygiene)
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) applied IN ORDER — order is part of the
+# contract (an email is redacted before its host could match another
+# rule). Patterns are deliberately RE2-compatible (no lookaround, no
+# backreferences) so the Java regex engine (whole-stage codegen) and the
+# DuckDB/RE2 oracle match byte-for-byte.
+REDACT_RULES = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("aws_key", r"\bAKIA[0-9A-Z]{16}\b", "<AWSKEY>"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "<PRIVATEKEY>"),
+]
+
+
+def redact_secrets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_redactions, has_secrets): PII/credential
+    scrubbing for training corpora — emails, IPv4 literals, AWS access
+    key ids, private-key headers replaced by typed sentinels. One narrow
+    chain of JVM ``regexp_replace``/``regexp_count`` expressions (zero
+    shuffle, whole-stage codegen); the rule list and application order
+    are the documented contract, and every pattern is RE2-safe so a SQL
+    engine reproduces the transform exactly (the driver-gate oracle
+    does). Counts are taken against the PRE-redaction text per rule, in
+    rule order on the progressively-cleaned text — i.e. each rule counts
+    what it actually replaced."""
+    clean = F.col(text_col)
+    n = F.lit(0).cast("long")
+    for _name, pat, repl in REDACT_RULES:
+        n = n + F.regexp_count(clean, F.lit(pat)).cast("long")
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(
+        id_col,
+        clean.alias("clean_text"),
+        n.alias("n_redactions"),
+        (n > 0).alias("has_secrets"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition signals from the Gopher quality rules (Rae et al. 2021
+    §A1.1): (doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_frac).
+
+    * ``dup_line_frac`` — fraction of lines that are duplicates of an
+      earlier line (1 − distinct/total over non-empty lines);
+    * ``dup_line_char_frac`` — fraction of characters in such lines
+      (Σ chars − Σ chars of one copy per distinct line, over Σ chars);
+    * ``top_2gram_frac`` — occurrences of the most frequent word 2-gram
+      over all 2-gram slots.
+
+    Lines and per-line chars are pure JVM array expressions (narrow);
+    the 2-gram mode needs a per-(doc, gram) count — explode + two
+    map-side-combined aggregations, the distributed shape, never a
+    per-row Python pass. Docs with <2 tokens get top_2gram_frac 0;
+    line fractions round to 6dp (the engine/oracle comparison grid).
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    distinct_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    base = df.select(
+        id_col,
+        n_lines.cast("long").alias("n_lines"),
+        F.when(n_lines > 0, F.round(1 - n_distinct / n_lines, 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_frac"),
+        F.when(total_chars > 0,
+               F.round((total_chars - distinct_chars) / total_chars, 6))
+        .otherwise(F.lit(0.0)).alias("dup_line_char_frac"),
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grams = (
+        tokens_with_pos(df, id_col, text_col)
+        .withColumn("nxt", F.lead("term").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "term", "nxt").alias("gram"))
+    )
+    top = (
+        grams.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_grams"))
+        .select(
+            id_col,
+            F.round(F.col("top_c") / F.col("n_grams"), 6).alias("top_2gram_frac"),
+        )
+    )
+    return base.join(top, id_col, "left").fillna({"top_2gram_frac": 0.0})
+
+
+def tokens_with_pos(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pos, term): the raw token stream WITH positions — posexplode
+    of the filtered split array (same normalization as :func:`tokens`)."""
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    return df.select(id_col, F.posexplode(arr).alias("pos", "term"))

@@ -1090,6 +1090,48 @@ def q_wildcard_topk(spark, sf_dir):
     )
 
 
+def q_redact_secrets(spark, sf_dir):
+    """PII/credential scrubbing (textstats.redact_secrets): emails, IPv4,
+    AWS key ids, private-key headers → typed sentinels, one codegen
+    regexp chain, zero shuffle. The synthetic corpus carries no secrets,
+    so BOTH sides append a deterministic planted suffix (an email and an
+    IP derived from doc_id) before redacting — the hash then verifies
+    real replacements, rule order included."""
+    from searchengine_spark.operators import textstats as ts
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return ts.redact_secrets(docs)
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-line fraction (+ char fraction) and top-2-gram fraction.
+    The corpus is single-line, so BOTH sides append two copies of the
+    doc's first 40 chars as extra lines — planted duplicates make the
+    line fractions non-degenerate while the 2-gram mode exercises the
+    explode + two-phase aggregation on real text."""
+    from searchengine_spark.operators import textstats as ts
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"), F.substring("text", 1, 40),
+            F.lit("\n"), F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return ts.gopher_repetition(docs)
+
+
 CUSTOM_K1, CUSTOM_B = 0.9, 0.4  # the common web-search tuning
 
 
@@ -1535,6 +1577,8 @@ QUERIES = {
     "near_match": q_near_match,
     "boosted_topk": q_boosted_topk,
     "bm25_custom_params": q_bm25_custom_params,
+    "redact_secrets": q_redact_secrets,
+    "gopher_repetition": q_gopher_repetition,
     "more_like_this": q_more_like_this,
     "search_snippets": q_search_snippets,
     "curated_docs": q_curated_docs,
@@ -2267,4 +2311,58 @@ ORACLES["bm25_custom_params"] = (
     f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
     f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# PII redaction: the same rule chain in RE2 (regexp_extract_all counts
+# what each rule replaces on the progressively-cleaned text, rule order
+# identical to REDACT_RULES)
+ORACLES["redact_secrets"] = (
+    "WITH aug AS (SELECT doc_id, text || ' u' || CAST(doc_id AS VARCHAR)"
+    " || '@ex.com ip 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t"
+    " FROM documents),"
+    " r1 AS (SELECT doc_id,"
+    "   len(regexp_extract_all(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS n1,"
+    "   regexp_replace(t, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t"
+    "   FROM aug),"
+    " r2 AS (SELECT doc_id, n1,"
+    "   len(regexp_extract_all(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n2,"
+    "   regexp_replace(t, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t"
+    "   FROM r1),"
+    " r3 AS (SELECT doc_id, n1, n2,"
+    "   len(regexp_extract_all(t, '\\bAKIA[0-9A-Z]{16}\\b')) AS n3,"
+    "   regexp_replace(t, '\\bAKIA[0-9A-Z]{16}\\b', '<AWSKEY>', 'g') AS t"
+    "   FROM r2),"
+    " r4 AS (SELECT doc_id, n1, n2, n3,"
+    "   len(regexp_extract_all(t, '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS n4,"
+    "   regexp_replace(t, '-----BEGIN [A-Z ]*PRIVATE KEY-----', '<PRIVATEKEY>', 'g') AS t"
+    "   FROM r3)"
+    " SELECT doc_id, t AS clean_text,"
+    " CAST(n1 + n2 + n3 + n4 AS BIGINT) AS n_redactions,"
+    " (n1 + n2 + n3 + n4) > 0 AS has_secrets FROM r4"
+)
+
+# Gopher repetition signals over the planted multi-line variant
+ORACLES["gopher_repetition"] = (
+    "WITH aug AS (SELECT doc_id, text || chr(10) || substr(text, 1, 40)"
+    " || chr(10) || substr(text, 1, 40) AS t FROM documents),"
+    " l AS (SELECT doc_id,"
+    "   list_filter(string_split(t, chr(10)), x -> x <> '') AS lines,"
+    "   list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS arr"
+    "   FROM aug),"
+    " base AS (SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,"
+    "   CASE WHEN len(lines) > 0 THEN round(1 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 6) ELSE 0.0 END AS dup_line_frac,"
+    "   CASE WHEN list_sum(list_transform(lines, x -> length(x))) > 0"
+    "     THEN round((list_sum(list_transform(lines, x -> length(x)))"
+    "       - list_sum(list_transform(list_distinct(lines), x -> length(x))))"
+    "       / CAST(list_sum(list_transform(lines, x -> length(x))) AS DOUBLE), 6)"
+    "     ELSE 0.0 END AS dup_line_char_frac FROM l),"
+    " grams AS (SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS gram"
+    "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i"
+    "         FROM l WHERE len(arr) >= 2)),"
+    " top AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac"
+    "   FROM (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram)"
+    "   GROUP BY doc_id)"
+    " SELECT b.doc_id, n_lines, dup_line_frac, dup_line_char_frac,"
+    " COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac"
+    " FROM base b LEFT JOIN top USING (doc_id)"
 )
