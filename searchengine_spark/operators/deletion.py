@@ -157,6 +157,11 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids: DataFrame) -> int:
             f"delete_docs: doc_id {bad[0]['doc_id']} outside the index's "
             f"id space [0, {n_docs})"
         )
+    if merged.limit(1).count() == 0:
+        # nothing to delete and nothing already deleted: writing a
+        # zero-row parquet dir would leave an unreadable (schema-less)
+        # tombstones table for every later reader
+        return 0
 
     masks = (
         merged.withColumn(

@@ -268,7 +268,11 @@ def gopher_repetition(
     per-row Python pass. Docs with <2 tokens get top_2gram_frac 0;
     line fractions round to 6dp (the engine/oracle comparison grid).
     """
-    lines = F.filter(F.split(F.col(text_col), "\n"), lambda x: x != F.lit(""))
+    # null-safe: a null text must yield zero lines, not size(null) == -1
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda x: x != F.lit(""),
+    )
     n_lines = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))
     total_chars = F.aggregate(
