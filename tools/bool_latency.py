@@ -1,0 +1,84 @@
+"""Warm latency of the round-4 query surfaces on the 800k-doc scaling
+index (boolean, wildcard, fuzzy, boosted, NEAR, facet counts) — the
+serving-scale evidence for the new operators.
+
+    python tools/bool_latency.py [--index /tmp/se_scaling_idx_32]
+        [--reps 7] [--json-out BENCH/bool_800k.json]
+
+Each surface runs once untimed (warm the scans), then ``--reps`` timed
+repetitions; reports p50/min per surface plus ambient load. The index
+must carry the positional sidecar (phrase clauses; tools/phrase_ab.py
+builds it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default="/tmp/se_scaling_idx_32")
+    ap.add_argument("--reps", type=int, default=7)
+    ap.add_argument("--json-out", default=os.path.join(REPO, "BENCH", "bool_800k.json"))
+    args = ap.parse_args()
+
+    from searchengine_spark.operators.boolquery import facet_counts, search_bool
+    from searchengine_spark.operators.positions import proximity_count_indexed
+    from searchengine_spark.session import get_session
+
+    load_start = round(os.getloadavg()[0], 2)
+    spark = get_session(master="local[32]", app_name="bool-latency",
+                        shuffle_partitions=32)
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+
+    surfaces = {
+        "bool_composed": lambda: search_bool(
+            spark, args.index, 'fast +result -merge lang:python "result flag"', k=10
+        ).collect(),
+        "wildcard": lambda: search_bool(spark, args.index, "resu* fast", k=10).collect(),
+        "fuzzy": lambda: search_bool(spark, args.index, "resutl~2 fast", k=10).collect(),
+        "boosted": lambda: search_bool(
+            spark, args.index, "fast^3 result key^0.5", k=10
+        ).collect(),
+        "near": lambda: proximity_count_indexed(
+            spark, args.index, "result", "flag", 3
+        ).count(),
+        "facet_lang": lambda: facet_counts(
+            spark, args.index, "fast result", "lang"
+        ).collect(),
+    }
+    out = {"metric": "bool_surfaces_800k", "index": args.index,
+           "reps": args.reps, "surfaces": {}}
+    for name, fn in surfaces.items():
+        fn()  # warm
+        walls = []
+        for _ in range(args.reps):
+            t0 = time.time()
+            fn()
+            walls.append(round(time.time() - t0, 4))
+        out["surfaces"][name] = {
+            "p50_sec": round(statistics.median(walls), 4),
+            "min_sec": min(walls),
+            "max_sec": max(walls),
+        }
+    out["ambient_load_start"] = load_start
+    out["ambient_load_end"] = round(os.getloadavg()[0], 2)
+    line = json.dumps(out)
+    print(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
