@@ -191,6 +191,19 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     )
     td.write.mode("overwrite").parquet(f"{index_dir}/term_dict")
     n_terms = spark.read.parquet(f"{index_dir}/term_dict").count()
+    # reversed-term sidecar: reverse(lower(term)) SORTED, so a *suffix
+    # wildcard (boolquery.expand_suffix) is a pushed StringStartsWith
+    # over rterm with parquet row-group min/max pruning — the leading-
+    # wildcard analogue of a sorted term dictionary. One extra |V|-row
+    # write per term_dict rebuild (build, compaction, purge all route
+    # through this function, so the sidecar can never go stale).
+    (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .select(F.reverse(F.lower(F.col("term"))).alias("rterm"), "term", "df")
+        .sort("rterm")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/term_sfx")
+    )
     man.set_scalars(n_terms=n_terms)
     man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
 

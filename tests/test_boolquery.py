@@ -254,3 +254,69 @@ def test_boost_scales_term_weight(spark, index_1k):
     got2 = _rows(bq.search_bool(spark, index_1k, "fast resu*^2", k=15))
     want2 = _rows(search_terms(spark, index_1k, w, k=15))
     assert got2 == want2
+
+
+def test_suffix_expansion_and_scoring(spark, index_1k):
+    from searchengine_spark.operators.wand import search_terms
+
+    exp = bq.expand_suffix(spark, index_1k, "sult")
+    assert exp and all(t.lower().endswith("sult") for t in exp)
+    assert "result" in {t.lower() for t in exp}
+    got = _rows(bq.search_bool(spark, index_1k, "*sult", k=25))
+    want = _rows(search_terms(spark, index_1k, {t: 1.0 for t in exp}, k=25))
+    assert got == want and got
+    # composes with must / must-not
+    holders = {
+        r["doc_id"]
+        for r in bq._postings_ids(spark, index_1k, sorted(exp)).collect()
+    }
+    neg = _rows(bq.search_bool(spark, index_1k, "fast key -*sult", k=10**6))
+    assert neg and not ({d for d, _ in neg} & holders)
+    must = _rows(bq.search_bool(spark, index_1k, "fast +*sult", k=10**6))
+    assert must and {d for d, _ in must} <= holders
+
+
+def test_suffix_fallback_without_sidecar(spark, index_1k, tmp_path):
+    """An index built before term_sfx existed answers *suffix identically
+    through the reverse() fallback over term_dict."""
+    import os
+    import shutil
+
+    idx2 = str(tmp_path / "nosfx")
+    shutil.copytree(index_1k, idx2)
+    shutil.rmtree(f"{idx2}/term_sfx")
+    assert not os.path.exists(f"{idx2}/term_sfx")
+    assert bq.expand_suffix(spark, idx2, "sult") == bq.expand_suffix(
+        spark, index_1k, "sult"
+    )
+
+
+def test_suffix_cap_and_infix_rejection(spark, index_1k):
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.search_bool(spark, index_1k, "*t fast", k=5, max_expansions=1)
+    with pytest.raises(ValueError, match="unsupported"):
+        bq.search_bool(spark, index_1k, "*mid* fast", k=5)
+    # unmatchable suffix: free -> empty result; must-not -> no-op
+    assert bq.search_bool(spark, index_1k, "*zzzq", k=5).count() == 0
+    a = _rows(bq.search_bool(spark, index_1k, "fast key -*zzzq", k=10))
+    b = _rows(search(spark, index_1k, "fast key", k=10))
+    assert a == b
+
+
+def test_expand_multi_matches_single_pattern_scans(spark, index_1k):
+    """The fused one-scan expansion returns exactly what the per-pattern
+    scans return, pattern by pattern."""
+    wm, fm, sm = bq.expand_multi(
+        spark, index_1k, ["resu", "fa"], [("resutl", 2)], ["sult"]
+    )
+    assert wm["resu"] == bq.expand_prefix(spark, index_1k, "resu")
+    assert wm["fa"] == bq.expand_prefix(spark, index_1k, "fa")
+    assert fm[("resutl", 2)] == bq.expand_fuzzy(spark, index_1k, "resutl", 2)
+    assert sm["sult"] == bq.expand_suffix(spark, index_1k, "sult")
+    # per-pattern caps stay loud inside the fused scan
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.expand_multi(spark, index_1k, ["r"], [], [], max_expansions=2)
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.expand_multi(
+            spark, index_1k, [], [("result", 0)], [], max_fuzzy_expansions=0
+        )

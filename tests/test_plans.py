@@ -299,3 +299,18 @@ def test_positions_scan_pushes_term_filter(spark, tmp_path):
     assert "FlatMapGroupsInPandas" in plan or "applyInPandas" in plan.lower()
     # exactly one exchange: the per-range regroup of the filtered rows
     assert plan.count("+- Exchange") == 1, plan[:3000]
+
+
+def test_suffix_sidecar_pushes_startswith(spark, index_1k):
+    """*suffix wildcards scan the sorted reversed-term sidecar with a
+    PUSHED StringStartsWith on rterm (row-group min/max prunable) — not a
+    post-scan filter over a reverse() expression."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{index_1k}/term_sfx")
+        .where(F.col("rterm").startswith("tlus"))
+        .select("term", "df")
+    )
+    plan = _plan(df)
+    assert "StartsWith(rterm" in plan, plan
