@@ -46,6 +46,7 @@ def main() -> None:
         ).collect(),
         "wildcard": lambda: search_bool(spark, args.index, "resu* fast", k=10).collect(),
         "fuzzy": lambda: search_bool(spark, args.index, "resutl~2 fast", k=10).collect(),
+        "suffix": lambda: search_bool(spark, args.index, "*sult fast", k=10).collect(),
         "boosted": lambda: search_bool(
             spark, args.index, "fast^3 result key^0.5", k=10
         ).collect(),
