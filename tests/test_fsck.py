@@ -38,3 +38,19 @@ def test_fsck_green_then_red(spark, index_1k, tmp_path):
     assert rc == 1
     assert "doc_stats ≡ doc_terms aggregate" in fails
     assert "doc_lens sidecar ≡ doc_stats" in fails
+
+
+def test_fsck_green_on_tombstoned_index(spark, index_1k, tmp_path):
+    """Tombstone-only deletion keeps corpus stats and doc_map pre-delete by
+    design (eligibility-only semantics) — fsck must accept that state, and
+    still accept the post-purge state."""
+    from searchengine_spark.operators.deletion import delete_docs, purge_deleted
+
+    idx = str(tmp_path / "tomb_idx")
+    shutil.copytree(index_1k, idx)
+    delete_docs(spark, idx, spark.createDataFrame([(3,), (17,), (40,)], "doc_id long"))
+    rc, fails = _run(idx)
+    assert rc == 0 and fails == [], fails
+    purge_deleted(spark, idx)
+    rc, fails = _run(idx)
+    assert rc == 0 and fails == [], fails

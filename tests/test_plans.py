@@ -314,3 +314,25 @@ def test_suffix_sidecar_pushes_startswith(spark, index_1k):
     )
     plan = _plan(df)
     assert "StartsWith(rterm" in plan, plan
+
+
+def test_term_only_bool_query_is_one_scorer_job(spark, index_1k):
+    """A MUST/MUST-NOT term query compiles onto the scorer's own plan: the
+    clause terms widen the pushed term-IN postings scan and eligibility is
+    computed inside the per-range stage — no doc_id semi-join, no mask
+    shuffle, no second postings scan. Same plan shape as plain BM25."""
+    from searchengine_spark.operators.boolquery import search_bool
+    from searchengine_spark.operators.wand import search
+
+    boolean = _plan(search_bool(spark, index_1k, "result +key -flag", k=10))
+    plain = _plan(search(spark, index_1k, "result key", k=10))
+    for marker in ("SortMergeJoin", "BroadcastHashJoin", "leftsemi"):
+        assert marker not in boolean, marker
+    # identical stage inventory to the unconstrained query
+    for stage in ("FlatMapCoGroupsInPandas", "FlatMapGroupsInPandas",
+                  "MapInPandas", "+- Exchange"):
+        assert boolean.count(stage) == plain.count(stage), stage
+    # the MUST-NOT term rides the same pushed term-IN scan (it is not a
+    # scoring term, so its presence proves the scan set widened)
+    pushed = [ln for ln in boolean.splitlines() if "PushedFilters" in ln]
+    assert pushed and "flag" in pushed[0], pushed

@@ -44,6 +44,9 @@ def main() -> None:
         "bool_composed": lambda: search_bool(
             spark, args.index, 'fast +result -merge lang:python "result flag"', k=10
         ).collect(),
+        "bool_terms": lambda: search_bool(
+            spark, args.index, "fast +result -merge", k=10
+        ).collect(),
         "wildcard": lambda: search_bool(spark, args.index, "resu* fast", k=10).collect(),
         "fuzzy": lambda: search_bool(spark, args.index, "resutl~2 fast", k=10).collect(),
         "suffix": lambda: search_bool(spark, args.index, "*sult fast", k=10).collect(),

@@ -6,8 +6,10 @@ manifest and internal invariants, distributed where it matters.
 Checks (each prints ok/FAIL; exit code 1 on any failure):
 
 * manifest: required scalars present; stages/groups marked done exist
-* doc_map: row count == n_docs_indexed (+ tombstoned), ids unique and
-  inside [0, n_docs), content_sha256 well-formed
+* doc_map: row count == n_docs_indexed (tombstoned docs stay in both —
+  tombstones are eligibility-only until a purge, so corpus stats and the
+  doc_map row set are pre-delete by design), ids unique and inside
+  [0, n_docs), content_sha256 well-formed; tombstoned ids ⊆ doc_map ids
 * doc_terms: ids ⊆ doc_map ids; rng/grp consistent with range_width /
   group_width; no group dir beyond n_groups
 * doc_stats / doc_lens: dl values equal Σtf per doc; every doc_stats doc
@@ -78,10 +80,16 @@ def main() -> None:
     n_dm = dm.count()
     from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
 
-    n_tomb = deleted_ids(spark, d).count() if has_tombstones(d) else 0
-    check("doc_map count == n_docs_indexed + tombstoned",
-          n_dm == s["n_docs_indexed"] + n_tomb,
-          f"{n_dm} vs {s['n_docs_indexed']} + {n_tomb}")
+    check("doc_map count == n_docs_indexed",
+          n_dm == s["n_docs_indexed"], f"{n_dm} vs {s['n_docs_indexed']}")
+    if has_tombstones(d):
+        orphan_tombs = (
+            deleted_ids(spark, d)
+            .join(dm.select("doc_id"), "doc_id", "left_anti")
+            .count()
+        )
+        check("tombstoned ids ⊆ doc_map", orphan_tombs == 0,
+              f"{orphan_tombs} tombstoned ids missing from doc_map")
     check("doc_map ids unique", dm.select("doc_id").distinct().count() == n_dm)
     bad = dm.where((F.col("doc_id") < 0) | (F.col("doc_id") >= s["n_docs"])).count()
     check("doc_map ids in [0, n_docs)", bad == 0, f"{bad} out of range")
