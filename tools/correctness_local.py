@@ -1,0 +1,140 @@
+"""Local replica of the driver's correctness gate, emitted as a committed
+artifact: run EVERY ``queries()`` entry against its DuckDB oracle on the
+same parquet tables and record per-entry row-count / schema / value-hash
+matches.
+
+    python tools/correctness_local.py [--sf-dir /root/testdata/sf0.01]
+        [--out CORRECTNESS_local_r05.json] [--cpus 8]
+
+Why this exists: the driver's gate records only the first 50 entries in
+``QUERIES`` dict order (VERDICT r4 "What's wrong" #1 — 15 entries
+silently lost their hash witness when new entries pushed them past the
+cap). This tool witnesses ALL entries every round; entries past the
+driver cap keep a committed hash record here.
+
+The comparison mirrors the driver's semantics: columns sorted by name,
+rows sorted by all columns, engine-side rounding already applied (every
+float-producing entry rounds at 6 dp on both sides), value hash =
+sha256 over the canonical CSV bytes of the normalized frame. An entry
+whose Spark and oracle hashes agree is recorded ``hash_match: true``;
+exceptions land in ``err`` rather than aborting the sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_bool_dtype(df[c]):
+            df[c] = df[c].astype("bool")
+        elif pd.api.types.is_float_dtype(df[c]):
+            # entries round engine-side at 6 dp on both sides; re-round to
+            # collapse last-ulp artifacts of the transport (Arrow vs duck),
+            # and + 0.0 folds IEEE negative zero into positive zero
+            df[c] = np.round(df[c].astype("float64"), 9) + 0.0
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _value_hash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(
+        df.to_csv(index=False, float_format="%.9g").encode()
+    ).hexdigest()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_local_r05.json"))
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--only", nargs="*", help="subset of entry names")
+    args = ap.parse_args()
+
+    import duckdb
+
+    from searchengine_spark.plans.driver_queries import ORACLES, QUERIES
+    from searchengine_spark.session import get_session
+
+    spark = get_session(
+        master=f"local[{args.cpus}]",
+        app_name="correctness-local",
+        shuffle_partitions=max(8, args.cpus),
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{args.sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    results: dict = {}
+    names = args.only or list(QUERIES)
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        rec: dict = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        try:
+            got = _normalize(QUERIES[name](spark, args.sf_dir).toPandas())
+            rec["spark_rows"] = int(len(got))
+            if name not in ORACLES:
+                # non-SQL-expressible: the driver's weaker rows-only check
+                rec.update(rows_match=len(got) >= 0, schema_match=True)
+                rec["note"] = "no SQL oracle (rows-only check)"
+            else:
+                want = _normalize(con.sql(ORACLES[name]).df())
+                rec["oracle_rows"] = int(len(want))
+                rec["rows_match"] = len(got) == len(want)
+                rec["schema_match"] = list(got.columns) == list(want.columns)
+                rec["hash_match"] = (
+                    rec["rows_match"]
+                    and rec["schema_match"]
+                    and _value_hash(got) == _value_hash(want)
+                )
+        except Exception as e:  # record, keep sweeping
+            rec["err"] = f"{type(e).__name__}: {e}"[:500]
+        rec["seconds"] = round(time.time() - t0, 3)
+        results[name] = rec
+        status = "ok " if rec["hash_match"] else ("ERR" if rec["err"] else "FAIL")
+        print(f"{status} {name} ({rec['seconds']}s)", flush=True)
+
+    n_ok = sum(1 for r in results.values() if r["hash_match"])
+    out = {
+        "sf_dir": args.sf_dir,
+        "n_entries": len(results),
+        "n_hash_match": n_ok,
+        "total_seconds": round(time.time() - t_all, 3),
+        "entries": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"{n_ok}/{len(results)} hash-green -> {args.out}")
+    spark.stop()
+    sys.exit(0 if n_ok == len(results) else 1)
+
+
+if __name__ == "__main__":
+    main()
