@@ -45,6 +45,37 @@ def varint_encode(values: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def varint_encode_segmented(values: np.ndarray, starts: np.ndarray) -> list:
+    """LEB128-encode ``values`` ONCE and slice the result into one bytes
+    object per segment (segment i = ``values[starts[i]:starts[i+1]]``,
+    last segment runs to the end). Byte-identical to calling
+    :func:`varint_encode` per segment, without paying the grouped ufunc
+    passes once per segment — the wide-vocabulary pack path encodes
+    millions of 1-5 posting segments per range, where per-call overhead
+    dominates (BENCH/vocab_1m.json)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return [b""] * len(starts)
+    nbytes = np.ones(v.size, dtype=np.int64)
+    t = v >> np.uint64(7)
+    while t.any():
+        nbytes += (t > 0).astype(np.int64)
+        t = t >> np.uint64(7)
+    bstarts = np.zeros(v.size + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=bstarts[1:])
+    out = np.zeros(int(bstarts[-1]), dtype=np.uint8)
+    vstarts = bstarts[:-1]
+    for g in range(int(nbytes.max())):
+        mask = nbytes > g
+        chunk = ((v[mask] >> np.uint64(7 * g)) & np.uint64(0x7F)).astype(np.uint8)
+        more = ((nbytes[mask] > g + 1).astype(np.uint8)) << 7
+        out[vstarts[mask] + g] = chunk | more
+    big = out.tobytes()
+    seg = bstarts[np.append(starts, v.size)]
+    return [big[seg[i]:seg[i + 1]] for i in range(len(starts))]
+
+
 def varint_decode(buf: bytes, n: int) -> np.ndarray:
     """Decode ``n`` LEB128 varints from ``buf`` into a uint64 array.
 

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from searchengine_spark.functions.codec import BLOCK_SIZE, pack_blocks
+from searchengine_spark.functions.codec import BLOCK_SIZE, bm25_tf_part
 from searchengine_spark.functions.codec import B as BM25_B
 from searchengine_spark.functions.codec import K1 as BM25_K1
 from searchengine_spark.operators.doc_ids import assign_doc_ids
@@ -208,6 +208,73 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
 
 
+def pack_range_pdf(rng: int, pdf: pd.DataFrame, avgdl: float,
+                   k1: float = BM25_K1, b: float = BM25_B,
+                   store_dls: bool = STORE_DLS_IN_BLOCKS) -> pd.DataFrame:
+    """Pack one document range's postings, fully vectorized: term and
+    block boundaries by array comparison, per-block block-max via
+    ``maximum.reduceat``, gap/tf/dl streams varint-encoded in ONE pass
+    each and sliced per block (codec.varint_encode_segmented). Output is
+    byte-identical to packing each term with ``codec.pack_blocks`` (the
+    loop it replaced — pinned by test_index_build's equivalence test);
+    the loop paid pandas-groupby + call overhead once per TERM, which
+    dominates pack time at production vocabularies where most terms hold
+    1-5 postings per range (BENCH/vocab_1m.json)."""
+    from searchengine_spark.functions.codec import varint_encode_segmented
+
+    cols = [f.name for f in POSTINGS_SCHEMA.fields]
+    if not len(pdf):
+        return pd.DataFrame(columns=cols)
+    pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+    terms = pdf["term"].to_numpy()
+    ids = pdf["doc_id"].to_numpy(np.uint64)
+    tfs = pdf["tf"].to_numpy(np.uint64)
+    dls = pdf["dl"].to_numpy(np.uint64)
+    n = len(ids)
+    new_term = np.empty(n, dtype=bool)
+    new_term[0] = True
+    np.not_equal(terms[1:], terms[:-1], out=new_term[1:])
+    # fold duplicates: same (term, doc) may appear twice post-case-fold
+    dup = np.zeros(n, dtype=bool)
+    dup[1:] = ~new_term[1:] & (ids[1:] == ids[:-1])
+    if dup.any():
+        keep = np.flatnonzero(~dup)
+        tfs = np.add.reduceat(tfs, keep)
+        terms, ids, dls = terms[keep], ids[keep], dls[keep]
+        new_term = new_term[~dup]
+        n = len(ids)
+    tstart = np.flatnonzero(new_term)
+    tid = np.cumsum(new_term) - 1
+    pos = np.arange(n, dtype=np.int64) - tstart[tid]
+    bmask = new_term | (pos % BLOCK_SIZE == 0)
+    bs = np.flatnonzero(bmask)
+    be = np.append(bs[1:], n)
+    tf_part = bm25_tf_part(tfs, dls, avgdl, k1, b)
+    gaps_vals = ids.copy()
+    gaps_vals[1:] -= ids[:-1]
+    gaps_vals[bs] = ids[bs]  # first doc of every block stays absolute
+    return pd.DataFrame(
+        {
+            "term": terms[bs],
+            "rng": np.full(len(bs), rng, dtype=np.int32),
+            "block_seq": (pos[bs] // BLOCK_SIZE).astype(np.int32),
+            "n": (be - bs).astype(np.int32),
+            "first_doc": ids[bs].astype(np.int64),
+            "last_doc": ids[be - 1].astype(np.int64),
+            "block_max_tf": np.maximum.reduceat(tf_part, bs),
+            "pack_avgdl": np.full(len(bs), float(avgdl)),
+            "gaps": varint_encode_segmented(gaps_vals, bs),
+            "tfs": varint_encode_segmented(tfs, bs),
+            "dls": (
+                varint_encode_segmented(dls, bs)
+                if store_dls
+                else [b""] * len(bs)
+            ),
+        },
+        columns=cols,
+    )
+
+
 def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     """Stage postings: per commit group, shuffle doc_terms by rng and pack
     delta+varint blocks with block-max partials. Skips groups already
@@ -232,37 +299,8 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
     store_dls = STORE_DLS_IN_BLOCKS
 
     def pack_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rng = int(key[0])
-        # fold duplicates: same (term, doc) may appear twice post-case-fold
-        g = (
-            pdf.groupby(["term", "doc_id"], sort=False)
-            .agg(tf=("tf", "sum"), dl=("dl", "first"))
-            .reset_index()
-            .sort_values(["term", "doc_id"], kind="mergesort")
-        )
-        rows = []
-        for term, sub in g.groupby("term", sort=True):
-            ids = sub["doc_id"].to_numpy(np.uint64)
-            tfs = sub["tf"].to_numpy(np.uint64)
-            dls = sub["dl"].to_numpy(np.uint64)
-            for blk in pack_blocks(ids, tfs, dls, avgdl, store_dls=store_dls,
-                                   k1=k1, b=b):
-                rows.append(
-                    (
-                        term,
-                        rng,
-                        blk["block_seq"],
-                        blk["n"],
-                        blk["first_doc"],
-                        blk["last_doc"],
-                        blk["block_max_tf"],
-                        float(avgdl),
-                        blk["gaps"],
-                        blk["tfs"],
-                        blk["dls"],
-                    )
-                )
-        return pd.DataFrame(rows, columns=[f.name for f in POSTINGS_SCHEMA.fields])
+        return pack_range_pdf(int(key[0]), pdf, avgdl, k1=k1, b=b,
+                              store_dls=store_dls)
 
     for g in range(n_groups):
         if man.group_done(g):

@@ -153,3 +153,22 @@ def test_doc_lens_roundtrip_with_gaps():
     # empty range
     n0, buf0 = encode_doc_lens(np.array([], dtype=np.int64), np.array([], dtype=np.uint64), 0)
     assert n0 == 0 and decode_doc_lens(buf0, n0).size == 0
+
+
+def test_varint_encode_segmented_matches_per_segment_encode():
+    from searchengine_spark.functions.codec import (
+        varint_encode,
+        varint_encode_segmented,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 40, 5000, dtype=np.uint64)
+    # adversarial magnitudes: force 1..6-byte varints in every segment
+    vals[::7] = rng.integers(0, 128, len(vals[::7]), dtype=np.uint64)
+    starts = np.unique(rng.integers(0, len(vals), 300))
+    starts[0] = 0
+    got = varint_encode_segmented(vals, starts)
+    ends = np.append(starts[1:], len(vals))
+    want = [bytes(varint_encode(vals[s:e])) for s, e in zip(starts, ends)]
+    assert got == want
+    assert varint_encode_segmented(np.array([], np.uint64), np.array([0])) == [b""]

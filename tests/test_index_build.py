@@ -138,3 +138,56 @@ def test_legacy_inline_dls_layout_still_scores(spark, monkeypatch, tmp_path,
         sub = got[got["query_id"] == qid]
         assert sub["doc_id"].tolist() == golden["doc_id"].tolist(), query
         assert np.allclose(sub["score"], golden["score"], atol=1e-9, rtol=0), query
+
+
+def test_vectorized_pack_range_matches_pack_blocks_loop(spark):
+    """The vectorized pack_range_pdf (term/block boundaries by array ops,
+    one segmented varint pass per stream) must be BYTE-identical to
+    packing each term's postings with codec.pack_blocks — including
+    multi-block terms (df > BLOCK_SIZE within a range) and case-fold
+    duplicates."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_spark.functions.codec import BLOCK_SIZE, pack_blocks
+    from searchengine_spark.operators.index_build import pack_range_pdf
+
+    man_avgdl = 97.3
+    rng_ = np.random.default_rng(13)
+    rows = []
+    for t, df_ in [("alpha", 1), ("beta", 5), ("gamma", BLOCK_SIZE * 2 + 7),
+                   ("delta", BLOCK_SIZE), ("eps", 2)]:
+        ids = np.sort(rng_.choice(4096, df_, replace=False))
+        for d in ids:
+            rows.append((t, int(d), int(rng_.integers(1, 9)),
+                         int(rng_.integers(20, 400))))
+    # fold duplicate: same (term, doc) twice — tf must merge
+    rows.append(("beta", rows[1][1], 3, rows[1][3]))
+    pdf = pd.DataFrame(rows, columns=["term", "doc_id", "tf", "dl"])
+
+    for store_dls in (False, True):
+        want = []
+        g = (
+            pdf.groupby(["term", "doc_id"], sort=False)
+            .agg(tf=("tf", "sum"), dl=("dl", "first"))
+            .reset_index()
+            .sort_values(["term", "doc_id"], kind="mergesort")
+        )
+        for term, sub in g.groupby("term", sort=True):
+            for blk in pack_blocks(
+                sub["doc_id"].to_numpy(np.uint64),
+                sub["tf"].to_numpy(np.uint64),
+                sub["dl"].to_numpy(np.uint64), man_avgdl,
+                store_dls=store_dls,
+            ):
+                want.append(
+                    (term, 7, blk["block_seq"], blk["n"], blk["first_doc"],
+                     blk["last_doc"], blk["block_max_tf"], man_avgdl,
+                     bytes(blk["gaps"]), bytes(blk["tfs"]),
+                     bytes(blk["dls"])))
+        got_df = pack_range_pdf(7, pdf, man_avgdl, store_dls=store_dls)
+        got = [tuple(r) for r in got_df.itertuples(index=False)]
+        assert got == want
+    # empty input -> empty frame with the full schema
+    empty = pack_range_pdf(0, pdf.iloc[0:0], man_avgdl)
+    assert len(empty) == 0 and list(empty.columns) == got_df.columns.tolist()

@@ -1,0 +1,156 @@
+"""Decompose warm query latency into the fixed per-job floor vs parallel
+work (VERDICT r4 next-round #4: query-path 2→8-core scaling measured
+0.49 — is that serial work, or a scheduling floor that more cores cannot
+shrink?).
+
+Per parallelism level (subprocess each, like scaling_bench):
+
+* ``floor_jvm``      p50 of a JVM-only no-op job (range→count): task
+                     scheduling + driver round-trip, no Python workers;
+* ``floor_python``   p50 of an applyInPandas no-op over the SAME number
+                     of groups as the index has ranges: scheduling + one
+                     Python-worker round-trip per task — the fixed cost
+                     every WAND query pays regardless of cores;
+* ``search_p50``     warm single-query BM25 over the 800k index;
+* ``batch20_per_q``  the amortized serving shape (one job, 20 queries).
+
+The report computes floor-corrected scaling: if
+``(search - floor_python)`` halves when cores quadruple that is real
+but sublinear work; if the RAW latency is floor-dominated, eff_query
+was measuring the scheduler, not the engine — and ``search_batch`` is
+the documented serving answer either way.
+
+    python tools/query_overhead.py [--index /tmp/se_scaling_idx_32]
+        [--levels 2,8] [--reps 9] [--json-out BENCH/query_overhead.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def p50(fn, reps: int) -> float:
+    fn()
+    xs = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        xs.append(time.time() - t0)
+    return round(statistics.median(xs), 4)
+
+
+def run_level(cpus: int, index: str, reps: int) -> dict:
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.wand import search, search_batch
+    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.session import get_session
+    from searchengine_spark.sources.corpus import REFERENCE_QUERIES
+
+    spark = get_session(master=f"local[{cpus}]", shuffle_partitions=cpus,
+                        app_name=f"query-overhead-{cpus}")
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+    s = Manifest(index).scalars
+    n_ranges = s["n_ranges"]
+
+    floor_jvm = p50(lambda: spark.range(n_ranges).count(), reps)
+
+    ids = spark.range(n_ranges).select(F.col("id").cast("int").alias("g"))
+
+    def noop(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf.iloc[0:1]
+
+    floor_python = p50(
+        lambda: ids.groupBy("g").applyInPandas(noop, "g int").count(), reps
+    )
+
+    search_p50 = p50(
+        lambda: search(spark, index, "fast key order", k=10).collect(), reps
+    )
+    single_term = p50(
+        lambda: search(spark, index, "data", k=10).collect(), reps
+    )
+    batch_p50 = p50(
+        lambda: search_batch(spark, index, REFERENCE_QUERIES, k=10).collect(),
+        reps,
+    )
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_ranges": n_ranges,
+        "floor_jvm_p50": floor_jvm,
+        "floor_python_p50": floor_python,
+        "search_p50": search_p50,
+        "search_single_term_p50": single_term,
+        "batch20_p50": batch_p50,
+        "batch20_per_query": round(batch_p50 / len(REFERENCE_QUERIES), 4),
+        "search_minus_floor": round(search_p50 - floor_python, 4),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default="/tmp/se_scaling_idx_32")
+    ap.add_argument("--levels", default="2,8")
+    ap.add_argument("--reps", type=int, default=9)
+    ap.add_argument("--json-out",
+                    default=os.path.join(REPO, "BENCH", "query_overhead.json"))
+    ap.add_argument("--worker", type=int, default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+
+    if args.worker is not None:
+        print(json.dumps(run_level(args.worker, args.index, args.reps)))
+        return
+
+    load_start = round(os.getloadavg()[0], 2)
+    levels = sorted(int(x) for x in args.levels.split(","))
+    results = []
+    for p in levels:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(p),
+             "--index", args.index, "--reps", str(args.reps)],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        if out.returncode != 0:
+            sys.stderr.write(out.stderr[-4000:])
+            raise SystemExit(f"level {p} failed")
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+        print(f"# local[{p}]: {results[-1]}", file=sys.stderr)
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+
+    def eff(key):
+        return round(lo[key] / hi[key] / ratio, 3)
+
+    report = {
+        "metric": "query_overhead_decomposition",
+        "index": args.index,
+        "levels": results,
+        "eff_search_raw": eff("search_p50"),
+        "eff_search_floor_corrected": round(
+            lo["search_minus_floor"] / max(hi["search_minus_floor"], 1e-9)
+            / ratio, 3),
+        "eff_batch_per_query": eff("batch20_per_query"),
+        "floor_share_of_search_at_hi": round(
+            hi["floor_python_p50"] / hi["search_p50"], 3),
+        "ambient_load_start": load_start,
+        "ambient_load_end": round(os.getloadavg()[0], 2),
+    }
+    with open(args.json_out, "w") as f:
+        json.dump(report, f)
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,217 @@
+"""Zipf-vocabulary stress bench (VERDICT r4 next-round #2).
+
+Every prior bench corpus draws from a ~30-word list (8,622 distinct
+index terms at 800k docs), so the |V|-row surfaces — term_dict build,
+fold_map, the wildcard/fuzzy/suffix expansion scans, posting-pack
+per-term overhead, WAND on a skewed df distribution — had never been
+exercised at a production-shaped vocabulary. This tool:
+
+1. generates a deterministic 800k-doc corpus whose tokens are drawn
+   from a BOUNDED ZIPF law over 10^6 ranks (exponent 1.1, term text
+   ``t<rank>`` — numeric suffixes give natural hot prefixes: ``t1*``
+   covers ~111k terms, ``t4999*`` covers 11), ~60 tokens/doc;
+2. builds the index (raw analyzer: the packed-engine path whose
+   dictionary machinery is under test; reference-tokenizer quirks would
+   only add unrelated Python cost) and records per-stage seconds;
+3. times the |V|-scan query surfaces: narrow prefix / suffix / fuzzy
+   expansion, the LOUD cap on a hot prefix (must raise, not truncate),
+   and BM25 over hot / mixed / tail term sets plus a 20-query batch;
+4. writes BENCH/vocab_1m.json.
+
+Usage::
+
+    python tools/vocab_stress.py [--n-docs 800000] [--vocab 1000000]
+        [--cpus 32] [--json-out BENCH/vocab_1m.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ZIPF_S = 1.1
+
+
+def gen_corpus(path: str, n_docs: int, vocab: int, seed: int) -> float:
+    """Deterministic Zipf corpus → parquet dir. Returns gen seconds."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    p = 1.0 / np.arange(1, vocab + 1, dtype=np.float64) ** ZIPF_S
+    cdf = np.cumsum(p / p.sum())
+    terms = np.char.add("t", np.arange(1, vocab + 1).astype("U7"))
+    chunk = 100_000
+    for ci, lo in enumerate(range(0, n_docs, chunk)):
+        n = min(chunk, n_docs - lo)
+        lens = rng.integers(40, 81, n)
+        total = int(lens.sum())
+        draws = np.searchsorted(cdf, rng.random(total), side="left")
+        toks = terms[draws]
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        texts = [" ".join(toks[offs[i]:offs[i + 1]]) for i in range(n)]
+        ids = np.arange(lo, lo + n)
+        tbl = pa.table(
+            {
+                "repo": pa.array([f"org/r{i % 50}" for i in ids]),
+                "path": pa.array([f"doc/{i}" for i in ids]),
+                "commit": pa.array(["0" * 40] * n),
+                "lang": pa.array(["python" if i % 3 else "go" for i in ids]),
+                "content": pa.array(texts),
+            }
+        )
+        pq.write_table(tbl, f"{path}/part{ci:03d}.parquet",
+                       row_group_size=25_000)
+    return time.time() - t0
+
+
+def p50(fn, reps: int) -> dict:
+    fn()  # warm
+    xs = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        xs.append(time.time() - t0)
+    return {"p50_sec": round(statistics.median(xs), 4),
+            "min_sec": round(min(xs), 4), "max_sec": round(max(xs), 4)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=800_000)
+    ap.add_argument("--vocab", type=int, default=1_000_000)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse an existing corpus/index")
+    ap.add_argument("--json-out",
+                    default=os.path.join(REPO, "BENCH", "vocab_1m.json"))
+    args = ap.parse_args()
+
+    corpus = f"/tmp/se_vocab_corpus_{args.n_docs}_{args.vocab}"
+    index_dir = f"/tmp/se_vocab_idx_{args.n_docs}_{args.vocab}"
+    load_start = round(os.getloadavg()[0], 2)
+
+    gen_sec = None
+    if not (args.keep and os.path.exists(corpus)):
+        shutil.rmtree(corpus, ignore_errors=True)
+        gen_sec = round(gen_corpus(corpus, args.n_docs, args.vocab, args.seed), 1)
+        print(f"# corpus generated in {gen_sec}s -> {corpus}", file=sys.stderr)
+
+    from searchengine_spark.operators import boolquery as bq
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search, search_batch
+    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.session import get_session
+
+    spark = get_session(master=f"local[{args.cpus}]",
+                        app_name="vocab-stress",
+                        shuffle_partitions=args.cpus)
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+
+    range_width = max(64, -(-args.n_docs // (4 * args.cpus)))
+    build_sec = None
+    if not (args.keep and os.path.exists(f"{index_dir}/manifest.json")):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, spark.read.parquet(corpus), index_dir,
+                    range_width=range_width, n_groups=2, analyzer="raw")
+        build_sec = round(time.time() - t0, 1)
+    man = Manifest(index_dir)
+    s = man.scalars
+    stages = {k: round(v["seconds"], 2) for k, v in man.data["stages"].items()}
+    stages["postings"] = round(
+        sum(v["seconds"] for v in man.data["posting_groups"].values()), 2
+    )
+
+    # --- expansion surfaces over the 10^6-term dictionary ---------------
+    surfaces = {
+        "expand_prefix_narrow": p50(
+            lambda: bq.expand_prefix(spark, index_dir, "t4999"), args.reps),
+        "expand_suffix_narrow": p50(
+            lambda: bq.expand_suffix(spark, index_dir, "4999"), args.reps),
+        "expand_fuzzy_d1": p50(
+            lambda: bq.expand_fuzzy(spark, index_dir, "t123456", 1), args.reps),
+        "wildcard_query": p50(
+            lambda: bq.search_bool(spark, index_dir, "t4999* t7", k=10).collect(),
+            args.reps),
+        "suffix_query": p50(
+            lambda: bq.search_bool(spark, index_dir, "*4999 t7", k=10).collect(),
+            args.reps),
+        "bm25_hot": p50(
+            lambda: search(spark, index_dir, "t1 t2 t3", k=10).collect(),
+            args.reps),
+        "bm25_mixed": p50(
+            lambda: search(spark, index_dir, "t1 t5000 t123456", k=10).collect(),
+            args.reps),
+        "bm25_tail": p50(
+            lambda: search(spark, index_dir, "t400000 t654321 t999999", k=10).collect(),
+            args.reps),
+        "bm25_batch20": p50(
+            lambda: search_batch(
+                spark, index_dir,
+                [f"t{i + 1} t{(i + 1) * 37} t{(i + 1) * 4099}" for i in range(20)],
+                k=10,
+            ).collect(),
+            args.reps),
+    }
+
+    # hot prefix MUST hit the loud cap (t1* covers ~V/9 terms)
+    t0 = time.time()
+    try:
+        bq.expand_prefix(spark, index_dir, "t1")
+        hot_cap = {"raised": False}
+    except ValueError as e:
+        hot_cap = {"raised": True, "seconds": round(time.time() - t0, 3),
+                   "error": str(e)[:120]}
+
+    # df skew evidence: top-5 and median df
+    td = spark.read.parquet(f"{index_dir}/term_dict")
+    top = [(r["term"], int(r["df"]))
+           for r in td.orderBy("df", ascending=False).limit(5).collect()]
+    med = td.approxQuantile("df", [0.5], 0.0)[0]
+
+    out = {
+        "metric": "zipf_vocab_stress",
+        "n_docs": args.n_docs,
+        "vocab_ranks": args.vocab,
+        "zipf_s": ZIPF_S,
+        "n_terms_indexed": s["n_terms"],
+        "n_tokens": s["n_tokens"],
+        "gen_sec": gen_sec,
+        "build_wall_sec": build_sec,
+        "build_docs_per_sec": (
+            round(args.n_docs / build_sec, 1) if build_sec else None
+        ),
+        "stage_sec": stages,
+        "range_width": range_width,
+        "df_top5": top,
+        "df_median": med,
+        "surfaces": surfaces,
+        "hot_prefix_loud_cap": hot_cap,
+        "cpus": args.cpus,
+        "ambient_load_start": load_start,
+        "ambient_load_end": round(os.getloadavg()[0], 2),
+    }
+    os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
+    with open(args.json_out, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
