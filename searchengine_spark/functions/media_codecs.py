@@ -15,9 +15,16 @@ stub for those formats:
   ``functions/jpeg.py`` (numpy IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart
   markers) and Huffman-progressive SOF2, re-exported here; arithmetic/lossless raise.
 
-MP3 / video containers remain honestly unsupported
-(``UnsupportedMediaError``) — in production the same operator shape plugs
-in PIL/ffmpeg.
+* MP3 — STRUCTURAL decode in ``functions/mp3.py`` (frame-header walk,
+  ID3v1/v2 envelopes, Xing/Info VBR header): duration / sample rate /
+  channels / bitrate / frame count / VBR-ness — the metadata a curation
+  pipeline extracts from audio at scale. Spectral PCM reconstruction is a
+  deliberate typed boundary (the spec's Huffman + synthesis-window
+  constant tables cannot be transcribed verifiably in a clean room — see
+  mp3.py's module docstring).
+
+Video containers remain honestly unsupported (``UnsupportedMediaError``)
+— in production the same operator shape plugs in ffmpeg.
 """
 
 from __future__ import annotations
@@ -33,12 +40,18 @@ from searchengine_spark.functions.jpeg import (
     decode_jpeg,
     encode_jpeg,
 )
+from searchengine_spark.functions.mp3 import (
+    looks_like_mp3,
+    make_mp3,
+    mp3_features,
+    parse_mp3,
+)
 
 __all__ = [
     "UnsupportedMediaError", "sniff", "decode_png", "encode_png",
     "decode_jpeg", "encode_jpeg", "decode_image", "decode_wav", "encode_wav",
     "resize_area", "image_features", "audio_features", "decode_features",
-    "N_FEATURES",
+    "N_FEATURES", "parse_mp3", "mp3_features", "make_mp3", "looks_like_mp3",
 ]
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -47,13 +60,17 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def sniff(payload: bytes) -> str:
-    """Best-effort container sniff: 'png' | 'jpeg' | 'wav' | 'unknown'."""
+    """Best-effort container sniff: 'png' | 'jpeg' | 'wav' | 'mp3' | 'unknown'."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:3] == JPEG_MAGIC:
         return "jpeg"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:3] == b"ID3" or looks_like_mp3(payload):
+        # sync-based detection demands a SECOND agreeing frame header
+        # (mp3.looks_like_mp3), so random binaries don't sniff as mp3
+        return "mp3"
     return "unknown"
 
 
@@ -325,7 +342,13 @@ def decode_features(payload: bytes) -> list[float]:
         return image_features(decode_image(bytes(payload)))
     if kind == "wav":
         return audio_features(*decode_wav(bytes(payload)))
+    if kind == "mp3":
+        try:
+            return mp3_features(bytes(payload))
+        except NotImplementedError as e:  # free-format: typed boundary
+            raise UnsupportedMediaError(str(e)) from e
     raise UnsupportedMediaError(
-        "no decoder for this payload (PNG, baseline JPEG and PCM-WAV are "
-        "supported; MP3/video need external codecs)"
+        "no decoder for this payload (PNG, baseline+progressive JPEG, "
+        "PCM-WAV and MP3 stream structure are supported; video needs "
+        "external codecs)"
     )

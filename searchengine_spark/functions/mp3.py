@@ -1,0 +1,319 @@
+"""MPEG audio (MP3) STRUCTURAL decoder — clean-room, spec-formula only.
+
+Parses everything about an MPEG-1/2/2.5 Layer I/II/III stream that is
+derivable from the public frame-header algebra of ISO/IEC 11172-3 /
+13818-3: sync + header fields, the frame-length formula, the frame walk
+(constant- and variable-bitrate), ID3v2/ID3v1 envelopes, and the
+Xing/Info VBR header — yielding the real metadata a curation pipeline
+extracts from audio at scale (duration, sample rate, channels, mean
+bitrate, frame count, VBR-ness) WITHOUT decoding PCM.
+
+Full spectral reconstruction stays a TYPED boundary
+(``UnsupportedMediaError`` from the callers in ``media_codecs``), and
+deliberately so: Layer III PCM decode requires the Annex B Huffman code
+tables and the 512-tap synthesis window — pages of arbitrary constants
+from the spec text. A clean-room build in this sandbox cannot transcribe
+them verifiably: goldens produced by our own encoder would share any
+transcription error (circular), and a single wrong codeword corrupts
+output silently. A loud boundary beats a silently-wrong decoder; the
+structural layer below is fully verifiable from the length formulas
+alone (every byte of the frame walk is arithmetic, tested against
+hand-computed vectors).
+
+Malformed data raises ``ValueError``; valid-but-out-of-scope streams
+(free-format bitrate) raise ``NotImplementedError`` — the callers map it
+to their typed ``UnsupportedMediaError`` contract.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["parse_mp3", "mp3_features", "make_mp3", "looks_like_mp3"]
+
+# bitrate kbps by [version-group][layer][index 1..14]; index 0 = free
+# format, 15 = invalid (ISO 11172-3 table at 2.4.2.3 / 13818-3 lowrate)
+_BITRATES_V1 = {
+    1: (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_BITRATES_V2 = {
+    1: (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rate by [version][index 0..2]; index 3 reserved
+_RATES = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+_VERSION_BITS = {0b00: "2.5", 0b10: "2", 0b11: "1"}  # 0b01 reserved
+_LAYER_BITS = {0b01: 3, 0b10: 2, 0b11: 1}  # 0b00 reserved
+_MODES = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+
+def _parse_header(b0: int, b1: int, b2: int, b3: int) -> dict | None:
+    """Decode one 32-bit frame header → field dict, or None if the four
+    bytes are not a valid header (bad sync / reserved field / bad index).
+    ``bitrate_kbps`` is None for free-format (index 0)."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = _VERSION_BITS.get((b1 >> 3) & 0b11)
+    layer = _LAYER_BITS.get((b1 >> 1) & 0b11)
+    if version is None or layer is None:
+        return None
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 0b11
+    if bitrate_idx == 0xF or rate_idx == 0b11:
+        return None
+    table = _BITRATES_V1 if version == "1" else _BITRATES_V2
+    bitrate = None if bitrate_idx == 0 else table[layer][bitrate_idx - 1]
+    sample_rate = _RATES[version][rate_idx]
+    mode = (b3 >> 6) & 0b11
+    # samples per frame (ISO 11172-3 / 13818-3 2.4.2.1)
+    if layer == 1:
+        spf = 384
+    elif layer == 2:
+        spf = 1152
+    else:
+        spf = 1152 if version == "1" else 576
+    frame_len = None
+    if bitrate is not None:
+        pad = (b2 >> 1) & 1
+        if layer == 1:
+            frame_len = (12000 * bitrate // sample_rate + pad) * 4
+        else:
+            frame_len = (spf // 8) * 1000 * bitrate // sample_rate + pad
+    return {
+        "version": version,
+        "layer": layer,
+        "has_crc": not (b1 & 1),
+        "bitrate_kbps": bitrate,
+        "sample_rate": sample_rate,
+        "padding": (b2 >> 1) & 1,
+        "mode": _MODES[mode],
+        "channels": 1 if mode == 0b11 else 2,
+        "samples_per_frame": spf,
+        "frame_len": frame_len,
+    }
+
+
+def _id3v2_size(buf: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 envelope (0 if none): 10-byte
+    header + synchsafe size (+10 footer when flag 0x10 is set)."""
+    if buf[:3] != b"ID3" or len(buf) < 10:
+        return 0
+    flags = buf[5]
+    ss = buf[6:10]
+    if any(x & 0x80 for x in ss):
+        raise ValueError("ID3v2 size bytes are not synchsafe")
+    size = (ss[0] << 21) | (ss[1] << 14) | (ss[2] << 7) | ss[3]
+    return 10 + size + (10 if flags & 0x10 else 0)
+
+
+def _xing_frames(frame: bytes, hdr: dict) -> int | None:
+    """Frame count from a Xing/Info VBR header in the FIRST frame, if
+    present: it sits right after the (empty) Layer III side info, whose
+    size is fixed by version/channels (ISO 11172-3 2.4.1.7)."""
+    if hdr["layer"] != 3:
+        return None
+    side = (
+        (17 if hdr["channels"] == 1 else 32)
+        if hdr["version"] == "1"
+        else (9 if hdr["channels"] == 1 else 17)
+    )
+    off = 4 + (2 if hdr["has_crc"] else 0) + side
+    tag = frame[off:off + 4]
+    if tag not in (b"Xing", b"Info") or len(frame) < off + 12:
+        return None
+    flags = struct.unpack(">I", frame[off + 4:off + 8])[0]
+    if flags & 1:
+        return struct.unpack(">I", frame[off + 8:off + 12])[0]
+    return None
+
+
+def looks_like_mp3(payload: bytes) -> bool:
+    """Container sniff: a leading ID3v2 envelope, or a valid non-free
+    frame header whose NEXT frame also parses (random binary produces a
+    false 11-bit sync every ~2KB — the second-header check is the
+    standard resync validation)."""
+    try:
+        parse_mp3(payload, max_scan=512)
+        return True
+    except (ValueError, NotImplementedError):
+        return False
+
+
+def parse_mp3(payload: bytes, max_scan: int = 65536) -> dict:
+    """Walk every frame of an MPEG audio stream → stream stats dict.
+
+    Tolerates a leading ID3v2 envelope, up to ``max_scan`` bytes of
+    leading junk before the first sync (a frame counts as found only if
+    a SECOND consecutive header agrees on version/layer/samplerate, or
+    the stream ends exactly after it), a trailing ID3v1 tag, and a
+    truncated final frame (``truncated=True``). Raises ``ValueError``
+    when no valid frame exists and ``NotImplementedError`` for
+    free-format (bitrate index 0) streams, whose frame length is not
+    derivable from the header algebra.
+    """
+    buf = bytes(payload)
+    id3v2 = _id3v2_size(buf)
+    pos = id3v2
+    end = len(buf)
+    id3v1 = end >= 128 and buf[end - 128:end - 125] == b"TAG"
+    if id3v1:
+        end -= 128
+
+    def hdr_at(p):
+        if p + 4 > end:
+            return None
+        return _parse_header(buf[p], buf[p + 1], buf[p + 2], buf[p + 3])
+
+    first = None
+    scan_limit = min(end - 4, pos + max_scan)
+    while pos <= scan_limit:
+        h = hdr_at(pos)
+        if h is not None:
+            if h["bitrate_kbps"] is None:
+                raise NotImplementedError(
+                    "free-format MPEG stream: frame length is not "
+                    "derivable from the header (bitrate index 0)"
+                )
+            nxt = pos + h["frame_len"]
+            h2 = hdr_at(nxt)
+            agrees = h2 is not None and (
+                h2["version"], h2["layer"], h2["sample_rate"]
+            ) == (h["version"], h["layer"], h["sample_rate"])
+            if agrees or nxt >= end:
+                first = h
+                break
+        pos += 1
+    if first is None:
+        raise ValueError("no valid MPEG audio frame found")
+    junk = pos - id3v2
+
+    n_frames = 0
+    bitrate_sum = 0
+    bitrates = set()
+    truncated = False
+    xing = None
+    while pos + 4 <= end:
+        h = hdr_at(pos)
+        if h is None or (h["version"], h["layer"], h["sample_rate"]) != (
+            first["version"], first["layer"], first["sample_rate"]
+        ):
+            break  # trailing tag/garbage: stop the walk, report below
+        if h["bitrate_kbps"] is None:
+            raise NotImplementedError(
+                "free-format frame mid-stream (bitrate index 0)"
+            )
+        if pos + h["frame_len"] > end:
+            truncated = True
+            break
+        if n_frames == 0:
+            xing = _xing_frames(buf[pos:pos + h["frame_len"]], h)
+        n_frames += 1
+        bitrate_sum += h["bitrate_kbps"]
+        bitrates.add(h["bitrate_kbps"])
+        pos += h["frame_len"]
+    if n_frames == 0:
+        raise ValueError("no complete MPEG audio frame (truncated stream)")
+    # a Xing/Info first frame is a metadata placeholder, not audio
+    audio_frames = n_frames - (1 if xing is not None else 0)
+    counted = xing if xing is not None else audio_frames
+    return {
+        "version": first["version"],
+        "layer": first["layer"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "mode": first["mode"],
+        "has_crc": first["has_crc"],
+        "n_frames": counted,
+        "duration_sec": counted * first["samples_per_frame"] / first["sample_rate"],
+        "bitrate_kbps_mean": bitrate_sum / n_frames,
+        "vbr": len(bitrates) > 1 or xing is not None,
+        "xing_frames": xing,
+        "id3v2_bytes": id3v2,
+        "id3v1": id3v1,
+        "leading_junk_bytes": junk,
+        "truncated": truncated,
+        "trailing_bytes": end - pos,
+    }
+
+
+def mp3_features(payload: bytes) -> list:
+    """The 8-float feature row for an MP3 payload (same width as
+    media_codecs.audio_features, so both audio containers share one
+    schema): duration, sample rate, channels, mean bitrate kbps,
+    frame count, vbr flag, layer, mpeg version."""
+    s = parse_mp3(payload)
+    return [
+        float(s["duration_sec"]),
+        float(s["sample_rate"]),
+        float(s["channels"]),
+        float(s["bitrate_kbps_mean"]),
+        float(s["n_frames"]),
+        1.0 if s["vbr"] else 0.0,
+        float(s["layer"]),
+        float(s["version"].split(".")[0]),
+    ]
+
+
+def make_mp3(
+    n_frames: int = 8,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    channels: int = 2,
+    layer: int = 3,
+    bitrate_pattern: list | None = None,
+    pad_every: int | None = None,
+    id3v2_extra: int = 0,
+    id3v1: bool = False,
+    xing: bool = False,
+) -> bytes:
+    """Test builder: a structurally VALID MPEG-1 stream (header algebra
+    only — payloads are zero bytes, which no structural check inspects).
+    ``bitrate_pattern`` cycles per-frame bitrates (VBR); ``pad_every``
+    sets the padding bit on every n-th frame; ``id3v2_extra`` prepends an
+    ID3v2 envelope with that many payload bytes; ``xing`` stamps a
+    Xing header (frame count = n_frames - 1 audio frames) in frame 0."""
+    v1_rates = {44100: 0, 48000: 1, 32000: 2}
+    rate_idx = v1_rates[sample_rate]
+    layer_bits = {1: 0b11, 2: 0b10, 3: 0b01}[layer]
+    table = _BITRATES_V1[layer]
+    out = bytearray()
+    if id3v2_extra:
+        size = id3v2_extra
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        ) + bytes(size)
+    for i in range(n_frames):
+        kbps = (
+            bitrate_pattern[i % len(bitrate_pattern)]
+            if bitrate_pattern
+            else bitrate_kbps
+        )
+        pad = 1 if (pad_every and (i + 1) % pad_every == 0) else 0
+        b0 = 0xFF
+        b1 = 0xE0 | (0b11 << 3) | (layer_bits << 1) | 1  # MPEG1, no CRC
+        b2 = ((table.index(kbps) + 1) << 4) | (rate_idx << 2) | (pad << 1)
+        b3 = (0b11 if channels == 1 else 0b00) << 6
+        if layer == 1:
+            flen = (12000 * kbps // sample_rate + pad) * 4
+        else:
+            spf = 1152
+            flen = (spf // 8) * 1000 * kbps // sample_rate + pad
+        frame = bytearray([b0, b1, b2, b3]) + bytes(flen - 4)
+        if xing and i == 0:
+            side = 17 if channels == 1 else 32
+            off = 4 + side
+            frame[off:off + 4] = b"Xing"
+            frame[off + 4:off + 8] = struct.pack(">I", 1)
+            frame[off + 8:off + 12] = struct.pack(">I", n_frames - 1)
+        out += frame
+    if id3v1:
+        out += b"TAG" + bytes(125)
+    return bytes(out)

@@ -8,7 +8,10 @@ walk + zlib inflate + scanline unfilter), baseline JPEG
 (:mod:`searchengine_spark.functions.jpeg` — Huffman + numpy IDCT,
 chroma subsampling, restart markers) and PCM WAV audio (stdlib
 ``wave``), with genuine pixel/sample feature math and an area-average
-resize. Formats needing external codecs (MP3/video, arithmetic-coded JPEG) raise
+resize; MP3 audio decodes STRUCTURALLY (frame walk, ID3, Xing —
+duration/rate/channels/bitrate features; :mod:`functions.mp3` explains
+why spectral PCM stays a typed boundary). Formats needing external
+codecs (video, arithmetic-coded JPEG, free-format MPEG) raise
 ``UnsupportedMediaError`` unless ``fake=True`` opts into the
 clearly-marked deterministic byte-statistics stand-in, so the distributed
 pipeline shape can still be exercised over undecodable payloads.
@@ -182,10 +185,15 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
 
 def synthetic_media_df(spark, n: int = 64, seed: int = 5):
     """Deterministic media table for tests (pure function of seed/i):
-    REAL containers for image/audio rows — encoded PNG pixels and 16-bit
-    PCM WAV sine tones — and opaque bytes for video rows (no stdlib video
-    container format exists; those exercise the unsupported/fake path)."""
-    from searchengine_spark.functions.media_codecs import encode_png, encode_wav
+    REAL containers for image/audio rows — encoded PNG pixels, 16-bit
+    PCM WAV sine tones and structurally-valid MP3 streams — and opaque
+    bytes for video rows (no stdlib video container format exists; those
+    exercise the unsupported/fake path)."""
+    from searchengine_spark.functions.media_codecs import (
+        encode_png,
+        encode_wav,
+        make_mp3,
+    )
 
     rows = []
     for i in range(n):
@@ -197,11 +205,21 @@ def synthetic_media_df(spark, n: int = 64, seed: int = 5):
             payload = encode_png(img)
             meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
         elif kind == "audio":
-            sr = 8000
-            t = np.arange(sr // 4) / sr  # 0.25 s tone
-            tone = 0.5 * np.sin(2 * np.pi * (220 + 20 * (i % 7)) * t)
-            payload = encode_wav(tone, sr)
-            meta = {"width": None, "height": None, "sample_rate": sr, "n_frames": None}
+            if (i // 3) % 2 == 1:  # alternate containers: WAV, then MP3
+                payload = make_mp3(
+                    n_frames=6 + (i % 5),
+                    bitrate_kbps=[128, 160, 192][i % 3],
+                    channels=1 + (i % 2),
+                )
+                meta = {"width": None, "height": None,
+                        "sample_rate": 44100, "n_frames": None}
+            else:
+                sr = 8000
+                t = np.arange(sr // 4) / sr  # 0.25 s tone
+                tone = 0.5 * np.sin(2 * np.pi * (220 + 20 * (i % 7)) * t)
+                payload = encode_wav(tone, sr)
+                meta = {"width": None, "height": None, "sample_rate": sr,
+                        "n_frames": None}
         else:
             payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
             meta = {"width": None, "height": None, "sample_rate": None, "n_frames": 30 + i}

@@ -1,0 +1,115 @@
+"""MP3 structural decoder (functions/mp3.py): header algebra against
+hand-computed vectors from the public ISO 11172-3 formulas, frame-walk
+envelopes (ID3v1/v2, Xing, junk, truncation), typed failure modes, and
+sniff false-positive resistance."""
+
+import numpy as np
+import pytest
+
+from searchengine_spark.functions import mp3
+from searchengine_spark.functions.media_codecs import (
+    UnsupportedMediaError,
+    decode_features,
+    sniff,
+)
+
+
+def test_frame_length_and_duration_hand_vectors():
+    """128 kbps / 44100 Hz MPEG-1 Layer III: frame = floor(144000*128 /
+    44100) = 417 bytes unpadded, 418 padded; 10 frames = 10*1152 samples
+    = 0.261224…s. 160/48000: floor(144000*160/48000) = 480 exactly."""
+    s = mp3.parse_mp3(mp3.make_mp3(n_frames=10, bitrate_kbps=128,
+                                   sample_rate=44100))
+    assert s["n_frames"] == 10
+    assert s["duration_sec"] == pytest.approx(10 * 1152 / 44100)
+    assert s["bitrate_kbps_mean"] == 128 and not s["vbr"]
+    assert len(mp3.make_mp3(1, 128, 44100)) == 417
+    assert len(mp3.make_mp3(1, 128, 44100, pad_every=1)) == 418
+    assert len(mp3.make_mp3(1, 160, 48000)) == 480
+    # Layer I slot algebra: (12000*256/44100 + 0)*4 = 276 bytes
+    assert len(mp3.make_mp3(1, 256, 44100, layer=1)) == 276
+    s1 = mp3.parse_mp3(mp3.make_mp3(4, 256, 44100, layer=1))
+    assert s1["layer"] == 1 and s1["n_frames"] == 4
+    assert s1["duration_sec"] == pytest.approx(4 * 384 / 44100)
+
+
+def test_header_fields_roundtrip():
+    s = mp3.parse_mp3(mp3.make_mp3(3, 192, 32000, channels=1))
+    assert (s["version"], s["layer"], s["sample_rate"], s["channels"],
+            s["mode"]) == ("1", 3, 32000, 1, "mono")
+    s2 = mp3.parse_mp3(mp3.make_mp3(3, 192, 48000, channels=2))
+    assert s2["channels"] == 2 and s2["mode"] == "stereo"
+
+
+def test_vbr_walk_and_mean_bitrate():
+    b = mp3.make_mp3(9, bitrate_pattern=[96, 128, 320])
+    s = mp3.parse_mp3(b)
+    assert s["vbr"] and s["n_frames"] == 9
+    assert s["bitrate_kbps_mean"] == pytest.approx((96 + 128 + 320) / 3)
+
+
+def test_id3_envelopes_and_padding():
+    b = mp3.make_mp3(5, id3v2_extra=100, id3v1=True, pad_every=2)
+    s = mp3.parse_mp3(b)
+    assert s["id3v2_bytes"] == 110 and s["id3v1"]
+    assert s["n_frames"] == 5 and s["leading_junk_bytes"] == 0
+    assert s["trailing_bytes"] == 0  # ID3v1 tag excluded from the walk
+
+
+def test_xing_header_frame_count():
+    """A Xing first frame is a metadata placeholder: the reported frame
+    count/duration come from its counter, not the raw walk."""
+    b = mp3.make_mp3(8, xing=True)
+    s = mp3.parse_mp3(b)
+    assert s["xing_frames"] == 7 and s["n_frames"] == 7
+    assert s["vbr"]  # Xing/Info presence marks the stream VBR-capable
+    assert s["duration_sec"] == pytest.approx(7 * 1152 / 44100)
+
+
+def test_leading_junk_resync_and_truncation():
+    good = mp3.make_mp3(4)
+    s = mp3.parse_mp3(b"\x00\x12garbage\xff\x00" + good)
+    assert s["n_frames"] == 4 and s["leading_junk_bytes"] == 11
+    t = mp3.parse_mp3(good[:-50])
+    assert t["n_frames"] == 3 and t["truncated"]
+
+
+def test_typed_failures():
+    with pytest.raises(ValueError, match="no valid"):
+        mp3.parse_mp3(bytes(1000))
+    with pytest.raises(ValueError, match="no complete"):
+        mp3.parse_mp3(mp3.make_mp3(1)[:100])  # sync ok, frame truncated
+    # free format (bitrate index 0): valid per spec, out of scope — typed
+    free = bytearray(mp3.make_mp3(2))
+    free[2] &= 0x0F
+    with pytest.raises(NotImplementedError, match="free-format"):
+        mp3.parse_mp3(bytes(free))
+    # reserved version bits (0b01) are never a valid header
+    bad = bytearray(mp3.make_mp3(2))
+    bad[1] = (bad[1] & ~0x18) | 0x08
+    with pytest.raises(ValueError):
+        mp3.parse_mp3(bytes(bad[:417]))
+
+
+def test_sniff_requires_second_frame_agreement():
+    assert sniff(mp3.make_mp3(2)) == "mp3"
+    assert sniff(mp3.make_mp3(3, id3v2_extra=64)) == "mp3"
+    # one lone sync-looking header with nothing after it at the computed
+    # offset: not an mp3 (random binaries fire the 11-bit sync ~1/2KB)
+    lone = mp3.make_mp3(1)[:417] + b"\x00" * 400
+    assert sniff(lone) == "unknown"
+    rng = np.random.default_rng(3)
+    for _ in range(5):
+        assert sniff(rng.integers(0, 256, 8192, dtype=np.uint8).tobytes()) \
+            == "unknown"
+
+
+def test_decode_features_mp3_row_shape():
+    feats = decode_features(mp3.make_mp3(7, 160, 44100, channels=1))
+    assert len(feats) == 8
+    assert feats == [pytest.approx(7 * 1152 / 44100), 44100.0, 1.0, 160.0,
+                     7.0, 0.0, 3.0, 1.0]
+    free = bytearray(mp3.make_mp3(2))
+    free[2] &= 0x0F
+    with pytest.raises(UnsupportedMediaError):
+        decode_features(bytes(free))

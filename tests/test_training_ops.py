@@ -196,6 +196,8 @@ def test_multimodal_feature_extraction(spark):
             want = mc.image_features(mc.decode_png(p))
         elif kind == "wav":
             want = mc.audio_features(*mc.decode_wav(p))
+        elif kind == "mp3":
+            want = mc.mp3_features(p)
         else:
             want = multimodal._fake_decode(p)
         assert np.allclose(np.array(row.features), np.array(want)), row.media_id

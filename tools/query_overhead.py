@@ -84,6 +84,13 @@ def run_level(cpus: int, index: str, reps: int) -> dict:
         lambda: search_batch(spark, index, REFERENCE_QUERIES, k=10).collect(),
         reps,
     )
+    # saturated batch: enough concurrent queries that per-query work, not
+    # the per-job floor, is the denominator (the throughput serving shape)
+    big = [f"{q} q{i}" for i in range(5) for q in REFERENCE_QUERIES]
+    batch100_p50 = p50(
+        lambda: search_batch(spark, index, big, k=10).collect(),
+        max(3, reps // 3),
+    )
     spark.stop()
     return {
         "cpus": cpus,
@@ -94,6 +101,8 @@ def run_level(cpus: int, index: str, reps: int) -> dict:
         "search_single_term_p50": single_term,
         "batch20_p50": batch_p50,
         "batch20_per_query": round(batch_p50 / len(REFERENCE_QUERIES), 4),
+        "batch100_p50": batch100_p50,
+        "batch100_per_query": round(batch100_p50 / len(big), 4),
         "search_minus_floor": round(search_p50 - floor_python, 4),
     }
 
@@ -142,6 +151,7 @@ def main() -> None:
             lo["search_minus_floor"] / max(hi["search_minus_floor"], 1e-9)
             / ratio, 3),
         "eff_batch_per_query": eff("batch20_per_query"),
+        "eff_batch100_per_query": eff("batch100_per_query"),
         "floor_share_of_search_at_hi": round(
             hi["floor_python_p50"] / hi["search_p50"], 3),
         "ambient_load_start": load_start,
