@@ -652,3 +652,259 @@ def mmr_rerank(
         selected.append(best)
         max_sim = np.maximum(max_sim, sim[:, best])
     return emb.sparkSession.createDataFrame(out, schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN storage + ADC scan
+# ---------------------------------------------------------------------------
+
+def pq_codebook_seeded(
+    dim: int, m: int = 8, k: int = 16, seed: int = 1234
+) -> np.ndarray:
+    """DATA-INDEPENDENT seeded Gaussian codebook → (m, k, dim//m).
+
+    Production PQ trains per-subspace k-means (:func:`pq_train`); this
+    variant exists so the driver gate can replay encode + ADC exactly in
+    SQL — the codebook is a pure function of (dim, m, k, seed), so the
+    oracle embeds the identical centroids as literals without ever seeing
+    data (the ann_lsh hyperplane pattern). Scaled 1/sqrt(dim), the
+    per-coordinate magnitude of a unit-norm vector, so argmin codes are
+    well-spread rather than all collapsing onto one centroid."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, k, dim // m)) / np.sqrt(dim)
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 256,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: per-subspace Lloyd k-means over the same
+    deterministic xxhash-ordered sample as :func:`ivf_train_centroids`
+    (the full corpus never reaches the driver) → (m, k, dim//m). Empty
+    clusters keep their previous centroid (standard Lloyd degeneracy
+    handling, deterministic)."""
+    rows = (
+        emb.select(vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = np.empty((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C[j] = S[rng.choice(len(S), size=k, replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[j][None]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[j, c] = members.mean(axis=0)
+    return C
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` uint8 codes (argmin-L2 per subspace,
+    ties to the lowest centroid id) → (id_col, codes binary). One
+    Arrow-batched narrow map — the same shape as :func:`ivf_assign`;
+    at dim=64/m=8 the codes are 8 bytes vs 256 raw float32 bytes (32×)."""
+    C = codebook.copy()  # (m, k, dsub), closure-shipped once per task
+    m, kk, dsub = C.shape
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("codes", T.BinaryType(), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for b in batches:
+            V = np.asarray([list(v) for v in b[vec_col]], dtype=np.float64)
+            n = len(V)
+            codes = np.empty((n, m), dtype=np.uint8)
+            if n:
+                for j in range(m):
+                    S = V[:, j * dsub:(j + 1) * dsub]
+                    d = ((S[:, None, :] - C[j][None]) ** 2).sum(axis=2)
+                    codes[:, j] = np.argmin(d, axis=1)  # first index on tie
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].astype("int64"),
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_build(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    m: int = 8,
+    k: int = 256,
+    trained: bool = True,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Prematerialize the PQ serving layout: codebooks (trained k-means,
+    or the seeded data-independent variant with ``trained=False``), every
+    vector encoded once, and
+
+    * ``{out_dir}/codes`` — (id, m-byte codes) parquet: the table an ADC
+      scan reads INSTEAD of the raw vectors (dim/4·m/… compression — 32×
+      at dim=64/m=8 vs float32);
+    * ``{out_dir}/pq.json`` — codebooks + layout metadata, the few-KB
+      driver artifact :func:`pq_serve_topk` builds distance tables from.
+
+    Returns the codebook."""
+    import json
+    import os
+
+    probe = emb.select(vec_col).first()
+    if probe is None:
+        raise ValueError("cannot build a PQ layout over an empty table")
+    dim = len(probe[0])
+    if trained:
+        C = pq_train(emb, m, k, sample, iters, seed, id_col, vec_col)
+    else:
+        C = pq_codebook_seeded(dim, m, k, seed)
+    pq_encode(emb, C, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{out_dir}/codes"
+    )
+    meta = {
+        "m": int(C.shape[0]),
+        "k": int(C.shape[1]),
+        "dim": dim,
+        "seed": seed,
+        "trained": trained,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "bytes_per_vector": int(C.shape[0]),
+        "codebook": [
+            [[float(x) for x in c] for c in sub] for sub in C
+        ],
+    }
+    tmp = os.path.join(out_dir, "pq.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "pq.json"))
+    return C
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: np.ndarray,
+    query_vec: list,
+    k: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ codes table → (id,
+    score): the query builds one (m, k) inner-product table driver-side
+    (``table[j, c] = <q_j, C[j, c]>``); every row's approximate score is
+    m table lookups summed — no raw vectors are read. Score is the
+    approximate inner product ⟨q, reconstruction(v)⟩, rounded 6dp with
+    (score desc, id asc) ties — monotone in approximate cosine when the
+    corpus is unit-norm."""
+    C = codebook
+    m, kk, dsub = C.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    table = np.einsum(
+        "mkd,md->mk", C, q.reshape(m, dsub)
+    )  # (m, k) lookup table
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        for b in batches:
+            n = len(b)
+            if n:
+                code_mat = np.frombuffer(
+                    b"".join(b["codes"]), dtype=np.uint8
+                ).reshape(n, m)
+                # apply lookups in subspace order — same addend order as
+                # the SQL oracle's sum over m
+                s = np.zeros(n)
+                for j in range(m):
+                    s += table[j, code_mat[:, j]]
+                s = np.round(s, 6)
+            else:
+                s = np.array([], dtype=np.float64)
+            yield pd.DataFrame({id_col: b[id_col].astype("int64"), "score": s})
+
+    return (
+        codes.mapInPandas(adc, out_schema)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_serve_topk(
+    spark,
+    pq_dir: str,
+    query_vec: list,
+    k: int = 20,
+    rerank: int = 0,
+    emb: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve ANN from a :func:`pq_build` layout: load the few-KB codebook
+    artifact, ADC-scan the codes table (the raw vectors are never read),
+    and optionally exact-rerank the top ``rerank`` candidates against the
+    raw embeddings (pass ``emb``) — the standard two-stage serving shape:
+    compressed first-stage scan, exact cosine on a bounded candidate set.
+    ``allowed`` semi-joins the codes table (pre-filter semantics)."""
+    import json
+
+    with open(f"{pq_dir}/pq.json") as f:
+        meta = json.load(f)
+    C = np.asarray(meta["codebook"], dtype=np.float64)
+    codes = spark.read.parquet(f"{pq_dir}/codes")
+    if allowed is not None:
+        codes = codes.join(
+            allowed.select(meta["id_col"]), meta["id_col"], "leftsemi"
+        )
+    if rerank <= 0:
+        return pq_adc_topk(codes, C, query_vec, k, meta["id_col"])
+    if emb is None:
+        raise ValueError("rerank > 0 needs the raw embeddings via emb=")
+    cand = pq_adc_topk(codes, C, query_vec, rerank, meta["id_col"]).select(
+        meta["id_col"]
+    )
+    return cosine_topk(
+        emb, query_vec, k, meta["id_col"], meta["vec_col"], allowed=cand
+    )

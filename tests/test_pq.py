@@ -1,0 +1,114 @@
+"""Product-quantized ANN (similarity.pq_*): trained-codebook recall vs
+the exact ranking, the two-stage rerank serving shape, encode
+determinism, layout artifacts, and the no-raw-vectors scan claim."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _exact_ids(emb, q, k):
+    return [r["vec_id"] for r in sim.cosine_topk(emb, q, k).collect()]
+
+
+def _q(emb, vid=0):
+    return [float(x) for x in
+            emb.where(F.col("vec_id") == vid).first()["embedding"]]
+
+
+def test_trained_pq_recall_and_rerank(spark, emb, tmp_path):
+    """Trained codebooks (per-subspace k-means) must give useful ADC
+    recall on the clustered test embeddings; exact rerank over a
+    bounded candidate pool approaches the exact top-10 and EQUALS it when
+    the pool covers the corpus — the two-stage serving contract
+    (compressed first stage, bounded exact second stage)."""
+    d = str(tmp_path / "pq_trained")
+    sim.pq_build(spark, emb, d, m=8, k=64, trained=True, seed=7)
+    q = _q(emb)
+    exact10 = set(_exact_ids(emb, q, 10))
+    adc50 = {r["vec_id"] for r in sim.pq_serve_topk(spark, d, q, k=50).collect()}
+    assert len(exact10 & adc50) >= 8  # ADC@50 recalls ≥0.8 of exact@10
+    rr100 = {r["vec_id"] for r in
+             sim.pq_serve_topk(spark, d, q, k=10, rerank=100, emb=emb).collect()}
+    assert len(rr100 & exact10) >= 9  # rerank(100) ~ exact top-10
+    n = emb.count()
+    rr_all = [r["vec_id"] for r in
+              sim.pq_serve_topk(spark, d, q, k=10, rerank=n, emb=emb).collect()]
+    assert rr_all == _exact_ids(emb, q, 10)  # full pool -> exact by construction
+
+
+def test_trained_beats_seeded_distortion(spark, emb, tmp_path):
+    """k-means training must reduce quantization distortion vs the
+    data-independent seeded codebook (else training is a no-op)."""
+    rows = emb.limit(200).collect()
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    Ct = sim.pq_train(emb, m=8, k=16, seed=7)
+    Cs = sim.pq_codebook_seeded(64, 8, 16, seed=7)
+
+    def distortion(C):
+        err = 0.0
+        for j in range(8):
+            S = X[:, j * 8:(j + 1) * 8]
+            d = ((S[:, None, :] - C[j][None]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err
+
+    assert distortion(Ct) < 0.85 * distortion(Cs)
+
+
+def test_encode_deterministic_and_compact(spark, emb, tmp_path):
+    d = str(tmp_path / "pq_seeded")
+    sim.pq_build(spark, emb, d, m=8, k=16, trained=False, seed=1234)
+    meta = json.load(open(f"{d}/pq.json"))
+    assert meta["bytes_per_vector"] == 8 and meta["trained"] is False
+    codes = spark.read.parquet(f"{d}/codes")
+    pdf = codes.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert (pdf["codes"].str.len() == 8).all()
+    assert len(pdf) == emb.count()
+    # re-encode → identical bytes (argmin ties break to the first index)
+    C = np.asarray(meta["codebook"])
+    pdf2 = (
+        sim.pq_encode(emb, C).toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (pdf["codes"] == pdf2["codes"]).all()
+    # 4-bit codebook: every code < 16
+    allb = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8)
+    assert allb.max() < 16
+
+
+def test_adc_scan_reads_codes_only(spark, emb, tmp_path):
+    """The serving scan must read the codes table (id + m bytes), never
+    the raw embedding column — that is the whole point of PQ."""
+    d = str(tmp_path / "pq_plan")
+    sim.pq_build(spark, emb, d, m=8, k=16, trained=False)
+    df = sim.pq_serve_topk(spark, d, _q(emb), k=5)
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all("embedding" not in ln for ln in scans), scans
+    assert "codes" in scans[0]
+
+
+def test_pq_guards(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_codebook_seeded(64, 7)
+    with pytest.raises(ValueError, match="query dim"):
+        sim.pq_adc_topk(
+            spark.createDataFrame([(0, bytes(8))], "vec_id long, codes binary"),
+            sim.pq_codebook_seeded(64, 8, 16), [1.0, 2.0],
+        )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        sim.pq_build(spark, empty, "/tmp/never_written_pq")
