@@ -476,6 +476,7 @@ def search_bool(
     from searchengine_spark.operators.positions import (
         has_positions,
         phrase_count_indexed,
+        stale_position_groups,
     )
     from searchengine_spark.operators.wand import (
         RESULT_SCHEMA,
@@ -565,7 +566,11 @@ def search_bool(
         return spark.createDataFrame([], RESULT_SCHEMA)
 
     def phrase_ids(p: str) -> DataFrame | None:
-        if has_positions(index_dir):
+        # compaction-stale sidecar: degrade to text verification when the
+        # corpus is at hand (phrase_count_indexed raises loudly otherwise)
+        if has_positions(index_dir) and not (
+            docs is not None and stale_position_groups(index_dir)
+        ):
             return phrase_count_indexed(spark, index_dir, p).select("doc_id")
         if docs is None:
             raise ValueError(

@@ -178,11 +178,18 @@ def search_phrase(
     from searchengine_spark.operators.positions import (
         has_positions,
         phrase_count_indexed,
+        stale_position_groups,
     )
     from searchengine_spark.operators.wand import RESULT_SCHEMA, search
 
     if use_positions == "auto":
         use_positions = has_positions(index_dir)
+        # a compaction-stale sidecar would silently omit newly ingested
+        # docs; auto-routing degrades to text verification when the
+        # corpus is at hand (explicit use_positions=True still raises
+        # loudly inside phrase_count_indexed)
+        if use_positions and docs is not None and stale_position_groups(index_dir):
+            use_positions = False
     if use_positions:
         verified = phrase_count_indexed(spark, index_dir, phrase).select("doc_id")
         return search(spark, index_dir, phrase, k=k, allowed=verified)

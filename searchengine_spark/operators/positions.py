@@ -230,6 +230,36 @@ def has_positions(index_dir: str) -> bool:
     return os.path.exists(_meta_path(index_dir))
 
 
+def stale_position_groups(index_dir: str) -> list[int]:
+    """Commit groups whose positions are missing newly ingested docs
+    (``streaming.ingest.compact`` marks them; :func:`refresh_positions`
+    clears them). Empty = the sidecar is current."""
+    from searchengine_spark.plans.manifest import Manifest
+
+    try:
+        return sorted(set(Manifest(index_dir).scalars.get(
+            "positions_stale_groups", [])))
+    except FileNotFoundError:  # standalone sidecar without a manifest
+        return []
+
+
+def _require_current(index_dir: str) -> None:
+    """LOUD staleness guard: after a compaction ingests new docs, the
+    sidecar silently LACKS their positions until refresh_positions runs —
+    an indexed phrase/NEAR answer would omit matching new documents with
+    no error. Silent wrongness is worse than a refusal, so every
+    position-serving operator calls this first."""
+    stale = stale_position_groups(index_dir)
+    if stale:
+        raise ValueError(
+            f"positional sidecar is STALE for groups {stale} (docs "
+            "ingested since the last positions build would be missing "
+            "from the answer): run positions.refresh_positions(spark, "
+            "docs, index_dir), or query the text path (use_positions="
+            "False / docs=...)"
+        )
+
+
 def refresh_positions(spark: SparkSession, docs: DataFrame, index_dir: str,
                       id_col: str = "doc_id", text_col: str = "text") -> list[int]:
     """Rebuild the groups ``streaming.ingest.compact`` marked stale
@@ -267,6 +297,7 @@ def phrase_count_indexed(
     """
     from searchengine_spark.operators.phrase import phrase_terms
 
+    _require_current(index_dir)
     with open(_meta_path(index_dir)) as f:
         range_width = json.load(f)["range_width"]
     terms = phrase_terms(phrase)
@@ -344,6 +375,7 @@ def proximity_count_indexed(
         raise ValueError("NEAR operands must be single raw tokens ([a-z0-9]+)")
     if window < 1:
         raise ValueError("window must be >= 1")
+    _require_current(index_dir)
     with open(_meta_path(index_dir)) as f:
         range_width = json.load(f)["range_width"]
     required = sorted({a, b})

@@ -205,6 +205,21 @@ def test_compact_marks_stale_and_refresh_rebuilds(spark, tmp_path):
     assert len(stale) < man.scalars["n_groups"], "refresh must be selective"
 
     full = corpus_with_ids().cache()
+    # between compact and refresh the sidecar is missing the new docs —
+    # serving it silently would omit matches, so position readers REFUSE
+    # loudly, and the auto-routed phrase path degrades to the text path
+    # when the corpus is at hand (answers over ALL 700 docs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="STALE"):
+        positions.phrase_count_indexed(spark, idx, "alpha beta")
+    with _pytest.raises(ValueError, match="STALE"):
+        positions.proximity_count_indexed(spark, idx, "alpha", "beta", 2)
+    hits = phrase.search_phrase(spark, idx, full, "word650 alpha", k=5).collect()
+    assert hits, "stale auto-routing must fall back to text verification"
+    with _pytest.raises(ValueError, match="STALE|needs the corpus"):
+        phrase.search_phrase(spark, idx, None, "word650 alpha", k=5)
+
     rebuilt = positions.refresh_positions(spark, full, idx)
     assert rebuilt == sorted(stale)
     assert Manifest(idx).scalars["positions_stale_groups"] == []
