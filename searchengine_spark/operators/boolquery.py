@@ -33,6 +33,11 @@ only): the conventional search-box grammar —
                   A term reached via several clauses takes the MAX boost
                   (the unboosted default is 1, so plain queries are
                   unchanged);
+* ``(a|b|c)``     OR-group of plain words: ``+(a|b)`` MUST contain at
+                  least one (one eligibility clause — Lucene's
+                  SHOULD-inside-MUST), ``-(a|b)`` must contain none,
+                  bare ``(a|b)`` only ranks; members are literal words
+                  (wildcard/fuzzy/boost inside a group is refused);
 * ``field:value`` metadata equality over ``doc_map`` columns
                   (``repo, path, commit, lang``); ``-field:value``
                   negates. Values are exact strings (no spaces).
@@ -86,6 +91,7 @@ FIELD_COLS = ("repo", "path", "commit", "lang")
 _CLAUSE_RE = re.compile(
     r"""
     (?P<neg>-)?"(?P<phrase>[^"]*)"      # quoted phrase (negatable)
+  | (?P<gneg>[+-])?\((?P<group>[^()|\s]+(?:\|[^()|\s]+)+)\)  # (a|b) group
   | (?P<pneg>[+-])?(?P<field>[a-z_]+):(?P<value>\S+)   # field:value
   | (?P<tneg>[+-])?(?P<word>\S+)        # bare / +must / -not word
     """,
@@ -96,11 +102,32 @@ _CLAUSE_RE = re.compile(
 def parse_bool_query(q: str) -> dict:
     """Parse the grammar above → clause dict. Raises on an unknown field
     or an empty/only-negative query (a pure negation has no ranking set —
-    same refusal as an empty query)."""
+    same refusal as an empty query). ``(a|b|c)`` is an OR-group of plain
+    words: ``+(a|b)`` MUST hold at least one of them (ONE eligibility
+    clause — the Lucene BooleanQuery SHOULD-inside-MUST shape), ``-(a|b)``
+    must hold none (≡ ``-a -b``), bare ``(a|b)`` only ranks (≡ ``a b``).
+    Group members are literal words (no wildcards/boosts inside — loud)."""
     free, must, must_not, phrases, not_phrases, fields = [], [], [], [], [], []
+    groups: list = []
     for m in _CLAUSE_RE.finditer(q):
         if m.group("phrase") is not None:
             (not_phrases if m.group("neg") else phrases).append(m.group("phrase"))
+        elif m.group("group") is not None:
+            words = m.group("group").split("|")
+            bad = [w for w in words if any(c in w for c in "*~^")]
+            if bad:
+                raise ValueError(
+                    f"OR-group members must be plain words (no wildcard/"
+                    f"fuzzy/boost): {bad}"
+                )
+            neg = m.group("gneg")
+            if neg == "-":
+                must_not.extend(words)
+            elif neg == "+":
+                groups.append(words)
+                free.extend(words)  # group words rank like bare words
+            else:
+                free.extend(words)
         elif m.group("field") is not None:
             f = m.group("field")
             if f not in FIELD_COLS:
@@ -128,6 +155,7 @@ def parse_bool_query(q: str) -> dict:
         "phrases": phrases,
         "not_phrases": not_phrases,
         "fields": fields,
+        "groups": groups,
     }
 
 
@@ -607,6 +635,14 @@ def search_bool(
         clauses.append(terms)
     for s, _b in must_sfx:
         terms = sorted(sfx_map[s])
+        if not terms:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        clauses.append(terms)
+    for words in c["groups"]:
+        # +(a|b): ONE clause whose member set is the union of the words'
+        # index terms — satisfied by any of them (the words already rank
+        # as bare words via c["free"])
+        terms = sorted({t for w in words for t in _resolve(spark, index_dir, w)})
         if not terms:
             return spark.createDataFrame([], RESULT_SCHEMA)
         clauses.append(terms)

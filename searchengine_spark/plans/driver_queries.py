@@ -1257,6 +1257,24 @@ def q_wildcard_suffix(spark, sf_dir):
     )
 
 
+GROUP_QUERY = "fast +(key|order) -(slow|merge)"
+
+
+def q_bool_group_topk(spark, sf_dir):
+    """Boolean OR-group retrieval over the PACKED index, hash-gated:
+    +(key|order) is ONE eligibility clause satisfied by either term (the
+    Lucene SHOULD-inside-MUST shape), -(slow|merge) excludes both — both
+    ride the scorer's own postings scan (one job). Rank terms = the
+    distinct positive words {fast, key, order}. The oracle restates the
+    group as term-IN containment over the documents table."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, GROUP_QUERY, k=60)
+    )
+
+
 def q_redact_secrets(spark, sf_dir):
     """PII/credential scrubbing (textstats.redact_secrets): emails, IPv4,
     AWS key ids, private-key headers → typed sentinels, one codegen
@@ -1735,6 +1753,7 @@ QUERIES = {
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
     "bool_topk": q_bool_topk,
+    "bool_group_topk": q_bool_group_topk,
     "wildcard_topk": q_wildcard_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "boosted_topk": q_boosted_topk,
@@ -2420,6 +2439,25 @@ ORACLES["wildcard_topk"] = (
     " CROSS JOIN n CROSS JOIN ad"
     " WHERE dt.term IN (SELECT term FROM qt)"
     " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# OR-group: +(key|order) -> >=1 of the terms; -(slow|merge) -> none
+ORACLES["bool_group_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ('key','order')),"
+    " ex AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ('slow','merge'))"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ('fast','key','order')"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    " AND dt.doc_id NOT IN (SELECT doc_id FROM ex)"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
 )
 

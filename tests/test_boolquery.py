@@ -320,3 +320,48 @@ def test_expand_multi_matches_single_pattern_scans(spark, index_1k):
         bq.expand_multi(
             spark, index_1k, [], [("result", 0)], [], max_fuzzy_expansions=0
         )
+
+
+def test_or_group_must_semantics(spark, index_1k):
+    """+(a|b): eligibility = union of the words' postings; ranking equals
+    the bare-words query restricted to that set."""
+    from searchengine_spark.operators.wand import search
+
+    union_ids = {
+        r["doc_id"]
+        for r in bq._postings_ids(
+            spark, index_1k,
+            bq._resolve(spark, index_1k, "key")
+            + bq._resolve(spark, index_1k, "flag"),
+        ).collect()
+    }
+    got = _rows(bq.search_bool(spark, index_1k, "result +(key|flag)", k=10**6))
+    assert got and {d for d, _ in got} <= union_ids
+    want = [
+        (r["doc_id"], r["score"])
+        for r in search(spark, index_1k, "result key flag", k=10**6).collect()
+        if r["doc_id"] in union_ids
+    ]
+    assert got == want
+    # bare group ranks like listing the words; -(a|b) == -a -b
+    assert _rows(bq.search_bool(spark, index_1k, "(result|key)", k=20)) == _rows(
+        bq.search_bool(spark, index_1k, "result key", k=20)
+    )
+    assert _rows(
+        bq.search_bool(spark, index_1k, "result -(key|flag)", k=20)
+    ) == _rows(bq.search_bool(spark, index_1k, "result -key -flag", k=20))
+
+
+def test_or_group_guards(spark, index_1k):
+    with pytest.raises(ValueError, match="plain words"):
+        bq.search_bool(spark, index_1k, "result +(key|fla*)", k=5)
+    # unresolvable MUST-group -> empty (unsatisfiable), like +word
+    assert bq.search_bool(spark, index_1k, "result +(zzxq|qqzz)", k=5).count() == 0
+    # still one scorer job: no joins appear for a term-only group query
+    plan = bq.search_bool(
+        spark, index_1k, "result +(key|flag) -value", k=10
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    for marker in ("SortMergeJoin", "BroadcastHashJoin"):
+        assert marker not in plan
