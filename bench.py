@@ -177,6 +177,7 @@ def main() -> None:
     timed("bm25_topk_packed", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
     timed("bool_topk", lambda: QUERIES["bool_topk"](spark, sf_dir).count())
     timed("bool_group_topk", lambda: QUERIES["bool_group_topk"](spark, sf_dir).count())
+    timed("synonym_topk", lambda: QUERIES["synonym_topk"](spark, sf_dir).count())
     timed("wildcard_topk", lambda: QUERIES["wildcard_topk"](spark, sf_dir).count())
     timed("wildcard_suffix", lambda: QUERIES["wildcard_suffix"](spark, sf_dir).count())
     timed("embedding_dup_prod", lambda: QUERIES["embedding_dup_prod"](spark, sf_dir).count())

@@ -772,6 +772,42 @@ def search_terms(
     return _topk_for_qweights(spark, index_dir, qweights, k, maxscore, allowed)
 
 
+def search_with_synonyms(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    synonyms: dict,
+    k: int = 10,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """BM25 top-k with THESAURUS expansion: ``synonyms`` maps a query
+    word to ``{synonym: weight}``; every synonym of a word that actually
+    appears in the parsed query joins the scoring set at that weight
+    (MAX-merged if several words share a synonym), original words keep
+    weight 1 — the conventional weighted-synonym query shape (Lucene
+    SynonymQuery with boosts). Expansion is driver-side dictionary work
+    against the cached term lookup; the scoring plan is byte-identical
+    to :func:`search_terms` (one pushed scan, WAND bounds scale with the
+    weights so pruning stays exact). Synonyms of words NOT in the query
+    contribute nothing — the map can be a large static thesaurus reused
+    across queries."""
+    base = fold_query_terms(spark, index_dir, query)
+    weights = {t: float(q) for t, (q, _df) in base.items()}
+    if not weights:
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    for word, syns in synonyms.items():
+        wterms = fold_query_terms(spark, index_dir, word)
+        if not wterms or not any(t in base for t in wterms):
+            continue
+        for s, alpha in syns.items():
+            if float(alpha) <= 0:
+                raise ValueError(f"synonym weight must be > 0: {s}={alpha}")
+            for t in fold_query_terms(spark, index_dir, s):
+                weights[t] = max(weights.get(t, 0.0), float(alpha))
+    return search_terms(spark, index_dir, weights, k, maxscore, allowed)
+
+
 def search_where(
     spark: SparkSession,
     index_dir: str,

@@ -1275,6 +1275,24 @@ def q_bool_group_topk(spark, sf_dir):
     )
 
 
+SYNONYMS = {"fast": {"slow": 0.4}, "sort": {"order": 0.5}}
+
+
+def q_synonym_topk(spark, sf_dir):
+    """Thesaurus-expanded retrieval over the PACKED index, hash-gated:
+    the query 'fast sort' pulls in slow@0.4 and order@0.5 from a static
+    synonym map (wand.search_with_synonyms — weighted-synonym scoring,
+    WAND bounds scale with the weights). The oracle multiplies the same
+    per-term weights into the BM25 contributions."""
+    from searchengine_spark.operators.wand import search_with_synonyms
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout,
+        search_with_synonyms(spark, layout, "fast sort", SYNONYMS, k=60),
+    )
+
+
 def q_redact_secrets(spark, sf_dir):
     """PII/credential scrubbing (textstats.redact_secrets): emails, IPv4,
     AWS key ids, private-key headers → typed sentinels, one codegen
@@ -1754,6 +1772,7 @@ QUERIES = {
     "bm25_custom_params": q_bm25_custom_params,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
+    "synonym_topk": q_synonym_topk,
     "wildcard_topk": q_wildcard_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "boosted_topk": q_boosted_topk,
@@ -2439,6 +2458,25 @@ ORACLES["wildcard_topk"] = (
     " CROSS JOIN n CROSS JOIN ad"
     " WHERE dt.term IN (SELECT term FROM qt)"
     " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# thesaurus expansion: per-term weights multiply the contributions
+ORACLES["synonym_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id,"
+    " (CASE dt.term WHEN 'fast' THEN 1.0 WHEN 'sort' THEN 1.0"
+    "   WHEN 'slow' THEN 0.4 WHEN 'order' THEN 0.5 END)"
+    f" * ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad"
+    " WHERE dt.term IN ('fast','sort','slow','order')"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
 )
 

@@ -365,3 +365,27 @@ def test_or_group_guards(spark, index_1k):
     )
     for marker in ("SortMergeJoin", "BroadcastHashJoin"):
         assert marker not in plan
+
+
+def test_synonym_expansion_semantics(spark, index_1k):
+    """search_with_synonyms == search_terms over the explicitly expanded
+    weight map; synonyms of absent words are no-ops; weights must be
+    positive."""
+    from searchengine_spark.operators.wand import (
+        search,
+        search_terms,
+        search_with_synonyms,
+    )
+
+    syn = {"key": {"flag": 0.5}, "nosuchword": {"value": 0.9}}
+    got = _rows(search_with_synonyms(spark, index_1k, "result key", syn, k=15))
+    want = _rows(search_terms(
+        spark, index_1k, {"result": 1.0, "key": 1.0, "flag": 0.5}, k=15
+    ))
+    assert got == want and got
+    # no applicable synonyms -> identical to plain search
+    assert _rows(
+        search_with_synonyms(spark, index_1k, "result key", {"zz": {"flag": 1}}, k=15)
+    ) == _rows(search(spark, index_1k, "result key", k=15))
+    with pytest.raises(ValueError, match="weight"):
+        search_with_synonyms(spark, index_1k, "result key", {"key": {"flag": 0}})
