@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--n-queries", type=int, default=20)
     ap.add_argument("--no-md", action="store_true",
                     help="skip appending to BENCH/BASELINE.md")
+    ap.add_argument("--methods", default="lsh,ivf,pq",
+                    help="comma list of methods to sweep")
     args = ap.parse_args()
 
     from searchengine_spark.operators import similarity as sim
@@ -76,8 +78,10 @@ def main() -> None:
             }
         )
 
+    methods = set(args.methods.split(","))
+
     # sign-LSH: bits × (bucket-only | +Hamming-1 multiprobe)
-    for bits in (6, 8, 10):
+    for bits in (6, 8, 10) if "lsh" in methods else ():
         for multiprobe in (False, True):
             def run_lsh(qv, bits=bits, multiprobe=multiprobe):
                 dim = len(qv)
@@ -97,7 +101,7 @@ def main() -> None:
             record("lsh", {"bits": bits, "multiprobe": multiprobe}, run_lsh)
 
     # IVF: one trained codebook per n_cells, nprobe sweep
-    for n_cells in (16, 32):
+    for n_cells in (16, 32) if "ivf" in methods else ():
         C = sim.ivf_train_centroids(emb, n_cells)
         for nprobe in (1, 2, 4, 8, n_cells):
             def run_ivf(qv, C=C, n_cells=n_cells, nprobe=nprobe):
@@ -115,6 +119,24 @@ def main() -> None:
 
             record("ivf", {"n_cells": n_cells, "nprobe": nprobe}, run_ivf)
 
+    # PQ: trained codebooks (m=8 subspaces), ADC-only and exact-rerank
+    # budgets. cand_frac = fraction exactly re-ranked with raw vectors;
+    # the ADC pass itself reads only the m-byte codes table (rerank=0
+    # rows therefore show 0.0% — the scan is compressed, not skipped).
+    for kc in (16, 64, 256) if "pq" in methods else ():
+        C = sim.pq_train(emb, m=8, k=kc)
+        codes = sim.pq_encode(emb, C).cache()
+        codes.count()
+        for rerank in (0, 50, 200):
+            def run_pq(qv, C=C, codes=codes, rerank=rerank):
+                if rerank == 0:
+                    return ids(sim.pq_adc_topk(codes, C, qv, k)), 0
+                cand = sim.pq_adc_topk(codes, C, qv, rerank).select("vec_id")
+                return ids(sim.cosine_topk(emb, qv, k, allowed=cand)), rerank
+
+            record("pq", {"k_centroids": kc, "rerank": rerank}, run_pq)
+        codes.unpersist()
+
     summary = {
         "metric": "ann_recall_at_k",
         "k": k,
@@ -125,8 +147,10 @@ def main() -> None:
     }
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
     base = os.path.basename(os.path.normpath(args.sf_dir))
+    tag = "" if args.methods == "lsh,ivf,pq" else "_" + "_".join(sorted(methods))
     out_name = (
-        "ann_recall.json" if base == "sf0.1" else f"ann_recall_{base}.json"
+        f"ann_recall{tag}.json" if base == "sf0.1"
+        else f"ann_recall_{base}{tag}.json"
     )
     with open(f"{REPO}/BENCH/{out_name}", "w") as f:
         json.dump(summary, f, indent=2)
@@ -140,6 +164,8 @@ def main() -> None:
                     f"bits={c['bits']}, multiprobe={c['multiprobe']}"
                     if c["method"] == "lsh"
                     else f"n_cells={c['n_cells']}, nprobe={c['nprobe']}"
+                    if c["method"] == "ivf"
+                    else f"k_centroids={c['k_centroids']}, rerank={c['rerank']}"
                 ),
                 r=c["recall_at_k"], rmin=c["recall_min"], cf=c["cand_frac"],
             )
