@@ -160,8 +160,8 @@ def main() -> None:
     # "cold" is deterministic run-to-run.
     import glob
 
-    for pat in ("se_ivf_*", "se_lsh_*", "se_pq_*", "se_pos_*", "se_idx_*",
-                "se_tomb_*", "se_purged_*", "se_k1b_*"):
+    for pat in ("se_ivf_*", "se_lsh_*", "se_pq_*", "se_ivfpq_*", "se_pos_*",
+                "se_idx_*", "se_tomb_*", "se_purged_*", "se_k1b_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
             shutil.rmtree(d, ignore_errors=True)
     # positional-sidecar gate entries over the documents table: cold =
@@ -180,6 +180,7 @@ def main() -> None:
     timed("synonym_topk", lambda: QUERIES["synonym_topk"](spark, sf_dir).count())
     timed("wildcard_topk", lambda: QUERIES["wildcard_topk"](spark, sf_dir).count())
     timed("wildcard_suffix", lambda: QUERIES["wildcard_suffix"](spark, sf_dir).count())
+    timed("wildcard_infix", lambda: QUERIES["wildcard_infix"](spark, sf_dir).count())
     timed("embedding_dup_prod", lambda: QUERIES["embedding_dup_prod"](spark, sf_dir).count())
     timed("fuzzy_topk", lambda: QUERIES["fuzzy_topk"](spark, sf_dir).count())
     timed("facet_counts", lambda: QUERIES["facet_counts"](spark, sf_dir).count())
@@ -196,6 +197,8 @@ def main() -> None:
     timed("ann_lsh_topk", lambda: QUERIES["ann_lsh_topk"](spark, sf_dir).count())
     timed("ann_pq_cold", lambda: QUERIES["ann_pq_topk"](spark, sf_dir).count())
     timed("ann_pq_topk", lambda: QUERIES["ann_pq_topk"](spark, sf_dir).count())
+    timed("ann_ivfpq_cold", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
+    timed("ann_ivfpq_topk", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
 
     # production-shaped semantic dedup: the gated embedding_dup_clusters
     # entry runs low-bit/low-threshold CALIBRATION parameters (the

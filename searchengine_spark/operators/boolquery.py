@@ -20,8 +20,15 @@ only): the conventional search-box grammar —
                   sorted, so the suffix becomes a pushed StringStartsWith
                   with parquet row-group min/max pruning); falls back to a
                   ``reverse()`` expression over ``term_dict`` on an index
-                  built before the sidecar existed. ``*mid*`` (infix) is
-                  refused loudly;
+                  built before the sidecar existed;
+* ``mid*fix``     infix wildcard (one interior ``*``): every vocabulary
+                  term that starts with the left literal, ends with the
+                  right one, and is long enough for both (``*`` may match
+                  empty). Served from the same fused term-dict scan — the
+                  left literal is a pushed StringStartsWith, the right
+                  a post-scan endswith. ``*mid*`` (contains) and
+                  multi-``*`` shapes are refused loudly — a contains
+                  query needs an n-gram sidecar, not a dictionary scan;
 * ``word~`` / ``word~2``  fuzzy: expands to every vocabulary term within
                   Levenshtein distance 1 (or N) — one narrow term-dict
                   scan with the JVM ``levenshtein`` expression, same cap
@@ -294,6 +301,42 @@ def expand_suffix(
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+def expand_infix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    suffix: str,
+    max_expansions: int = 1024,
+) -> dict:
+    """``prefix*suffix`` → {index term: df} for every vocabulary term
+    starting with ``prefix``, ending with ``suffix``, and at least
+    ``len(prefix) + len(suffix)`` long (``*`` may match empty) —
+    case-insensitive. One narrow term-dict scan: the prefix is a PUSHED
+    StringStartsWith (row-group pruning on the sorted dictionary), the
+    suffix/length checks evaluate on the pruned rows. Same loud-cap
+    contract as :func:`expand_prefix`."""
+    if not prefix or not suffix:
+        raise ValueError("infix wildcard needs non-empty prefix and suffix")
+    lo = F.lower(F.col("term"))
+    rows = (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .where(
+            lo.startswith(prefix.lower())
+            & lo.endswith(suffix.lower())
+            & (F.length(lo) >= len(prefix) + len(suffix))
+        )
+        .select("term", "df")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"wildcard {prefix!r}*{suffix!r} expands past max_expansions="
+            f"{max_expansions}; narrow the pattern or raise the cap"
+        )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
 def _lev_le(a: str, b: str, d: int) -> bool:
     """Plain Levenshtein(a, b) <= d (insert/delete/substitute, unit
     costs — the same metric as the JVM ``levenshtein`` expression), with
@@ -324,7 +367,8 @@ def expand_multi(
     suffixes: list[str],
     max_expansions: int = 1024,
     max_fuzzy_expansions: int = 64,
-) -> tuple[dict, dict, dict]:
+    infixes: list[tuple[str, str]] = (),
+) -> tuple[dict, dict, dict, dict]:
     """Every wildcard/fuzzy expansion of one query in ONE narrow
     term_dict scan (suffixes add one ``term_sfx`` scan) instead of the
     r4 scan-per-pattern shape: the scan filters on the OR of all
@@ -332,15 +376,19 @@ def expand_multi(
     patterns it matches, and the per-pattern loud caps are enforced
     exactly as in the single-pattern functions (the union collect is
     bounded by the SUM of the caps + 1, and by pigeonhole an overflow of
-    that bound implies some pattern is over its own cap). Returns
+    that bound implies some pattern is over its own cap). Infix patterns
+    ride the term_dict scan (their left literal is prefix-pushed like a
+    trailing wildcard). Returns
     ``({prefix: {term: df}}, {(word, dist): {term: df}},
-    {suffix: {term: df}})``."""
+    {suffix: {term: df}}, {(pre, suf): {term: df}})``."""
     prefixes = list(dict.fromkeys(prefixes))
     fuzzies = list(dict.fromkeys(fuzzies))
     suffixes = list(dict.fromkeys(suffixes))
+    infixes = list(dict.fromkeys(infixes))
     out_p: dict = {p: {} for p in prefixes}
     out_f: dict = {wd: {} for wd in fuzzies}
     out_s: dict = {s: {} for s in suffixes}
+    out_i: dict = {ab: {} for ab in infixes}
 
     def over_prefix(p):
         return ValueError(
@@ -360,7 +408,7 @@ def expand_multi(
             f"{max_expansions}; narrow the suffix or raise the cap"
         )
 
-    if prefixes or fuzzies:
+    if prefixes or fuzzies or infixes:
         lo = F.lower(F.col("term"))
         conds = []
         for p in prefixes:
@@ -371,11 +419,21 @@ def expand_multi(
             if not w:
                 raise ValueError("empty fuzzy term")
             conds.append(F.levenshtein(lo, F.lit(w.lower()), d) >= 0)
+        for a, b in infixes:
+            if not a or not b:
+                raise ValueError(
+                    "infix wildcard needs non-empty prefix and suffix"
+                )
+            conds.append(
+                lo.startswith(a.lower())
+                & lo.endswith(b.lower())
+                & (F.length(lo) >= len(a) + len(b))
+            )
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
         cap = (
-            len(prefixes) * max_expansions
+            (len(prefixes) + len(infixes)) * max_expansions
             + len(fuzzies) * max_fuzzy_expansions
         )
         rows = (
@@ -393,12 +451,25 @@ def expand_multi(
             for w, d in fuzzies:
                 if _lev_le(tl, w.lower(), d):
                     out_f[(w, d)][t] = df
+            for a, b in infixes:
+                if (
+                    tl.startswith(a.lower())
+                    and tl.endswith(b.lower())
+                    and len(tl) >= len(a) + len(b)
+                ):
+                    out_i[(a, b)][t] = df
         for p in prefixes:
             if len(out_p[p]) > max_expansions:
                 raise over_prefix(p)
         for w, d in fuzzies:
             if len(out_f[(w, d)]) > max_fuzzy_expansions:
                 raise over_fuzzy(w, d)
+        for a, b in infixes:
+            if len(out_i[(a, b)]) > max_expansions:
+                raise ValueError(
+                    f"wildcard {a!r}*{b!r} expands past max_expansions="
+                    f"{max_expansions}; narrow the pattern or raise the cap"
+                )
         if len(rows) > cap:  # pragma: no cover — pigeonhole: unreachable
             raise ValueError(
                 "wildcard/fuzzy expansion past the combined cap "
@@ -435,7 +506,7 @@ def expand_multi(
                 "suffix wildcard expansion past the combined cap "
                 f"({cap}); narrow the patterns or raise the caps"
             )
-    return out_p, out_f, out_s
+    return out_p, out_f, out_s, out_i
 
 
 def facet_counts(
@@ -518,9 +589,10 @@ def search_bool(
     fuzzy_re = re.compile(r"^(.+?)~(\d*)$")
 
     def split_wild(words):
-        """word → (literal | prefix* | *suffix | fuzzy~) with an optional
-        outermost ^boost suffix."""
-        lit, wild, fuzz, sfx = [], [], [], []
+        """word → (literal | prefix* | *suffix | in*fix | fuzzy~) with an
+        optional outermost ^boost suffix. ``*mid*`` (contains) and
+        multi-``*`` shapes are refused loudly."""
+        lit, wild, fuzz, sfx, inx = [], [], [], [], []
         for w in words:
             boost = 1.0
             mb = boost_re.match(w)
@@ -529,22 +601,26 @@ def search_bool(
             m = fuzzy_re.match(w)
             if m:
                 fuzz.append((m.group(1), int(m.group(2) or 1), boost))
-            elif w.startswith("*") and len(w) > 1:
-                if w.endswith("*") or "*" in w[1:-1]:
-                    raise ValueError(
-                        f"infix/double wildcard {w!r} unsupported (only "
-                        "prefix* and *suffix)"
-                    )
-                sfx.append((w[1:], boost))
-            elif w.endswith("*"):
-                wild.append((w[:-1], boost))
-            else:
+            elif "*" not in w:
                 lit.append((w, boost))
-        return lit, wild, fuzz, sfx
+            elif w.count("*") == 1 and w.startswith("*") and len(w) > 1:
+                sfx.append((w[1:], boost))
+            elif w.count("*") == 1 and w.endswith("*") and len(w) > 1:
+                wild.append((w[:-1], boost))
+            elif w.count("*") == 1:
+                a, b = w.split("*")
+                inx.append((a, b, boost))
+            else:
+                raise ValueError(
+                    f"wildcard shape {w!r} unsupported (only prefix*, "
+                    "*suffix, and in*fix — a contains query needs an "
+                    "n-gram sidecar, not a dictionary scan)"
+                )
+        return lit, wild, fuzz, sfx, inx
 
-    free_lit, free_wild, free_fuzz, free_sfx = split_wild(c["free"])
-    must_lit, must_wild, must_fuzz, must_sfx = split_wild(c["must"])
-    not_lit, not_wild, not_fuzz, not_sfx = split_wild(
+    free_lit, free_wild, free_fuzz, free_sfx, free_inx = split_wild(c["free"])
+    must_lit, must_wild, must_fuzz, must_sfx, must_inx = split_wild(c["must"])
+    not_lit, not_wild, not_fuzz, not_sfx, not_inx = split_wild(
         c["must_not"]
     )  # boosts on negations parse but are meaningless
 
@@ -556,13 +632,14 @@ def search_bool(
     ]
     if all_words:
         fold_query_terms_batch(spark, index_dir, all_words)
-    wild_map, fuzz_map, sfx_map = expand_multi(
+    wild_map, fuzz_map, sfx_map, inx_map = expand_multi(
         spark,
         index_dir,
         [p for p, _b in free_wild + must_wild + not_wild],
         [(w, d) for w, d, _b in free_fuzz + must_fuzz + not_fuzz],
         [s for s, _b in free_sfx + must_sfx + not_sfx],
         max_expansions,
+        infixes=[(a, b) for a, b, _b in free_inx + must_inx + not_inx],
     )
 
     # --- ranking weights: union of positive words; a term's weight is
@@ -590,6 +667,8 @@ def search_bool(
         add_terms(fuzz_map[(w, d)], boost)
     for s, boost in dict.fromkeys(free_sfx + must_sfx):
         add_terms(sfx_map[s], boost)
+    for a, b, boost in dict.fromkeys(free_inx + must_inx):
+        add_terms(inx_map[(a, b)], boost)
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -638,6 +717,11 @@ def search_bool(
         if not terms:
             return spark.createDataFrame([], RESULT_SCHEMA)
         clauses.append(terms)
+    for a, b, _b in must_inx:
+        terms = sorted(inx_map[(a, b)])
+        if not terms:
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        clauses.append(terms)
     for words in c["groups"]:
         # +(a|b): ONE clause whose member set is the union of the words'
         # index terms — satisfied by any of them (the words already rank
@@ -665,6 +749,7 @@ def search_bool(
         | {t for p, _b in not_wild for t in wild_map[p]}
         | {t for w, d, _b in not_fuzz for t in fuzz_map[(w, d)]}
         | {t for s, _b in not_sfx for t in sfx_map[s]}
+        | {t for a, b, _b in not_inx for t in inx_map[(a, b)]}
     )
     neg_phrase_sets = [phrase_ids(p) for p in c["not_phrases"]]
     if neg_phrase_sets:

@@ -698,24 +698,7 @@ def pq_train(
         .collect()
     )
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
-    dim = X.shape[1]
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
-    dsub = dim // m
-    rng = np.random.default_rng(seed)
-    k = min(k, len(X))
-    C = np.empty((m, k, dsub))
-    for j in range(m):
-        S = X[:, j * dsub:(j + 1) * dsub]
-        C[j] = S[rng.choice(len(S), size=k, replace=False)]
-        for _ in range(iters):
-            d = ((S[:, None, :] - C[j][None]) ** 2).sum(axis=2)
-            assign = np.argmin(d, axis=1)
-            for c in range(k):
-                members = S[assign == c]
-                if len(members):
-                    C[j, c] = members.mean(axis=0)
-    return C
+    return _pq_kmeans(X, m, k, iters, seed)
 
 
 def pq_encode(
@@ -905,6 +888,295 @@ def pq_serve_topk(
     cand = pq_adc_topk(codes, C, query_vec, rerank, meta["id_col"]).select(
         meta["id_col"]
     )
+    return cosine_topk(
+        emb, query_vec, k, meta["id_col"], meta["vec_col"], allowed=cand
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: coarse cells for ROW pruning × PQ residual codes for BANDWIDTH —
+# the composed billion-scale serving layout (Jégou, Douze, Schmid 2011).
+# A query scans only its nprobe cell partitions, and inside them reads
+# m-byte codes instead of raw vectors; the two budgets the standalone
+# ivf_* / pq_* operators calibrate separately multiply here.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids_seeded(dim: int, n_cells: int, seed: int = 1234) -> np.ndarray:
+    """DATA-INDEPENDENT seeded coarse quantizer: unit-norm Gaussian rows →
+    (n_cells, dim). The IVFPQ analog of :func:`pq_codebook_seeded` — a pure
+    function of (dim, n_cells, seed), so the driver gate's oracle embeds
+    the identical centroids as SQL literals. Drawn from a seed sequence
+    keyed off the codebook's so the two seeded artifacts never share a
+    stream prefix. Production uses :func:`ivf_train_centroids`."""
+    rng = np.random.default_rng([seed, 0xC0A25E])
+    C = rng.standard_normal((n_cells, dim))
+    C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _pq_kmeans(X: np.ndarray, m: int, k: int, iters: int, seed: int) -> np.ndarray:
+    """Per-subspace Lloyd k-means over a driver-side sample matrix →
+    (m, k, dim//m). Shared by :func:`pq_train` (raw vectors) and
+    :func:`ivfpq_build` (residuals); empty clusters keep their previous
+    centroid (standard deterministic Lloyd degeneracy handling)."""
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = np.empty((m, k, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C[j] = S[rng.choice(len(S), size=k, replace=False)]
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[j][None]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(k):
+                members = S[assign == c]
+                if len(members):
+                    C[j, c] = members.mean(axis=0)
+    return C
+
+
+def ivfpq_assign_encode(
+    emb: DataFrame,
+    cells: np.ndarray,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector its coarse ``_cell`` (argmax RAW inner product —
+    scale-invariant, so identical assignment to the cosine rule, and the
+    exact arithmetic the SQL oracle replays) and encode the RESIDUAL
+    ``v - cells[_cell]`` to ``m`` uint8 codes (argmin-L2 per subspace,
+    first-index ties) → (id_col, codes binary, _cell int). One Arrow-batched
+    narrow map — assignment and encoding never shuffle."""
+    CT = cells.T.copy()  # (dim, n_cells)
+    cells_c = cells.copy()
+    CB = codebook.copy()  # (m, k, dsub)
+    m, kk, dsub = CB.shape
+    if cells.shape[1] != m * dsub:
+        raise ValueError(
+            f"cell dim {cells.shape[1]} != codebook dim {m * dsub}"
+        )
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("codes", T.BinaryType(), False),
+            T.StructField("_cell", T.IntegerType(), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for b in batches:
+            V = np.asarray([list(v) for v in b[vec_col]], dtype=np.float64)
+            n = len(V)
+            codes = np.empty((n, m), dtype=np.uint8)
+            if n:
+                cell = np.argmax(V @ CT, axis=1).astype(np.int32)
+                R = V - cells_c[cell]
+                for j in range(m):
+                    S = R[:, j * dsub:(j + 1) * dsub]
+                    d = ((S[:, None, :] - CB[j][None]) ** 2).sum(axis=2)
+                    codes[:, j] = np.argmin(d, axis=1)  # first index on tie
+            else:
+                cell = np.array([], dtype=np.int32)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].astype("int64"),
+                    "codes": [c.tobytes() for c in codes],
+                    "_cell": cell,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def ivfpq_build(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k: int = 256,
+    trained: bool = True,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Prematerialize the IVFPQ serving layout:
+
+    * ``{out_dir}/codes`` — (id, m-byte residual codes) parquet
+      ``partitionBy("_cell")`` (Iceberg: partition transform on _cell):
+      a query's nprobe cells become a PARTITION-PRUNED scan that reads
+      compressed codes, never raw vectors — rows skipped × bytes shrunk;
+    * ``{out_dir}/ivfpq.json`` — coarse centroids + residual codebook,
+      the few-KB driver artifact :func:`ivfpq_serve_topk` probes with.
+
+    ``trained=True`` (production): spherical-k-means coarse centroids,
+    then per-subspace k-means over the SAMPLE's residuals (the classic
+    recipe — residuals are what the codes quantize, so that is what the
+    codebook must cover). ``trained=False``: the seeded data-independent
+    pair (:func:`ivf_centroids_seeded` + :func:`pq_codebook_seeded`) the
+    driver gate replays as SQL literals. Returns (cells, codebook)."""
+    import json
+    import os
+
+    probe = emb.select(vec_col).first()
+    if probe is None:
+        raise ValueError("cannot build an IVFPQ layout over an empty table")
+    dim = len(probe[0])
+    if trained:
+        cells = ivf_train_centroids(
+            emb, n_cells, sample, iters, seed, id_col=id_col, vec_col=vec_col
+        )
+        rows = (
+            emb.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+            .limit(sample)
+            .collect()
+        )
+        X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+        R = X - cells[np.argmax(X @ cells.T, axis=1)]
+        codebook = _pq_kmeans(R, m, k, iters, seed)
+    else:
+        cells = ivf_centroids_seeded(dim, n_cells, seed)
+        codebook = pq_codebook_seeded(dim, m, k, seed)
+    (
+        ivfpq_assign_encode(emb, cells, codebook, id_col, vec_col)
+        .write.partitionBy("_cell")
+        .mode("overwrite")
+        .parquet(f"{out_dir}/codes")
+    )
+    meta = {
+        "n_cells": int(cells.shape[0]),
+        "m": int(codebook.shape[0]),
+        "k": int(codebook.shape[1]),
+        "dim": dim,
+        "seed": seed,
+        "trained": trained,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "bytes_per_vector": int(codebook.shape[0]),
+        "cells": [[float(x) for x in row] for row in cells],
+        "codebook": [
+            [[float(x) for x in c] for c in sub] for sub in codebook
+        ],
+    }
+    tmp = os.path.join(out_dir, "ivfpq.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "ivfpq.json"))
+    return cells, codebook
+
+
+def ivfpq_probe_cells(cells: np.ndarray, query_vec: list, nprobe: int) -> list:
+    """The ``nprobe`` cell ids with the largest RAW inner product against
+    the query (stable order — ties to the lowest cell id). Same ranking as
+    :func:`ivf_probe_cells` (normalization cannot reorder), but on raw
+    dots so the SQL oracle replays the identical arithmetic."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    return [int(x) for x in np.argsort(-(cells @ q), kind="stable")[:nprobe]]
+
+
+def ivfpq_adc_topk(
+    codes: DataFrame,
+    cells: np.ndarray,
+    codebook: np.ndarray,
+    query_vec: list,
+    k: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over an IVFPQ codes table (columns id, codes, _cell) →
+    (id, score): approximate inner product ⟨q, cells[_cell] +
+    reconstruction(residual)⟩ = the per-cell dot plus m table lookups —
+    one (m, k) lookup table and one (n_cells,) cell-dot vector per query,
+    both driver-side; no raw vectors are read. Rounded 6dp,
+    (score desc, id asc) ties."""
+    CB = codebook
+    m, kk, dsub = CB.shape
+    q = np.asarray(query_vec, dtype=np.float64)
+    if q.size != m * dsub:
+        raise ValueError(f"query dim {q.size} != codebook dim {m * dsub}")
+    table = np.einsum("mkd,md->mk", CB, q.reshape(m, dsub))
+    cell_dot = cells @ q  # (n_cells,)
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        for b in batches:
+            n = len(b)
+            if n:
+                code_mat = np.frombuffer(
+                    b"".join(b["codes"]), dtype=np.uint8
+                ).reshape(n, m)
+                s = cell_dot[b["_cell"].to_numpy(dtype=np.int64)]
+                for j in range(m):
+                    s = s + table[j, code_mat[:, j]]
+                s = np.round(s, 6)
+            else:
+                s = np.array([], dtype=np.float64)
+            yield pd.DataFrame({id_col: b[id_col].astype("int64"), "score": s})
+
+    return (
+        codes.mapInPandas(adc, out_schema)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_serve_topk(
+    spark,
+    ivfpq_dir: str,
+    query_vec: list,
+    k: int = 20,
+    nprobe: int = 4,
+    rerank: int = 0,
+    emb: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve ANN from an :func:`ivfpq_build` layout: load the few-KB
+    artifact driver-side, pick the ``nprobe`` probe cells, scan ONLY those
+    ``_cell`` partitions of the codes table (the ``isin`` lands in
+    ``PartitionFilters``; plan-asserted in tests/test_plans.py) at m bytes
+    per row, and rank by the ADC score. ``rerank > 0`` exact-reranks the
+    top ``rerank`` ADC candidates against the raw embeddings (pass
+    ``emb``) — the standard two-stage shape. ``allowed`` semi-joins the
+    codes table, composing with the partition pruning."""
+    import json
+
+    if rerank > 0 and emb is None:
+        raise ValueError("rerank > 0 needs the raw embeddings via emb=")
+    with open(f"{ivfpq_dir}/ivfpq.json") as f:
+        meta = json.load(f)
+    cells = np.asarray(meta["cells"], dtype=np.float64)
+    CB = np.asarray(meta["codebook"], dtype=np.float64)
+    probes = ivfpq_probe_cells(cells, query_vec, nprobe)
+    codes = spark.read.parquet(f"{ivfpq_dir}/codes").where(
+        F.col("_cell").isin(probes)
+    )
+    if allowed is not None:
+        codes = codes.join(
+            allowed.select(meta["id_col"]), meta["id_col"], "leftsemi"
+        )
+    if rerank <= 0:
+        return ivfpq_adc_topk(codes, cells, CB, query_vec, k, meta["id_col"])
+    cand = ivfpq_adc_topk(
+        codes, cells, CB, query_vec, rerank, meta["id_col"]
+    ).select(meta["id_col"])
     return cosine_topk(
         emb, query_vec, k, meta["id_col"], meta["vec_col"], allowed=cand
     )

@@ -782,6 +782,130 @@ def _pq_oracle_sql() -> str:
     )
 
 
+IVFPQ_CELLS, IVFPQ_NPROBE, IVFPQ_RERANK = 8, 2, 40
+
+
+def _ivfpq_layout(spark, sf_dir) -> str:
+    """Build (once per corpus CONTENT) the prematerialized IVFPQ serving
+    layout — _cell-partitioned residual-codes table + centroid/codebook
+    artifact — under /tmp; same content-keyed idempotent cache scheme as
+    :func:`_ivf_layout`. The GATE layout uses the SEEDED data-independent
+    pair (ivf_centroids_seeded + pq_codebook_seeded), pure functions of
+    (dim, n_cells/m/k, seed), so the oracle embeds the identical
+    artifacts as SQL literals; trained layouts (the production default)
+    are covered by the recall/identity tests in pytest."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    key = (
+        f"v1:ivfpq:{sf_dir}:{IVFPQ_CELLS}:{PQ_M}:{PQ_K}:{LSH_SEED}"
+        f":{st.st_mtime_ns}:{st.st_size}"
+    )
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_ivfpq_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(os.path.join(d, "ivfpq.json")):
+        similarity.ivfpq_build(
+            spark, _t(spark, sf_dir, "embeddings"), d,
+            n_cells=IVFPQ_CELLS, m=PQ_M, k=PQ_K, trained=False, seed=LSH_SEED,
+        )
+    return d
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVFPQ ANN — the composed billion-scale serving shape, hash-gated
+    end-to-end: coarse cells partition-prune the scan to nprobe=2 of 8
+    `_cell` partitions (plan-asserted in tests/test_plans.py), the scan
+    reads 8-byte RESIDUAL codes instead of raw vectors, the ADC score is
+    ⟨q, cell centroid⟩ + m lookups, and the top-40 ADC candidates are
+    exact-reranked to cosine top-20 against the raw embeddings. The
+    oracle replays every stage in SQL — seeded centroids/codebook as
+    literals, argmax cell assignment, the probe-cell choice, residual
+    encoding, the lookup-table sum, the candidate cutoff, and the exact
+    rerank — so a hash match verifies row pruning AND bandwidth
+    compression AND the two-stage rerank together."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.ivfpq_serve_topk(
+        spark, _ivfpq_layout(spark, sf_dir), qvec, k=20,
+        nprobe=IVFPQ_NPROBE, rerank=IVFPQ_RERANK, emb=emb,
+    )
+
+
+def _ivfpq_oracle_sql() -> str:
+    """Replay q_ann_ivfpq_topk in DuckDB: seeded coarse centroids + PQ
+    codebook as VALUES literals; cell assignment = argmax raw inner
+    product (row_number over (dot DESC, cell) — np.argmax's first-index
+    tiebreak); probe set = top-nprobe cells by the query's raw dot;
+    residual = elementwise v − cell centroid per subspace; code =
+    argmin-L2 vs the codebook (row_number over (distance, c) ≡
+    np.argmin); ADC score = ⟨q, centroid⟩ + Σ_m table lookups rounded
+    6dp; top-`rerank` ADC candidates exact-reranked by cosine."""
+    dsub = LSH_DIM // PQ_M
+    cells = similarity.ivf_centroids_seeded(LSH_DIM, IVFPQ_CELLS, LSH_SEED)
+    CB = similarity.pq_codebook_seeded(LSH_DIM, PQ_M, PQ_K, LSH_SEED)
+
+    def lit(vec):
+        return "[" + ",".join(repr(float(x)) for x in vec) + "]::DOUBLE[]"
+
+    cc = ", ".join(f"({c}, {lit(cells[c])})" for c in range(IVFPQ_CELLS))
+    cb = ", ".join(
+        f"({j}, {c}, {lit(CB[j, c])})"
+        for j in range(PQ_M)
+        for c in range(PQ_K)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" cc(cell, ccv) AS (VALUES {cc}),"
+        f" cb(m, c, cv) AS (VALUES {cb}),"
+        " q AS (SELECT v AS qv FROM e WHERE vec_id = 0),"
+        " assign AS (SELECT vec_id, cell FROM ("
+        "   SELECT e.vec_id, cc.cell, row_number() OVER ("
+        "     PARTITION BY e.vec_id"
+        "     ORDER BY list_dot_product(e.v, cc.ccv) DESC, cc.cell) AS rn"
+        "   FROM e CROSS JOIN cc) WHERE rn = 1),"
+        " probe AS (SELECT cell FROM ("
+        "   SELECT cc.cell, row_number() OVER ("
+        "     ORDER BY list_dot_product(qv, cc.ccv) DESC, cc.cell) AS rn"
+        f"   FROM q CROSS JOIN cc) WHERE rn <= {IVFPQ_NPROBE}),"
+        " cand AS (SELECT e.vec_id, e.v, a.cell FROM e"
+        "   JOIN assign a USING (vec_id) JOIN probe USING (cell)),"
+        f" ms AS (SELECT unnest(range({PQ_M})) AS m),"
+        " sub AS (SELECT cand.vec_id, cand.cell, ms.m,"
+        f"   list_transform(range(1, {dsub + 1}), i ->"
+        f"     cand.v[ms.m * {dsub} + i] - cc.ccv[ms.m * {dsub} + i]) AS rv"
+        "   FROM cand CROSS JOIN ms JOIN cc USING (cell)),"
+        " code AS (SELECT vec_id, m, c FROM ("
+        "   SELECT vec_id, m, c, row_number() OVER ("
+        "     PARTITION BY vec_id, m"
+        "     ORDER BY list_distance(rv, cv), c) AS rn"
+        "   FROM sub JOIN cb USING (m)) WHERE rn = 1),"
+        " tab AS (SELECT m, c,"
+        f"   list_dot_product(qv[m * {dsub} + 1 : m * {dsub} + {dsub}], cv) AS t"
+        "   FROM q CROSS JOIN cb),"
+        " cd AS (SELECT a.vec_id, list_dot_product(qv, cc.ccv) AS cdot"
+        "   FROM assign a JOIN cc USING (cell) CROSS JOIN q),"
+        " adc AS (SELECT vec_id, round(cdot + sum(t), 6) AS score"
+        "   FROM code JOIN tab USING (m, c) JOIN cd USING (vec_id)"
+        "   GROUP BY vec_id, cdot),"
+        " top AS (SELECT vec_id FROM adc"
+        f"   QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= {IVFPQ_RERANK})"
+        " SELECT e.vec_id, round(list_dot_product(e.v, qv)"
+        "   / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(qv, qv))),"
+        "   6) AS cos"
+        " FROM e JOIN top USING (vec_id) CROSS JOIN q"
+        " WHERE list_dot_product(e.v, e.v) > 0"
+        " ORDER BY cos DESC, vec_id ASC LIMIT 20"
+    )
+
+
 LSH_BITS = 8
 LSH_DIM = 64  # testdata embeddings are dim-64 at every sf
 LSH_SEED = 1234
@@ -1254,6 +1378,26 @@ def q_wildcard_suffix(spark, sf_dir):
     layout = _packed_layout(spark, sf_dir)
     return _orig_topk(
         spark, layout, search_bool(spark, layout, SUFFIX_QUERY, k=60)
+    )
+
+
+INFIX_QUERY = "t*e +key"
+
+
+def q_wildcard_infix(spark, sf_dir):
+    """Infix-wildcard retrieval over the PACKED index, hash-gated:
+    't*e' expands against the term dictionary (one fused scan whose left
+    literal is a pushed StringStartsWith; boolquery.expand_infix /
+    expand_multi) into an OR of every term that starts with 't', ends
+    with 'e', and is ≥2 chars ('*' may match empty) — here {table, the},
+    each scoring with its own idf — intersected with the +key
+    containment set. The oracle restates the expansion as a vocabulary
+    LIKE 't%e' with the combined-length guard."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, INFIX_QUERY, k=60)
     )
 
 
@@ -1774,6 +1918,7 @@ QUERIES = {
     "bool_group_topk": q_bool_group_topk,
     "synonym_topk": q_synonym_topk,
     "wildcard_topk": q_wildcard_topk,
+    "wildcard_infix": q_wildcard_infix,
     "fuzzy_topk": q_fuzzy_topk,
     "boosted_topk": q_boosted_topk,
     "facet_counts": q_facet_counts,
@@ -1788,6 +1933,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
     "unigram_logprob": q_unigram_logprob,
@@ -2016,6 +2162,7 @@ ORACLES = {
         threshold=EMB_PROD_THRESHOLD, bits=EMB_PROD_BITS, planted=True
     ),
     "ann_pq_topk": _pq_oracle_sql(),
+    "ann_ivfpq_topk": _ivfpq_oracle_sql(),
     "bpe_token_counts": _bpe_oracle_sql(),
     "lsh_pairs": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"
@@ -2508,6 +2655,28 @@ ORACLES["wildcard_suffix"] = (
     " n AS (SELECT count(*) AS n FROM documents),"
     " ad AS (SELECT avg(dl) AS avgdl FROM st),"
     " qt AS (SELECT term FROM td WHERE term LIKE '%ast' OR term = 'key'),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad"
+    " WHERE dt.term IN (SELECT term FROM qt)"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# infix wildcard: the expansion is a vocabulary LIKE 't%e' with the
+# combined-length guard ('*' may match empty), ranked as an OR of the
+# matching terms (each with its own idf) over docs holding 'key'
+ORACLES["wildcard_infix"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " qt AS (SELECT term FROM td"
+    "        WHERE (term LIKE 't%e' AND length(term) >= 2) OR term = 'key'),"
     " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
     f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
     f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"

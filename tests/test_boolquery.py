@@ -306,13 +306,15 @@ def test_suffix_cap_and_infix_rejection(spark, index_1k):
 def test_expand_multi_matches_single_pattern_scans(spark, index_1k):
     """The fused one-scan expansion returns exactly what the per-pattern
     scans return, pattern by pattern."""
-    wm, fm, sm = bq.expand_multi(
-        spark, index_1k, ["resu", "fa"], [("resutl", 2)], ["sult"]
+    wm, fm, sm, im = bq.expand_multi(
+        spark, index_1k, ["resu", "fa"], [("resutl", 2)], ["sult"],
+        infixes=[("re", "lt")],
     )
     assert wm["resu"] == bq.expand_prefix(spark, index_1k, "resu")
     assert wm["fa"] == bq.expand_prefix(spark, index_1k, "fa")
     assert fm[("resutl", 2)] == bq.expand_fuzzy(spark, index_1k, "resutl", 2)
     assert sm["sult"] == bq.expand_suffix(spark, index_1k, "sult")
+    assert im[("re", "lt")] == bq.expand_infix(spark, index_1k, "re", "lt")
     # per-pattern caps stay loud inside the fused scan
     with pytest.raises(ValueError, match="max_expansions"):
         bq.expand_multi(spark, index_1k, ["r"], [], [], max_expansions=2)
@@ -320,6 +322,47 @@ def test_expand_multi_matches_single_pattern_scans(spark, index_1k):
         bq.expand_multi(
             spark, index_1k, [], [("result", 0)], [], max_fuzzy_expansions=0
         )
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.expand_multi(
+            spark, index_1k, [], [], [], max_expansions=0,
+            infixes=[("r", "t")],
+        )
+
+
+def test_infix_wildcard_semantics(spark, index_1k):
+    """in*fix: startswith + endswith + combined-length, case-insensitive;
+    '*' may match the empty string; ranking equals the expanded-OR query
+    and MUST/MUST-NOT clauses compose like any other wildcard."""
+    exp = bq.expand_infix(spark, index_1k, "re", "lt")
+    assert exp and all(
+        t.lower().startswith("re") and t.lower().endswith("lt") and len(t) >= 4
+        for t in exp
+    )
+    # '*' matching empty: the pattern built from a whole vocab term
+    whole = bq.expand_infix(spark, index_1k, "resu", "lt")
+    assert "result" in whole
+    # ranking == the expanded OR of the matched terms
+    got = _rows(bq.search_bool(spark, index_1k, "re*lt", k=15))
+    want = _rows(search(spark, index_1k, " ".join(sorted(exp)), k=15))
+    assert got == want
+    # +in*fix eligibility == manual allowed-set restriction
+    got_must = _rows(bq.search_bool(spark, index_1k, "key +re*lt", k=10**6))
+    union = bq._postings_ids(spark, index_1k, sorted(exp))
+    want_must = _rows(
+        search(spark, index_1k, "key " + " ".join(sorted(exp)), k=10**6,
+               allowed=union)
+    )
+    assert got_must == want_must
+    # -in*fix excludes every doc holding any matched term
+    excluded = {r["doc_id"] for r in union.collect()}
+    kept = {d for d, _ in _rows(
+        bq.search_bool(spark, index_1k, "key -re*lt", k=10**6))}
+    assert kept and not (kept & excluded)
+    # unmatchable infix: MUST -> empty; free -> no-op for ranking
+    assert bq.search_bool(spark, index_1k, "key +zz*qq", k=5).count() == 0
+    a = _rows(bq.search_bool(spark, index_1k, "key zz*qq", k=10))
+    b = _rows(search(spark, index_1k, "key", k=10))
+    assert a == b
 
 
 def test_or_group_must_semantics(spark, index_1k):

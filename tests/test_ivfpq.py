@@ -1,0 +1,132 @@
+"""IVFPQ ANN (similarity.ivfpq_*): the composed serving layout — coarse
+cells for row pruning × PQ residual codes for bandwidth. Covers trained
+recall, the exact-identity degeneracy (full probe + full rerank == exact
+cosine), residual-codebook training, layout artifacts, encode
+determinism, and the guards."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _exact_ids(emb, q, k):
+    return [r["vec_id"] for r in sim.cosine_topk(emb, q, k).collect()]
+
+
+def _q(emb, vid=0):
+    return [float(x) for x in
+            emb.where(F.col("vec_id") == vid).first()["embedding"]]
+
+
+def test_trained_ivfpq_recall_and_exact_identity(spark, emb, tmp_path):
+    """Trained IVFPQ at a partial probe must recall a useful fraction of
+    the exact top-10 through the two-stage (ADC -> exact rerank) path,
+    and the degenerate budget (nprobe == n_cells, rerank >= corpus)
+    must EQUAL the exact cosine ranking — scores included — because
+    every vector survives the probe and the rerank is the exact scan."""
+    d = str(tmp_path / "ivfpq_trained")
+    sim.ivfpq_build(spark, emb, d, n_cells=4, m=8, k=64, trained=True, seed=7)
+    q = _q(emb)
+    n = emb.count()
+    exact10 = _exact_ids(emb, q, 10)
+    rr = {r["vec_id"] for r in sim.ivfpq_serve_topk(
+        spark, d, q, k=10, nprobe=2, rerank=100, emb=emb).collect()}
+    # nprobe=2 of 4 cells scans roughly half the corpus; the query's own
+    # cell is always probed first, so the head of the ranking survives
+    assert len(rr & set(exact10)) >= 6
+    got = [tuple(r) for r in sim.ivfpq_serve_topk(
+        spark, d, q, k=10, nprobe=4, rerank=n, emb=emb).collect()]
+    want = [tuple(r) for r in sim.cosine_topk(emb, q, 10).collect()]
+    assert got == want
+
+
+def test_residual_codebook_beats_raw_codebook(spark, emb, tmp_path):
+    """The codebook is trained on RESIDUALS (v - cell centroid), not raw
+    vectors — training on the right distribution must reduce residual
+    quantization distortion vs the raw-vector codebook (else the classic
+    IVFPQ recipe is wired wrong)."""
+    cells = sim.ivf_train_centroids(emb, 4, seed=7)
+    rows = emb.limit(200).collect()
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    R = X - cells[np.argmax(X @ cells.T, axis=1)]
+    d = str(tmp_path / "ivfpq_resid")
+    _, cb_resid = sim.ivfpq_build(
+        spark, emb, d, n_cells=4, m=8, k=16, trained=True, seed=7
+    )
+    cb_raw = sim.pq_train(emb, m=8, k=16, seed=7)
+
+    def distortion(C):
+        err = 0.0
+        for j in range(8):
+            S = R[:, j * 8:(j + 1) * 8]
+            dd = ((S[:, None, :] - C[j][None]) ** 2).sum(axis=2)
+            err += dd.min(axis=1).sum()
+        return err
+
+    assert distortion(cb_resid) < distortion(cb_raw)
+
+
+def test_layout_artifacts_and_encode_determinism(spark, emb, tmp_path):
+    d = str(tmp_path / "ivfpq_seeded")
+    sim.ivfpq_build(spark, emb, d, n_cells=8, m=8, k=16, trained=False,
+                    seed=1234)
+    meta = json.load(open(f"{d}/ivfpq.json"))
+    assert meta["bytes_per_vector"] == 8 and meta["trained"] is False
+    assert meta["n_cells"] == 8
+    codes = spark.read.parquet(f"{d}/codes")
+    pdf = codes.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(pdf) == emb.count()
+    assert (pdf["codes"].str.len() == 8).all()
+    assert pdf["_cell"].between(0, 7).all()
+    # re-encode -> identical bytes and cells (first-index argmin/argmax ties)
+    cells = np.asarray(meta["cells"])
+    cb = np.asarray(meta["codebook"])
+    pdf2 = (
+        sim.ivfpq_assign_encode(emb, cells, cb).toPandas()
+        .sort_values("vec_id").reset_index(drop=True)
+    )
+    assert (pdf["codes"] == pdf2["codes"]).all()
+    assert (pdf["_cell"].to_numpy() == pdf2["_cell"].to_numpy()).all()
+    # 4-bit codebook: every code < 16
+    allb = np.frombuffer(b"".join(pdf["codes"]), dtype=np.uint8)
+    assert allb.max() < 16
+
+
+def test_probe_matches_ivf_ordering(spark, emb):
+    """ivfpq_probe_cells ranks by raw inner product; normalization cannot
+    reorder, so it must agree with ivf_probe_cells on the same centroids."""
+    cells = sim.ivf_centroids_seeded(64, 8, 1234)
+    q = _q(emb)
+    assert sim.ivfpq_probe_cells(cells, q, 3) == sim.ivf_probe_cells(
+        cells, q, 3
+    )
+
+
+def test_ivfpq_guards(spark, emb):
+    with pytest.raises(ValueError, match="cell dim"):
+        sim.ivfpq_assign_encode(
+            emb, np.zeros((4, 32)), sim.pq_codebook_seeded(64, 8, 16)
+        )
+    with pytest.raises(ValueError, match="query dim"):
+        sim.ivfpq_adc_topk(
+            spark.createDataFrame(
+                [(0, bytes(8), 0)], "vec_id long, codes binary, _cell int"
+            ),
+            sim.ivf_centroids_seeded(64, 4),
+            sim.pq_codebook_seeded(64, 8, 16),
+            [1.0, 2.0],
+        )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        sim.ivfpq_build(spark, empty, "/tmp/never_written_ivfpq")
+    with pytest.raises(ValueError, match="raw embeddings"):
+        sim.ivfpq_serve_topk(spark, "/tmp/nowhere", [0.0], rerank=5)

@@ -254,6 +254,36 @@ def test_ivf_serve_scan_prunes_cell_partitions(spark, tmp_path):
     assert {int(x) for x in m.group(1).split(",")} == set(probes), scan[0]
 
 
+def test_ivfpq_serve_scan_prunes_and_reads_codes_only(spark, tmp_path):
+    """The composed IVFPQ layout's double promise: the ADC scan is
+    partition-pruned to exactly the probe cells (rows skipped) AND reads
+    only the m-byte codes table, never the raw embedding column (bytes
+    shrunk)."""
+    import re
+
+    from searchengine_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    d = str(tmp_path / "ivfpq")
+    cells, _ = similarity.ivfpq_build(
+        spark, emb, d, n_cells=4, m=8, k=16, trained=False
+    )
+    probes = similarity.ivfpq_probe_cells(cells, qvec, nprobe=2)
+    df = similarity.ivfpq_serve_topk(spark, d, qvec, k=5, nprobe=2)
+    plan = _plan(df)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and "_cell" in scan[0], plan[:2000]
+    m = re.search(r"_cell#\d+ IN \(([^)]*)\)", scan[0])
+    assert m, scan[0]
+    assert {int(x) for x in m.group(1).split(",")} == set(probes), scan[0]
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("embedding" not in ln for ln in reads), reads
+
+
 def test_lsh_serve_scan_prunes_sig_partitions(spark, tmp_path):
     """The prematerialized sign-LSH layout's promise: the probe scan reads
     ONLY the qsig + Hamming-1 bucket partitions — PartitionFilters covers

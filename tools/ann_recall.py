@@ -137,6 +137,45 @@ def main() -> None:
             record("pq", {"k_centroids": kc, "rerank": rerank}, run_pq)
         codes.unpersist()
 
+    # IVFPQ: one trained layout (cells + residual codebook), nprobe ×
+    # rerank sweep. cand_frac counts BOTH cost sources normalized to raw
+    # rows: rows whose codes the pruned ADC pass reads scaled by the
+    # compression ratio (m bytes vs 4·dim float32) + rows exactly
+    # re-ranked — the honest "raw-vector-equivalent bytes touched".
+    if "ivfpq" in methods:
+        import shutil
+        import tempfile
+
+        dim = len(queries[0][1])
+        n_cells, kc = 16, 64
+        d = tempfile.mkdtemp(prefix="ann_recall_ivfpq_")
+        cells, CB = sim.ivfpq_build(
+            spark, emb, d, n_cells=n_cells, m=8, k=kc, trained=True
+        )
+        compress = 8.0 / (4.0 * dim)
+        for nprobe in (1, 2, 4):
+            for rerank in (0, 50, 200):
+                def run_ivfpq(qv, nprobe=nprobe, rerank=rerank):
+                    from pyspark.sql import functions as F
+                    probes = sim.ivfpq_probe_cells(cells, qv, nprobe)
+                    scanned = (
+                        spark.read.parquet(f"{d}/codes")
+                        .where(F.col("_cell").isin(probes)).count()
+                    )
+                    got = ids(sim.ivfpq_serve_topk(
+                        spark, d, qv, k=k, nprobe=nprobe,
+                        rerank=rerank, emb=emb if rerank else None,
+                    ))
+                    return got, scanned * compress + rerank
+
+                record(
+                    "ivfpq",
+                    {"n_cells": n_cells, "k_centroids": kc,
+                     "nprobe": nprobe, "rerank": rerank},
+                    run_ivfpq,
+                )
+        shutil.rmtree(d, ignore_errors=True)
+
     summary = {
         "metric": "ann_recall_at_k",
         "k": k,
@@ -165,6 +204,8 @@ def main() -> None:
                     if c["method"] == "lsh"
                     else f"n_cells={c['n_cells']}, nprobe={c['nprobe']}"
                     if c["method"] == "ivf"
+                    else f"nprobe={c['nprobe']}, rerank={c['rerank']}"
+                    if c["method"] == "ivfpq"
                     else f"k_centroids={c['k_centroids']}, rerank={c['rerank']}"
                 ),
                 r=c["recall_at_k"], rmin=c["recall_min"], cf=c["cand_frac"],
