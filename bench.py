@@ -199,6 +199,7 @@ def main() -> None:
     timed("ann_pq_topk", lambda: QUERIES["ann_pq_topk"](spark, sf_dir).count())
     timed("ann_ivfpq_cold", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
     timed("ann_ivfpq_topk", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
+    timed("hybrid_rrf_topk", lambda: QUERIES["hybrid_rrf_topk"](spark, sf_dir).count())
 
     # production-shaped semantic dedup: the gated embedding_dup_clusters
     # entry runs low-bit/low-threshold CALIBRATION parameters (the

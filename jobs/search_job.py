@@ -30,6 +30,15 @@ def main() -> None:
     ap.add_argument("--bool", action="store_true",
                     help="treat each query as a boolean/fielded expression "
                     '(+must -not field:value "phrase" — operators/boolquery)')
+    ap.add_argument("--hybrid-embeddings",
+                    help="parquet of (vec_id, embedding) with vec_id == "
+                    "doc_id: fuse BM25 top-N with cosine top-N by "
+                    "reciprocal-rank fusion (operators/fusion.rrf_fuse)")
+    ap.add_argument("--hybrid-vec-id", type=int, default=0,
+                    help="vec_id whose embedding is the dense query vector")
+    ap.add_argument("--hybrid-n-each", type=int, default=100,
+                    help="per-leg top-N fed to the fuse")
+    ap.add_argument("--rrf-c", type=int, default=60)
     args = ap.parse_args()
 
     queries = list(args.query)
@@ -42,6 +51,34 @@ def main() -> None:
     from searchengine_spark.session import get_session
 
     spark = get_session(app_name="searchengine-search")
+    if args.hybrid_embeddings:
+        if args.bool or args.where or args.scorer != "wand":
+            raise SystemExit("--hybrid-embeddings composes plain BM25 "
+                             "(no --bool/--where/--scorer cosine)")
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.operators import fusion, similarity
+        from searchengine_spark.operators.wand import search
+
+        emb = spark.read.parquet(args.hybrid_embeddings)
+        qrow = emb.where(F.col("vec_id") == args.hybrid_vec_id).first()
+        if qrow is None:
+            raise SystemExit(f"vec_id {args.hybrid_vec_id} not in "
+                             f"{args.hybrid_embeddings}")
+        qvec = [float(x) for x in qrow["embedding"]]
+        cos = similarity.cosine_topk(emb, qvec, args.hybrid_n_each).select(
+            F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+        )
+        for q in queries:
+            bm = search(spark, args.index_dir, q, k=args.hybrid_n_each)
+            fused = fusion.rrf_fuse([bm, cos], k=args.k, c=args.rrf_c)
+            hits = [
+                {"doc_id": r["doc_id"], "rrf": r["rrf"]}
+                for r in fused.collect()
+            ]
+            print(json.dumps({"query": q, "hits": hits}))
+        spark.stop()
+        return
     if args.bool:
         if args.where or args.scorer != "wand":
             raise SystemExit("--bool composes its own filters (no --where/"

@@ -1,0 +1,72 @@
+"""Rank fusion: combine bounded top-N rankings into one list.
+
+Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR '09): a
+document's fused score is Σ over the input rankings of 1/(c + rank),
+rank 1-based within each list, c=60 the published constant. RRF is the
+standard way to compose lexical (BM25) and dense (embedding cosine)
+retrieval — "hybrid search" — because it needs no score calibration
+between heterogeneous scorers: only ranks matter.
+
+Scale contract: the INPUTS are bounded top-N lists (each leg's own
+top-k operator already did the distributed work — WAND over the packed
+index, ANN over a pruned layout); fusing them is O(Σ N) on lists of
+tens-to-thousands of rows, so the per-list rank window here is
+deliberately unpartitioned. Feeding an unbounded ranking into a fuse is
+a misuse — the guard raises past ``max_list_rows``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_list_rows: int = 100_000,
+) -> DataFrame:
+    """Fuse bounded top-N rankings → (id_col, rrf) top-k.
+
+    Each input must carry ``(id_col, score_col)``; its rank order is
+    (round(score, 6) desc, id asc) — the same rounded-tie rule every
+    gate entry uses, so two lists that hash-match also rank-match. Ids
+    absent from a list simply contribute nothing for it (the standard
+    RRF treatment of partial overlap). Ties in the fused score break on
+    id. ``max_list_rows`` guards against fusing an unbounded ranking
+    (see module docstring); raise it deliberately if you mean it."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if c <= 0:
+        raise ValueError(f"rrf constant c must be positive, got {c}")
+    contribs = []
+    for r in rankings:
+        w = Window.orderBy(
+            F.desc(F.round(F.col(score_col), 6)), F.asc(F.col(id_col))
+        )
+        rank = F.row_number().over(w)
+        # loud boundedness guard that costs NO extra job: the error fires
+        # inside the fuse's own scan if a list is longer than declared
+        contrib = F.when(
+            rank > max_list_rows,
+            F.raise_error(
+                F.lit(
+                    f"rrf_fuse input exceeds max_list_rows={max_list_rows}; "
+                    "RRF fuses bounded top-N lists — cut each leg with its "
+                    "own top-k first (or raise max_list_rows deliberately)"
+                )
+            ).cast("double"),
+        ).otherwise(F.lit(1.0) / (F.lit(float(c)) + rank))
+        contribs.append(r.select(F.col(id_col), contrib.alias("_contrib")))
+    u = contribs[0]
+    for nxt in contribs[1:]:
+        u = u.unionByName(nxt)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("_contrib"), 6).alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

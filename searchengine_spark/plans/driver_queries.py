@@ -906,6 +906,34 @@ def _ivfpq_oracle_sql() -> str:
     )
 
 
+HYBRID_RRF_C, HYBRID_N_EACH = 60, 20
+
+
+def q_hybrid_rrf_topk(spark, sf_dir):
+    """Hybrid retrieval, hash-gated: lexical BM25 top-20 over the PACKED
+    index (block-max WAND) and dense cosine top-20 over the embeddings
+    table (vec_id ≡ doc_id in the provisioned testdata) fused by
+    reciprocal-rank fusion (Cormack et al. '09: Σ 1/(c + rank), c=60,
+    ranks on (rounded score desc, id asc)) — the standard
+    no-calibration composition of heterogeneous scorers. The oracle
+    restates both legs (BM25 SQL, exact-cosine SQL), the rank windows,
+    and the fused sum; a hash match therefore verifies BOTH retrieval
+    paths and the fusion arithmetic in one entry."""
+    from searchengine_spark.operators import fusion
+
+    layout = _packed_layout(spark, sf_dir)
+    bm = _packed_topk(spark, layout, k=HYBRID_N_EACH)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    cos = similarity.cosine_topk(emb, qvec, HYBRID_N_EACH).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+    )
+    return fusion.rrf_fuse([bm, cos], k=10, c=HYBRID_RRF_C)
+
+
 LSH_BITS = 8
 LSH_DIM = 64  # testdata embeddings are dim-64 at every sf
 LSH_SEED = 1234
@@ -1934,6 +1962,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
     "unigram_logprob": q_unigram_logprob,
@@ -2163,6 +2192,35 @@ ORACLES = {
     ),
     "ann_pq_topk": _pq_oracle_sql(),
     "ann_ivfpq_topk": _ivfpq_oracle_sql(),
+    "hybrid_rrf_topk": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+        f" bm AS (SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f"   SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f"   * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f"   FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f"   CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+        f" ) GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_N_EACH}),"
+        " bmr AS (SELECT doc_id, row_number() OVER"
+        "   (ORDER BY score DESC, doc_id ASC) AS r FROM bm),"
+        " q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),"
+        " cs AS (SELECT vec_id AS doc_id,"
+        "   round(list_dot_product(embedding::DOUBLE[], qv)"
+        "   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+        "      * sqrt(list_dot_product(qv, qv))), 6) AS score"
+        "   FROM embeddings CROSS JOIN q"
+        "   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+        f"   ORDER BY score DESC, doc_id ASC LIMIT {HYBRID_N_EACH}),"
+        " csr AS (SELECT doc_id, row_number() OVER"
+        "   (ORDER BY score DESC, doc_id ASC) AS r FROM cs),"
+        f" u AS (SELECT doc_id, 1.0 / ({HYBRID_RRF_C} + r) AS contrib FROM bmr"
+        f"   UNION ALL SELECT doc_id, 1.0 / ({HYBRID_RRF_C} + r) FROM csr)"
+        " SELECT doc_id, round(sum(contrib), 6) AS rrf FROM u"
+        " GROUP BY doc_id ORDER BY rrf DESC, doc_id ASC LIMIT 10"
+    ),
     "bpe_token_counts": _bpe_oracle_sql(),
     "lsh_pairs": (
         f"WITH toks AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),"

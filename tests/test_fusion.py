@@ -1,0 +1,86 @@
+"""Reciprocal-rank fusion (operators/fusion.py): hand-computed RRF
+values, partial-overlap and tie semantics, hybrid BM25×cosine shape,
+and the boundedness guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import fusion
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, score double")
+
+
+def test_rrf_hand_computed(spark):
+    """Two 3-row lists with partial overlap: fused values equal the
+    published formula Σ 1/(c + rank) exactly (6dp)."""
+    a = _df(spark, [(1, 9.0), (2, 8.0), (3, 7.0)])   # ranks 1,2,3
+    b = _df(spark, [(2, 0.9), (4, 0.8), (1, 0.7)])   # ranks 1,2,3
+    got = {r["doc_id"]: r["rrf"] for r in fusion.rrf_fuse([a, b], k=10).collect()}
+    want = {
+        1: round(1 / 61 + 1 / 63, 6),
+        2: round(1 / 62 + 1 / 61, 6),
+        3: round(1 / 63, 6),
+        4: round(1 / 62, 6),
+    }
+    assert got == want
+    # doc 2 (ranks 2+1) beats doc 1 (ranks 1+3)
+    order = [r["doc_id"] for r in fusion.rrf_fuse([a, b], k=2).collect()]
+    assert order == [2, 1]
+
+
+def test_rrf_rank_ties_break_on_id(spark):
+    """Equal 6dp scores rank by ascending id — the same rounded-tie rule
+    as every gate entry — and equal fused scores also break on id."""
+    a = _df(spark, [(5, 1.0), (3, 1.0), (4, 0.5)])
+    got = [r["doc_id"] for r in fusion.rrf_fuse([a], k=3).collect()]
+    assert got == [3, 5, 4]  # 3 and 5 tie on score -> id order; then 4
+    # two disjoint singletons at the same rank: fused scores tie -> id
+    b = _df(spark, [(7, 2.0)])
+    c = _df(spark, [(6, 9.0)])
+    got2 = [r["doc_id"] for r in fusion.rrf_fuse([b, c], k=2).collect()]
+    assert got2 == [6, 7]
+
+
+def test_rrf_single_list_and_empty_list(spark):
+    a = _df(spark, [(1, 3.0), (2, 2.0)])
+    empty = _df(spark, [])
+    got = [tuple(r) for r in fusion.rrf_fuse([a, empty], k=5).collect()]
+    assert got == [(1, round(1 / 61, 6)), (2, round(1 / 62, 6))]
+
+
+def test_rrf_guards(spark):
+    a = _df(spark, [(1, 1.0), (2, 0.5), (3, 0.2)])
+    with pytest.raises(ValueError, match="at least one"):
+        fusion.rrf_fuse([])
+    with pytest.raises(ValueError, match="positive"):
+        fusion.rrf_fuse([a], c=0)
+    # boundedness guard fires inside the plan, no extra job when ok
+    with pytest.raises(Exception, match="max_list_rows"):
+        fusion.rrf_fuse([a], k=5, max_list_rows=2).collect()
+
+
+def test_hybrid_bm25_cosine_shape(spark, index_1k):
+    """The hybrid composition: lexical top-N from the index, dense top-N
+    from embeddings, fused — ids present in both lists outrank
+    single-list ids with comparable ranks."""
+    from searchengine_spark.operators import similarity
+    from searchengine_spark.operators.wand import search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    bm = search(spark, index_1k, "result key", k=20)
+    cs = similarity.cosine_topk(emb, qvec, 20).select(
+        F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
+    )
+    fused = fusion.rrf_fuse([bm, cs], k=10)
+    rows = fused.collect()
+    assert 0 < len(rows) <= 10
+    # every fused id came from one of the legs, scores are descending
+    leg_ids = {r["doc_id"] for r in bm.collect()} | {
+        r["doc_id"] for r in cs.collect()
+    }
+    assert all(r["doc_id"] in leg_ids for r in rows)
+    scores = [r["rrf"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
