@@ -200,6 +200,9 @@ def main() -> None:
     timed("ann_ivfpq_cold", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
     timed("ann_ivfpq_topk", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
     timed("hybrid_rrf_topk", lambda: QUERIES["hybrid_rrf_topk"](spark, sf_dir).count())
+    timed("score_explain", lambda: QUERIES["score_explain"](spark, sf_dir).count())
+    timed("bm25_page2", lambda: QUERIES["bm25_page2"](spark, sf_dir).count())
+    timed("spell_suggest", lambda: QUERIES["spell_suggest"](spark, sf_dir).count())
 
     # production-shaped semantic dedup: the gated embedding_dup_clusters
     # entry runs low-bit/low-threshold CALIBRATION parameters (the

@@ -337,6 +337,54 @@ def expand_infix(
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    word: str,
+    max_dist: int = 2,
+    k: int = 10,
+    max_expansions: int = 256,
+) -> DataFrame:
+    """Did-you-mean: the ``k`` vocabulary terms closest to ``word``
+    (Levenshtein ≤ ``max_dist``, the word itself excluded), ranked by
+    (distance asc, df desc, term asc) — nearer corrections first, ties
+    broken toward the more common term, the conventional spell-suggest
+    policy. One narrow bounded-levenshtein term-dict scan (the
+    :func:`expand_fuzzy` shape, same loud cap); the distance column is
+    exact, re-derived driver-side on the ≤cap collected rows. Returns
+    DataFrame(term, df, dist)."""
+    if not word:
+        raise ValueError("empty suggestion word")
+    w = word.lower()
+    rows = (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .where(
+            (F.levenshtein(F.lower(F.col("term")), F.lit(w), max_dist) >= 0)
+            & (F.lower(F.col("term")) != w)
+        )
+        .select("term", "df")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"suggest {word!r}~{max_dist} expands past max_expansions="
+            f"{max_expansions}; lower the distance or raise the cap"
+        )
+
+    def dist(t: str) -> int:
+        for d in range(max_dist + 1):
+            if _lev_le(t, w, d):
+                return d
+        return max_dist  # pragma: no cover — scan already bounded it
+
+    cand = sorted(
+        ((r["term"], int(r["df"]), dist(r["term"].lower())) for r in rows),
+        key=lambda x: (x[2], -x[1], x[0]),
+    )[:k]
+    return spark.createDataFrame(cand, "term string, df long, dist int")
+
+
 def _lev_le(a: str, b: str, d: int) -> bool:
     """Plain Levenshtein(a, b) <= d (insert/delete/substitute, unit
     costs — the same metric as the JVM ``levenshtein`` expression), with

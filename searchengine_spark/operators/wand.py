@@ -29,7 +29,7 @@ import os
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -697,6 +697,7 @@ def _topk_for_qweights(
     maxscore: bool,
     allowed: DataFrame | None,
     clauses: tuple | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Shared single-query scoring tail: postings scan (pushed ``term
     IN``), per-range scorer stage, global (score desc, doc_id asc)
@@ -705,9 +706,16 @@ def _topk_for_qweights(
     ``clauses`` = ``(pos_clauses, neg_terms)`` pushes boolean
     eligibility into the scorer (see ``_score_range_batch_factory``):
     the scan set widens to the clause terms, which therefore ride the
-    SAME pushed term-IN scan and shuffle as the scoring terms."""
+    SAME pushed term-IN scan and shuffle as the scoring terms.
+
+    ``offset`` skips the first ``offset`` globally-ranked hits (page
+    N = ``offset=(N-1)*k``): the per-range heaps widen to
+    ``offset + k`` — the standard deep-paging tradeoff (Elasticsearch
+    from+size); cost grows with depth, so a cursor tier caps it."""
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
+    if offset < 0:
+        raise ValueError(f"offset must be >= 0, got {offset}")
     s = Manifest(index_dir).scalars
     scan_terms = set(qweights)
     if clauses is not None:
@@ -720,17 +728,25 @@ def _topk_for_qweights(
         spark, index_dir, posts,
         lambda sc, fl, tb: _score_range_batch_factory(
             {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
-            s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
-            tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
+            s["range_width"], k + offset, maxscore=maxscore, sidecar=sc,
+            filtered=fl, tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
             qclauses=None if clauses is None else {0: clauses},
         ),
         allowed=allowed, range_width=s["range_width"],
     )
-    return (
+    top = (
         per_range.select("doc_id", "score")
         .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
+        .limit(k + offset)
     )
+    if offset:
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        top = (
+            top.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > offset)
+            .drop("_rn")
+        )
+    return top
 
 
 def search(
@@ -740,11 +756,17 @@ def search(
     k: int = 10,
     maxscore: bool = True,
     allowed: DataFrame | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally
-    ordered. ``allowed`` restricts eligibility (see ``search_batch``)."""
+    ordered. ``allowed`` restricts eligibility (see ``search_batch``);
+    ``offset`` skips the first ``offset`` hits (page N of size k =
+    ``offset=(N-1)*k`` — see ``_topk_for_qweights`` for the deep-paging
+    cost contract)."""
     qweights = fold_query_terms(spark, index_dir, query)
-    return _topk_for_qweights(spark, index_dir, qweights, k, maxscore, allowed)
+    return _topk_for_qweights(
+        spark, index_dir, qweights, k, maxscore, allowed, offset=offset
+    )
 
 
 def search_terms(
@@ -914,3 +936,116 @@ def search_join(
     if has_tombstones(index_dir):
         scored = scored.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+EXPLAIN_SCHEMA = (
+    "doc_id long, term string, tf long, df long, qtf double,"
+    " idf double, contrib double"
+)
+
+
+def explain_score(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    doc_ids: list | None = None,
+) -> DataFrame:
+    """Per-(doc, term) BM25 score breakdown — the debugging surface every
+    ranked engine grows (Lucene ``explain``): for each candidate doc and
+    resolved query term, ``(doc_id, term, tf, df, idf, contrib)`` with
+    ``sum(contrib) group by doc_id`` equal (6dp) to :func:`search`'s
+    score for that doc. ``doc_ids`` targets specific docs: both the
+    ``term IN`` and the docs' ``rng IN`` predicates push to the postings
+    scan, so explaining one doc decodes only its range's blocks — never
+    a corpus pass (plan-asserted in tests). ``doc_ids=None`` explains
+    every candidate (the scan :func:`search` itself pays). Tombstoned
+    docs are excluded, matching what search serves."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+
+    man = Manifest(index_dir)
+    s = man.scalars
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([], EXPLAIN_SCHEMA)
+    n_docs, avgdl = s.get("n_docs_indexed", s["n_docs"]), s["avgdl"]
+    from searchengine_spark.functions.codec import B as _defb
+    from searchengine_spark.functions.codec import K1 as _defk1
+    k1 = float(s.get("k1", _defk1))
+    b_ = float(s.get("b", _defb))
+
+    posts = spark.read.parquet(f"{index_dir}/postings").where(
+        F.col("term").isin(sorted(qweights))
+    )
+    if doc_ids is not None:
+        if not doc_ids:
+            return spark.createDataFrame([], EXPLAIN_SCHEMA)
+        rw = int(s["range_width"])
+        rngs = sorted({int(d) // rw for d in doc_ids})
+        posts = posts.where(F.col("rng").isin(rngs))
+
+    decode_schema = T.StructType(
+        [
+            T.StructField("term", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tf", T.LongType()),
+        ]
+    )
+
+    def decode(batches):
+        for b in batches:
+            outs = []
+            for term, gaps, tfs, n in zip(b["term"], b["gaps"], b["tfs"], b["n"]):
+                ids, tf, _ = unpack_block(gaps, tfs, None, int(n))
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "doc_id": ids.astype(np.int64),
+                            "tf": tf.astype(np.int64),
+                        }
+                    )
+                )
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {"term": [], "doc_id": [], "tf": []}
+            )
+
+    long_form = posts.mapInPandas(decode, decode_schema)
+    if doc_ids is not None:
+        long_form = long_form.where(
+            F.col("doc_id").isin([int(d) for d in doc_ids])
+        )
+    qdf = spark.createDataFrame(
+        [
+            (t, int(df), float(qtf), float(bm25_idf(df, n_docs)))
+            for t, (qtf, df) in qweights.items()
+        ],
+        "term string, df long, qtf double, idf double",
+    )
+    out = (
+        long_form.join(
+            spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl"),
+            "doc_id",
+        )
+        .join(F.broadcast(qdf), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "qtf",
+            F.round("idf", 6).alias("idf"),
+            F.round(
+                F.col("qtf")
+                * F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b_ + b_ * (F.col("dl") / F.lit(float(avgdl))))
+                ),
+                6,
+            ).alias("contrib"),
+        )
+    )
+    if has_tombstones(index_dir):
+        out = out.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    return out.orderBy("doc_id", "term")

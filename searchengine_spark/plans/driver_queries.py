@@ -1409,6 +1409,72 @@ def q_wildcard_suffix(spark, sf_dir):
     )
 
 
+def q_score_explain(spark, sf_dir):
+    """Per-(doc, term) BM25 score breakdown over the PACKED index
+    (wand.explain_score — the Lucene-explain debugging surface),
+    hash-gated for EVERY candidate of the flagship query: decoded tf,
+    df, qtf, 6dp idf and contribution per row, with sum(contrib) per
+    doc equal to the search score (pinned in pytest). The oracle
+    restates the decomposition from the tokenized documents table, so a
+    hash match verifies the codec decode, the statistics, and the
+    saturation arithmetic term by term."""
+    from searchengine_spark.operators.wand import explain_score
+
+    layout = _packed_layout(spark, sf_dir)
+    dm = spark.read.parquet(f"{layout}/doc_map").select(
+        "doc_id", F.substring("path", 5, 30).cast("long").alias("orig_id")
+    )
+    return (
+        explain_score(spark, layout, " ".join(QTERMS))
+        .join(dm, "doc_id")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            "term", "tf", "df", "qtf", "idf", "contrib",
+        )
+    )
+
+
+def q_bm25_page2(spark, sf_dir):
+    """Deep paging, hash-gated: page 2 (hits 21–40) of the flagship
+    ranking over the PACKED index. The engine path widens the per-range
+    heaps to offset+k and slices the global order (wand.search
+    offset= — the Elasticsearch from+size contract, raw-score identity
+    pinned in pytest); the GATE entry slices on the 6dp-rounded
+    (score, doc_id) order after an over-fetch — the same
+    rounding-boundary discipline every packed entry uses — and the
+    oracle restates it as OFFSET/LIMIT."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.wand import search
+
+    layout = _packed_layout(spark, sf_dir)
+    full = _orig_topk(
+        spark, layout, search(spark, layout, " ".join(QTERMS), k=80), k=40
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        full.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") > 20)
+        .drop("_rn")
+    )
+
+
+SUGGEST_WORD = "vlaue"  # classic transposition typo of 'value'
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean over the PACKED index's term dictionary, hash-gated:
+    the vocabulary terms within Levenshtein 2 of a typo, ranked
+    (distance asc, df desc, term asc) — nearer corrections first, ties
+    toward the more common term (boolquery.suggest_terms: one bounded-
+    levenshtein dict scan, loud cap, exact distances re-derived on the
+    collected rows). The oracle restates it with DuckDB's levenshtein."""
+    from searchengine_spark.operators.boolquery import suggest_terms
+
+    layout = _packed_layout(spark, sf_dir)
+    return suggest_terms(spark, layout, SUGGEST_WORD, max_dist=2, k=10)
+
+
 INFIX_QUERY = "t*e +key"
 
 
@@ -1963,6 +2029,9 @@ QUERIES = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
+    "score_explain": q_score_explain,
+    "bm25_page2": q_bm25_page2,
+    "spell_suggest": q_spell_suggest,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
     "unigram_logprob": q_unigram_logprob,
@@ -2192,6 +2261,42 @@ ORACLES = {
     ),
     "ann_pq_topk": _pq_oracle_sql(),
     "ann_ivfpq_topk": _ivfpq_oracle_sql(),
+    "score_explain": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+        " SELECT dt.doc_id, dt.term, CAST(tf AS BIGINT) AS tf,"
+        " CAST(df AS BIGINT) AS df, 1.0 AS qtf,"
+        " round(ln(1 + (n.n - df + 0.5) / (df + 0.5)), 6) AS idf,"
+        f" round(ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))), 6)"
+        " AS contrib"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ),
+    "bm25_page2": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+        f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+        ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20 OFFSET 20"
+    ),
+    "spell_suggest": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " td AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term)"
+        f" SELECT term, df, CAST(levenshtein(term, '{SUGGEST_WORD}') AS INT) AS dist"
+        f" FROM td WHERE levenshtein(term, '{SUGGEST_WORD}') <= 2"
+        f" AND term <> '{SUGGEST_WORD}'"
+        " ORDER BY dist ASC, df DESC, term ASC LIMIT 10"
+    ),
     "hybrid_rrf_topk": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"
         " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"

@@ -432,3 +432,25 @@ def test_synonym_expansion_semantics(spark, index_1k):
     ) == _rows(search(spark, index_1k, "result key", k=15))
     with pytest.raises(ValueError, match="weight"):
         search_with_synonyms(spark, index_1k, "result key", {"key": {"flag": 0}})
+
+
+def test_suggest_terms(spark, index_1k):
+    """Did-you-mean: distance-then-frequency ranking, typo excluded,
+    exact distance column, loud cap."""
+    got = bq.suggest_terms(spark, index_1k, "resuls", max_dist=2, k=10)
+    rows = [(r["term"], r["dist"]) for r in got.collect()]
+    assert rows, "expected at least one suggestion near 'resuls'"
+    assert ("result", 1) in rows  # one substitution away
+    dists = [d for _t, d in rows]
+    assert dists == sorted(dists)
+    assert all(0 < d <= 2 for d in dists)
+    assert all(t.lower() != "resuls" for t, _d in rows)
+    # ties at equal distance break toward the higher-df term
+    pdf = got.toPandas()
+    for d in set(pdf["dist"]):
+        grp = pdf[pdf["dist"] == d]
+        assert grp["df"].tolist() == sorted(grp["df"], reverse=True)
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.suggest_terms(spark, index_1k, "a", max_dist=2, max_expansions=1)
+    with pytest.raises(ValueError, match="empty"):
+        bq.suggest_terms(spark, index_1k, "")

@@ -366,3 +366,16 @@ def test_term_only_bool_query_is_one_scorer_job(spark, index_1k):
     # scoring term, so its presence proves the scan set widened)
     pushed = [ln for ln in boolean.splitlines() if "PushedFilters" in ln]
     assert pushed and "flag" in pushed[0], pushed
+
+
+def test_explain_pushes_term_and_range_filters(spark, index_1k):
+    """explain_score with target doc_ids decodes ONLY the query terms'
+    blocks in the targets' ranges: both the term IN and rng IN
+    predicates reach the postings parquet scan."""
+    from searchengine_spark.operators.wand import explain_score
+
+    df = explain_score(spark, index_1k, "result key", doc_ids=[5, 700])
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "In(term" in plan, plan[:2000]
+    assert "In(rng" in plan, plan[:2000]

@@ -59,3 +59,41 @@ def test_maxscore_identical_to_dense(spark, index_1k):
     assert on["query_id"].tolist() == off["query_id"].tolist()
     assert on["doc_id"].tolist() == off["doc_id"].tolist()
     assert on["score"].tolist() == off["score"].tolist()  # exact, no tol
+
+
+def test_offset_pagination_identity(spark, index_1k):
+    """search(offset=o, k=k) must equal rows o+1..o+k of the deeper
+    ranking EXACTLY (raw scores — both paths rank pre-rounding), pages
+    must tile the full ranking without overlap, and past-the-end pages
+    are empty."""
+    full = [tuple(r) for r in search(spark, index_1k, "result key", k=30).collect()]
+    for off, kk in ((0, 10), (10, 10), (20, 5), (5, 7)):
+        page = [tuple(r) for r in
+                search(spark, index_1k, "result key", k=kk, offset=off).collect()]
+        assert page == full[off:off + kk], (off, kk)
+    assert search(spark, index_1k, "result key", k=10, offset=10**6).count() == 0
+    with pytest.raises(ValueError, match="offset"):
+        search(spark, index_1k, "result key", k=5, offset=-1)
+
+
+def test_explain_sums_to_search_score(spark, index_1k):
+    """explain_score's per-term contributions must sum (6dp) to the
+    search score per doc, its tf/df must be true corpus statistics, and
+    targeting doc_ids returns exactly those docs' rows."""
+    from searchengine_spark.operators.wand import explain_score
+
+    q = "result key index"
+    top = {r["doc_id"]: r["score"]
+           for r in search(spark, index_1k, q, k=10).collect()}
+    exp = explain_score(spark, index_1k, q, doc_ids=list(top)).toPandas()
+    assert set(exp["doc_id"]) == set(top)
+    sums = exp.groupby("doc_id")["contrib"].sum()
+    for d, s in top.items():
+        assert abs(sums[d] - s) < 2e-6, d
+    # qtf counts repeated query words
+    exp2 = explain_score(spark, index_1k, "key key", doc_ids=list(top)[:1])
+    row = exp2.collect()
+    assert row and all(r["qtf"] == 2.0 for r in row)
+    # empty query / empty doc set
+    assert explain_score(spark, index_1k, "the of", doc_ids=[1]).count() == 0
+    assert explain_score(spark, index_1k, q, doc_ids=[]).count() == 0
