@@ -83,14 +83,37 @@ def main() -> None:
         if args.where or args.scorer != "wand":
             raise SystemExit("--bool composes its own filters (no --where/"
                              "--scorer cosine)")
-        from searchengine_spark.operators.boolquery import search_bool
+        from searchengine_spark.operators.boolquery import (
+            parse_bool_query,
+            search_bool,
+            search_bool_batch,
+        )
 
-        for q in queries:
-            hits = [
-                {"doc_id": r["doc_id"], "score": r["score"]}
-                for r in search_bool(spark, args.index_dir, q, k=args.k).collect()
-            ]
-            print(json.dumps({"query": q, "hits": hits}))
+        def _term_only(q):
+            c = parse_bool_query(q)
+            return not (c["phrases"] or c["not_phrases"] or c["fields"])
+
+        if len(queries) > 1 and all(_term_only(q) for q in queries):
+            # every query compiles onto postings: ONE distributed job
+            rows = search_bool_batch(
+                spark, args.index_dir, queries, k=args.k
+            ).collect()
+            by_q = {i: [] for i in range(len(queries))}
+            for r in rows:
+                by_q[r["query_id"]].append(
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                )
+            for i, q in enumerate(queries):
+                print(json.dumps({"query": q, "hits": by_q[i]}))
+        else:
+            for q in queries:
+                hits = [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in search_bool(
+                        spark, args.index_dir, q, k=args.k
+                    ).collect()
+                ]
+                print(json.dumps({"query": q, "hits": hits}))
         spark.stop()
         return
     if args.scorer == "wand":

@@ -602,6 +602,151 @@ def _resolve(spark, index_dir, word: str) -> list[str]:
     return sorted(fold_query_terms(spark, index_dir, word))
 
 
+_BOOST_RE = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
+
+
+def _split_patterns(words):
+    """word → (literal | prefix* | *suffix | in*fix | fuzzy~) with an
+    optional outermost ^boost suffix. ``*mid*`` (contains) and
+    multi-``*`` shapes are refused loudly."""
+    lit, wild, fuzz, sfx, inx = [], [], [], [], []
+    for w in words:
+        boost = 1.0
+        mb = _BOOST_RE.match(w)
+        if mb:
+            w, boost = mb.group(1), float(mb.group(2))
+        m = _FUZZY_RE.match(w)
+        if m:
+            fuzz.append((m.group(1), int(m.group(2) or 1), boost))
+        elif "*" not in w:
+            lit.append((w, boost))
+        elif w.count("*") == 1 and w.startswith("*") and len(w) > 1:
+            sfx.append((w[1:], boost))
+        elif w.count("*") == 1 and w.endswith("*") and len(w) > 1:
+            wild.append((w[:-1], boost))
+        elif w.count("*") == 1:
+            a, b = w.split("*")
+            inx.append((a, b, boost))
+        else:
+            raise ValueError(
+                f"wildcard shape {w!r} unsupported (only prefix*, "
+                "*suffix, and in*fix — a contains query needs an "
+                "n-gram sidecar, not a dictionary scan)"
+            )
+    return lit, wild, fuzz, sfx, inx
+
+
+def _fuse_expansions(spark, index_dir, parsed, max_expansions):
+    """Gather every wildcard/fuzzy/suffix/infix pattern across one or
+    more ``(parsed_query, splits)`` pairs and run ONE fused dictionary
+    expansion (:func:`expand_multi`) for all of them → ``(maps,
+    all_words)`` where ``all_words`` is every literal word (clause,
+    phrase, and group members) for one batched casing lookup."""
+    prefixes, fuzzies, suffixes, infixes, all_words = [], [], [], [], []
+    for c, splits in parsed:
+        for lit, wild, fuzz, sfx, inx in splits:
+            all_words += [w for w, _b in lit]
+            prefixes += [p for p, _b in wild]
+            fuzzies += [(w, d) for w, d, _b in fuzz]
+            suffixes += [s for s, _b in sfx]
+            infixes += [(a, b) for a, b, _b in inx]
+        all_words += [
+            w for p in c["phrases"] + c["not_phrases"] for w in p.split()
+        ]
+        all_words += [w for g in c["groups"] for w in g]
+    maps = expand_multi(
+        spark, index_dir, prefixes, fuzzies, suffixes, max_expansions,
+        infixes=infixes,
+    )
+    return maps, all_words
+
+
+def _term_parts(spark, index_dir, c, splits, maps):
+    """Compile ONE parsed query's postings-backed parts against the
+    (already-fused) expansion maps → ``(qweights, clauses, neg_terms)``,
+    or ``None`` when a MUST clause is unsatisfiable (the result is
+    provably empty). ``splits`` = (free, must, not) from
+    :func:`_split_patterns`; ``maps`` = (wild, fuzz, sfx, inx) from
+    :func:`expand_multi`. Shared by :func:`search_bool` and
+    :func:`search_bool_batch` so single and batched queries compile
+    identically."""
+    (free_lit, free_wild, free_fuzz, free_sfx, free_inx) = splits[0]
+    (must_lit, must_wild, must_fuzz, must_sfx, must_inx) = splits[1]
+    (not_lit, not_wild, not_fuzz, not_sfx, not_inx) = splits[2]
+    wild_map, fuzz_map, sfx_map, inx_map = maps
+
+    qweights: dict = {}
+
+    def add_terms(term_dfs: dict, boost: float):
+        for t, df in term_dfs.items():
+            prev, _ = qweights.get(t, (0.0, df))
+            qweights[t] = (max(prev, boost), df)
+
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    word_boosts = list(free_lit) + list(must_lit) + [
+        (w, 1.0) for p in c["phrases"] for w in p.split()
+    ]
+    for w, boost in word_boosts:
+        add_terms(
+            {t: df for t, (_q, df) in fold_query_terms(spark, index_dir, w).items()},
+            boost,
+        )
+    for prefix, boost in dict.fromkeys(free_wild + must_wild):
+        add_terms(wild_map[prefix], boost)
+    for w, d, boost in dict.fromkeys(free_fuzz + must_fuzz):
+        add_terms(fuzz_map[(w, d)], boost)
+    for s, boost in dict.fromkeys(free_sfx + must_sfx):
+        add_terms(sfx_map[s], boost)
+    for a, b, boost in dict.fromkeys(free_inx + must_inx):
+        add_terms(inx_map[(a, b)], boost)
+
+    clauses: list[list[str]] = []
+    for w, _b in must_lit:
+        terms = _resolve(spark, index_dir, w)
+        if not terms:
+            return None
+        clauses.append(terms)
+    for prefix, _b in must_wild:
+        terms = sorted(wild_map[prefix])
+        if not terms:
+            return None
+        clauses.append(terms)
+    for w, d, _b in must_fuzz:
+        terms = sorted(fuzz_map[(w, d)])
+        if not terms:
+            return None
+        clauses.append(terms)
+    for s, _b in must_sfx:
+        terms = sorted(sfx_map[s])
+        if not terms:
+            return None
+        clauses.append(terms)
+    for a, b, _b in must_inx:
+        terms = sorted(inx_map[(a, b)])
+        if not terms:
+            return None
+        clauses.append(terms)
+    for words in c["groups"]:
+        # +(a|b): ONE clause whose member set is the union of the words'
+        # index terms — satisfied by any of them (the words already rank
+        # as bare words via c["free"])
+        terms = sorted({t for w in words for t in _resolve(spark, index_dir, w)})
+        if not terms:
+            return None
+        clauses.append(terms)
+
+    neg_terms = sorted(
+        {t for w, _b in not_lit for t in _resolve(spark, index_dir, w)}
+        | {t for p, _b in not_wild for t in wild_map[p]}
+        | {t for w, d, _b in not_fuzz for t in fuzz_map[(w, d)]}
+        | {t for s, _b in not_sfx for t in sfx_map[s]}
+        | {t for a, b, _b in not_inx for t in inx_map[(a, b)]}
+    )
+    return qweights, clauses, neg_terms
+
+
 def search_bool(
     spark: SparkSession,
     index_dir: str,
@@ -633,90 +778,24 @@ def search_bool(
     )
 
     c = parse_bool_query(query)
-    boost_re = re.compile(r"^(.+?)\^(\d+(?:\.\d+)?)$")
-    fuzzy_re = re.compile(r"^(.+?)~(\d*)$")
-
-    def split_wild(words):
-        """word → (literal | prefix* | *suffix | in*fix | fuzzy~) with an
-        optional outermost ^boost suffix. ``*mid*`` (contains) and
-        multi-``*`` shapes are refused loudly."""
-        lit, wild, fuzz, sfx, inx = [], [], [], [], []
-        for w in words:
-            boost = 1.0
-            mb = boost_re.match(w)
-            if mb:
-                w, boost = mb.group(1), float(mb.group(2))
-            m = fuzzy_re.match(w)
-            if m:
-                fuzz.append((m.group(1), int(m.group(2) or 1), boost))
-            elif "*" not in w:
-                lit.append((w, boost))
-            elif w.count("*") == 1 and w.startswith("*") and len(w) > 1:
-                sfx.append((w[1:], boost))
-            elif w.count("*") == 1 and w.endswith("*") and len(w) > 1:
-                wild.append((w[:-1], boost))
-            elif w.count("*") == 1:
-                a, b = w.split("*")
-                inx.append((a, b, boost))
-            else:
-                raise ValueError(
-                    f"wildcard shape {w!r} unsupported (only prefix*, "
-                    "*suffix, and in*fix — a contains query needs an "
-                    "n-gram sidecar, not a dictionary scan)"
-                )
-        return lit, wild, fuzz, sfx, inx
-
-    free_lit, free_wild, free_fuzz, free_sfx, free_inx = split_wild(c["free"])
-    must_lit, must_wild, must_fuzz, must_sfx, must_inx = split_wild(c["must"])
-    not_lit, not_wild, not_fuzz, not_sfx, not_inx = split_wild(
-        c["must_not"]
-    )  # boosts on negations parse but are meaningless
-
-    # ONE batched term_dict lookup resolves every literal word's casing
-    # (the per-word calls below then hit the driver-side df cache), and
-    # ONE fused scan serves every wildcard/fuzzy/suffix expansion
-    all_words = [w for w, _b in free_lit + must_lit + not_lit] + [
-        w for p in c["phrases"] + c["not_phrases"] for w in p.split()
-    ]
+    splits = (
+        _split_patterns(c["free"]),
+        _split_patterns(c["must"]),
+        # boosts on negations parse but are meaningless
+        _split_patterns(c["must_not"]),
+    )
+    maps, all_words = _fuse_expansions(
+        spark, index_dir, [(c, splits)], max_expansions
+    )
     if all_words:
         fold_query_terms_batch(spark, index_dir, all_words)
-    wild_map, fuzz_map, sfx_map, inx_map = expand_multi(
-        spark,
-        index_dir,
-        [p for p, _b in free_wild + must_wild + not_wild],
-        [(w, d) for w, d, _b in free_fuzz + must_fuzz + not_fuzz],
-        [s for s, _b in free_sfx + must_sfx + not_sfx],
-        max_expansions,
-        infixes=[(a, b) for a, b, _b in free_inx + must_inx + not_inx],
-    )
-
-    # --- ranking weights: union of positive words; a term's weight is
-    # the MAX boost over the clauses that reach it (default 1, so plain
-    # queries are unchanged); wildcards/fuzzies expand to every matching
-    # index term, each with its own idf
-    qweights: dict = {}
-
-    def add_terms(term_dfs: dict, boost: float):
-        for t, df in term_dfs.items():
-            prev, _ = qweights.get(t, (0.0, df))
-            qweights[t] = (max(prev, boost), df)
-
-    word_boosts = list(free_lit) + list(must_lit) + [
-        (w, 1.0) for p in c["phrases"] for w in p.split()
-    ]
-    for w, boost in word_boosts:
-        add_terms(
-            {t: df for t, (_q, df) in fold_query_terms(spark, index_dir, w).items()},
-            boost,
-        )
-    for prefix, boost in dict.fromkeys(free_wild + must_wild):
-        add_terms(wild_map[prefix], boost)
-    for w, d, boost in dict.fromkeys(free_fuzz + must_fuzz):
-        add_terms(fuzz_map[(w, d)], boost)
-    for s, boost in dict.fromkeys(free_sfx + must_sfx):
-        add_terms(sfx_map[s], boost)
-    for a, b, boost in dict.fromkeys(free_inx + must_inx):
-        add_terms(inx_map[(a, b)], boost)
+    # ranking weights: union of positive words, MAX boost per term
+    # (default 1, so plain queries are unchanged); wildcards/fuzzies
+    # expand to every matching index term, each with its own idf
+    parts = _term_parts(spark, index_dir, c, splits, maps)
+    if parts is None:  # unsatisfiable MUST — provably empty
+        return spark.createDataFrame([], RESULT_SCHEMA)
+    qweights, clauses, neg_terms = parts
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
 
@@ -737,47 +816,12 @@ def search_bool(
 
     # --- eligibility -----------------------------------------------------
     # every postings-backed clause (MUST literals/wildcards/fuzzies/
-    # suffixes and the union of all MUST-NOTs) goes through ONE fused
-    # tagged scan; phrases and field predicates intersect lazily on top
+    # suffixes/infixes/groups and the union of all MUST-NOTs) came out of
+    # _term_parts; phrases and field predicates intersect lazily on top
     allowed: DataFrame | None = None
 
     def intersect(base, extra):
         return extra if base is None else base.join(extra, "doc_id", "leftsemi")
-
-    clauses: list[list[str]] = []
-    for w, _b in must_lit:
-        terms = _resolve(spark, index_dir, w)
-        if not terms:
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        clauses.append(terms)
-    for prefix, _b in must_wild:
-        terms = sorted(wild_map[prefix])
-        if not terms:
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        clauses.append(terms)
-    for w, d, _b in must_fuzz:
-        terms = sorted(fuzz_map[(w, d)])
-        if not terms:
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        clauses.append(terms)
-    for s, _b in must_sfx:
-        terms = sorted(sfx_map[s])
-        if not terms:
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        clauses.append(terms)
-    for a, b, _b in must_inx:
-        terms = sorted(inx_map[(a, b)])
-        if not terms:
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        clauses.append(terms)
-    for words in c["groups"]:
-        # +(a|b): ONE clause whose member set is the union of the words'
-        # index terms — satisfied by any of them (the words already rank
-        # as bare words via c["free"])
-        terms = sorted({t for w in words for t in _resolve(spark, index_dir, w)})
-        if not terms:
-            return spark.createDataFrame([], RESULT_SCHEMA)
-        clauses.append(terms)
 
     for p in c["phrases"]:
         allowed = intersect(allowed, phrase_ids(p))
@@ -792,13 +836,6 @@ def search_bool(
             cond = cond & (F.col(f) != v)
         allowed = intersect(allowed, dm.where(cond).select("doc_id"))
 
-    neg_terms = sorted(
-        {t for w, _b in not_lit for t in _resolve(spark, index_dir, w)}
-        | {t for p, _b in not_wild for t in wild_map[p]}
-        | {t for w, d, _b in not_fuzz for t in fuzz_map[(w, d)]}
-        | {t for s, _b in not_sfx for t in sfx_map[s]}
-        | {t for a, b, _b in not_inx for t in inx_map[(a, b)]}
-    )
     neg_phrase_sets = [phrase_ids(p) for p in c["not_phrases"]]
     if neg_phrase_sets:
         if allowed is None:
@@ -814,4 +851,101 @@ def search_bool(
     clause_arg = (clauses, neg_terms) if (clauses or neg_terms) else None
     return _topk_for_qweights(
         spark, index_dir, qweights, k, maxscore, allowed, clauses=clause_arg
+    )
+
+
+def search_bool_batch(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[str],
+    k: int = 10,
+    maxscore: bool = True,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """A BATCH of term-only boolean queries in ONE distributed job →
+    DataFrame(query_id, doc_id, score), per-query (score desc, doc_id
+    asc) order — the boolean analog of ``wand.search_batch``, and the
+    serving-throughput shape for filtered search: one pushed term-IN
+    postings scan over the union of every query's scoring AND clause
+    terms, one shuffle, one Python scorer stage with per-query
+    eligibility bitmaps (``qclauses``), one windowed top-k.
+
+    Every grammar form that compiles onto postings is allowed — bare
+    words, ``+``/``-`` words, ``prefix*``/``*suffix``/``in*fix``
+    wildcards, ``word~N`` fuzzies, ``^boosts``, ``+(a|b)`` groups. A
+    query with a PHRASE or ``field:`` clause raises: those predicates
+    are per-query DataFrame semi-joins (positional sidecar / doc_map),
+    which a shared single-job scan cannot express — route such queries
+    through :func:`search_bool`. All queries' expansions share one
+    fused dictionary scan; an unsatisfiable MUST yields no rows for
+    that query_id (matching :func:`search_bool`'s empty result)."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.wand import (
+        BATCH_RESULT_SCHEMA,
+        _score_range_batch_factory,
+        _scored_ranges,
+        fold_query_terms_batch,
+    )
+    from searchengine_spark.plans.manifest import Manifest
+
+    parsed = []
+    for q in queries:
+        c = parse_bool_query(q)
+        if c["phrases"] or c["not_phrases"] or c["fields"]:
+            raise ValueError(
+                f"batched boolean query {q!r} carries a phrase or field "
+                "clause — those are per-query DataFrame predicates; use "
+                "search_bool for it"
+            )
+        parsed.append(
+            (c, (
+                _split_patterns(c["free"]),
+                _split_patterns(c["must"]),
+                _split_patterns(c["must_not"]),
+            ))
+        )
+
+    maps, all_words = _fuse_expansions(spark, index_dir, parsed, max_expansions)
+    if all_words:
+        fold_query_terms_batch(spark, index_dir, all_words)
+
+    qmap: dict = {}
+    qclauses: dict = {}
+    for qid, (c, splits) in enumerate(parsed):
+        parts = _term_parts(spark, index_dir, c, splits, maps)
+        if parts is None:
+            continue  # unsatisfiable MUST: no rows for this query_id
+        qweights, clauses, neg_terms = parts
+        if not qweights:
+            continue
+        qmap[qid] = qweights
+        if clauses or neg_terms:
+            qclauses[qid] = (clauses, neg_terms)
+    if not qmap:
+        return spark.createDataFrame([], BATCH_RESULT_SCHEMA)
+
+    s = Manifest(index_dir).scalars
+    scan_terms = {t for qw in qmap.values() for t in qw}
+    for cls, neg in qclauses.values():
+        scan_terms |= {t for cl in cls for t in cl} | set(neg)
+    posts = spark.read.parquet(f"{index_dir}/postings").where(
+        F.col("term").isin(sorted(scan_terms))
+    )
+    per_range, _ = _scored_ranges(
+        spark, index_dir, posts,
+        lambda sc, fl, tb: _score_range_batch_factory(
+            qmap, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+            s["range_width"], k, maxscore=maxscore, sidecar=sc, filtered=fl,
+            tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
+            qclauses=qclauses or None,
+        ),
+        allowed=None, range_width=s["range_width"],
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        per_range.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
     )

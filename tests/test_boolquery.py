@@ -454,3 +454,30 @@ def test_suggest_terms(spark, index_1k):
         bq.suggest_terms(spark, index_1k, "a", max_dist=2, max_expansions=1)
     with pytest.raises(ValueError, match="empty"):
         bq.suggest_terms(spark, index_1k, "")
+
+
+def test_bool_batch_matches_single(spark, index_1k):
+    """search_bool_batch == per-query search_bool for every term-only
+    grammar form, in one job; phrase/field queries are refused; an
+    unsatisfiable query simply contributes no rows."""
+    queries = [
+        "fast key order",                 # plain
+        f"fast +{QUERY_TERM}",            # MUST
+        f"fast key -{QUERY_TERM}",        # MUST-NOT
+        "resu* +key",                     # prefix wildcard clause
+        "re*lt key^2",                    # infix + boost
+        "resutl~2",                       # fuzzy
+        "fast +(key|order)",              # OR-group
+        "fast +zzzunseen",                # unsatisfiable MUST -> no rows
+    ]
+    got = bq.search_bool_batch(spark, index_1k, queries, k=12).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in enumerate(queries):
+        want = _rows(bq.search_bool(spark, index_1k, q, k=12))
+        assert by_q.get(qid, []) == want, q
+    assert 7 not in by_q  # the unsatisfiable query produced nothing
+    for bad in ('fast "key order"', "fast lang:python"):
+        with pytest.raises(ValueError, match="phrase or field"):
+            bq.search_bool_batch(spark, index_1k, [bad], k=5)
