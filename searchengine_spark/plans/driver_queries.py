@@ -1513,6 +1513,44 @@ def q_bool_group_topk(spark, sf_dir):
     )
 
 
+BATCH_BOOL_QUERIES = ["fast +key -slow", "fast +(key|order) -(slow|merge)"]
+
+
+def q_bool_batch_topk(spark, sf_dir):
+    """BATCHED boolean retrieval over the PACKED index, hash-gated:
+    TWO term-only boolean queries scored by ONE distributed job
+    (boolquery.search_bool_batch — one pushed term-IN postings scan over
+    the union of both queries' terms, per-query eligibility bitmaps in
+    the scorer, one windowed top-k) → (query_id, doc_id, score) with
+    per-query (score desc, doc_id asc) order. The oracle restates each
+    query's clauses independently and UNION ALLs the per-query top-20s,
+    so a hash match proves the shared scan changes neither ranking."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.boolquery import search_bool_batch
+
+    layout = _packed_layout(spark, sf_dir)
+    hits = search_bool_batch(spark, layout, BATCH_BOOL_QUERIES, k=60)
+    dm = spark.read.parquet(f"{layout}/doc_map").select(
+        "doc_id", F.substring("path", 5, 30).cast("long").alias("orig_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        hits.join(dm, "doc_id")
+        .select(
+            "query_id",
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 20)
+        .drop("_rn")
+        .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 SYNONYMS = {"fast": {"slow": 0.4}, "sort": {"order": 0.5}}
 
 
@@ -2010,6 +2048,7 @@ QUERIES = {
     "bm25_custom_params": q_bm25_custom_params,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
+    "bool_batch_topk": q_bool_batch_topk,
     "synonym_topk": q_synonym_topk,
     "wildcard_topk": q_wildcard_topk,
     "wildcard_infix": q_wildcard_infix,
@@ -2807,6 +2846,40 @@ ORACLES["bool_group_topk"] = (
     " AND dt.doc_id IN (SELECT doc_id FROM el)"
     " AND dt.doc_id NOT IN (SELECT doc_id FROM ex)"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# batched boolean: each query's clauses restated independently, the
+# per-query top-20s UNION ALLed — qid 0 ranks {fast,key} over (+key
+# -slow), qid 1 ranks {fast,key,order} over (+(key|order) -(slow|merge))
+ORACLES["bool_batch_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " sc AS (SELECT dt.doc_id, dt.term,"
+    f"  ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f"  * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f"  FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    "   CROSS JOIN n CROSS JOIN ad"
+    "   WHERE dt.term IN ('fast','key','order')),"
+    " el0 AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key'),"
+    " ex0 AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'slow'),"
+    " el1 AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ('key','order')),"
+    " ex1 AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ('slow','merge')),"
+    " q0 AS (SELECT CAST(0 AS INTEGER) AS query_id, doc_id,"
+    "   round(sum(c), 6) AS score FROM sc"
+    "   WHERE term IN ('fast','key')"
+    "   AND doc_id IN (SELECT doc_id FROM el0)"
+    "   AND doc_id NOT IN (SELECT doc_id FROM ex0)"
+    "   GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20),"
+    " q1 AS (SELECT CAST(1 AS INTEGER) AS query_id, doc_id,"
+    "   round(sum(c), 6) AS score FROM sc"
+    "   WHERE doc_id IN (SELECT doc_id FROM el1)"
+    "   AND doc_id NOT IN (SELECT doc_id FROM ex1)"
+    "   GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20)"
+    " SELECT * FROM q0 UNION ALL SELECT * FROM q1"
+    " ORDER BY query_id, score DESC, doc_id ASC"
 )
 
 # leading-suffix wildcard: the expansion is a vocabulary LIKE '%ast'
