@@ -2056,7 +2056,6 @@ QUERIES = {
     "boosted_topk": q_boosted_topk,
     "facet_counts": q_facet_counts,
     "near_match": q_near_match,
-    "phrase_match_idx": q_phrase_match_idx,
     "phrase_topk_idx": q_phrase_topk_idx,
     "bpe_token_counts": q_bpe_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2071,6 +2070,7 @@ QUERIES = {
     "score_explain": q_score_explain,
     "bm25_page2": q_bm25_page2,
     "spell_suggest": q_spell_suggest,
+    "phrase_match_idx": q_phrase_match_idx,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
     "unigram_logprob": q_unigram_logprob,
