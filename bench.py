@@ -161,7 +161,8 @@ def main() -> None:
     import glob
 
     for pat in ("se_ivf_*", "se_lsh_*", "se_pq_*", "se_ivfpq_*", "se_pos_*",
-                "se_idx_*", "se_tomb_*", "se_purged_*", "se_k1b_*"):
+                "se_idx_*", "se_tomb_*", "se_purged_*", "se_k1b_*",
+                "se_mrg_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
             shutil.rmtree(d, ignore_errors=True)
     # positional-sidecar gate entries over the documents table: cold =
@@ -175,8 +176,14 @@ def main() -> None:
     # serving path (WAND over the prebuilt layout)
     timed("bm25_packed_cold", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
     timed("bm25_topk_packed", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
+    # sharded-build-then-merge lifecycle: cold = 2 shard builds + merge
+    # (id offsets + global-stage rebuild, NO re-tokenize); warm = the
+    # same WAND serving path as any other index
+    timed("bm25_merged_cold", lambda: QUERIES["bm25_merged"](spark, sf_dir).count())
+    timed("bm25_merged", lambda: QUERIES["bm25_merged"](spark, sf_dir).count())
     timed("bool_topk", lambda: QUERIES["bool_topk"](spark, sf_dir).count())
     timed("bool_group_topk", lambda: QUERIES["bool_group_topk"](spark, sf_dir).count())
+    timed("bool_batch_topk", lambda: QUERIES["bool_batch_topk"](spark, sf_dir).count())
     timed("synonym_topk", lambda: QUERIES["synonym_topk"](spark, sf_dir).count())
     timed("wildcard_topk", lambda: QUERIES["wildcard_topk"](spark, sf_dir).count())
     timed("wildcard_suffix", lambda: QUERIES["wildcard_suffix"](spark, sf_dir).count())

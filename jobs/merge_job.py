@@ -1,0 +1,54 @@
+"""spark-submit entry point: merge independently built indexes into one.
+
+Cluster:
+
+    spark-submit --py-files dist/searchengine_spark.zip \\
+        jobs/merge_job.py --shards <idxA> <idxB> [...] --out <dir>
+
+Local smoke (this sandbox):
+
+    spark-submit --master "local[8]" --py-files dist/searchengine_spark.zip \\
+        jobs/merge_job.py --shards /tmp/idxA /tmp/idxB --out /tmp/merged
+
+The sharded-build pattern at 10^12-file scale: corpus partitions are
+indexed independently (build_index_job per shard), then folded into one
+serving index without re-tokenizing (operators/merge.py — merge ≡ fresh
+build, rank- and score-identical). Shard order is document order.
+Refuses tombstoned shards (purge first), shards with uncompacted
+streaming deltas (compact first), and analyzer/stemming/k1/b mismatches.
+Prints one JSON line of merged manifest metrics on success.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shards", nargs="+", required=True,
+                    help="index dirs in document order (>= 2)")
+    ap.add_argument("--out", required=True, help="merged index dir")
+    ap.add_argument("--n-groups", type=int, default=4)
+    ap.add_argument("--range-width", type=int, default=None)
+    args = ap.parse_args()
+
+    from searchengine_spark.operators.merge import merge_indexes
+    from searchengine_spark.session import get_session
+
+    spark = get_session(app_name="searchengine-merge")  # master from spark-submit
+    man = merge_indexes(
+        spark,
+        args.shards,
+        args.out,
+        n_groups=args.n_groups,
+        range_width=args.range_width,
+    )
+    print(json.dumps({"scalars": man.scalars, "stages": man.data["stages"],
+                      "posting_groups": man.data["posting_groups"]}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,209 @@
+"""Offline index merge: N independently built indexes → one serving index.
+
+The production build pattern at 10^12-file scale is shard-then-merge:
+partitions of the corpus are indexed independently (different clusters,
+different days, different Iceberg snapshots) and the shards are folded
+into one queryable index WITHOUT re-tokenizing anything — tokenization is
+the dominant build cost (BENCH/scaling.json: the tokenize stage is ~60%
+of build wall), and each shard already paid it. The reference has no
+sharded build (search_engine.py:93-123 is a single-process loop); this is
+the distributed-build surface it would need at scale.
+
+Semantics — merge ≡ fresh build, exactly:
+
+* Shard i's doc ids are offset by Σ n_docs of shards 0..i-1, preserving
+  each shard's internal arrival order (the reference's global-counter
+  semantics, parser_module.py:14,385-387, at shard granularity).
+* ``doc_map`` / ``doc_terms`` / ``doc_stats`` are unioned under the
+  offset; range/group geometry is recomputed for the MERGED size (a
+  shard's range_width would fragment ranges at N× the docs).
+* Everything corpus-global is REBUILT from the union by the exact batch
+  stages: the case-fold fixpoint (a lowercase twin in shard B must fold
+  shard A's UPPER occurrences — per-shard fold maps are not unionable),
+  term_dict (df/cf re-aggregated; a term present in k shards has ONE
+  row), the postings pack (delta+varint blocks with block-max partials
+  under the merged avgdl), and the dl sidecar. n_docs/n_tokens/avgdl are
+  summed/recomputed, so BM25 scores equal a from-scratch build's —
+  tested rank-AND-score identical in tests/test_merge.py.
+
+What is NOT merged:
+
+* Positional sidecars: positions blobs embed shard-local doc ids and the
+  original text is gone by merge time, so the merged index ships without
+  ``positions`` and phrase verification falls back to the text path
+  (operators/phrase.py) until ``build_positions`` is re-run over the
+  merged corpus. Refusing to carry a stale sidecar mirrors the
+  compaction-staleness guard (positions.py).
+* Tombstoned shards are REFUSED (purge first): silently dropping a
+  shard's tombstones would resurrect deleted docs, and carrying them
+  means re-basing per-range bitmaps — purge is the supported route.
+* Shards with uncompacted streaming deltas are REFUSED (compact first):
+  delta doc_terms are not yet in the shard's main table, so a merge
+  would silently drop in-flight documents.
+
+Scale shape: one union-shuffle over doc_terms (the same
+repartition-by-grp write a fresh build does, minus tokenize), then the
+shared derived stages — no driver-side materialization anywhere. With
+Iceberg, the doc_map/doc_terms unions become metadata-level appends of
+the shards' files plus an id-offset rewrite confined to the offset
+column.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.codec import BLOCK_SIZE
+from searchengine_spark.operators.deletion import has_tombstones
+from searchengine_spark.operators.index_build import (
+    build_doc_lens,
+    build_fold_map,
+    build_posting_groups,
+    build_term_dict,
+    grp_expr,
+)
+from searchengine_spark.plans.manifest import Manifest
+
+# manifest scalars that must agree across shards: they change token or
+# score semantics, so a mixed merge would be silently wrong
+_COMPAT_SCALARS = ("analyzer", "stemming", "k1", "b", "block_size")
+
+
+def _validate_shards(index_dirs: list[str]) -> list[Manifest]:
+    if len(index_dirs) < 2:
+        raise ValueError("merge needs >= 2 index dirs")
+    mans = []
+    for d in index_dirs:
+        if not os.path.exists(f"{d}/manifest.json"):
+            raise ValueError(f"not an index (no manifest): {d}")
+        man = Manifest(d)
+        if not man.stage_done("docs") or not man.stage_done("term_dict"):
+            raise ValueError(f"shard build incomplete (resume it first): {d}")
+        if has_tombstones(d):
+            raise ValueError(
+                f"shard has tombstones: {d} — purge_deleted() before "
+                "merging; merging would either resurrect or re-base them"
+            )
+        if os.path.exists(f"{d}/delta/doc_terms"):
+            raise ValueError(
+                f"shard has uncompacted streaming deltas: {d} — compact() "
+                "first; merging the main table alone would drop them"
+            )
+        s = man.scalars
+        if int(s["n_docs"]) != int(s.get("n_docs_indexed", s["n_docs"])):
+            raise ValueError(f"shard mid-ingest (n_docs != n_docs_indexed): {d}")
+        mans.append(man)
+    ref = mans[0].scalars
+    for d, man in zip(index_dirs[1:], mans[1:]):
+        for key in _COMPAT_SCALARS:
+            a, b_ = ref.get(key), man.scalars.get(key)
+            if a != b_:
+                raise ValueError(
+                    f"incompatible shards: {key}={b_!r} in {d} vs {a!r} "
+                    f"in {index_dirs[0]} — merged queries could not "
+                    "tokenize/score symmetrically"
+                )
+    return mans
+
+
+def merge_indexes(
+    spark: SparkSession,
+    index_dirs: list[str],
+    out_dir: str,
+    n_groups: int = 4,
+    range_width: int | None = None,
+) -> Manifest:
+    """Merge built indexes into a fresh index at ``out_dir``.
+
+    Shard order is document order: shard i's docs precede shard i+1's in
+    the merged id space. Returns the merged manifest; the result is
+    indistinguishable from ``build_index`` over the concatenated corpora
+    (rank- and score-identical, tests/test_merge.py).
+    """
+    mans = _validate_shards(index_dirs)
+    os.makedirs(out_dir, exist_ok=True)
+    out_man = Manifest(out_dir)
+    out_man.data = {"stages": {}, "posting_groups": {}, "scalars": {}}
+
+    t0 = time.time()
+    offsets, acc = [], 0
+    for man in mans:
+        offsets.append(acc)
+        acc += int(man.scalars["n_docs"])
+    n_docs = acc
+    n_tokens = sum(int(m.scalars["n_tokens"]) for m in mans)
+
+    if range_width is None:
+        target_ranges = max(4 * spark.sparkContext.defaultParallelism, n_groups)
+        range_width = max(64, math.ceil(n_docs / target_ranges))
+    n_ranges = math.ceil(n_docs / range_width)
+    group_width = max(1, math.ceil(n_ranges / n_groups))
+    actual_groups = math.ceil(n_ranges / group_width)
+
+    def shifted(subpath: str, off: int):
+        df = spark.read.parquet(subpath)
+        return df.withColumn("doc_id", (F.col("doc_id") + F.lit(off)).cast("long"))
+
+    doc_map = None
+    for d, off in zip(index_dirs, offsets):
+        part = shifted(f"{d}/doc_map", off)
+        doc_map = part if doc_map is None else doc_map.unionByName(part)
+    doc_map.write.mode("overwrite").parquet(f"{out_dir}/doc_map")
+
+    doc_terms = None
+    for d, off in zip(index_dirs, offsets):
+        part = shifted(f"{d}/doc_terms", off).select("doc_id", "term", "tf", "dl")
+        doc_terms = part if doc_terms is None else doc_terms.unionByName(part)
+    (
+        doc_terms.withColumn(
+            "rng", (F.col("doc_id") / F.lit(range_width)).cast("int")
+        )
+        .withColumn("grp", grp_expr(F.col("rng"), group_width))
+        .write.mode("overwrite")
+        .partitionBy("grp")
+        .parquet(f"{out_dir}/doc_terms")
+    )
+
+    doc_stats = None
+    for d, off in zip(index_dirs, offsets):
+        part = shifted(f"{d}/doc_stats", off)
+        doc_stats = part if doc_stats is None else doc_stats.unionByName(part)
+    doc_stats.write.mode("overwrite").parquet(f"{out_dir}/doc_stats")
+
+    ref = mans[0].scalars
+    out_man.set_scalars(
+        n_docs=n_docs,
+        n_docs_indexed=n_docs,
+        n_tokens=n_tokens,
+        avgdl=(n_tokens / n_docs) if n_docs else 0.0,
+        range_width=range_width,
+        n_ranges=n_ranges,
+        group_width=group_width,
+        n_groups=actual_groups,
+        block_size=int(ref.get("block_size", BLOCK_SIZE)),
+        stemming=bool(ref.get("stemming", False)),
+        analyzer=ref.get("analyzer", "reference"),
+        k1=ref["k1"],
+        b=ref["b"],
+        merged_from=list(index_dirs),
+    )
+    build_doc_lens(spark, out_dir, out_man)
+    out_man.mark_stage(
+        "docs",
+        time.time() - t0,
+        n_docs=n_docs,
+        n_tokens=n_tokens,
+        n_shards=len(index_dirs),
+    )
+
+    # corpus-global stages rebuilt from the union — shared with batch
+    # build and streaming compaction, so merge inherits their tests
+    build_fold_map(spark, out_dir, out_man)
+    build_term_dict(spark, out_dir, out_man)
+    build_posting_groups(spark, out_dir, out_man)
+    return out_man

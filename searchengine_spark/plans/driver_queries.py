@@ -1339,6 +1339,57 @@ def q_bm25_topk_packed(spark, sf_dir):
     return _packed_topk(spark, _packed_layout(spark, sf_dir))
 
 
+def _merged_layout(spark, sf_dir) -> str:
+    """Two raw-analyzer shard indexes (docs split by original-id parity,
+    so both shards interleave over the whole corpus) merged by
+    ``merge_indexes`` into one serving index — same content-keyed /tmp
+    cache scheme as :func:`_packed_layout`."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.merge import merge_indexes
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    st = os.stat(src)
+    key = f"v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_mrg_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    merged = f"{d}/merged"
+    if not os.path.exists(f"{merged}/manifest.json") or not os.path.exists(
+        f"{merged}/postings"
+    ):
+        shutil.rmtree(d, ignore_errors=True)
+        corpus = _docs_as_corpus(spark, sf_dir)
+        orig = F.substring("path", 5, 30).cast("long")
+        shard_dirs = []
+        for i in range(2):
+            sd = f"{d}/shard{i}"
+            build_index(
+                spark, corpus.where(orig % 2 == i), sd,
+                n_groups=2, analyzer="raw",
+            )
+            shard_dirs.append(sd)
+        merge_indexes(spark, shard_dirs, merged, n_groups=2)
+    return merged
+
+
+def q_bm25_merged(spark, sf_dir):
+    """Sharded-build-then-merge serving path, hash-gated: the corpus is
+    indexed as two INDEPENDENT shard builds (operators/merge.py — the
+    distributed build pattern the reference's single-process loop,
+    search_engine.py:93-123, cannot express), merged without
+    re-tokenization (id offsets, corpus-global fold/term_dict/postings
+    rebuild from the unioned doc_terms), then served by the same WAND
+    engine. The oracle is bm25_topk's single-build SQL, so a hash match
+    proves merge ≡ fresh build on statistics, scores, and ranks."""
+    return _packed_topk(spark, _merged_layout(spark, sf_dir))
+
+
 def q_bm25_tombstoned(spark, sf_dir):
     """Tombstoned retrieval, hash-gated: docs (orig_id % 7 == 0) deleted
     but NOT purged — eligibility-only semantics, so the oracle keeps
@@ -2071,6 +2122,7 @@ QUERIES = {
     "bm25_page2": q_bm25_page2,
     "spell_suggest": q_spell_suggest,
     "phrase_match_idx": q_phrase_match_idx,
+    "bm25_merged": q_bm25_merged,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
     "unigram_logprob": q_unigram_logprob,
@@ -2718,6 +2770,12 @@ ORACLES["phrase_topk_idx"] = ORACLES["phrase_topk"]
 # the packed-index entry answers from the REAL engine (raw analyzer ==
 # the oracle's tokenization) — same SQL as the declarative composition
 ORACLES["bm25_topk_packed"] = ORACLES["bm25_topk"]
+
+# shard-build-then-merge serves the SAME answers as one build: merge
+# recomputes every corpus-global statistic (fold fixpoint, df/cf, N,
+# avgdl) from the unioned doc_terms, so the single-build oracle applies
+# verbatim — a hash match IS the merge≡fresh-build proof at gate level
+ORACLES["bm25_merged"] = ORACLES["bm25_topk"]
 
 # tombstoned (pre-purge): eligibility-only — WHOLE-corpus statistics,
 # results filtered to survivors (the bm25_filtered contract, with the

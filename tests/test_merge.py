@@ -1,0 +1,161 @@
+"""Offline index merge (operators/merge.py): merge ≡ fresh build.
+
+The contract under test: indexes built independently over corpus shards,
+merged with ``merge_indexes``, are indistinguishable from one
+``build_index`` over the concatenated corpus — same scalars, same
+term_dict, byte-identical postings blocks under the same geometry, and
+rank- AND score-identical searches. Plus the cross-shard case-fold
+reversal (a lowercase twin arriving in another shard must re-fold the
+first shard's UPPER terms) and the refusal guards.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.merge import merge_indexes
+from searchengine_spark.operators.wand import search
+from searchengine_spark.sources.corpus import corpus_df
+
+QUERIES = ["key order", "fast index merge", "value data result"]
+
+
+def _shard_corpora(spark, full_index_dir, n_shards):
+    """Split the 1k corpus into contiguous doc-id shards OF THE FULL
+    BUILD's id order (doc ids are key-order-dense, so contiguous id
+    blocks are exactly what independent shard builds would reproduce
+    internally)."""
+    dm = spark.read.parquet(f"{full_index_dir}/doc_map").select("doc_id", "path")
+    docs = corpus_df(spark, 1000, seed=42, partitions=6).join(dm, "path")
+    n = 1000
+    bounds = [round(i * n / n_shards) for i in range(n_shards + 1)]
+    return [
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).drop("doc_id")
+        for lo, hi in zip(bounds, bounds[1:])
+    ]
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def merged_1k(spark, index_1k, tmp_path_factory):
+    """Two shard builds over the 1k corpus halves, merged under the same
+    geometry as the session ``index_1k`` fresh build."""
+    base = tmp_path_factory.mktemp("merge1k")
+    shards = _shard_corpora(spark, index_1k, 2)
+    dirs = []
+    for i, sh in enumerate(shards):
+        d = str(base / f"shard{i}")
+        build_index(spark, sh, d, range_width=128, n_groups=2)
+        dirs.append(d)
+    out = str(base / "merged")
+    merge_indexes(spark, dirs, out, n_groups=3, range_width=128)
+    return dirs, out
+
+
+def test_merge_scalars_and_term_dict(spark, index_1k, merged_1k):
+    from searchengine_spark.plans.manifest import Manifest
+
+    _, merged = merged_1k
+    a, b = Manifest(index_1k).scalars, Manifest(merged).scalars
+    for key in ("n_docs", "n_tokens", "avgdl", "n_terms",
+                "range_width", "n_groups", "k1", "b"):
+        assert a[key] == b[key], key
+    ta = _rows(spark.read.parquet(f"{index_1k}/term_dict"), ["term", "df", "cf"])
+    tb = _rows(spark.read.parquet(f"{merged}/term_dict"), ["term", "df", "cf"])
+    assert ta == tb
+
+
+def test_merge_postings_byte_identical(spark, index_1k, merged_1k):
+    """Same geometry → the merged postings blocks are byte-for-byte the
+    fresh build's (the pack is a pure function of the folded doc_terms
+    under (range_width, avgdl, k1, b))."""
+    _, merged = merged_1k
+    cols = ["term", "rng", "block_seq", "n", "first_doc", "last_doc",
+            "block_max_tf", "gaps", "tfs"]
+    pa = _rows(spark.read.parquet(f"{index_1k}/postings"), cols)
+    pb = _rows(spark.read.parquet(f"{merged}/postings"), cols)
+    assert pa == pb
+
+
+def test_merge_search_identity(spark, index_1k, merged_1k):
+    _, merged = merged_1k
+    for q in QUERIES:
+        fresh = _rows(search(spark, index_1k, q, k=15), ["doc_id", "score"])
+        mrg = _rows(search(spark, merged, q, k=15), ["doc_id", "score"])
+        assert fresh == mrg, q
+        assert len(fresh) > 0, q
+
+
+def test_merge_three_way(spark, index_1k, tmp_path_factory):
+    base = tmp_path_factory.mktemp("merge3")
+    dirs = []
+    for i, sh in enumerate(_shard_corpora(spark, index_1k, 3)):
+        d = str(base / f"s{i}")
+        build_index(spark, sh, d)
+        dirs.append(d)
+    out = str(base / "merged")
+    merge_indexes(spark, dirs, out, n_groups=3, range_width=128)
+    q = QUERIES[0]
+    assert _rows(search(spark, out, q, k=10), ["doc_id", "score"]) == _rows(
+        search(spark, index_1k, q, k=10), ["doc_id", "score"]
+    )
+
+
+def test_merge_cross_shard_case_fold(spark, tmp_path):
+    """The fold fixpoint is corpus-global: 'Qzvx' lives only in shard A
+    (no lowercase twin there — unfolded), 'qzvx' arrives in shard B.
+    The merged index must fold A's occurrences so a 'qzvx' query finds
+    BOTH docs. (Shard A alone serves the query too — via the J1 casing
+    FALLBACK, not the fold — so the assert here is on the fold_map
+    itself: empty in A, populated after merge.)"""
+    rows_a = [("r", "a0", "c", "py", "Qzvx alpha beta"),
+              ("r", "a1", "c", "py", "alpha beta gamma")]
+    rows_b = [("r", "b0", "c", "py", "qzvx delta")]
+    cols = "repo string, path string, commit string, lang string, content string"
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_index(spark, spark.createDataFrame(rows_a, cols), da)
+    build_index(spark, spark.createDataFrame(rows_b, cols), db)
+    assert spark.read.parquet(f"{da}/fold_map").count() == 0  # unfolded in A
+    out = str(tmp_path / "m")
+    merge_indexes(spark, [da, db], out)
+    fold = spark.read.parquet(f"{out}/fold_map").collect()
+    # P11: the reference analyzer saves mixed-case terms as UPPER
+    assert ("QZVX", "qzvx") in [(r["term"], r["canon"]) for r in fold]
+    hits = search(spark, out, "qzvx", k=5)
+    paths = {
+        r["path"]
+        for r in hits.join(
+            spark.read.parquet(f"{out}/doc_map"), "doc_id"
+        ).collect()
+    }
+    assert paths == {"a0", "b0"}
+
+
+def test_merge_refusals(spark, index_1k, tmp_path):
+    cols = "repo string, path string, commit string, lang string, content string"
+    rows = [("r", f"p{i}", "c", "py", f"tiny doc {i} words") for i in range(4)]
+    d_raw = str(tmp_path / "raw")
+    build_index(spark, spark.createDataFrame(rows, cols), d_raw, analyzer="raw")
+    with pytest.raises(ValueError, match="analyzer"):
+        merge_indexes(spark, [index_1k, d_raw], str(tmp_path / "m1"))
+    with pytest.raises(ValueError, match=">= 2"):
+        merge_indexes(spark, [index_1k], str(tmp_path / "m2"))
+
+    # tombstoned shard refused until purged
+    from searchengine_spark.operators.deletion import delete_docs
+
+    d_ref = str(tmp_path / "ref")
+    build_index(spark, spark.createDataFrame(rows, cols), d_ref)
+    delete_docs(spark, d_ref, spark.range(1).select(F.col("id").alias("doc_id")))
+    with pytest.raises(ValueError, match="tombstones"):
+        merge_indexes(spark, [index_1k, d_ref], str(tmp_path / "m3"))
+
+    # merged index has no positional sidecar even if a shard had one
+    assert not os.path.exists(f"{d_raw}/positions")
