@@ -29,6 +29,17 @@ only): the conventional search-box grammar —
                   a post-scan endswith. ``*mid*`` (contains) and
                   multi-``*`` shapes are refused loudly — a contains
                   query needs an n-gram sidecar, not a dictionary scan;
+* ``/regex/``     regex term match: expands against the term dictionary
+                  like a wildcard — full-term anchored (``^(?:pat)$``),
+                  case-insensitive over lowercased terms, same loud
+                  ``max_expansions`` cap. The scan filter is the JVM
+                  ``rlike`` (pushed into the fused dictionary scan),
+                  membership is confirmed driver-side with Python
+                  ``re.fullmatch`` — stick to the Java/Python/RE2 common
+                  regex subset (classes, quantifiers, alternation; no
+                  lookbehind), which the SQL oracle's ``regexp_matches``
+                  also shares. Composes with ``+``/``-``/``^boost``
+                  (``+/[a-z]+[0-9]{2}/``, ``-/tmp.*/``, ``/fo+/^2``);
 * ``word~`` / ``word~2``  fuzzy: expands to every vocabulary term within
                   Levenshtein distance 1 (or N) — one narrow term-dict
                   scan with the JVM ``levenshtein`` expression, same cap
@@ -416,7 +427,8 @@ def expand_multi(
     max_expansions: int = 1024,
     max_fuzzy_expansions: int = 64,
     infixes: list[tuple[str, str]] = (),
-) -> tuple[dict, dict, dict, dict]:
+    regexes: list[str] = (),
+) -> tuple[dict, dict, dict, dict, dict]:
     """Every wildcard/fuzzy expansion of one query in ONE narrow
     term_dict scan (suffixes add one ``term_sfx`` scan) instead of the
     r4 scan-per-pattern shape: the scan filters on the OR of all
@@ -426,17 +438,29 @@ def expand_multi(
     bounded by the SUM of the caps + 1, and by pigeonhole an overflow of
     that bound implies some pattern is over its own cap). Infix patterns
     ride the term_dict scan (their left literal is prefix-pushed like a
-    trailing wildcard). Returns
+    trailing wildcard); regexes ride it as anchored ``rlike`` filters
+    (Java/Python/RE2 common subset — see the module docstring). Returns
     ``({prefix: {term: df}}, {(word, dist): {term: df}},
-    {suffix: {term: df}}, {(pre, suf): {term: df}})``."""
+    {suffix: {term: df}}, {(pre, suf): {term: df}},
+    {regex: {term: df}})``."""
     prefixes = list(dict.fromkeys(prefixes))
     fuzzies = list(dict.fromkeys(fuzzies))
     suffixes = list(dict.fromkeys(suffixes))
     infixes = list(dict.fromkeys(infixes))
+    regexes = list(dict.fromkeys(regexes))
     out_p: dict = {p: {} for p in prefixes}
     out_f: dict = {wd: {} for wd in fuzzies}
     out_s: dict = {s: {} for s in suffixes}
     out_i: dict = {ab: {} for ab in infixes}
+    out_r: dict = {x: {} for x in regexes}
+    compiled: dict = {}
+    for x in regexes:
+        if not x:
+            raise ValueError("empty regex pattern")
+        try:
+            compiled[x] = re.compile(f"(?:{x})\\Z")
+        except re.error as e:
+            raise ValueError(f"invalid regex /{x}/: {e}") from e
 
     def over_prefix(p):
         return ValueError(
@@ -456,7 +480,7 @@ def expand_multi(
             f"{max_expansions}; narrow the suffix or raise the cap"
         )
 
-    if prefixes or fuzzies or infixes:
+    if prefixes or fuzzies or infixes or regexes:
         lo = F.lower(F.col("term"))
         conds = []
         for p in prefixes:
@@ -477,11 +501,13 @@ def expand_multi(
                 & lo.endswith(b.lower())
                 & (F.length(lo) >= len(a) + len(b))
             )
+        for x in regexes:
+            conds.append(lo.rlike(f"^(?:{x})$"))
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
         cap = (
-            (len(prefixes) + len(infixes)) * max_expansions
+            (len(prefixes) + len(infixes) + len(regexes)) * max_expansions
             + len(fuzzies) * max_fuzzy_expansions
         )
         rows = (
@@ -506,6 +532,9 @@ def expand_multi(
                     and len(tl) >= len(a) + len(b)
                 ):
                     out_i[(a, b)][t] = df
+            for x in regexes:
+                if compiled[x].match(tl):
+                    out_r[x][t] = df
         for p in prefixes:
             if len(out_p[p]) > max_expansions:
                 raise over_prefix(p)
@@ -516,6 +545,12 @@ def expand_multi(
             if len(out_i[(a, b)]) > max_expansions:
                 raise ValueError(
                     f"wildcard {a!r}*{b!r} expands past max_expansions="
+                    f"{max_expansions}; narrow the pattern or raise the cap"
+                )
+        for x in regexes:
+            if len(out_r[x]) > max_expansions:
+                raise ValueError(
+                    f"regex /{x}/ expands past max_expansions="
                     f"{max_expansions}; narrow the pattern or raise the cap"
                 )
         if len(rows) > cap:  # pragma: no cover — pigeonhole: unreachable
@@ -554,7 +589,7 @@ def expand_multi(
                 "suffix wildcard expansion past the combined cap "
                 f"({cap}); narrow the patterns or raise the caps"
             )
-    return out_p, out_f, out_s, out_i
+    return out_p, out_f, out_s, out_i, out_r
 
 
 def facet_counts(
@@ -607,15 +642,19 @@ _FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
 
 def _split_patterns(words):
-    """word → (literal | prefix* | *suffix | in*fix | fuzzy~) with an
-    optional outermost ^boost suffix. ``*mid*`` (contains) and
-    multi-``*`` shapes are refused loudly."""
-    lit, wild, fuzz, sfx, inx = [], [], [], [], []
+    """word → (literal | prefix* | *suffix | in*fix | fuzzy~ | /regex/)
+    with an optional outermost ^boost suffix. ``*mid*`` (contains) and
+    multi-``*`` shapes are refused loudly. ``/regex/`` is checked FIRST
+    so a pattern ending in ``~N`` or containing ``*`` stays a regex."""
+    lit, wild, fuzz, sfx, inx, rex = [], [], [], [], [], []
     for w in words:
         boost = 1.0
         mb = _BOOST_RE.match(w)
         if mb:
             w, boost = mb.group(1), float(mb.group(2))
+        if len(w) > 2 and w.startswith("/") and w.endswith("/"):
+            rex.append((w[1:-1], boost))
+            continue
         m = _FUZZY_RE.match(w)
         if m:
             fuzz.append((m.group(1), int(m.group(2) or 1), boost))
@@ -632,9 +671,10 @@ def _split_patterns(words):
             raise ValueError(
                 f"wildcard shape {w!r} unsupported (only prefix*, "
                 "*suffix, and in*fix — a contains query needs an "
-                "n-gram sidecar, not a dictionary scan)"
+                "n-gram sidecar, not a dictionary scan; arbitrary "
+                "patterns: /regex/)"
             )
-    return lit, wild, fuzz, sfx, inx
+    return lit, wild, fuzz, sfx, inx, rex
 
 
 def _fuse_expansions(spark, index_dir, parsed, max_expansions):
@@ -643,21 +683,24 @@ def _fuse_expansions(spark, index_dir, parsed, max_expansions):
     expansion (:func:`expand_multi`) for all of them → ``(maps,
     all_words)`` where ``all_words`` is every literal word (clause,
     phrase, and group members) for one batched casing lookup."""
-    prefixes, fuzzies, suffixes, infixes, all_words = [], [], [], [], []
+    prefixes, fuzzies, suffixes, infixes, regexes, all_words = (
+        [], [], [], [], [], []
+    )
     for c, splits in parsed:
-        for lit, wild, fuzz, sfx, inx in splits:
+        for lit, wild, fuzz, sfx, inx, rex in splits:
             all_words += [w for w, _b in lit]
             prefixes += [p for p, _b in wild]
             fuzzies += [(w, d) for w, d, _b in fuzz]
             suffixes += [s for s, _b in sfx]
             infixes += [(a, b) for a, b, _b in inx]
+            regexes += [x for x, _b in rex]
         all_words += [
             w for p in c["phrases"] + c["not_phrases"] for w in p.split()
         ]
         all_words += [w for g in c["groups"] for w in g]
     maps = expand_multi(
         spark, index_dir, prefixes, fuzzies, suffixes, max_expansions,
-        infixes=infixes,
+        infixes=infixes, regexes=regexes,
     )
     return maps, all_words
 
@@ -667,14 +710,14 @@ def _term_parts(spark, index_dir, c, splits, maps):
     (already-fused) expansion maps → ``(qweights, clauses, neg_terms)``,
     or ``None`` when a MUST clause is unsatisfiable (the result is
     provably empty). ``splits`` = (free, must, not) from
-    :func:`_split_patterns`; ``maps`` = (wild, fuzz, sfx, inx) from
+    :func:`_split_patterns`; ``maps`` = (wild, fuzz, sfx, inx, rex) from
     :func:`expand_multi`. Shared by :func:`search_bool` and
     :func:`search_bool_batch` so single and batched queries compile
     identically."""
-    (free_lit, free_wild, free_fuzz, free_sfx, free_inx) = splits[0]
-    (must_lit, must_wild, must_fuzz, must_sfx, must_inx) = splits[1]
-    (not_lit, not_wild, not_fuzz, not_sfx, not_inx) = splits[2]
-    wild_map, fuzz_map, sfx_map, inx_map = maps
+    (free_lit, free_wild, free_fuzz, free_sfx, free_inx, free_rex) = splits[0]
+    (must_lit, must_wild, must_fuzz, must_sfx, must_inx, must_rex) = splits[1]
+    (not_lit, not_wild, not_fuzz, not_sfx, not_inx, not_rex) = splits[2]
+    wild_map, fuzz_map, sfx_map, inx_map, rex_map = maps
 
     qweights: dict = {}
 
@@ -701,6 +744,8 @@ def _term_parts(spark, index_dir, c, splits, maps):
         add_terms(sfx_map[s], boost)
     for a, b, boost in dict.fromkeys(free_inx + must_inx):
         add_terms(inx_map[(a, b)], boost)
+    for x, boost in dict.fromkeys(free_rex + must_rex):
+        add_terms(rex_map[x], boost)
 
     clauses: list[list[str]] = []
     for w, _b in must_lit:
@@ -728,6 +773,11 @@ def _term_parts(spark, index_dir, c, splits, maps):
         if not terms:
             return None
         clauses.append(terms)
+    for x, _b in must_rex:
+        terms = sorted(rex_map[x])
+        if not terms:
+            return None
+        clauses.append(terms)
     for words in c["groups"]:
         # +(a|b): ONE clause whose member set is the union of the words'
         # index terms — satisfied by any of them (the words already rank
@@ -743,6 +793,7 @@ def _term_parts(spark, index_dir, c, splits, maps):
         | {t for w, d, _b in not_fuzz for t in fuzz_map[(w, d)]}
         | {t for s, _b in not_sfx for t in sfx_map[s]}
         | {t for a, b, _b in not_inx for t in inx_map[(a, b)]}
+        | {t for x, _b in not_rex for t in rex_map[x]}
     )
     return qweights, clauses, neg_terms
 

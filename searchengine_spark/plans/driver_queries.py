@@ -1546,6 +1546,25 @@ def q_wildcard_infix(spark, sf_dir):
     )
 
 
+REGEX_QUERY = "/(va|da)[a-z]+/ +key"
+
+
+def q_regex_topk(spark, sf_dir):
+    """Regex-term retrieval over the PACKED index, hash-gated:
+    /(va|da)[a-z]+/ expands against the term dictionary (the same fused
+    scan as wildcards, the pattern anchored full-term as a pushed rlike;
+    boolquery.expand_multi regexes=) into an OR of every matching term
+    — each scoring with its own idf — intersected with the +key
+    containment set. The oracle restates the expansion with DuckDB's
+    regexp_matches under the identical anchoring."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, REGEX_QUERY, k=60)
+    )
+
+
 GROUP_QUERY = "fast +(key|order) -(slow|merge)"
 
 
@@ -2103,9 +2122,9 @@ QUERIES = {
     "synonym_topk": q_synonym_topk,
     "wildcard_topk": q_wildcard_topk,
     "wildcard_infix": q_wildcard_infix,
+    "regex_topk": q_regex_topk,
     "fuzzy_topk": q_fuzzy_topk,
     "boosted_topk": q_boosted_topk,
-    "facet_counts": q_facet_counts,
     "near_match": q_near_match,
     "phrase_topk_idx": q_phrase_topk_idx,
     "bpe_token_counts": q_bpe_token_counts,
@@ -2122,6 +2141,7 @@ QUERIES = {
     "bm25_page2": q_bm25_page2,
     "spell_suggest": q_spell_suggest,
     "phrase_match_idx": q_phrase_match_idx,
+    "facet_counts": q_facet_counts,
     "bm25_merged": q_bm25_merged,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
@@ -2971,6 +2991,29 @@ ORACLES["wildcard_infix"] = (
     " ad AS (SELECT avg(dl) AS avgdl FROM st),"
     " qt AS (SELECT term FROM td"
     "        WHERE (term LIKE 't%e' AND length(term) >= 2) OR term = 'key'),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad"
+    " WHERE dt.term IN (SELECT term FROM qt)"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# regex term match: the expansion is a vocabulary regexp_matches scan
+# under the engine's exact anchoring (^(?:pat)$ over lowercased terms),
+# ranked as an OR of matching terms over docs holding 'key'
+ORACLES["regex_topk"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " qt AS (SELECT term FROM td"
+    "        WHERE regexp_matches(term, '^(?:(va|da)[a-z]+)$')"
+    "        OR term = 'key'),"
     " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
     f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
     f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"

@@ -306,9 +306,9 @@ def test_suffix_cap_and_infix_rejection(spark, index_1k):
 def test_expand_multi_matches_single_pattern_scans(spark, index_1k):
     """The fused one-scan expansion returns exactly what the per-pattern
     scans return, pattern by pattern."""
-    wm, fm, sm, im = bq.expand_multi(
+    wm, fm, sm, im, rm = bq.expand_multi(
         spark, index_1k, ["resu", "fa"], [("resutl", 2)], ["sult"],
-        infixes=[("re", "lt")],
+        infixes=[("re", "lt")], regexes=["res[a-z]+t"],
     )
     assert wm["resu"] == bq.expand_prefix(spark, index_1k, "resu")
     assert wm["fa"] == bq.expand_prefix(spark, index_1k, "fa")
@@ -481,3 +481,60 @@ def test_bool_batch_matches_single(spark, index_1k):
     for bad in ('fast "key order"', "fast lang:python"):
         with pytest.raises(ValueError, match="phrase or field"):
             bq.search_bool_batch(spark, index_1k, [bad], k=5)
+
+
+def test_regex_term_semantics(spark, index_1k):
+    """/regex/: anchored full-term match over the lowercased vocabulary,
+    fused into the same dictionary scan as wildcards; ranking equals the
+    expanded-OR query; MUST/MUST-NOT/boost compose; invalid patterns and
+    cap overflows raise loudly."""
+    _w, _f, _s, _i, rm = bq.expand_multi(
+        spark, index_1k, [], [], [], regexes=["res[a-z]+"]
+    )
+    exp = rm["res[a-z]+"]
+    # regex == the equivalent prefix expansion (anchored both sides)
+    assert exp == bq.expand_prefix(spark, index_1k, "res")
+    # anchoring: no substring matches — every term fullmatches
+    import re as _re
+
+    assert exp and all(_re.fullmatch("res[a-z]+", t.lower()) for t in exp)
+    # ranking == the expanded OR of the matched terms
+    got = _rows(bq.search_bool(spark, index_1k, "/res[a-z]+/", k=15))
+    want = _rows(search(spark, index_1k, " ".join(sorted(exp)), k=15))
+    assert got == want
+    # +/regex/ eligibility == manual allowed-set restriction
+    got_must = _rows(bq.search_bool(spark, index_1k, "key +/res[a-z]+/", k=10**6))
+    union = bq._postings_ids(spark, index_1k, sorted(exp))
+    want_must = _rows(
+        search(spark, index_1k, "key " + " ".join(sorted(exp)), k=10**6,
+               allowed=union)
+    )
+    assert got_must == want_must
+    # -/regex/ excludes every doc holding any matched term
+    excluded = {r["doc_id"] for r in union.collect()}
+    kept = {d for d, _ in _rows(
+        bq.search_bool(spark, index_1k, "key -/res[a-z]+/", k=10**6))}
+    assert kept and not (kept & excluded)
+    # boost applies to every expansion (same contract as wildcards)
+    boosted = _rows(bq.search_bool(spark, index_1k, "/res[a-z]+/^2 key", k=15))
+    manual = _rows(bq.search_bool(
+        spark, index_1k, " ".join(f"{t.lower()}^2" for t in sorted(exp)) + " key",
+        k=15))
+    assert boosted == manual
+    # unmatchable MUST regex -> provably empty
+    assert bq.search_bool(spark, index_1k, "key +/zzzq[0-9]+/", k=5).count() == 0
+    # invalid pattern raises before any job
+    with pytest.raises(ValueError, match="invalid regex"):
+        bq.search_bool(spark, index_1k, "/((/", k=5)
+    # loud cap
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.expand_multi(spark, index_1k, [], [], [], regexes=["[a-z]+"],
+                        max_expansions=3)
+    # batch path compiles regexes identically to the single path
+    qs = ["/res[a-z]+/ +key", "fast key"]
+    got_b = bq.search_bool_batch(spark, index_1k, qs, k=8).collect()
+    by_q: dict = {}
+    for r in got_b:
+        by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
+    for qid, q in enumerate(qs):
+        assert by_q.get(qid, []) == _rows(bq.search_bool(spark, index_1k, q, k=8)), q
