@@ -188,6 +188,10 @@ def main() -> None:
     timed("wildcard_topk", lambda: QUERIES["wildcard_topk"](spark, sf_dir).count())
     timed("wildcard_suffix", lambda: QUERIES["wildcard_suffix"](spark, sf_dir).count())
     timed("wildcard_infix", lambda: QUERIES["wildcard_infix"](spark, sf_dir).count())
+    timed(
+        "wildcard_contains",
+        lambda: QUERIES["wildcard_contains"](spark, sf_dir).count(),
+    )
     timed("regex_topk", lambda: QUERIES["regex_topk"](spark, sf_dir).count())
     timed("embedding_dup_prod", lambda: QUERIES["embedding_dup_prod"](spark, sf_dir).count())
     timed("fuzzy_topk", lambda: QUERIES["fuzzy_topk"](spark, sf_dir).count())

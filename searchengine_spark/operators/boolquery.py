@@ -26,9 +26,18 @@ only): the conventional search-box grammar —
                   right one, and is long enough for both (``*`` may match
                   empty). Served from the same fused term-dict scan — the
                   left literal is a pushed StringStartsWith, the right
-                  a post-scan endswith. ``*mid*`` (contains) and
-                  multi-``*`` shapes are refused loudly — a contains
-                  query needs an n-gram sidecar, not a dictionary scan;
+                  a post-scan endswith;
+* ``*mid*``       contains wildcard: answered from the ``term_3g``
+                  TRIGRAM sidecar (written by ``build_term_dict``:
+                  one (gram, term, df) row per distinct trigram of
+                  lower(term), gram-sorted) — terms holding ALL of
+                  ``mid``'s trigrams are a pushed gram-IN lookup with
+                  row-group pruning, substring-checked in the same scan
+                  (the code-search trigram-index technique; never a
+                  full |V| substring scan once the sidecar exists).
+                  Patterns shorter than one trigram, or a pre-sidecar
+                  index, fall back to a capped |V| ``contains`` scan.
+                  Other multi-``*`` shapes are refused loudly;
 * ``/regex/``     regex term match: expands against the term dictionary
                   like a wildcard — full-term anchored (``^(?:pat)$``),
                   case-insensitive over lowercased terms, same loud
@@ -418,6 +427,57 @@ def _lev_le(a: str, b: str, d: int) -> bool:
     return prev[-1] <= d
 
 
+def expand_contains(
+    spark: SparkSession,
+    index_dir: str,
+    mid: str,
+    max_expansions: int = 1024,
+) -> dict:
+    """``*mid*`` → {index term: df} for every vocabulary term CONTAINING
+    ``mid`` (case-insensitive). Served from the ``term_3g`` trigram
+    sidecar when the build wrote it (the code-search technique: terms
+    holding ALL of ``mid``'s trigrams are a pushed gram-IN lookup over
+    the gram-sorted sidecar with row-group pruning, then the bounded
+    candidate set is substring-checked — never a full |V| scan), else —
+    pre-sidecar index, or ``mid`` shorter than one trigram — a
+    ``contains`` filter over the |V|-row term_dict (the same cost class
+    as a fuzzy scan). Same loud-cap contract as :func:`expand_prefix`."""
+    import os
+
+    if not mid:
+        raise ValueError("empty contains pattern")
+    m = mid.lower()
+    grams = sorted({m[i:i + 3] for i in range(len(m) - 2)})
+    if grams and os.path.exists(f"{index_dir}/term_3g"):
+        cand = (
+            spark.read.parquet(f"{index_dir}/term_3g")
+            .where(F.col("gram").isin(grams))
+            .groupBy("term", "df")
+            .agg(F.count("*").alias("_g"))
+            .where(F.col("_g") == len(grams))
+        )
+        rows = (
+            cand.where(F.lower(F.col("term")).contains(m))
+            .select("term", "df")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+    else:
+        rows = (
+            spark.read.parquet(f"{index_dir}/term_dict")
+            .where(F.lower(F.col("term")).contains(m))
+            .select("term", "df")
+            .limit(max_expansions + 1)
+            .collect()
+        )
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"wildcard *{mid}* expands past max_expansions="
+            f"{max_expansions}; narrow the pattern or raise the cap"
+        )
+    return {r["term"]: int(r["df"]) for r in rows}
+
+
 def expand_multi(
     spark: SparkSession,
     index_dir: str,
@@ -428,7 +488,8 @@ def expand_multi(
     max_fuzzy_expansions: int = 64,
     infixes: list[tuple[str, str]] = (),
     regexes: list[str] = (),
-) -> tuple[dict, dict, dict, dict, dict]:
+    contains: list[str] = (),
+) -> tuple[dict, dict, dict, dict, dict, dict]:
     """Every wildcard/fuzzy expansion of one query in ONE narrow
     term_dict scan (suffixes add one ``term_sfx`` scan) instead of the
     r4 scan-per-pattern shape: the scan filters on the OR of all
@@ -439,20 +500,24 @@ def expand_multi(
     that bound implies some pattern is over its own cap). Infix patterns
     ride the term_dict scan (their left literal is prefix-pushed like a
     trailing wildcard); regexes ride it as anchored ``rlike`` filters
-    (Java/Python/RE2 common subset — see the module docstring). Returns
+    (Java/Python/RE2 common subset — see the module docstring); contains
+    patterns (``*mid*``) share one trigram-sidecar lookup (see
+    :func:`expand_contains`). Returns
     ``({prefix: {term: df}}, {(word, dist): {term: df}},
     {suffix: {term: df}}, {(pre, suf): {term: df}},
-    {regex: {term: df}})``."""
+    {regex: {term: df}}, {mid: {term: df}})``."""
     prefixes = list(dict.fromkeys(prefixes))
     fuzzies = list(dict.fromkeys(fuzzies))
     suffixes = list(dict.fromkeys(suffixes))
     infixes = list(dict.fromkeys(infixes))
     regexes = list(dict.fromkeys(regexes))
+    contains = list(dict.fromkeys(contains))
     out_p: dict = {p: {} for p in prefixes}
     out_f: dict = {wd: {} for wd in fuzzies}
     out_s: dict = {s: {} for s in suffixes}
     out_i: dict = {ab: {} for ab in infixes}
     out_r: dict = {x: {} for x in regexes}
+    out_c: dict = {m: {} for m in contains}
     compiled: dict = {}
     for x in regexes:
         if not x:
@@ -589,7 +654,82 @@ def expand_multi(
                 "suffix wildcard expansion past the combined cap "
                 f"({cap}); narrow the patterns or raise the caps"
             )
-    return out_p, out_f, out_s, out_i, out_r
+    if contains:
+        import os
+
+        for m in contains:
+            if not m:
+                raise ValueError("empty contains pattern")
+        pats = {
+            m: sorted({m.lower()[i:i + 3] for i in range(len(m) - 2)})
+            for m in contains
+        }
+        cap = len(contains) * max_expansions
+        use_3g = os.path.exists(f"{index_dir}/term_3g") and all(
+            pats.values()
+        )
+        if use_3g:
+            # one pushed gram-IN lookup for ALL patterns: per-term
+            # conditional gram counts, a term is a candidate for pattern
+            # i iff it holds all of i's grams; the substring check runs
+            # in the same scan so collected rows are true matches and
+            # the pigeonhole cap bound holds like the other classes
+            all_grams = sorted({g for gs in pats.values() for g in gs})
+            aggs = [
+                F.sum(
+                    F.when(F.col("gram").isin(gs), 1).otherwise(0)
+                ).alias(f"_g{j}")
+                for j, gs in enumerate(pats.values())
+            ]
+            cand = (
+                spark.read.parquet(f"{index_dir}/term_3g")
+                .where(F.col("gram").isin(all_grams))
+                .groupBy("term", "df")
+                .agg(*aggs)
+            )
+            conds = [
+                (F.col(f"_g{j}") == len(gs))
+                & F.lower(F.col("term")).contains(m.lower())
+                for j, (m, gs) in enumerate(pats.items())
+            ]
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            rows = (
+                cand.where(cond)
+                .select("term", "df")
+                .limit(cap + 1)
+                .collect()
+            )
+        else:  # pre-sidecar index or sub-trigram pattern: |V| scan
+            lo = F.lower(F.col("term"))
+            cond = lo.contains(contains[0].lower())
+            for m in contains[1:]:
+                cond = cond | lo.contains(m.lower())
+            rows = (
+                spark.read.parquet(f"{index_dir}/term_dict")
+                .where(cond)
+                .select("term", "df")
+                .limit(cap + 1)
+                .collect()
+            )
+        for r in rows:
+            t, df, tl = r["term"], int(r["df"]), r["term"].lower()
+            for m in contains:
+                if m.lower() in tl:
+                    out_c[m][t] = df
+        for m in contains:
+            if len(out_c[m]) > max_expansions:
+                raise ValueError(
+                    f"wildcard *{m}* expands past max_expansions="
+                    f"{max_expansions}; narrow the pattern or raise the cap"
+                )
+        if len(rows) > cap:  # pragma: no cover — pigeonhole: unreachable
+            raise ValueError(
+                "contains wildcard expansion past the combined cap "
+                f"({cap}); narrow the patterns or raise the caps"
+            )
+    return out_p, out_f, out_s, out_i, out_r, out_c
 
 
 def facet_counts(
@@ -642,11 +782,12 @@ _FUZZY_RE = re.compile(r"^(.+?)~(\d*)$")
 
 
 def _split_patterns(words):
-    """word → (literal | prefix* | *suffix | in*fix | fuzzy~ | /regex/)
-    with an optional outermost ^boost suffix. ``*mid*`` (contains) and
-    multi-``*`` shapes are refused loudly. ``/regex/`` is checked FIRST
-    so a pattern ending in ``~N`` or containing ``*`` stays a regex."""
-    lit, wild, fuzz, sfx, inx, rex = [], [], [], [], [], []
+    """word → (literal | prefix* | *suffix | in*fix | *mid* | fuzzy~ |
+    /regex/) with an optional outermost ^boost suffix. Multi-``*``
+    shapes beyond ``*mid*`` are refused loudly. ``/regex/`` is checked
+    FIRST so a pattern ending in ``~N`` or containing ``*`` stays a
+    regex."""
+    lit, wild, fuzz, sfx, inx, rex, ctn = [], [], [], [], [], [], []
     for w in words:
         boost = 1.0
         mb = _BOOST_RE.match(w)
@@ -667,14 +808,20 @@ def _split_patterns(words):
         elif w.count("*") == 1:
             a, b = w.split("*")
             inx.append((a, b, boost))
+        elif (
+            w.count("*") == 2
+            and w.startswith("*")
+            and w.endswith("*")
+            and len(w) > 2
+        ):
+            ctn.append((w[1:-1], boost))
         else:
             raise ValueError(
                 f"wildcard shape {w!r} unsupported (only prefix*, "
-                "*suffix, and in*fix — a contains query needs an "
-                "n-gram sidecar, not a dictionary scan; arbitrary "
-                "patterns: /regex/)"
+                "*suffix, in*fix, and *mid* — arbitrary patterns: "
+                "/regex/)"
             )
-    return lit, wild, fuzz, sfx, inx, rex
+    return lit, wild, fuzz, sfx, inx, rex, ctn
 
 
 def _fuse_expansions(spark, index_dir, parsed, max_expansions):
@@ -683,24 +830,25 @@ def _fuse_expansions(spark, index_dir, parsed, max_expansions):
     expansion (:func:`expand_multi`) for all of them → ``(maps,
     all_words)`` where ``all_words`` is every literal word (clause,
     phrase, and group members) for one batched casing lookup."""
-    prefixes, fuzzies, suffixes, infixes, regexes, all_words = (
-        [], [], [], [], [], []
+    prefixes, fuzzies, suffixes, infixes, regexes, contains, all_words = (
+        [], [], [], [], [], [], []
     )
     for c, splits in parsed:
-        for lit, wild, fuzz, sfx, inx, rex in splits:
+        for lit, wild, fuzz, sfx, inx, rex, ctn in splits:
             all_words += [w for w, _b in lit]
             prefixes += [p for p, _b in wild]
             fuzzies += [(w, d) for w, d, _b in fuzz]
             suffixes += [s for s, _b in sfx]
             infixes += [(a, b) for a, b, _b in inx]
             regexes += [x for x, _b in rex]
+            contains += [m for m, _b in ctn]
         all_words += [
             w for p in c["phrases"] + c["not_phrases"] for w in p.split()
         ]
         all_words += [w for g in c["groups"] for w in g]
     maps = expand_multi(
         spark, index_dir, prefixes, fuzzies, suffixes, max_expansions,
-        infixes=infixes, regexes=regexes,
+        infixes=infixes, regexes=regexes, contains=contains,
     )
     return maps, all_words
 
@@ -710,14 +858,17 @@ def _term_parts(spark, index_dir, c, splits, maps):
     (already-fused) expansion maps → ``(qweights, clauses, neg_terms)``,
     or ``None`` when a MUST clause is unsatisfiable (the result is
     provably empty). ``splits`` = (free, must, not) from
-    :func:`_split_patterns`; ``maps`` = (wild, fuzz, sfx, inx, rex) from
-    :func:`expand_multi`. Shared by :func:`search_bool` and
+    :func:`_split_patterns`; ``maps`` = (wild, fuzz, sfx, inx, rex, ctn)
+    from :func:`expand_multi`. Shared by :func:`search_bool` and
     :func:`search_bool_batch` so single and batched queries compile
     identically."""
-    (free_lit, free_wild, free_fuzz, free_sfx, free_inx, free_rex) = splits[0]
-    (must_lit, must_wild, must_fuzz, must_sfx, must_inx, must_rex) = splits[1]
-    (not_lit, not_wild, not_fuzz, not_sfx, not_inx, not_rex) = splits[2]
-    wild_map, fuzz_map, sfx_map, inx_map, rex_map = maps
+    (free_lit, free_wild, free_fuzz, free_sfx, free_inx, free_rex,
+     free_ctn) = splits[0]
+    (must_lit, must_wild, must_fuzz, must_sfx, must_inx, must_rex,
+     must_ctn) = splits[1]
+    (not_lit, not_wild, not_fuzz, not_sfx, not_inx, not_rex,
+     not_ctn) = splits[2]
+    wild_map, fuzz_map, sfx_map, inx_map, rex_map, ctn_map = maps
 
     qweights: dict = {}
 
@@ -746,6 +897,8 @@ def _term_parts(spark, index_dir, c, splits, maps):
         add_terms(inx_map[(a, b)], boost)
     for x, boost in dict.fromkeys(free_rex + must_rex):
         add_terms(rex_map[x], boost)
+    for m, boost in dict.fromkeys(free_ctn + must_ctn):
+        add_terms(ctn_map[m], boost)
 
     clauses: list[list[str]] = []
     for w, _b in must_lit:
@@ -778,6 +931,11 @@ def _term_parts(spark, index_dir, c, splits, maps):
         if not terms:
             return None
         clauses.append(terms)
+    for m, _b in must_ctn:
+        terms = sorted(ctn_map[m])
+        if not terms:
+            return None
+        clauses.append(terms)
     for words in c["groups"]:
         # +(a|b): ONE clause whose member set is the union of the words'
         # index terms — satisfied by any of them (the words already rank
@@ -794,6 +952,7 @@ def _term_parts(spark, index_dir, c, splits, maps):
         | {t for s, _b in not_sfx for t in sfx_map[s]}
         | {t for a, b, _b in not_inx for t in inx_map[(a, b)]}
         | {t for x, _b in not_rex for t in rex_map[x]}
+        | {t for m, _b in not_ctn for t in ctn_map[m]}
     )
     return qweights, clauses, neg_terms
 

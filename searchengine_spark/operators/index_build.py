@@ -204,6 +204,33 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
         .write.mode("overwrite")
         .parquet(f"{index_dir}/term_sfx")
     )
+    # trigram sidecar: (gram, term, df) for every distinct trigram of
+    # lower(term), SORTED by gram — a ``*mid*`` contains-wildcard becomes
+    # a pushed gram-IN lookup (row-group min/max pruning) + candidate
+    # intersection instead of a full |V| substring scan (the code-search
+    # trigram-index technique; boolquery.expand_contains). ~(len-2) rows
+    # per term; co-written with term_dict (build, compaction, purge), so
+    # like term_sfx it can never go stale.
+    (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .select(F.lower(F.col("term")).alias("lt"), "term", "df")
+        .where(F.length("lt") >= 3)
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, length(lt) - 2),"
+                        " i -> substring(lt, i, 3))"
+                    )
+                )
+            ).alias("gram"),
+            "term",
+            "df",
+        )
+        .sort("gram")
+        .write.mode("overwrite")
+        .parquet(f"{index_dir}/term_3g")
+    )
     man.set_scalars(n_terms=n_terms)
     man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
 

@@ -1546,6 +1546,27 @@ def q_wildcard_infix(spark, sf_dir):
     )
 
 
+CONTAINS_QUERY = "*alu* +key"
+
+
+def q_wildcard_contains(spark, sf_dir):
+    """Contains-wildcard retrieval over the PACKED index, hash-gated:
+    '*alu*' expands against the term_3g TRIGRAM sidecar (the code-search
+    technique — terms holding all of the pattern's trigrams are a pushed
+    gram-IN lookup with row-group pruning, substring-checked in the same
+    scan; boolquery.expand_contains / expand_multi contains=) into an OR
+    of every vocabulary term CONTAINING 'alu' — here value/values/… —
+    each scoring with its own idf, intersected with the +key containment
+    set. The oracle restates the expansion as a vocabulary
+    LIKE '%alu%'."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, CONTAINS_QUERY, k=60)
+    )
+
+
 REGEX_QUERY = "/(va|da)[a-z]+/ +key"
 
 
@@ -2105,6 +2126,7 @@ QUERIES = {
     "value_percentiles": q_value_percentiles,
     # — new in round 5 —
     "wildcard_suffix": q_wildcard_suffix,
+    "wildcard_contains": q_wildcard_contains,
     "embedding_dup_prod": q_embedding_dup_prod,
     # — core build + serving surfaces (kept inside the cap) —
     "doc_terms": q_doc_terms,
@@ -2969,6 +2991,28 @@ ORACLES["wildcard_suffix"] = (
     " n AS (SELECT count(*) AS n FROM documents),"
     " ad AS (SELECT avg(dl) AS avgdl FROM st),"
     " qt AS (SELECT term FROM td WHERE term LIKE '%ast' OR term = 'key'),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad"
+    " WHERE dt.term IN (SELECT term FROM qt)"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# contains wildcard: the engine answers *alu* from the term_3g trigram
+# sidecar (gram-IN candidate intersection + substring check); the oracle
+# restates the whole expansion as a vocabulary LIKE '%alu%', ranked as an
+# OR of the matching terms (each with its own idf) over docs holding 'key'
+ORACLES["wildcard_contains"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " qt AS (SELECT term FROM td WHERE term LIKE '%alu%' OR term = 'key'),"
     " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
     f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
     f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"

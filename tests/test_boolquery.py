@@ -295,7 +295,7 @@ def test_suffix_cap_and_infix_rejection(spark, index_1k):
     with pytest.raises(ValueError, match="max_expansions"):
         bq.search_bool(spark, index_1k, "*t fast", k=5, max_expansions=1)
     with pytest.raises(ValueError, match="unsupported"):
-        bq.search_bool(spark, index_1k, "*mid* fast", k=5)
+        bq.search_bool(spark, index_1k, "m*id* fast", k=5)
     # unmatchable suffix: free -> empty result; must-not -> no-op
     assert bq.search_bool(spark, index_1k, "*zzzq", k=5).count() == 0
     a = _rows(bq.search_bool(spark, index_1k, "fast key -*zzzq", k=10))
@@ -306,7 +306,7 @@ def test_suffix_cap_and_infix_rejection(spark, index_1k):
 def test_expand_multi_matches_single_pattern_scans(spark, index_1k):
     """The fused one-scan expansion returns exactly what the per-pattern
     scans return, pattern by pattern."""
-    wm, fm, sm, im, rm = bq.expand_multi(
+    wm, fm, sm, im, rm, cm = bq.expand_multi(
         spark, index_1k, ["resu", "fa"], [("resutl", 2)], ["sult"],
         infixes=[("re", "lt")], regexes=["res[a-z]+t"],
     )
@@ -327,6 +327,60 @@ def test_expand_multi_matches_single_pattern_scans(spark, index_1k):
             spark, index_1k, [], [], [], max_expansions=0,
             infixes=[("r", "t")],
         )
+
+
+def test_contains_wildcard_semantics(spark, index_1k, tmp_path):
+    """*mid*: case-insensitive substring over the vocabulary, answered
+    from the term_3g trigram sidecar (pushed gram-IN + candidate
+    intersection); ranking equals the expanded-OR query; MUST/MUST-NOT
+    compose; the pre-sidecar |V|-scan fallback and sub-trigram patterns
+    return identical expansions; caps stay loud."""
+    import os
+    import shutil
+
+    from searchengine_spark.operators.wand import search_terms
+
+    exp = bq.expand_contains(spark, index_1k, "esul")
+    assert exp and all("esul" in t.lower() for t in exp)
+    assert "result" in {t.lower() for t in exp}
+    got = _rows(bq.search_bool(spark, index_1k, "*esul*", k=25))
+    want = _rows(search_terms(spark, index_1k, {t: 1.0 for t in exp}, k=25))
+    assert got == want and got
+    # composes with must / must-not
+    holders = {
+        r["doc_id"]
+        for r in bq._postings_ids(spark, index_1k, sorted(exp)).collect()
+    }
+    neg = _rows(bq.search_bool(spark, index_1k, "fast key -*esul*", k=10**6))
+    assert neg and not ({d for d, _ in neg} & holders)
+    must = _rows(bq.search_bool(spark, index_1k, "fast +*esul*", k=10**6))
+    assert must and {d for d, _ in must} <= holders
+    # the fused multi-pattern scan agrees with the single-pattern lookup
+    *_, cm = bq.expand_multi(
+        spark, index_1k, [], [], [], contains=["esul", "sul"]
+    )
+    assert cm["esul"] == exp
+    # sub-trigram pattern: served by the |V|-scan fallback, still correct
+    sub = bq.expand_contains(spark, index_1k, "su")
+    assert sub and all("su" in t.lower() for t in sub)
+    assert set(exp) <= set(sub)
+    assert cm["sul"] == bq.expand_contains(spark, index_1k, "sul")
+    # pre-sidecar index: the term_dict contains-scan fallback is identical
+    idx2 = str(tmp_path / "no3g")
+    shutil.copytree(index_1k, idx2)
+    shutil.rmtree(f"{idx2}/term_3g")
+    assert not os.path.exists(f"{idx2}/term_3g")
+    assert bq.expand_contains(spark, idx2, "esul") == exp
+    # caps stay loud on both paths
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.expand_contains(spark, index_1k, "esul", max_expansions=0)
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.search_bool(spark, index_1k, "*e* fast", k=5, max_expansions=1)
+    # unmatchable contains: free -> empty; must-not -> no-op
+    assert bq.search_bool(spark, index_1k, "*zzqx*", k=5).count() == 0
+    a = _rows(bq.search_bool(spark, index_1k, "fast key -*zzqx*", k=10))
+    b = _rows(search(spark, index_1k, "fast key", k=10))
+    assert a == b
 
 
 def test_infix_wildcard_semantics(spark, index_1k):
@@ -488,7 +542,7 @@ def test_regex_term_semantics(spark, index_1k):
     fused into the same dictionary scan as wildcards; ranking equals the
     expanded-OR query; MUST/MUST-NOT/boost compose; invalid patterns and
     cap overflows raise loudly."""
-    _w, _f, _s, _i, rm = bq.expand_multi(
+    _w, _f, _s, _i, rm, _c = bq.expand_multi(
         spark, index_1k, [], [], [], regexes=["res[a-z]+"]
     )
     exp = rm["res[a-z]+"]

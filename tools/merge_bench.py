@@ -1,0 +1,120 @@
+"""Merge-vs-rebuild A/B: what does the offline shard merge actually save?
+
+    python tools/merge_bench.py [--n-docs 200000] [--cpus 32]
+
+Builds the same corpus twice ways:
+  A. one fresh ``build_index`` over all N docs (the re-tokenize path a
+     system WITHOUT merge pays whenever shards must be consolidated);
+  B. two shard indexes over the halves (the cost each shard already paid
+     at its own build time, reported but NOT part of the consolidation
+     cost) + ``merge_indexes`` (the only step a sharded system pays at
+     consolidation).
+
+Reports fresh_build_sec vs merge_sec and their ratio — the claim under
+measurement is SCALE.md "Offline shard merge": merge skips tokenize
+(~60% of build wall), paying only the doc_terms union-shuffle + derived
+stages. Sanity: top-10 rank/score identity between the fresh and merged
+indexes on one query. One JSON line; ambient load recorded like every
+bench artifact (sandbox noise is 2-4x under load).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=200_000)
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--out", default="BENCH/merge_200k.json")
+    args = ap.parse_args()
+
+    load_start = round(os.getloadavg()[0], 2)
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.merge import merge_indexes
+    from searchengine_spark.operators.wand import search
+    from searchengine_spark.session import get_session
+    from searchengine_spark.sources.corpus import corpus_df
+
+    spark = get_session(
+        master=f"local[{args.cpus}]",
+        app_name="merge-bench",
+        shuffle_partitions=args.cpus,
+    )
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: it, "x int"
+    ).count()  # worker-pool warmup, excluded
+
+    base = tempfile.mkdtemp(prefix="se_merge_bench_")
+    corpus_path = f"{base}/corpus"
+    corpus_df(spark, args.n_docs, seed=42, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(corpus_path)
+    docs = spark.read.parquet(corpus_path)
+
+    t0 = time.time()
+    build_index(spark, docs, f"{base}/fresh", n_groups=8)
+    fresh_sec = round(time.time() - t0, 3)
+
+    # halves by content hash: deterministic, roughly even
+    half = F.abs(F.xxhash64("repo", "path", "commit", "content")) % 2
+    shard_secs = []
+    for i in range(2):
+        t0 = time.time()
+        build_index(
+            spark, docs.where(half == i), f"{base}/shard{i}", n_groups=4
+        )
+        shard_secs.append(round(time.time() - t0, 3))
+
+    t0 = time.time()
+    merge_indexes(
+        spark, [f"{base}/shard0", f"{base}/shard1"], f"{base}/merged",
+        n_groups=8,
+    )
+    merge_sec = round(time.time() - t0, 3)
+
+    # identity sanity (ids differ across the two builds — compare scores)
+    q = "fast key order"
+    fresh_scores = [
+        round(r["score"], 9)
+        for r in search(spark, f"{base}/fresh", q, k=10).collect()
+    ]
+    merged_scores = [
+        round(r["score"], 9)
+        for r in search(spark, f"{base}/merged", q, k=10).collect()
+    ]
+
+    out = {
+        "metric": "merge_vs_rebuild",
+        "n_docs": args.n_docs,
+        "cpus": args.cpus,
+        "fresh_build_sec": fresh_sec,
+        "shard_build_secs": shard_secs,
+        "merge_sec": merge_sec,
+        "rebuild_over_merge": round(fresh_sec / merge_sec, 3),
+        "top10_scores_identical": fresh_scores == merged_scores,
+        "ambient_load_start": load_start,
+        "ambient_load_end": round(os.getloadavg()[0], 2),
+    }
+    print(json.dumps(out))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
