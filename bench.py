@@ -193,6 +193,7 @@ def main() -> None:
         lambda: QUERIES["wildcard_contains"](spark, sf_dir).count(),
     )
     timed("regex_topk", lambda: QUERIES["regex_topk"](spark, sf_dir).count())
+    timed("regex_trigram", lambda: QUERIES["regex_trigram"](spark, sf_dir).count())
     timed("embedding_dup_prod", lambda: QUERIES["embedding_dup_prod"](spark, sf_dir).count())
     timed("fuzzy_topk", lambda: QUERIES["fuzzy_topk"](spark, sf_dir).count())
     timed("facet_counts", lambda: QUERIES["facet_counts"](spark, sf_dir).count())

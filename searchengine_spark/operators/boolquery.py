@@ -41,13 +41,22 @@ only): the conventional search-box grammar —
 * ``/regex/``     regex term match: expands against the term dictionary
                   like a wildcard — full-term anchored (``^(?:pat)$``),
                   case-insensitive over lowercased terms, same loud
-                  ``max_expansions`` cap. The scan filter is the JVM
-                  ``rlike`` (pushed into the fused dictionary scan),
-                  membership is confirmed driver-side with Python
-                  ``re.fullmatch`` — stick to the Java/Python/RE2 common
-                  regex subset (classes, quantifiers, alternation; no
-                  lookbehind), which the SQL oracle's ``regexp_matches``
-                  also shares. Composes with ``+``/``-``/``^boost``
+                  ``max_expansions`` cap. Patterns with REQUIRED literal
+                  trigrams (``_regex_required_groups`` — the code-search
+                  query-from-regex technique: AND of OR-groups from
+                  literal runs, alternations, min>=1 repeats) are pruned
+                  through the ``term_3g`` sidecar's pushed gram-IN
+                  lookup before the anchored ``rlike`` runs — e.g.
+                  ``/valu[a-z]*/`` touches only terms holding both
+                  ``val`` and ``alu``, never the full vocabulary.
+                  Patterns with none (``/(va|da)[a-z]+/``, ``(?i)``
+                  flags, pre-sidecar indexes) scan the dictionary with a
+                  JVM ``rlike`` filter. Either way membership is
+                  confirmed driver-side with Python ``re.fullmatch`` —
+                  stick to the Java/Python/RE2 common regex subset
+                  (classes, quantifiers, alternation; no lookbehind),
+                  which the SQL oracle's ``regexp_matches`` also shares.
+                  Composes with ``+``/``-``/``^boost``
                   (``+/[a-z]+[0-9]{2}/``, ``-/tmp.*/``, ``/fo+/^2``);
 * ``word~`` / ``word~2``  fuzzy: expands to every vocabulary term within
                   Levenshtein distance 1 (or N) — one narrow term-dict
@@ -478,6 +487,104 @@ def expand_contains(
     return {r["term"]: int(r["df"]) for r in rows}
 
 
+_MAX_RX_GROUPS = 12  # agg columns per pattern in the sidecar lookup
+
+
+def _regex_required_groups(pattern: str) -> list[frozenset[str]]:
+    """Required-trigram analysis of a ``/regex/`` term pattern (the
+    code-search query-from-regex technique, simplified): returns an AND
+    of OR-groups of trigrams such that EVERY full match of the regex
+    (over a lowercased term) contains, for each group, at least one of
+    that group's trigrams — so the ``term_3g`` sidecar can prune
+    candidates before the anchored regex runs, instead of a full |V|
+    ``rlike`` scan. ``[]`` means "no required trigrams" (the pattern
+    stays on the dictionary scan). Conservative by construction:
+
+    * literal runs inside a concatenation yield one singleton group per
+      trigram of the run (runs are broken by classes, wildcards, groups,
+      anchors — trigrams never span an uncertain boundary, which only
+      FORFEITS pruning, never unsoundly excludes);
+    * an alternation contributes groups only if EVERY branch has at
+      least one required group (the j-th groups of the branches union
+      into one OR-group — a match of branch i satisfies all of branch
+      i's groups, hence the union);
+    * a repeat with min >= 1 requires its body at least once;
+    * IGNORECASE (global or inline) disables the analysis entirely:
+      Unicode case-folding lets e.g. ``(?i)s`` match ``ſ``, whose
+      lowercased trigrams differ — bail rather than risk excluding a
+      true match;
+    * non-ASCII literals bail the run (multi-char lowercase mappings).
+    """
+    parser = getattr(re, "_parser", None)
+    if parser is None:  # pragma: no cover — py<3.11 fallback
+        import sre_parse as parser  # type: ignore
+    try:
+        tree = parser.parse(pattern)
+    except re.error:
+        return []
+    if tree.state.flags & re.IGNORECASE:
+        return []
+
+    class _Bail(Exception):
+        pass
+
+    def walk(seq) -> list[frozenset[str]]:
+        groups: list[frozenset[str]] = []
+        run: list[str] = []
+
+        def flush() -> None:
+            s = "".join(run)
+            run.clear()
+            for i in range(len(s) - 2):
+                groups.append(frozenset({s[i:i + 3]}))
+
+        for op, av in seq:
+            name = str(op)
+            if name == "LITERAL":
+                ch = chr(av)
+                if ch.isascii():
+                    run.append(ch.lower())
+                else:
+                    flush()
+            elif name in ("MAX_REPEAT", "MIN_REPEAT", "POSSESSIVE_REPEAT"):
+                flush()
+                mn, _mx, sub = av
+                if mn >= 1:
+                    groups.extend(walk(list(sub)))
+            elif name == "SUBPATTERN":
+                flush()
+                if av[1] & re.IGNORECASE:  # inline (?i:...)
+                    raise _Bail()
+                groups.extend(walk(list(av[3])))
+            elif name == "ATOMIC_GROUP":
+                flush()
+                groups.extend(walk(list(av[0])))
+            elif name == "BRANCH":
+                flush()
+                alts = [walk(list(a)) for a in av[1]]
+                if alts and all(alts):
+                    for j in range(min(len(a) for a in alts)):
+                        groups.append(
+                            frozenset().union(*(a[j] for a in alts))
+                        )
+            elif name == "AT":
+                flush()  # anchor: consumes nothing, breaks the run
+            else:
+                # IN / ANY / NOT_LITERAL / CATEGORY / GROUPREF / ASSERT /
+                # ASSERT_NOT / ...: consumes unknown text — break the run
+                flush()
+        flush()
+        return groups
+
+    try:
+        out = walk(list(tree))
+    except _Bail:
+        return []
+    seen: set[frozenset[str]] = set()
+    uniq = [g for g in out if not (g in seen or seen.add(g))]
+    return uniq[:_MAX_RX_GROUPS]
+
+
 def expand_multi(
     spark: SparkSession,
     index_dir: str,
@@ -499,10 +606,14 @@ def expand_multi(
     bounded by the SUM of the caps + 1, and by pigeonhole an overflow of
     that bound implies some pattern is over its own cap). Infix patterns
     ride the term_dict scan (their left literal is prefix-pushed like a
-    trailing wildcard); regexes ride it as anchored ``rlike`` filters
-    (Java/Python/RE2 common subset — see the module docstring); contains
-    patterns (``*mid*``) share one trigram-sidecar lookup (see
-    :func:`expand_contains`). Returns
+    trailing wildcard); regexes with REQUIRED trigrams
+    (:func:`_regex_required_groups` — the code-search query-from-regex
+    technique) are pruned through the ``term_3g`` sidecar instead of a
+    full |V| ``rlike`` scan, sharing ONE gram-IN lookup with the
+    contains patterns (``*mid*``, see :func:`expand_contains`); regexes
+    with no required trigrams ride the term_dict scan as anchored
+    ``rlike`` filters (Java/Python/RE2 common subset — see the module
+    docstring). Returns
     ``({prefix: {term: df}}, {(word, dist): {term: df}},
     {suffix: {term: df}}, {(pre, suf): {term: df}},
     {regex: {term: df}}, {mid: {term: df}})``."""
@@ -526,6 +637,19 @@ def expand_multi(
             compiled[x] = re.compile(f"(?:{x})\\Z")
         except re.error as e:
             raise ValueError(f"invalid regex /{x}/: {e}") from e
+    # regexes with required trigrams route through the term_3g sidecar
+    # (pushed gram-IN candidate pruning, the code-search technique)
+    # instead of the full |V| rlike scan; the rest stay on the scan
+    import os as _os
+
+    _has_3g = _os.path.exists(f"{index_dir}/term_3g")
+    accel_rx: dict = {}
+    if _has_3g:
+        for x in regexes:
+            gs = _regex_required_groups(x)
+            if gs:
+                accel_rx[x] = gs
+    scan_rx = [x for x in regexes if x not in accel_rx]
 
     def over_prefix(p):
         return ValueError(
@@ -545,7 +669,7 @@ def expand_multi(
             f"{max_expansions}; narrow the suffix or raise the cap"
         )
 
-    if prefixes or fuzzies or infixes or regexes:
+    if prefixes or fuzzies or infixes or scan_rx:
         lo = F.lower(F.col("term"))
         conds = []
         for p in prefixes:
@@ -566,13 +690,13 @@ def expand_multi(
                 & lo.endswith(b.lower())
                 & (F.length(lo) >= len(a) + len(b))
             )
-        for x in regexes:
+        for x in scan_rx:
             conds.append(lo.rlike(f"^(?:{x})$"))
         cond = conds[0]
         for c in conds[1:]:
             cond = cond | c
         cap = (
-            (len(prefixes) + len(infixes) + len(regexes)) * max_expansions
+            (len(prefixes) + len(infixes) + len(scan_rx)) * max_expansions
             + len(fuzzies) * max_fuzzy_expansions
         )
         rows = (
@@ -597,7 +721,7 @@ def expand_multi(
                     and len(tl) >= len(a) + len(b)
                 ):
                     out_i[(a, b)][t] = df
-            for x in regexes:
+            for x in scan_rx:
                 if compiled[x].match(tl):
                     out_r[x][t] = df
         for p in prefixes:
@@ -612,7 +736,7 @@ def expand_multi(
                     f"wildcard {a!r}*{b!r} expands past max_expansions="
                     f"{max_expansions}; narrow the pattern or raise the cap"
                 )
-        for x in regexes:
+        for x in scan_rx:
             if len(out_r[x]) > max_expansions:
                 raise ValueError(
                     f"regex /{x}/ expands past max_expansions="
@@ -654,65 +778,107 @@ def expand_multi(
                 "suffix wildcard expansion past the combined cap "
                 f"({cap}); narrow the patterns or raise the caps"
             )
-    if contains:
-        import os
-
-        for m in contains:
-            if not m:
-                raise ValueError("empty contains pattern")
-        pats = {
-            m: sorted({m.lower()[i:i + 3] for i in range(len(m) - 2)})
-            for m in contains
-        }
-        cap = len(contains) * max_expansions
-        use_3g = os.path.exists(f"{index_dir}/term_3g") and all(
-            pats.values()
+    for m in contains:
+        if not m:
+            raise ValueError("empty contains pattern")
+    cpats = {
+        m: sorted({m.lower()[i:i + 3] for i in range(len(m) - 2)})
+        for m in contains
+    }
+    side_c = (
+        list(contains)
+        if _has_3g and all(cpats.values())
+        else []
+    )
+    if side_c or accel_rx:
+        # ONE pushed gram-IN lookup for every sidecar pattern — contains
+        # patterns (all their trigrams required: singleton groups) and
+        # accelerated regexes (their AND-of-OR groups) together. Per
+        # unique group one conditional count; a term is a candidate for
+        # a pattern iff every one of its groups counts > 0. The final
+        # check (substring / anchored rlike) runs in the SAME scan, so
+        # collected rows are true matches and the pigeonhole cap bound
+        # holds like the other classes.
+        pat_groups: dict = {}
+        for m in side_c:
+            pat_groups[("c", m)] = [frozenset({g}) for g in cpats[m]]
+        for x, gs in accel_rx.items():
+            pat_groups[("r", x)] = gs
+        uniq = sorted(
+            {g for gs in pat_groups.values() for g in gs}, key=sorted
         )
-        if use_3g:
-            # one pushed gram-IN lookup for ALL patterns: per-term
-            # conditional gram counts, a term is a candidate for pattern
-            # i iff it holds all of i's grams; the substring check runs
-            # in the same scan so collected rows are true matches and
-            # the pigeonhole cap bound holds like the other classes
-            all_grams = sorted({g for gs in pats.values() for g in gs})
-            aggs = [
-                F.sum(
-                    F.when(F.col("gram").isin(gs), 1).otherwise(0)
-                ).alias(f"_g{j}")
-                for j, gs in enumerate(pats.values())
-            ]
-            cand = (
-                spark.read.parquet(f"{index_dir}/term_3g")
-                .where(F.col("gram").isin(all_grams))
-                .groupBy("term", "df")
-                .agg(*aggs)
+        gidx = {g: j for j, g in enumerate(uniq)}
+        all_grams = sorted({t for g in uniq for t in g})
+        aggs = [
+            F.sum(
+                F.when(F.col("gram").isin(sorted(g)), 1).otherwise(0)
+            ).alias(f"_g{gidx[g]}")
+            for g in uniq
+        ]
+        lo = F.lower(F.col("term"))
+        conds = []
+        for (kind, key), gs in pat_groups.items():
+            c = F.lit(True)
+            for g in gs:
+                c = c & (F.col(f"_g{gidx[g]}") > 0)
+            if kind == "c":
+                c = c & lo.contains(key.lower())
+            else:
+                c = c & lo.rlike(f"^(?:{key})$")
+            conds.append(c)
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond | c
+        cap = len(pat_groups) * max_expansions
+        rows = (
+            spark.read.parquet(f"{index_dir}/term_3g")
+            .where(F.col("gram").isin(all_grams))
+            .groupBy("term", "df")
+            .agg(*aggs)
+            .where(cond)
+            .select("term", "df")
+            .limit(cap + 1)
+            .collect()
+        )
+        for r in rows:
+            t, df, tl = r["term"], int(r["df"]), r["term"].lower()
+            for m in side_c:
+                if m.lower() in tl:
+                    out_c[m][t] = df
+            for x in accel_rx:
+                if compiled[x].match(tl):
+                    out_r[x][t] = df
+        for m in side_c:
+            if len(out_c[m]) > max_expansions:
+                raise ValueError(
+                    f"wildcard *{m}* expands past max_expansions="
+                    f"{max_expansions}; narrow the pattern or raise the cap"
+                )
+        for x in accel_rx:
+            if len(out_r[x]) > max_expansions:
+                raise ValueError(
+                    f"regex /{x}/ expands past max_expansions="
+                    f"{max_expansions}; narrow the pattern or raise the cap"
+                )
+        if len(rows) > cap:  # pragma: no cover — pigeonhole: unreachable
+            raise ValueError(
+                "trigram-sidecar expansion past the combined cap "
+                f"({cap}); narrow the patterns or raise the caps"
             )
-            conds = [
-                (F.col(f"_g{j}") == len(gs))
-                & F.lower(F.col("term")).contains(m.lower())
-                for j, (m, gs) in enumerate(pats.items())
-            ]
-            cond = conds[0]
-            for c in conds[1:]:
-                cond = cond | c
-            rows = (
-                cand.where(cond)
-                .select("term", "df")
-                .limit(cap + 1)
-                .collect()
-            )
-        else:  # pre-sidecar index or sub-trigram pattern: |V| scan
-            lo = F.lower(F.col("term"))
-            cond = lo.contains(contains[0].lower())
-            for m in contains[1:]:
-                cond = cond | lo.contains(m.lower())
-            rows = (
-                spark.read.parquet(f"{index_dir}/term_dict")
-                .where(cond)
-                .select("term", "df")
-                .limit(cap + 1)
-                .collect()
-            )
+    if contains and not side_c:
+        # pre-sidecar index or a sub-trigram pattern: capped |V| scan
+        cap = len(contains) * max_expansions
+        lo = F.lower(F.col("term"))
+        cond = lo.contains(contains[0].lower())
+        for m in contains[1:]:
+            cond = cond | lo.contains(m.lower())
+        rows = (
+            spark.read.parquet(f"{index_dir}/term_dict")
+            .where(cond)
+            .select("term", "df")
+            .limit(cap + 1)
+            .collect()
+        )
         for r in rows:
             t, df, tl = r["term"], int(r["df"]), r["term"].lower()
             for m in contains:

@@ -204,13 +204,23 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
         .write.mode("overwrite")
         .parquet(f"{index_dir}/term_sfx")
     )
-    # trigram sidecar: (gram, term, df) for every distinct trigram of
-    # lower(term), SORTED by gram — a ``*mid*`` contains-wildcard becomes
-    # a pushed gram-IN lookup (row-group min/max pruning) + candidate
-    # intersection instead of a full |V| substring scan (the code-search
-    # trigram-index technique; boolquery.expand_contains). ~(len-2) rows
-    # per term; co-written with term_dict (build, compaction, purge), so
-    # like term_sfx it can never go stale.
+    build_trigram_sidecar(spark, index_dir)
+    man.set_scalars(n_terms=n_terms)
+    man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
+
+
+def build_trigram_sidecar(spark: SparkSession, index_dir: str) -> None:
+    """Write the ``term_3g`` trigram sidecar: (gram, term, df) for every
+    distinct trigram of lower(term), SORTED by gram — a ``*mid*``
+    contains-wildcard or a regex with required literal trigrams becomes
+    a pushed gram-IN lookup (row-group min/max pruning) + candidate
+    intersection instead of a full |V| scan (the code-search
+    trigram-index technique; boolquery.expand_contains /
+    _regex_required_groups). ~(len-2) rows per term. Called by
+    ``build_term_dict`` on every build/compaction/purge (so the sidecar
+    can never go stale) and callable standalone to RETROFIT an index
+    built before the sidecar existed — one derived write, no corpus
+    read, no re-tokenize."""
     (
         spark.read.parquet(f"{index_dir}/term_dict")
         .select(F.lower(F.col("term")).alias("lt"), "term", "df")
@@ -231,8 +241,6 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
         .write.mode("overwrite")
         .parquet(f"{index_dir}/term_3g")
     )
-    man.set_scalars(n_terms=n_terms)
-    man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
 
 
 def pack_range_pdf(rng: int, pdf: pd.DataFrame, avgdl: float,

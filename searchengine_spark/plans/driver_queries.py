@@ -1586,6 +1586,28 @@ def q_regex_topk(spark, sf_dir):
     )
 
 
+REGEX_3G_QUERY = "/valu[a-z]*/ +key"
+
+
+def q_regex_trigram(spark, sf_dir):
+    """Trigram-ACCELERATED regex retrieval over the PACKED index,
+    hash-gated: /valu[a-z]*/ carries required trigrams val+alu
+    (boolquery._regex_required_groups — the code-search
+    query-from-regex technique), so the expansion is a pushed gram-IN
+    lookup over the term_3g sidecar (row-group pruned, anchored rlike
+    in the same scan) instead of the full |V| rlike scan the
+    regex_topk entry's branch-only pattern pays. Result semantics are
+    identical to a dictionary scan — the oracle restates the expansion
+    with DuckDB's regexp_matches under the identical anchoring, blind
+    to which access path produced it."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout, search_bool(spark, layout, REGEX_3G_QUERY, k=60)
+    )
+
+
 GROUP_QUERY = "fast +(key|order) -(slow|merge)"
 
 
@@ -2145,6 +2167,7 @@ QUERIES = {
     "wildcard_topk": q_wildcard_topk,
     "wildcard_infix": q_wildcard_infix,
     "regex_topk": q_regex_topk,
+    "regex_trigram": q_regex_trigram,
     "fuzzy_topk": q_fuzzy_topk,
     "boosted_topk": q_boosted_topk,
     "near_match": q_near_match,
@@ -3049,6 +3072,31 @@ ORACLES["wildcard_infix"] = (
 # regex term match: the expansion is a vocabulary regexp_matches scan
 # under the engine's exact anchoring (^(?:pat)$ over lowercased terms),
 # ranked as an OR of matching terms over docs holding 'key'
+# trigram-accelerated regex: the engine prunes /valu[a-z]*/ through the
+# term_3g sidecar (required trigrams val+alu) before the anchored match;
+# the oracle is access-path-blind — the same vocabulary regexp_matches
+# restatement as regex_topk, so a pruning bug (a lost true match) breaks
+# the hash
+ORACLES["regex_trigram"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " qt AS (SELECT term FROM td"
+    "        WHERE regexp_matches(term, '^(?:valu[a-z]*)$')"
+    "        OR term = 'key'),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'key')"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad"
+    " WHERE dt.term IN (SELECT term FROM qt)"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
 ORACLES["regex_topk"] = (
     f"WITH dt AS ({SQL_DOC_TERMS}),"
     " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"

@@ -592,3 +592,92 @@ def test_regex_term_semantics(spark, index_1k):
         by_q.setdefault(r["query_id"], []).append((r["doc_id"], r["score"]))
     for qid, q in enumerate(qs):
         assert by_q.get(qid, []) == _rows(bq.search_bool(spark, index_1k, q, k=8)), q
+
+
+def test_regex_required_groups_soundness():
+    """The trigram extractor never claims a trigram a true match could
+    lack: for each (pattern, matching string) pair, every AND-group
+    holds at least one trigram of the string. Plus the bail conditions
+    (IGNORECASE, non-required branches, sub-trigram literals)."""
+    g = bq._regex_required_groups
+    cases = [
+        ("valu[a-z]*", ["valu", "values", "valux"]),
+        ("(value|default)s?", ["value", "values", "default", "defaults"]),
+        ("resul(t|ts)", ["result", "results"]),
+        ("token_\\d+", ["token_7", "token_42"]),
+        ("^values$", ["values"]),
+        ("(abc)+def", ["abcdef", "abcabcdef"]),
+        ("(abc)*def", ["def", "abcdef"]),
+        ("fast|order", ["fast", "order"]),
+    ]
+    for pat, matches in cases:
+        groups = g(pat)
+        assert groups, pat
+        import re as _re
+
+        for s in matches:
+            assert _re.fullmatch(pat, s), (pat, s)
+            grams = {s[i:i + 3] for i in range(len(s) - 2)}
+            for grp in groups:
+                assert grp & grams, (pat, s, sorted(grp))
+    # bail: no required trigram / flags / unparseable
+    for pat in ["(va|da)[a-z]+", "(?i)value", "x(?i:val)ue", ".*",
+                "va", "[a-z]+", "x(?:yz|pq)w"]:
+        assert g(pat) == [], pat
+    # group count is capped
+    long = "abcdefghijklmnopqrstuvwxyz0123456789"
+    assert len(g(long)) == bq._MAX_RX_GROUPS
+
+
+def test_regex_trigram_acceleration_matches_scan(spark, index_1k, tmp_path):
+    """A regex with required trigrams is served from the term_3g sidecar;
+    its expansion, ranking, and caps are IDENTICAL to the pre-sidecar
+    |V|-scan path, and it fuses with contains patterns into one lookup."""
+    import os
+    import shutil
+
+    pat = "res[a-z]+"
+    assert bq._regex_required_groups(pat)  # routed through the sidecar
+    *_, rm, cm = bq.expand_multi(
+        spark, index_1k, [], [], [], regexes=[pat], contains=["esul"]
+    )
+    # pre-sidecar copy: same patterns forced onto the term_dict scan
+    idx2 = str(tmp_path / "no3g")
+    shutil.copytree(index_1k, idx2)
+    shutil.rmtree(f"{idx2}/term_3g")
+    assert not os.path.exists(f"{idx2}/term_3g")
+    *_, rm2, cm2 = bq.expand_multi(
+        spark, idx2, [], [], [], regexes=[pat], contains=["esul"]
+    )
+    assert rm[pat] == rm2[pat] and rm[pat]
+    assert cm["esul"] == cm2["esul"] and cm["esul"]
+    # full ranked query identical on both paths
+    q = f"/{pat}/ +key"
+    assert (
+        _rows(bq.search_bool(spark, index_1k, q, k=20))
+        == _rows(bq.search_bool(spark, idx2, q, k=20))
+    )
+    # a no-required-trigram regex still answers on a sidecar index
+    alt = "(va|da)[a-z]+"
+    *_, rm3, _c3 = bq.expand_multi(spark, index_1k, [], [], [], regexes=[alt])
+    *_, rm4, _c4 = bq.expand_multi(spark, idx2, [], [], [], regexes=[alt])
+    assert rm3[alt] == rm4[alt]
+    # standalone retrofit rebuilds the sidecar on a pre-sidecar index
+    from searchengine_spark.operators.index_build import build_trigram_sidecar
+
+    build_trigram_sidecar(spark, idx2)
+    assert os.path.exists(f"{idx2}/term_3g")
+    *_, rm5, cm5 = bq.expand_multi(
+        spark, idx2, [], [], [], regexes=[pat], contains=["esul"]
+    )
+    assert rm5[pat] == rm[pat] and cm5["esul"] == cm["esul"]
+    # loud cap on the accelerated path (batch\d+ matches many terms and
+    # carries required trigrams bat/atc/tch, so it routes via term_3g)
+    wide = "batch\\d+"
+    assert bq._regex_required_groups(wide)
+    *_, rmw, _cw = bq.expand_multi(spark, index_1k, [], [], [], regexes=[wide])
+    assert len(rmw[wide]) > 1
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.expand_multi(
+            spark, index_1k, [], [], [], regexes=[wide], max_expansions=1
+        )

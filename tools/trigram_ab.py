@@ -1,0 +1,148 @@
+"""Trigram-sidecar A/B at a production-shaped vocabulary.
+
+    python tools/trigram_ab.py [--index /tmp/se_vocab_idx_800000_1000000]
+
+On the 931k-term Zipf index (tools/vocab_stress.py), measures the two
+surfaces the ``term_3g`` sidecar exists for — ``*mid*`` contains
+wildcards and regexes with required literal trigrams — on BOTH access
+paths: the pushed gram-IN sidecar lookup vs the full |V| dictionary
+scan a sidecar-less index pays (forced by renaming term_3g away), with
+expansion-set equality asserted between the paths. Also times the
+standalone sidecar RETROFIT (build_trigram_sidecar: one derived write,
+no corpus read) that upgrades a pre-sidecar index in place.
+
+One JSON line -> BENCH/regex_trigram_1m.json; ambient load recorded
+(sandbox timing is 2-4x noisy under load).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default="/tmp/se_vocab_idx_800000_1000000")
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "regex_trigram_1m.json"))
+    args = ap.parse_args()
+
+    load_start = round(os.getloadavg()[0], 2)
+
+    from searchengine_spark.operators import boolquery as bq
+    from searchengine_spark.operators.index_build import build_trigram_sidecar
+    from searchengine_spark.session import get_session
+
+    spark = get_session(
+        master=f"local[{args.cpus}]",
+        app_name="trigram_ab",
+        shuffle_partitions=args.cpus,
+    )
+    idx = args.index
+    out: dict = {
+        "metric": "trigram_sidecar_ab",
+        "index": idx,
+        "cpus": args.cpus,
+        "reps": args.reps,
+        "ambient_load_start": load_start,
+    }
+
+    # retrofit cost: a pre-sidecar index gains term_3g with one derived
+    # write (no corpus read, no re-tokenize)
+    t0 = time.time()
+    build_trigram_sidecar(spark, idx)
+    out["retrofit_sec"] = round(time.time() - t0, 3)
+    n3g = spark.read.parquet(f"{idx}/term_3g").count()
+    nv = spark.read.parquet(f"{idx}/term_dict").count()
+    out["n_terms"] = nv
+    out["n_trigram_rows"] = n3g
+
+    # Zipf terms are t<rank>: '4999' as a contains pattern, and
+    # t4999\d* as a required-trigram regex (grams t49/499/999)
+    cases = [
+        ("contains", dict(contains=["4999"])),
+        ("regex", dict(regexes=["t4999[0-9]*"])),
+        ("both", dict(contains=["4999"], regexes=["t4999[0-9]*"])),
+    ]
+    assert bq._regex_required_groups("t4999[0-9]*")
+
+    def run(kwargs):
+        t = time.time()
+        r = bq.expand_multi(spark, idx, [], [], [], **kwargs)
+        return time.time() - t, r
+
+    from pyspark.sql import functions as F
+
+    moved = f"{idx}/term_3g_off"
+    for name, kwargs in cases:
+        # scan volume: the sidecar touches only rows whose gram matches
+        # (row-group pruned on the gram-sorted layout); the fallback
+        # scans all |V| dictionary rows. This is the quantity that is
+        # |V|-independent — the scale argument; wall clock at this |V|
+        # is job-overhead-bound on both paths.
+        grams = sorted(
+            {
+                g
+                for m in kwargs.get("contains", [])
+                for g in {m.lower()[i:i + 3] for i in range(len(m) - 2)}
+            }
+            | {
+                g
+                for x in kwargs.get("regexes", [])
+                for grp in bq._regex_required_groups(x)
+                for g in grp
+            }
+        )
+        rows_side = (
+            spark.read.parquet(f"{idx}/term_3g")
+            .where(F.col("gram").isin(grams))
+            .count()
+        )
+        side_t, side_r = [], None
+        scan_t, scan_r = [], None
+        for _ in range(args.reps):
+            dt, side_r = run(kwargs)
+            side_t.append(dt)
+        os.rename(f"{idx}/term_3g", moved)
+        try:
+            for _ in range(args.reps):
+                dt, scan_r = run(kwargs)
+                scan_t.append(dt)
+        finally:
+            os.rename(moved, f"{idx}/term_3g")
+        # identical expansions on both paths (out_r and out_c maps)
+        assert side_r[4] == scan_r[4] and side_r[5] == scan_r[5], name
+        n_exp = sum(len(v) for v in side_r[4].values()) + sum(
+            len(v) for v in side_r[5].values()
+        )
+        out[name] = {
+            "n_expansions": n_exp,
+            "sidecar_rows_read": rows_side,
+            "vscan_rows_read": nv,
+            "scan_reduction": round(nv / max(rows_side, 1), 1),
+            "sidecar_p50_sec": round(statistics.median(side_t), 3),
+            "vscan_p50_sec": round(statistics.median(scan_t), 3),
+            "speedup": round(
+                statistics.median(scan_t) / statistics.median(side_t), 2
+            ),
+        }
+        print(name, out[name], flush=True)
+
+    out["ambient_load_end"] = round(os.getloadavg()[0], 2)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
