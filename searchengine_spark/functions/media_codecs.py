@@ -23,8 +23,16 @@ stub for those formats:
   constant tables cannot be transcribed verifiably in a clean room — see
   mp3.py's module docstring).
 
-Video containers remain honestly unsupported (``UnsupportedMediaError``)
-— in production the same operator shape plugs in ffmpeg.
+* MP4 / ISO-BMFF — STRUCTURAL decode in ``functions/mp4.py`` (box walk,
+  ftyp brands, mvhd/tkhd/mdhd/hdlr/stsd/stts): duration / fps /
+  dimensions / codec fourccs / track layout / fragmentation — the
+  metadata a curation pipeline extracts from video at scale. Sample
+  (pixel/PCM) decode is the same deliberate typed boundary as MP3
+  spectral reconstruction (see mp4.py's module docstring).
+
+Video SAMPLE decode remains honestly unsupported
+(``UnsupportedMediaError``) — in production the same operator shape
+plugs in ffmpeg.
 """
 
 from __future__ import annotations
@@ -46,12 +54,19 @@ from searchengine_spark.functions.mp3 import (
     mp3_features,
     parse_mp3,
 )
+from searchengine_spark.functions.mp4 import (
+    looks_like_mp4,
+    make_mp4,
+    mp4_features,
+    parse_mp4,
+)
 
 __all__ = [
     "UnsupportedMediaError", "sniff", "decode_png", "encode_png",
     "decode_jpeg", "encode_jpeg", "decode_image", "decode_wav", "encode_wav",
     "resize_area", "image_features", "audio_features", "decode_features",
     "N_FEATURES", "parse_mp3", "mp3_features", "make_mp3", "looks_like_mp3",
+    "parse_mp4", "mp4_features", "make_mp4", "looks_like_mp4",
 ]
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
@@ -60,13 +75,16 @@ JPEG_MAGIC = b"\xff\xd8\xff"
 
 
 def sniff(payload: bytes) -> str:
-    """Best-effort container sniff: 'png' | 'jpeg' | 'wav' | 'mp3' | 'unknown'."""
+    """Best-effort container sniff:
+    'png' | 'jpeg' | 'wav' | 'mp3' | 'mp4' | 'unknown'."""
     if payload[:8] == PNG_MAGIC:
         return "png"
     if payload[:3] == JPEG_MAGIC:
         return "jpeg"
     if payload[:4] == WAV_MAGIC and payload[8:12] == b"WAVE":
         return "wav"
+    if looks_like_mp4(payload):
+        return "mp4"
     if payload[:3] == b"ID3" or looks_like_mp3(payload):
         # sync-based detection demands a SECOND agreeing frame header
         # (mp3.looks_like_mp3), so random binaries don't sniff as mp3
@@ -347,8 +365,10 @@ def decode_features(payload: bytes) -> list[float]:
             return mp3_features(bytes(payload))
         except NotImplementedError as e:  # free-format: typed boundary
             raise UnsupportedMediaError(str(e)) from e
+    if kind == "mp4":
+        return mp4_features(bytes(payload))
     raise UnsupportedMediaError(
         "no decoder for this payload (PNG, baseline+progressive JPEG, "
-        "PCM-WAV and MP3 stream structure are supported; video needs "
-        "external codecs)"
+        "PCM-WAV, MP3 and MP4/ISO-BMFF stream structure are supported; "
+        "video SAMPLE decode needs external codecs)"
     )

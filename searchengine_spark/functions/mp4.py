@@ -1,0 +1,350 @@
+"""MP4 / ISO-BMFF STRUCTURAL decoder — clean-room, spec-layout only.
+
+Parses everything about an ISO Base Media File Format container (MP4,
+MOV-family; ISO/IEC 14496-12, a public spec) that is derivable from the
+box layout alone: the size/type box walk (32-bit, 64-bit ``largesize``,
+``size==0`` to-EOF, ``uuid`` user types), ``ftyp`` brands, ``mvhd``
+movie timescale/duration, per-track ``tkhd``/``mdhd``/``hdlr``/``stsd``/
+``stts`` (track ids, handler kind, codec fourcc, fixed-point dimensions,
+packed ISO-639 language, sample counts and deltas) and ``mvex``/``moof``
+fragmentation markers — the real metadata a curation pipeline extracts
+from video at scale (duration, fps, dimensions, codecs, track layout)
+WITHOUT decoding any sample data.
+
+Sample/pixel decode stays a TYPED boundary (``UnsupportedMediaError``
+from the callers in ``media_codecs``), and deliberately so: AVC/HEVC/AAC
+payload decode needs entropy-coding tables and transforms far outside
+what a clean-room build here can verify (same argument as
+:mod:`functions.mp3` for Layer III PCM — goldens from our own encoder
+would share any transcription error). The structural layer below is
+fully verifiable from the box algebra alone: every offset is arithmetic,
+tested against hand-computed vectors.
+
+Malformed boxes raise ``ValueError``. Reference for parity scope: the
+reference engine (/root/reference) has no media handling at all — this
+whole module is beyond-reference surface for the LLM-pipeline tier.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["parse_mp4", "mp4_features", "make_mp4", "looks_like_mp4"]
+
+# container boxes whose payload is itself a box sequence
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex"}
+
+
+def looks_like_mp4(payload: bytes) -> bool:
+    """True iff the payload starts with a plausible ``ftyp`` box: 4-byte
+    size (sane: 16..1024, multiple of 4) then the ``ftyp`` fourcc."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return False
+    size = struct.unpack(">I", payload[:4])[0]
+    return 16 <= size <= 1024 and size % 4 == 0 and size <= len(payload)
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (type, body_start, body_end) for each box in buf[start:end];
+    raises ValueError on malformed sizes/overruns."""
+    pos = start
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError(f"truncated box header at {pos}")
+        size = struct.unpack(">I", buf[pos:pos + 4])[0]
+        btype = buf[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:
+            if end - pos < 16:
+                raise ValueError(f"truncated largesize at {pos}")
+            size = struct.unpack(">Q", buf[pos + 8:pos + 16])[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # extends to end of enclosing scope
+        if btype == b"uuid":
+            hdr += 16  # usertype
+        if size < hdr or pos + size > end:
+            raise ValueError(
+                f"box {btype!r} at {pos}: size {size} overruns [{start},{end})"
+            )
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def _full(buf: bytes, s: int) -> tuple[int, int, int]:
+    """FullBox header at s → (version, flags, body_offset)."""
+    v = buf[s]
+    flags = int.from_bytes(buf[s + 1:s + 4], "big")
+    return v, flags, s + 4
+
+
+def _lang(code: int) -> str:
+    """Packed ISO-639-2/T language (three 5-bit fields + 0x60)."""
+    return "".join(chr(((code >> sh) & 0x1F) + 0x60) for sh in (10, 5, 0))
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """Structural parse → movie + per-track metadata dict. Raises
+    ValueError for non-MP4 or malformed box structure."""
+    buf = bytes(payload)
+    if not looks_like_mp4(buf):
+        raise ValueError("not an ISO-BMFF container (no leading ftyp box)")
+    out: dict = {
+        "brand": None,
+        "minor_version": 0,
+        "compatible_brands": [],
+        "timescale": None,
+        "duration_sec": None,
+        "fragmented": False,
+        "tracks": [],
+    }
+    saw_moov = False
+    for btype, s, e in _walk(buf, 0, len(buf)):
+        if btype == b"ftyp":
+            if e - s < 8:
+                raise ValueError("ftyp too short")
+            out["brand"] = buf[s:s + 4].decode("latin-1")
+            out["minor_version"] = struct.unpack(">I", buf[s + 4:s + 8])[0]
+            out["compatible_brands"] = [
+                buf[p:p + 4].decode("latin-1")
+                for p in range(s + 8, e - 3, 4)
+            ]
+        elif btype == b"moov":
+            saw_moov = True
+            _parse_moov(buf, s, e, out)
+        elif btype == b"moof":
+            out["fragmented"] = True
+    if not saw_moov:
+        raise ValueError("no moov box (metadata-less or truncated stream)")
+    return out
+
+
+def _parse_moov(buf: bytes, s: int, e: int, out: dict) -> None:
+    for btype, bs, be in _walk(buf, s, e):
+        if btype == b"mvhd":
+            v, _f, p = _full(buf, bs)
+            if v == 1:
+                ts, dur = struct.unpack(">IQ", buf[p + 16:p + 28])
+            else:
+                ts, dur = struct.unpack(">II", buf[p + 8:p + 16])
+            out["timescale"] = ts
+            out["duration_sec"] = round(dur / ts, 6) if ts else None
+        elif btype == b"trak":
+            out["tracks"].append(_parse_trak(buf, bs, be, out))
+        elif btype == b"mvex":
+            out["fragmented"] = True
+
+
+def _parse_trak(buf: bytes, s: int, e: int, movie: dict) -> dict:
+    tr: dict = {
+        "track_id": None, "kind": None, "codec": None,
+        "width": None, "height": None, "timescale": None,
+        "duration_sec": None, "n_samples": 0, "language": None,
+    }
+    for btype, bs, be in _walk(buf, s, e):
+        if btype == b"tkhd":
+            v, _f, p = _full(buf, bs)
+            if v == 1:
+                tr["track_id"] = struct.unpack(">I", buf[p + 16:p + 20])[0]
+                p2 = p + 28  # past duration u64 + reserved u32
+            else:
+                tr["track_id"] = struct.unpack(">I", buf[p + 8:p + 12])[0]
+                p2 = p + 20
+            # reserved u32[2] + layer/alt i16[2] + volume u16 + reserved
+            # u16 + matrix i32[9], then width/height as 16.16 fixed
+            p3 = p2 + 8 + 4 + 2 + 2 + 36
+            w, h = struct.unpack(">II", buf[p3:p3 + 8])
+            tr["width"] = w >> 16 or None
+            tr["height"] = h >> 16 or None
+        elif btype == b"mdia":
+            _parse_mdia(buf, bs, be, tr)
+    return tr
+
+
+def _parse_mdia(buf: bytes, s: int, e: int, tr: dict) -> None:
+    for btype, bs, be in _walk(buf, s, e):
+        if btype == b"mdhd":
+            v, _f, p = _full(buf, bs)
+            if v == 1:
+                ts, dur = struct.unpack(">IQ", buf[p + 16:p + 28])
+                lp = p + 28
+            else:
+                ts, dur = struct.unpack(">II", buf[p + 8:p + 16])
+                lp = p + 16
+            tr["timescale"] = ts
+            tr["duration_sec"] = round(dur / ts, 6) if ts else None
+            tr["language"] = _lang(struct.unpack(">H", buf[lp:lp + 2])[0])
+        elif btype == b"hdlr":
+            _v, _f, p = _full(buf, bs)
+            tr["kind"] = buf[p + 4:p + 8].decode("latin-1")
+        elif btype == b"minf":
+            for mt, ms, me in _walk(buf, bs, be):
+                if mt == b"stbl":
+                    _parse_stbl(buf, ms, me, tr)
+
+
+def _parse_stbl(buf: bytes, s: int, e: int, tr: dict) -> None:
+    for btype, bs, be in _walk(buf, s, e):
+        if btype == b"stsd":
+            _v, _f, p = _full(buf, bs)
+            n = struct.unpack(">I", buf[p:p + 4])[0]
+            if n >= 1:
+                for st, _ss, _se in _walk(buf, p + 4, be):
+                    tr["codec"] = st.decode("latin-1")
+                    break
+        elif btype == b"stts":
+            _v, _f, p = _full(buf, bs)
+            n = struct.unpack(">I", buf[p:p + 4])[0]
+            need = p + 4 + 8 * n
+            if need > be:
+                raise ValueError("stts entries overrun the box")
+            total = 0
+            for i in range(n):
+                cnt = struct.unpack(">I", buf[p + 4 + 8 * i:p + 8 + 8 * i])[0]
+                total += cnt
+            tr["n_samples"] = total
+
+
+def mp4_features(payload: bytes) -> list:
+    """8 structural features mirroring ``mp3_features``' shape:
+    [duration_sec, n_tracks, n_video_tracks, n_audio_tracks, width,
+    height, n_video_samples, fps]."""
+    info = parse_mp4(payload)
+    vids = [t for t in info["tracks"] if t["kind"] == "vide"]
+    auds = [t for t in info["tracks"] if t["kind"] == "soun"]
+    v0 = vids[0] if vids else {}
+    nsamp = float(v0.get("n_samples") or 0)
+    vdur = v0.get("duration_sec") or 0.0
+    return [
+        float(info["duration_sec"] or 0.0),
+        float(len(info["tracks"])),
+        float(len(vids)),
+        float(len(auds)),
+        float(v0.get("width") or 0),
+        float(v0.get("height") or 0),
+        nsamp,
+        round(nsamp / vdur, 6) if vdur else 0.0,
+    ]
+
+
+# ---------------------------------------------------------------------
+# synthetic encoder (tests/fixtures): minimal VALID ISO-BMFF writer
+# ---------------------------------------------------------------------
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _fbox(btype: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(btype, bytes([version]) + flags.to_bytes(3, "big") + body)
+
+
+_UNITY = struct.pack(
+    ">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000
+)
+
+
+def make_mp4(
+    duration_sec: float = 2.0,
+    fps: int = 24,
+    width: int = 64,
+    height: int = 48,
+    timescale: int = 600,
+    audio_rate: int = 0,
+    language: str = "und",
+    largesize_mdat: bool = False,
+) -> bytes:
+    """Deterministic, structurally-valid single-/two-track MP4:
+    ftyp + moov(mvhd, video trak with avc1 stsd + stts, optional mp4a
+    audio trak) + mdat. ``audio_rate>0`` adds the audio track;
+    ``largesize_mdat`` writes the mdat with a 64-bit largesize header to
+    exercise that box-walk path. Sample DATA is filler bytes — this
+    encoder exists to pin the structural parser, not to carry pixels."""
+    n_frames = max(1, round(duration_sec * fps))
+    mv_dur = round(duration_sec * timescale)
+    media_ts = fps * 1000
+    delta = media_ts // fps  # 1000 per frame
+    lang3 = language.ljust(3, "a")[:3].lower()
+    lang_code = 0
+    for ch in lang3:
+        lang_code = (lang_code << 5) | (max(ord(ch), 0x61) - 0x60)
+
+    def tkhd(track_id: int, w: int, h: int) -> bytes:
+        body = struct.pack(">II", 0, 0)          # creation/modification
+        body += struct.pack(">II", track_id, 0)  # id + reserved
+        body += struct.pack(">I", mv_dur)
+        body += struct.pack(">II", 0, 0)         # reserved
+        body += struct.pack(">hhHH", 0, 0, 0x0100 if w == 0 else 0, 0)
+        body += _UNITY
+        body += struct.pack(">II", w << 16, h << 16)
+        return _fbox(b"tkhd", 0, 7, body)
+
+    def mdhd(ts: int, dur: int) -> bytes:
+        body = struct.pack(">II", 0, 0) + struct.pack(">II", ts, dur)
+        body += struct.pack(">HH", lang_code, 0)
+        return _fbox(b"mdhd", 0, 0, body)
+
+    def hdlr(kind: bytes, name: bytes) -> bytes:
+        return _fbox(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + kind + b"\0" * 12 + name + b"\0",
+        )
+
+    def stts(n: int, d: int) -> bytes:
+        return _fbox(b"stts", 0, 0, struct.pack(">III", 1, n, d))
+
+    # VisualSampleEntry (avc1) per 14496-12 §12.1.3 — 78-byte body
+    vse = (
+        b"\0" * 6 + struct.pack(">H", 1)              # reserved + dref idx
+        + struct.pack(">HH", 0, 0) + b"\0" * 12       # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved + frames
+        + b"\0" * 32                                   # compressorname
+        + struct.pack(">Hh", 0x0018, -1)               # depth, pre_defined
+    )
+    stsd_v = _fbox(b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"avc1", vse))
+    stbl_v = _box(b"stbl", stsd_v + stts(n_frames, delta))
+    minf_v = _box(b"minf", stbl_v)
+    mdia_v = _box(
+        b"mdia", mdhd(media_ts, n_frames * delta)
+        + hdlr(b"vide", b"VideoHandler") + minf_v
+    )
+    traks = _box(b"trak", tkhd(1, width, height) + mdia_v)
+
+    if audio_rate > 0:
+        n_asamp = round(duration_sec * audio_rate)
+        ase = (
+            b"\0" * 6 + struct.pack(">H", 1)
+            + b"\0" * 8
+            + struct.pack(">HHHH", 2, 16, 0, 0)
+            + struct.pack(">I", audio_rate << 16)
+        )
+        stsd_a = _fbox(
+            b"stsd", 0, 0, struct.pack(">I", 1) + _box(b"mp4a", ase)
+        )
+        stbl_a = _box(b"stbl", stsd_a + stts(n_asamp, 1))
+        mdia_a = _box(
+            b"mdia", mdhd(audio_rate, n_asamp)
+            + hdlr(b"soun", b"SoundHandler") + _box(b"minf", stbl_a)
+        )
+        traks += _box(b"trak", tkhd(2, 0, 0) + mdia_a)
+
+    mvhd = _fbox(
+        b"mvhd", 0, 0,
+        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, mv_dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)
+        + struct.pack(">II", 0, 0) + _UNITY + b"\0" * 24
+        + struct.pack(">I", 3),
+    )
+    moov = _box(b"moov", mvhd + traks)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    payload = bytes((i * 31 + 7) % 256 for i in range(64))
+    if largesize_mdat:
+        mdat = (
+            struct.pack(">I", 1) + b"mdat"
+            + struct.pack(">Q", 16 + len(payload)) + payload
+        )
+    else:
+        mdat = _box(b"mdat", payload)
+    return ftyp + moov + mdat

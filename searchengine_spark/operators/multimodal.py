@@ -10,11 +10,15 @@ chroma subsampling, restart markers) and PCM WAV audio (stdlib
 ``wave``), with genuine pixel/sample feature math and an area-average
 resize; MP3 audio decodes STRUCTURALLY (frame walk, ID3, Xing —
 duration/rate/channels/bitrate features; :mod:`functions.mp3` explains
-why spectral PCM stays a typed boundary). Formats needing external
-codecs (video, arithmetic-coded JPEG, free-format MPEG) raise
-``UnsupportedMediaError`` unless ``fake=True`` opts into the
-clearly-marked deterministic byte-statistics stand-in, so the distributed
-pipeline shape can still be exercised over undecodable payloads.
+why spectral PCM stays a typed boundary) and so does MP4/ISO-BMFF video
+(box walk — duration/fps/dimensions/codec/track features and REAL
+``stts``-derived frame counts for ``sample_frames``;
+:mod:`functions.mp4`). Payloads needing external codecs (non-BMFF video
+containers, video/audio SAMPLE decode, arithmetic-coded JPEG,
+free-format MPEG) raise ``UnsupportedMediaError`` unless ``fake=True``
+opts into the clearly-marked deterministic byte-statistics stand-in, so
+the distributed pipeline shape can still be exercised over undecodable
+payloads.
 """
 
 from __future__ import annotations
@@ -167,32 +171,76 @@ def image_thumbnails(media: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFr
     return media.select("media_id", "payload").mapInPandas(run, THUMBS_SCHEMA)
 
 
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_no", T.IntegerType(), False),
+    ]
+)
+
+
 def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
-    """Video frame sampling stub: emits (media_id, frame_no) for every
-    ``every_n``-th frame per the metadata — pure plumbing, no decode."""
-    if not fake:
-        raise NotImplementedError("video decode unavailable; pass fake=True")
-    return (
-        media.where(F.col("kind") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(F.lit(0), F.coalesce(F.col("meta.n_frames"), F.lit(1)) - 1, F.lit(every_n))
-            ).alias("frame_no"),
-        )
+    """(media_id, frame_no) for every ``every_n``-th video frame. The
+    REAL path reads the frame count from the payload itself: an
+    ISO-BMFF/MP4 container's video-track ``stts`` sample count
+    (functions/mp4 — structural parse, no sample decode; an MP4 with no
+    video track contributes no frames). Rows whose payload is not a
+    parseable MP4: ``fake=True`` falls back to the DECLARED
+    ``meta.n_frames`` (plumbing stand-in for containers that need
+    external codecs), ``fake=False`` raises ``UnsupportedMediaError``.
+    Arrow-batched narrow map — no shuffle, no sample bytes decoded."""
+    from searchengine_spark.functions.media_codecs import UnsupportedMediaError
+    from searchengine_spark.functions.mp4 import looks_like_mp4, parse_mp4
+
+    vids = media.where(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.n_frames").alias("_declared")
     )
+
+    def run(batches):
+        for b in batches:
+            out = {"media_id": [], "frame_no": []}
+            for mid, p, decl in zip(
+                b["media_id"], b["payload"], b["_declared"]
+            ):
+                pb = bytes(p)
+                if looks_like_mp4(pb):
+                    info = parse_mp4(pb)
+                    n = max(
+                        (
+                            t["n_samples"]
+                            for t in info["tracks"]
+                            if t["kind"] == "vide"
+                        ),
+                        default=0,
+                    )
+                elif fake:
+                    n = int(decl) if decl is not None else 1
+                else:
+                    raise UnsupportedMediaError(
+                        "video payload is not ISO-BMFF; frame counts for "
+                        "other containers need external codecs (fake=True "
+                        "uses the declared meta.n_frames stand-in)"
+                    )
+                for fno in range(0, n, every_n):
+                    out["media_id"].append(int(mid))
+                    out["frame_no"].append(fno)
+            if out["media_id"]:
+                yield pd.DataFrame(out)
+
+    return vids.mapInPandas(run, FRAMES_SCHEMA)
 
 
 def synthetic_media_df(spark, n: int = 64, seed: int = 5):
     """Deterministic media table for tests (pure function of seed/i):
     REAL containers for image/audio rows — encoded PNG pixels, 16-bit
-    PCM WAV sine tones and structurally-valid MP3 streams — and opaque
-    bytes for video rows (no stdlib video container format exists; those
-    exercise the unsupported/fake path)."""
+    PCM WAV sine tones and structurally-valid MP3 streams — and video
+    rows alternating structurally-valid MP4 containers (the real
+    box-walk path) with opaque bytes (the unsupported/fake path)."""
     from searchengine_spark.functions.media_codecs import (
         encode_png,
         encode_wav,
         make_mp3,
+        make_mp4,
     )
 
     rows = []
@@ -220,7 +268,17 @@ def synthetic_media_df(spark, n: int = 64, seed: int = 5):
                 payload = encode_wav(tone, sr)
                 meta = {"width": None, "height": None, "sample_rate": sr,
                         "n_frames": None}
-        else:
+        elif (i // 3) % 2 == 1:  # real MP4 container: payload-derived
+            w, h = 64 + (i % 3) * 16, 48 + (i % 2) * 16
+            payload = make_mp4(
+                duration_sec=1.0 + (i % 4) * 0.5,
+                fps=12 + (i % 3) * 6,
+                width=w,
+                height=h,
+                audio_rate=8000 if i % 2 else 0,
+            )
+            meta = {"width": w, "height": h, "sample_rate": None, "n_frames": None}
+        else:  # opaque bytes: the unsupported/fake path
             payload = rng.integers(0, 256, size=64 + (i % 5) * 32, dtype=np.uint8).tobytes()
             meta = {"width": None, "height": None, "sample_rate": None, "n_frames": 30 + i}
         rows.append((i, kind, bytearray(payload), meta))

@@ -1,0 +1,131 @@
+"""MP4/ISO-BMFF structural decoder (functions/mp4.py): box-walk algebra
+against hand-computed layouts from the public ISO/IEC 14496-12 spec,
+timescale/duration arithmetic, 64-bit largesize and size==0 paths,
+typed failure modes, fuzz (arbitrary bytes never escape ValueError),
+and sniff routing."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from searchengine_spark.functions import mp4
+from searchengine_spark.functions.media_codecs import (
+    UnsupportedMediaError,
+    decode_features,
+    sniff,
+)
+
+
+def test_duration_and_track_hand_vectors():
+    """2 s @ 24 fps, movie timescale 600: mvhd duration = 1200 ticks =
+    2.0 s; video media timescale 24000, 48 samples x delta 1000 = 2.0 s;
+    8 kHz audio track = 16000 samples at timescale 8000."""
+    p = mp4.make_mp4(duration_sec=2.0, fps=24, width=64, height=48,
+                     timescale=600, audio_rate=8000)
+    info = mp4.parse_mp4(p)
+    assert info["brand"] == "isom" and info["minor_version"] == 0x200
+    assert info["compatible_brands"] == ["isom", "mp42"]
+    assert info["timescale"] == 600 and info["duration_sec"] == 2.0
+    assert not info["fragmented"]
+    v, a = info["tracks"]
+    assert (v["track_id"], v["kind"], v["codec"]) == (1, "vide", "avc1")
+    assert (v["width"], v["height"]) == (64, 48)
+    assert v["timescale"] == 24000 and v["n_samples"] == 48
+    assert v["duration_sec"] == 2.0 and v["language"] == "und"
+    assert (a["track_id"], a["kind"], a["codec"]) == (2, "soun", "mp4a")
+    assert a["n_samples"] == 16000 and a["timescale"] == 8000
+    assert a["width"] is None and a["height"] is None
+
+
+def test_features_shape_and_fps():
+    p = mp4.make_mp4(duration_sec=1.5, fps=30, width=320, height=240)
+    f = mp4.mp4_features(p)
+    assert f == [1.5, 1.0, 1.0, 0.0, 320.0, 240.0, 45.0, 30.0]
+    # routed through the generic decode path too
+    assert decode_features(p) == f
+    assert sniff(p) == "mp4"
+
+
+def test_largesize_and_language():
+    p = mp4.make_mp4(duration_sec=1.0, language="eng", largesize_mdat=True)
+    info = mp4.parse_mp4(p)
+    assert info["duration_sec"] == 1.0
+    assert info["tracks"][0]["language"] == "eng"
+    # hand-check the 64-bit mdat really is in the stream
+    assert struct.pack(">I", 1) + b"mdat" in p
+
+
+def test_size_zero_to_eof_and_unknown_boxes():
+    """A trailing size==0 box extends to EOF; unknown box types are
+    skipped without disturbing the walk."""
+    p = mp4.make_mp4(duration_sec=1.0)
+    # append an unknown box, then a size==0 'free' box to EOF
+    p2 = p + struct.pack(">I", 12) + b"xyzw" + b"ab" * 2
+    p3 = p2 + struct.pack(">I", 0) + b"free" + b"\0" * 37
+    assert mp4.parse_mp4(p3)["duration_sec"] == 1.0
+    boxes = [t for t, _s, _e in mp4._walk(p3, 0, len(p3))]
+    assert boxes == [b"ftyp", b"moov", b"mdat", b"xyzw", b"free"]
+
+
+def test_fragmented_marker():
+    p = mp4.make_mp4(duration_sec=1.0)
+    # an (empty) moof after mdat flags fragmentation
+    assert mp4.parse_mp4(p + struct.pack(">I", 8) + b"moof")["fragmented"]
+
+
+def test_malformed_raises_valueerror():
+    p = mp4.make_mp4()
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(p[:40])  # truncated mid-moov
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(b"not a container at all")
+    # box whose size overruns its parent
+    bad = bytearray(p)
+    moov_at = p.index(b"moov") - 4
+    bad[moov_at:moov_at + 4] = struct.pack(">I", len(p) * 2)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(bytes(bad))
+    # ftyp-only stream: no moov metadata
+    ftyp_end = struct.unpack(">I", p[:4])[0]
+    with pytest.raises(ValueError, match="no moov"):
+        mp4.parse_mp4(p[:ftyp_end])
+    # stts entry count overrunning its box
+    bad2 = bytearray(p)
+    stts_at = p.index(b"stts")
+    bad2[stts_at + 8:stts_at + 12] = struct.pack(">I", 10**6)
+    with pytest.raises(ValueError):
+        mp4.parse_mp4(bytes(bad2))
+
+
+def test_fuzz_never_escapes_typed_errors():
+    """Random bytes and random corruptions of a valid stream either
+    parse or raise ValueError — never IndexError/struct.error/etc."""
+    rng = np.random.default_rng(7)
+    base = mp4.make_mp4(duration_sec=1.0, audio_rate=8000)
+    for i in range(200):
+        if i % 2:
+            buf = bytes(rng.integers(0, 256, size=int(rng.integers(0, 400)),
+                                     dtype=np.uint8))
+        else:
+            b = bytearray(base)
+            for _ in range(int(rng.integers(1, 8))):
+                b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+            buf = bytes(b)
+        try:
+            mp4.parse_mp4(buf)
+        except ValueError:
+            pass
+    # sniff: random binaries must not claim to be mp4
+    hits = sum(
+        sniff(bytes(rng.integers(0, 256, size=64, dtype=np.uint8))) == "mp4"
+        for _ in range(300)
+    )
+    assert hits == 0
+
+
+def test_video_sample_decode_stays_typed_boundary():
+    """Sample (pixel) decode is not claimed: a non-BMFF 'video' payload
+    routed through decode_features raises the typed error."""
+    with pytest.raises(UnsupportedMediaError):
+        decode_features(b"\x00\x01\x02\x03" * 32)

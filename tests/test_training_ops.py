@@ -198,6 +198,8 @@ def test_multimodal_feature_extraction(spark):
             want = mc.audio_features(*mc.decode_wav(p))
         elif kind == "mp3":
             want = mc.mp3_features(p)
+        elif kind == "mp4":
+            want = mc.mp4_features(p)
         else:
             want = multimodal._fake_decode(p)
         assert np.allclose(np.array(row.features), np.array(want)), row.media_id
@@ -210,16 +212,34 @@ def test_multimodal_feature_extraction(spark):
 
 
 def test_multimodal_decode_unsupported_raises(spark):
-    """fake=False: decodable formats succeed, undecodable (video bytes)
-    raise — the stub is scoped to exactly the formats stdlib can't parse."""
+    """fake=False: decodable formats succeed — including MP4 video rows,
+    which now decode STRUCTURALLY — while opaque video bytes raise; the
+    boundary is scoped to exactly the payloads nothing here can parse."""
+    from searchengine_spark.functions import media_codecs as mc
+
     media = multimodal.synthetic_media_df(spark, n=6, seed=5)
     ok = multimodal.extract_features(
         media.where(F.col("kind") != "video"), fake=False
     ).toPandas()
     assert len(ok) == 4
+    vids = {
+        r["media_id"]: bytes(r["payload"])
+        for r in media.where(F.col("kind") == "video").collect()
+    }
+    mp4_ids = {m for m, p in vids.items() if mc.sniff(p) == "mp4"}
+    opaque_ids = set(vids) - mp4_ids
+    assert mp4_ids and opaque_ids  # fixture covers both paths
+    got = multimodal.extract_features(
+        media.where(F.col("media_id").isin([int(m) for m in mp4_ids])),
+        fake=False,
+    ).toPandas()
+    assert set(got.media_id) == mp4_ids
     with pytest.raises(Exception, match="(?i)no decoder"):
         multimodal.extract_features(
-            media.where(F.col("kind") == "video"), fake=False
+            media.where(
+                F.col("media_id").isin([int(m) for m in opaque_ids])
+            ),
+            fake=False,
         ).collect()
 
 
@@ -300,16 +320,43 @@ def test_png_wav_roundtrip_and_thumbnails(spark):
 
 
 def test_sample_frames_counts(spark):
+    """MP4 rows: the frame count is the PAYLOAD's stts sample count
+    (structural parse, not the declared meta); opaque rows fall back to
+    meta.n_frames under fake=True and raise without it."""
+    from searchengine_spark.functions import media_codecs as mc
+
     media = multimodal.synthetic_media_df(spark, n=30, seed=5)
     frames = multimodal.sample_frames(media, every_n=10, fake=True).toPandas()
-    vids = {
-        r["media_id"]: r["meta"]["n_frames"]
-        for r in media.where(F.col("kind") == "video").collect()
-    }
+    want = {}
+    mp4_ids = set()
+    for r in media.where(F.col("kind") == "video").collect():
+        p = bytes(r["payload"])
+        if mc.sniff(p) == "mp4":
+            mp4_ids.add(r["media_id"])
+            info = mc.parse_mp4(p)
+            n = max(
+                t["n_samples"] for t in info["tracks"] if t["kind"] == "vide"
+            )
+        else:
+            n = r["meta"]["n_frames"]
+        want[r["media_id"]] = -(-n // 10)
     got = frames.groupby("media_id").size().to_dict()
-    want = {m: -(-n // 10) for m, n in vids.items()}
     assert got == want
-    assert set(frames["media_id"]) == set(vids)
+    assert set(frames["media_id"]) == set(want)
+    assert mp4_ids and set(want) - mp4_ids  # both paths exercised
+    # frame numbers are the every_n grid from 0
+    f0 = sorted(frames[frames.media_id == sorted(mp4_ids)[0]].frame_no)
+    assert f0 == list(range(0, 10 * len(f0), 10))
+    # real path without fake: MP4 rows work, opaque rows raise loudly
+    real = multimodal.sample_frames(
+        media.where(F.col("media_id").isin([int(m) for m in mp4_ids])),
+        every_n=10,
+    ).toPandas()
+    assert real.groupby("media_id").size().to_dict() == {
+        m: want[m] for m in mp4_ids
+    }
+    with pytest.raises(Exception, match="(?i)not ISO-BMFF"):
+        multimodal.sample_frames(media, every_n=10).collect()
 
 
 def test_embedding_near_dup_pairs_empty_input(spark):
