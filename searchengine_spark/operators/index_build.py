@@ -209,20 +209,13 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
 
 
-def build_trigram_sidecar(spark: SparkSession, index_dir: str) -> None:
-    """Write the ``term_3g`` trigram sidecar: (gram, term, df) for every
-    distinct trigram of lower(term), SORTED by gram — a ``*mid*``
-    contains-wildcard or a regex with required literal trigrams becomes
-    a pushed gram-IN lookup (row-group min/max pruning) + candidate
-    intersection instead of a full |V| scan (the code-search
-    trigram-index technique; boolquery.expand_contains /
-    _regex_required_groups). ~(len-2) rows per term. Called by
-    ``build_term_dict`` on every build/compaction/purge (so the sidecar
-    can never go stale) and callable standalone to RETROFIT an index
-    built before the sidecar existed — one derived write, no corpus
-    read, no re-tokenize."""
-    (
-        spark.read.parquet(f"{index_dir}/term_dict")
+def trigram_rows(term_dict_df):
+    """(gram, term, df) for every distinct trigram of lower(term) — the
+    definition of the ``term_3g`` sidecar's content, shared by the build
+    (:func:`build_trigram_sidecar`) and the fsck consistency check so
+    they can never drift."""
+    return (
+        term_dict_df
         .select(F.lower(F.col("term")).alias("lt"), "term", "df")
         .where(F.length("lt") >= 3)
         .select(
@@ -237,6 +230,23 @@ def build_trigram_sidecar(spark: SparkSession, index_dir: str) -> None:
             "term",
             "df",
         )
+    )
+
+
+def build_trigram_sidecar(spark: SparkSession, index_dir: str) -> None:
+    """Write the ``term_3g`` trigram sidecar: (gram, term, df) for every
+    distinct trigram of lower(term), SORTED by gram — a ``*mid*``
+    contains-wildcard or a regex with required literal trigrams becomes
+    a pushed gram-IN lookup (row-group min/max pruning) + candidate
+    intersection instead of a full |V| scan (the code-search
+    trigram-index technique; boolquery.expand_contains /
+    _regex_required_groups). ~(len-2) rows per term. Called by
+    ``build_term_dict`` on every build/compaction/purge (so the sidecar
+    can never go stale) and callable standalone to RETROFIT an index
+    built before the sidecar existed — one derived write, no corpus
+    read, no re-tokenize."""
+    (
+        trigram_rows(spark.read.parquet(f"{index_dir}/term_dict"))
         .sort("gram")
         .write.mode("overwrite")
         .parquet(f"{index_dir}/term_3g")

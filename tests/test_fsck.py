@@ -40,6 +40,27 @@ def test_fsck_green_then_red(spark, index_1k, tmp_path):
     assert "doc_lens sidecar ≡ doc_stats" in fails
 
 
+def test_fsck_flags_stale_sidecars(spark, index_1k, tmp_path):
+    """A term_3g missing rows (here: hand-truncated) or a term_sfx row
+    with a wrong rterm must fail the sidecar ≡ term_dict checks — the
+    expansion surfaces would otherwise silently see a smaller or wrong
+    vocabulary."""
+    bad = str(tmp_path / "stale_idx")
+    shutil.copytree(index_1k, bad)
+    g3 = spark.read.parquet(f"{bad}/term_3g").toPandas()
+    g3 = g3.iloc[:-5]  # drop rows: a term loses some of its grams
+    shutil.rmtree(f"{bad}/term_3g")
+    spark.createDataFrame(g3).coalesce(1).write.parquet(f"{bad}/term_3g")
+    sfx = spark.read.parquet(f"{bad}/term_sfx").toPandas()
+    sfx.loc[0, "rterm"] = sfx.loc[0, "rterm"][::-1] + "x"
+    shutil.rmtree(f"{bad}/term_sfx")
+    spark.createDataFrame(sfx).coalesce(1).write.parquet(f"{bad}/term_sfx")
+    rc, fails = _run(bad)
+    assert rc == 1
+    assert "term_3g ≡ trigrams(term_dict)" in fails
+    assert "term_sfx ≡ reverse(term_dict)" in fails
+
+
 def test_fsck_green_on_tombstoned_index(spark, index_1k, tmp_path):
     """Tombstone-only deletion keeps corpus stats and doc_map pre-delete by
     design (eligibility-only semantics) — fsck must accept that state, and

@@ -22,6 +22,9 @@ Checks (each prints ok/FAIL; exit code 1 on any failure):
 * positions sidecar (if present, --deep): per-row decode round-trips
   (n_docs values, counts sum == positions length), doc ids inside the
   range
+* dictionary sidecars (if present): term_sfx rows ≡ reversed lowered
+  term_dict rows; term_3g rows ≡ the distinct trigrams of term_dict
+  (both directions of exceptAll — extra AND missing rows fail)
 * tombstones (if present): mask length == range_width/8, marked ids ⊆
   id space
 * leftover staging dirs from crashed operations (reported, not fatal)
@@ -134,6 +137,25 @@ def main() -> None:
                 for r in ds.select("doc_id", "dl").collect() if r["dl"]}
         check("doc_lens sidecar ≡ doc_stats", got == want,
               f"{len(set(got) ^ set(want))} docs differ")
+
+    # dictionary sidecars: both are pure functions of term_dict, written
+    # by every build/merge/purge/compaction — a drift here means a
+    # query-expansion surface silently sees a different vocabulary
+    td = spark.read.parquet(f"{d}/term_dict")
+    if os.path.exists(f"{d}/term_sfx"):
+        sfx = spark.read.parquet(f"{d}/term_sfx").select("rterm", "term", "df")
+        want = td.select(
+            F.reverse(F.lower(F.col("term"))).alias("rterm"), "term", "df"
+        )
+        diff = want.exceptAll(sfx).count() + sfx.exceptAll(want).count()
+        check("term_sfx ≡ reverse(term_dict)", diff == 0, f"{diff} rows differ")
+    if os.path.exists(f"{d}/term_3g"):
+        from searchengine_spark.operators.index_build import trigram_rows
+
+        g3 = spark.read.parquet(f"{d}/term_3g").select("gram", "term", "df")
+        want = trigram_rows(td)
+        diff = want.exceptAll(g3).count() + g3.exceptAll(want).count()
+        check("term_3g ≡ trigrams(term_dict)", diff == 0, f"{diff} rows differ")
 
     if has_tombstones(d):
         from searchengine_spark.operators.deletion import tombstone_masks
