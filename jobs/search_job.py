@@ -29,8 +29,9 @@ def main() -> None:
                     "results as CSV (S5, utils.write_csv parity)")
     ap.add_argument("--bool", action="store_true",
                     help="treat each query as a boolean/fielded expression "
-                    '(+must -not field:value "phrase" wild* *card in*fix '
-                    "fuzzy~ /regex/ word^boost — operators/boolquery)")
+                    '(+must -not +(a|b) field:value "phrase" wild* *card '
+                    "in*fix *mid* fuzzy~ /regex/ word^boost — "
+                    "operators/boolquery)")
     ap.add_argument("--hybrid-embeddings",
                     help="parquet of (vec_id, embedding) with vec_id == "
                     "doc_id: fuse BM25 top-N with cosine top-N by "
