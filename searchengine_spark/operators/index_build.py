@@ -191,12 +191,21 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     )
     td.write.mode("overwrite").parquet(f"{index_dir}/term_dict")
     n_terms = spark.read.parquet(f"{index_dir}/term_dict").count()
-    # reversed-term sidecar: reverse(lower(term)) SORTED, so a *suffix
-    # wildcard (boolquery.expand_suffix) is a pushed StringStartsWith
-    # over rterm with parquet row-group min/max pruning — the leading-
-    # wildcard analogue of a sorted term dictionary. One extra |V|-row
-    # write per term_dict rebuild (build, compaction, purge all route
-    # through this function, so the sidecar can never go stale).
+    build_suffix_sidecar(spark, index_dir)
+    build_trigram_sidecar(spark, index_dir)
+    man.set_scalars(n_terms=n_terms)
+    man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
+
+
+def build_suffix_sidecar(spark: SparkSession, index_dir: str) -> None:
+    """Write the ``term_sfx`` reversed-term sidecar: reverse(lower(term))
+    SORTED, so a ``*suffix`` wildcard (boolquery.expand_suffix) is a
+    pushed StringStartsWith over ``rterm`` with parquet row-group
+    min/max pruning — the leading-wildcard analogue of a sorted term
+    dictionary. One extra |V|-row write per term_dict rebuild (build,
+    compaction, purge all route through ``build_term_dict``, so the
+    sidecar can never go stale); callable standalone to RETROFIT an
+    older index (tools/retrofit_sidecars.py)."""
     (
         spark.read.parquet(f"{index_dir}/term_dict")
         .select(F.reverse(F.lower(F.col("term"))).alias("rterm"), "term", "df")
@@ -204,9 +213,6 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
         .write.mode("overwrite")
         .parquet(f"{index_dir}/term_sfx")
     )
-    build_trigram_sidecar(spark, index_dir)
-    man.set_scalars(n_terms=n_terms)
-    man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
 
 
 def trigram_rows(term_dict_df):

@@ -1,0 +1,56 @@
+"""Retrofit the dictionary sidecars onto an existing index, in place.
+
+    python tools/retrofit_sidecars.py --index-dir /path/to/idx [--cpus 8]
+
+An index built before the ``term_sfx`` (reversed-term) or ``term_3g``
+(trigram) sidecars existed still answers every query — the expansion
+surfaces fall back to capped full-dictionary scans — but pays |V|-scan
+cost for ``*suffix`` / ``*mid*`` / required-trigram-regex patterns.
+This tool writes both sidecars from the index's own ``term_dict``: two
+derived jobs, no corpus read, no re-tokenize (9.3 s for term_3g at a
+931k-term vocabulary). Idempotent — rewriting an up-to-date sidecar
+yields identical content (verify with ``tools/fsck_index.py``, whose
+sidecar checks recompute both from term_dict).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from searchengine_spark.operators.index_build import (
+        build_suffix_sidecar,
+        build_trigram_sidecar,
+    )
+    from searchengine_spark.session import get_session
+
+    spark = get_session(
+        master=f"local[{args.cpus}]",
+        app_name="retrofit_sidecars",
+        shuffle_partitions=args.cpus,
+    )
+    out = {"index_dir": args.index_dir}
+    t0 = time.time()
+    build_suffix_sidecar(spark, args.index_dir)
+    out["term_sfx_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    build_trigram_sidecar(spark, args.index_dir)
+    out["term_3g_sec"] = round(time.time() - t0, 3)
+    out["n_terms"] = spark.read.parquet(f"{args.index_dir}/term_dict").count()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
