@@ -1123,6 +1123,46 @@ def _term_parts(spark, index_dir, c, splits, maps):
     return qweights, clauses, neg_terms
 
 
+def query_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    max_expansions: int = 1024,
+    snippet_safe: bool = False,
+) -> list[str]:
+    """The positive SCORING terms of a boolean query, lowercased and
+    sorted — literals resolved through the index's case-fold map plus
+    every wildcard/fuzzy/suffix/infix/contains/regex expansion and
+    OR-group member. The glue for highlighting: pass the result to
+    ``snippets.attach_snippets`` so a ``*esul*`` hit highlights
+    ``result``/``results``, not nothing. ``snippet_safe=True`` keeps
+    only ``[a-z0-9]+`` tokens — ``snippet_col`` splits text on
+    everything else, so a dropped term (``token_7``, ``@bot``) could
+    never match a snippet token anyway. Empty when nothing resolves or
+    a MUST is unsatisfiable (the search result is empty too)."""
+    c = parse_bool_query(query)
+    splits = (
+        _split_patterns(c["free"]),
+        _split_patterns(c["must"]),
+        _split_patterns(c["must_not"]),
+    )
+    maps, all_words = _fuse_expansions(
+        spark, index_dir, [(c, splits)], max_expansions
+    )
+    if all_words:
+        from searchengine_spark.operators.wand import fold_query_terms_batch
+
+        fold_query_terms_batch(spark, index_dir, all_words)
+    parts = _term_parts(spark, index_dir, c, splits, maps)
+    if parts is None:
+        return []
+    qweights, _clauses, _neg = parts
+    terms = sorted({t.lower() for t in qweights})
+    if snippet_safe:
+        terms = [t for t in terms if re.fullmatch("[a-z0-9]+", t)]
+    return terms
+
+
 def search_bool(
     spark: SparkSession,
     index_dir: str,

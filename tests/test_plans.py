@@ -346,6 +346,26 @@ def test_suffix_sidecar_pushes_startswith(spark, index_1k):
     assert "StartsWith(rterm" in plan, plan
 
 
+def test_trigram_sidecar_pushes_gram_in(spark, index_1k):
+    """*mid* contains patterns and required-trigram regexes scan the
+    gram-sorted trigram sidecar with a PUSHED gram IN(...) filter
+    (row-group min/max prunable on the sort key) — never a post-scan
+    filter, never a term_dict scan."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{index_1k}/term_3g")
+        .where(F.col("gram").isin(["esu", "sul"]))
+        .groupBy("term", "df")
+        .agg(F.count("*").alias("_g"))
+        .where(F.col("_g") == 2)
+    )
+    plan = _plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "In(gram" in pushed[0], plan
+    assert "term_dict" not in plan
+
+
 def test_term_only_bool_query_is_one_scorer_job(spark, index_1k):
     """A MUST/MUST-NOT term query compiles onto the scorer's own plan: the
     clause terms widen the pushed term-IN postings scan and eligibility is

@@ -60,3 +60,28 @@ def test_attach_snippets_left_join_keeps_all_hits(spark):
     }
     assert out[0] == "this key doc"
     assert out[9] is None  # hit without a corpus row survives with NULL
+
+
+def test_query_terms_feeds_expanded_highlighting(spark, index_1k):
+    """boolquery.query_terms surfaces a boolean query's full scoring set
+    (literals + expansions, lowercased) so snippets can highlight what
+    actually matched: a *esul* hit must highlight 'result', which the
+    raw query string never contains."""
+    from searchengine_spark.operators import boolquery as bq
+
+    terms = bq.query_terms(spark, index_1k, "*esul* +key", snippet_safe=True)
+    assert "key" in terms and "result" in terms
+    # every term is snippet-expressible and expansion-complete
+    exp = bq.expand_contains(spark, index_1k, "esul")
+    assert {t.lower() for t in exp} <= set(terms)
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="the key gave a result for once")]
+    )
+    hits = spark.createDataFrame([Row(doc_id=0, score=1.0)])
+    snip = attach_snippets(hits, docs, terms, width=1).collect()[0]["snippet"]
+    assert "key" in snip  # earliest scoring term anchors the window
+    # unsatisfiable MUST: empty search -> empty term set
+    assert bq.query_terms(spark, index_1k, "key +zzzqx") == []
+    # non-normalized expansions are dropped only under snippet_safe
+    full = bq.query_terms(spark, index_1k, "*esul* +key")
+    assert set(terms) <= set(full)
