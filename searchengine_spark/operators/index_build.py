@@ -56,7 +56,11 @@ from searchengine_spark.functions.codec import B as BM25_B
 from searchengine_spark.functions.codec import K1 as BM25_K1
 from searchengine_spark.operators.doc_ids import assign_doc_ids
 from searchengine_spark.operators.tokenize import tokenize_docs
-from searchengine_spark.plans.manifest import Manifest
+from searchengine_spark.plans.manifest import (
+    Manifest,
+    shuffle_delta,
+    shuffle_totals,
+)
 
 POSTINGS_SCHEMA = T.StructType(
     [
@@ -159,7 +163,7 @@ def build_fold_map(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     iff its lowercase twin occurs anywhere (order-free fixpoint of
     indexer.py:44-62; SURVEY.md §7 hard-part 1). Shared by batch build and
     streaming compaction."""
-    t0 = time.time()
+    t0, sh0 = time.time(), shuffle_totals(spark)
     vocab = spark.read.parquet(f"{index_dir}/doc_terms").select("term").distinct()
     lowers = vocab.where(F.col("term") == F.lower(F.col("term")))
     uppers = vocab.where(F.col("term") != F.lower(F.col("term")))
@@ -170,12 +174,13 @@ def build_fold_map(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     )
     fold.write.mode("overwrite").parquet(f"{index_dir}/fold_map")
     n_folded = spark.read.parquet(f"{index_dir}/fold_map").count()
-    man.mark_stage("fold_map", time.time() - t0, n_folded=n_folded)
+    man.mark_stage("fold_map", time.time() - t0, n_folded=n_folded,
+                   **shuffle_delta(sh0, shuffle_totals(spark)))
 
 
 def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     """Stage term_dict: (term, df, cf) global aggregate over folded terms."""
-    t0 = time.time()
+    t0, sh0 = time.time(), shuffle_totals(spark)
     dt = spark.read.parquet(f"{index_dir}/doc_terms")
     fold = spark.read.parquet(f"{index_dir}/fold_map")
     # (term, doc_id) pairs are distinct pre-fold; the fold can merge an
@@ -194,7 +199,8 @@ def build_term_dict(spark: SparkSession, index_dir: str, man: Manifest) -> None:
     build_suffix_sidecar(spark, index_dir)
     build_trigram_sidecar(spark, index_dir)
     man.set_scalars(n_terms=n_terms)
-    man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms)
+    man.mark_stage("term_dict", time.time() - t0, n_terms=n_terms,
+                   **shuffle_delta(sh0, shuffle_totals(spark)))
 
 
 def build_suffix_sidecar(spark: SparkSession, index_dir: str) -> None:
@@ -356,7 +362,7 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
     for g in range(n_groups):
         if man.group_done(g):
             continue
-        t0 = time.time()
+        t0, sh0 = time.time(), shuffle_totals(spark)
         dt_g = spark.read.parquet(f"{index_dir}/doc_terms").where(F.col("grp") == g)
         packed = (
             _fold_expr(fold, dt_g)
@@ -377,6 +383,7 @@ def build_posting_groups(spark: SparkSession, index_dir: str, man: Manifest) -> 
             n_postings=n_post,
             n_blocks=int(written["n_blocks"] or 0),
             postings_per_sec=round(n_post / secs, 1) if secs else None,
+            **shuffle_delta(sh0, shuffle_totals(spark)),
         )
 
 
@@ -409,7 +416,7 @@ def build_index(
 
     # ---- stage: docs (ids + tokenize + doc_map/doc_terms/doc_stats) --------
     if not man.stage_done("docs"):
-        t0 = time.time()
+        t0, sh0 = time.time(), shuffle_totals(spark)
         with_id = assign_doc_ids(docs)
         n_docs = with_id._n_docs
         if n_docs == 0:
@@ -484,6 +491,7 @@ def build_index(
             n_docs=n_docs,
             n_tokens=n_tokens,
             docs_per_sec=round(n_docs / secs, 1) if secs else None,
+            **shuffle_delta(sh0, shuffle_totals(spark)),
         )
 
     # resumed pre-sidecar index (docs stage done under the inline-dls

@@ -2,10 +2,12 @@
 
 Replaces the reference's bare pickle dumps (utils.py:5-23) with a JSON
 manifest recording, for every build stage and every postings partition
-group: status, wall seconds, row counts and derived throughput (docs/sec,
-postings/sec). ``build_index`` consults it to skip committed work — the
-north-rule's "resumable from per-partition checkpoints with lineage and
-per-stage metrics".
+group: status, wall seconds, row counts, derived throughput (docs/sec,
+postings/sec) and shuffle read/write bytes (snapshotted from Spark's
+AppStatusStore at stage boundaries — :func:`shuffle_totals`).
+``build_index`` consults it to skip committed work — the north-rule's
+"resumable from per-partition checkpoints with lineage and per-stage
+metrics (docs/sec, postings/sec, shuffle bytes)".
 """
 
 from __future__ import annotations
@@ -13,6 +15,49 @@ from __future__ import annotations
 import json
 import os
 import time
+
+
+def shuffle_totals(spark) -> dict | None:
+    """Cumulative shuffle read/write bytes over every stage this
+    application has run, straight from Spark's AppStatusStore (works
+    with the UI disabled — the same store that backs the REST API).
+    Snapshot at stage boundaries (all actions blocked to completion)
+    and diff with :func:`shuffle_delta` to get the north-rule's
+    per-stage shuffle-bytes lineage metric. Best-effort: any py4j
+    signature drift across Spark versions returns None and the caller
+    records no shuffle metrics rather than failing a build."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),  # all statuses
+            False,                      # no task details
+            False,                      # no summaries
+            sc._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        read = write = 0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            read += s.shuffleReadBytes()
+            write += s.shuffleWriteBytes()
+        return {
+            "shuffle_read_bytes": int(read),
+            "shuffle_write_bytes": int(write),
+        }
+    except Exception:
+        return None
+
+
+def shuffle_delta(before: dict | None, after: dict | None) -> dict:
+    """Per-stage shuffle bytes from two :func:`shuffle_totals` snapshots.
+    Empty when either snapshot failed; clamped at 0 against stage-store
+    eviction (spark.ui.retainedStages) shrinking the cumulative count
+    between snapshots."""
+    if not before or not after:
+        return {}
+    return {k: max(0, after[k] - before[k]) for k in after}
 
 
 class Manifest:

@@ -18,11 +18,18 @@ def test_corpus_generation_deterministic(spark, small_corpus_pdf):
 def test_scalars_match_oracle(spark, index_1k, oracle_1k):
     from searchengine_spark.plans.manifest import Manifest
 
-    s = Manifest(index_1k).scalars
+    man = Manifest(index_1k)
+    s = man.scalars
     assert s["n_docs"] == oracle_1k.n_docs == 1000
     assert s["n_tokens"] == int(oracle_1k.dl.sum())
     assert abs(s["avgdl"] - oracle_1k.avgdl) < 1e-12
     assert s["n_terms"] == len(oracle_1k.df)
+    # north-rule lineage metrics: every stage and posting group records
+    # its shuffle bytes; term_dict's global aggregate must have shuffled
+    for rec in [*man.data["stages"].values(),
+                *man.data["posting_groups"].values()]:
+        assert "shuffle_write_bytes" in rec and "shuffle_read_bytes" in rec
+    assert man.data["stages"]["term_dict"]["shuffle_write_bytes"] > 0
 
 
 def test_doc_map_sha_integrity(spark, index_1k, oracle_1k):
