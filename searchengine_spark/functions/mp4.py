@@ -145,8 +145,10 @@ def _parse_trak(buf: bytes, s: int, e: int, movie: dict) -> dict:
         if btype == b"tkhd":
             v, _f, p = _full(buf, bs)
             if v == 1:
+                # creation u64 + modification u64 + track_ID u32 +
+                # reserved u32 + duration u64 = 32 bytes
                 tr["track_id"] = struct.unpack(">I", buf[p + 16:p + 20])[0]
-                p2 = p + 28  # past duration u64 + reserved u32
+                p2 = p + 32
             else:
                 tr["track_id"] = struct.unpack(">I", buf[p + 8:p + 12])[0]
                 p2 = p + 20
@@ -253,13 +255,18 @@ def make_mp4(
     audio_rate: int = 0,
     language: str = "und",
     largesize_mdat: bool = False,
+    version: int = 0,
 ) -> bytes:
     """Deterministic, structurally-valid single-/two-track MP4:
     ftyp + moov(mvhd, video trak with avc1 stsd + stts, optional mp4a
     audio trak) + mdat. ``audio_rate>0`` adds the audio track;
     ``largesize_mdat`` writes the mdat with a 64-bit largesize header to
-    exercise that box-walk path. Sample DATA is filler bytes — this
+    exercise that box-walk path; ``version=1`` writes the 64-bit
+    mvhd/tkhd/mdhd layouts (creation/modification/duration u64) so both
+    FullBox variants stay pinned. Sample DATA is filler bytes — this
     encoder exists to pin the structural parser, not to carry pixels."""
+    if version not in (0, 1):
+        raise ValueError("version must be 0 or 1")
     n_frames = max(1, round(duration_sec * fps))
     mv_dur = round(duration_sec * timescale)
     media_ts = fps * 1000
@@ -270,19 +277,27 @@ def make_mp4(
         lang_code = (lang_code << 5) | (max(ord(ch), 0x61) - 0x60)
 
     def tkhd(track_id: int, w: int, h: int) -> bytes:
-        body = struct.pack(">II", 0, 0)          # creation/modification
-        body += struct.pack(">II", track_id, 0)  # id + reserved
-        body += struct.pack(">I", mv_dur)
+        if version == 1:
+            body = struct.pack(">QQ", 0, 0)          # creation/modification
+            body += struct.pack(">II", track_id, 0)  # id + reserved
+            body += struct.pack(">Q", mv_dur)
+        else:
+            body = struct.pack(">II", 0, 0)
+            body += struct.pack(">II", track_id, 0)
+            body += struct.pack(">I", mv_dur)
         body += struct.pack(">II", 0, 0)         # reserved
         body += struct.pack(">hhHH", 0, 0, 0x0100 if w == 0 else 0, 0)
         body += _UNITY
         body += struct.pack(">II", w << 16, h << 16)
-        return _fbox(b"tkhd", 0, 7, body)
+        return _fbox(b"tkhd", version, 7, body)
 
     def mdhd(ts: int, dur: int) -> bytes:
-        body = struct.pack(">II", 0, 0) + struct.pack(">II", ts, dur)
+        if version == 1:
+            body = struct.pack(">QQ", 0, 0) + struct.pack(">IQ", ts, dur)
+        else:
+            body = struct.pack(">II", 0, 0) + struct.pack(">II", ts, dur)
         body += struct.pack(">HH", lang_code, 0)
-        return _fbox(b"mdhd", 0, 0, body)
+        return _fbox(b"mdhd", version, 0, body)
 
     def hdlr(kind: bytes, name: bytes) -> bytes:
         return _fbox(
@@ -330,9 +345,17 @@ def make_mp4(
         )
         traks += _box(b"trak", tkhd(2, 0, 0) + mdia_a)
 
+    if version == 1:
+        mvhd_head = struct.pack(">QQ", 0, 0) + struct.pack(
+            ">IQ", timescale, mv_dur
+        )
+    else:
+        mvhd_head = struct.pack(">II", 0, 0) + struct.pack(
+            ">II", timescale, mv_dur
+        )
     mvhd = _fbox(
-        b"mvhd", 0, 0,
-        struct.pack(">II", 0, 0) + struct.pack(">II", timescale, mv_dur)
+        b"mvhd", version, 0,
+        mvhd_head
         + struct.pack(">IHH", 0x00010000, 0x0100, 0)
         + struct.pack(">II", 0, 0) + _UNITY + b"\0" * 24
         + struct.pack(">I", 3),

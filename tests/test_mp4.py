@@ -47,6 +47,22 @@ def test_features_shape_and_fps():
     assert sniff(p) == "mp4"
 
 
+def test_version1_boxes_parse_identically():
+    """The 64-bit FullBox layouts (mvhd/tkhd/mdhd version 1) parse to
+    the SAME metadata as version 0 — the v1 tkhd tail sits after a
+    32-byte head (u64 creation/modification + u32 id + u32 reserved +
+    u64 duration), so width/height offsets differ from v0's 20."""
+    kw = dict(duration_sec=2.0, fps=24, width=64, height=48,
+              timescale=600, audio_rate=8000, language="eng")
+    i0 = mp4.parse_mp4(mp4.make_mp4(version=0, **kw))
+    i1 = mp4.parse_mp4(mp4.make_mp4(version=1, **kw))
+    assert i0 == i1
+    assert i1["tracks"][0]["width"] == 64 and i1["tracks"][0]["height"] == 48
+    assert i1["tracks"][0]["language"] == "eng"
+    with pytest.raises(ValueError):
+        mp4.make_mp4(version=2)
+
+
 def test_largesize_and_language():
     p = mp4.make_mp4(duration_sec=1.0, language="eng", largesize_mdat=True)
     info = mp4.parse_mp4(p)
