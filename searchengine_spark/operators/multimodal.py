@@ -214,7 +214,8 @@ def sample_frames(media: DataFrame, every_n: int = 10, fake: bool = False) -> Da
                         default=0,
                     )
                 elif fake:
-                    n = int(decl) if decl is not None else 1
+                    # a null meta.n_frames reaches pandas as NaN, not None
+                    n = 1 if decl is None or pd.isna(decl) else int(decl)
                 else:
                     raise UnsupportedMediaError(
                         "video payload is not ISO-BMFF; frame counts for "

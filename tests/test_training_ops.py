@@ -347,6 +347,24 @@ def test_sample_frames_counts(spark):
     # frame numbers are the every_n grid from 0
     f0 = sorted(frames[frames.media_id == sorted(mp4_ids)[0]].frame_no)
     assert f0 == list(range(0, 10 * len(f0), 10))
+    # opaque row with a NULL declared n_frames: fake path defaults to 1
+    # frame instead of crashing on NaN (pandas renders the null as NaN)
+    from pyspark.sql import Row
+
+    nullrow = spark.createDataFrame(
+        [
+            Row(
+                media_id=999,
+                kind="video",
+                payload=bytearray(b"\x01\x02" * 20),
+                meta=Row(width=None, height=None, sample_rate=None,
+                         n_frames=None),
+            )
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    nf = multimodal.sample_frames(nullrow, every_n=10, fake=True).toPandas()
+    assert list(nf.media_id) == [999] and list(nf.frame_no) == [0]
     # real path without fake: MP4 rows work, opaque rows raise loudly
     real = multimodal.sample_frames(
         media.where(F.col("media_id").isin([int(m) for m in mp4_ids])),
