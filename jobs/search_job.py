@@ -87,6 +87,7 @@ def main() -> None:
                              "--scorer cosine)")
         from searchengine_spark.operators.boolquery import (
             parse_bool_query,
+            query_terms,
             search_bool,
             search_bool_batch,
         )
@@ -106,7 +107,11 @@ def main() -> None:
                     {"doc_id": r["doc_id"], "score": r["score"]}
                 )
             for i, q in enumerate(queries):
-                print(json.dumps({"query": q, "hits": by_q[i]}))
+                print(json.dumps({
+                    "query": q,
+                    "terms": query_terms(spark, args.index_dir, q),
+                    "hits": by_q[i],
+                }))
         else:
             for q in queries:
                 hits = [
@@ -115,7 +120,13 @@ def main() -> None:
                         spark, args.index_dir, q, k=args.k
                     ).collect()
                 ]
-                print(json.dumps({"query": q, "hits": hits}))
+                # the resolved scoring set (literals + every expansion) —
+                # what a highlighter should mark in the result text
+                print(json.dumps({
+                    "query": q,
+                    "terms": query_terms(spark, args.index_dir, q),
+                    "hits": hits,
+                }))
         spark.stop()
         return
     if args.scorer == "wand":
