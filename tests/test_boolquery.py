@@ -594,6 +594,62 @@ def test_regex_term_semantics(spark, index_1k):
         assert by_q.get(qid, []) == _rows(bq.search_bool(spark, index_1k, q, k=8)), q
 
 
+def test_parser_fuzz_typed_errors_only():
+    """Arbitrary query strings over the grammar's alphabet either parse
+    (and pattern-split) or raise ValueError — never IndexError /
+    AttributeError / a leaked re.error. The serving tier feeds user
+    input straight into this parser."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = "abcz019 +-*~^/\"()|:.[]{}\\$@_"
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=50))
+    def run(q):
+        try:
+            c = bq.parse_bool_query(q)
+        except ValueError:
+            return
+        try:
+            for words in (c["free"], c["must"], c["must_not"]):
+                bq._split_patterns(words)
+        except ValueError:
+            return
+
+    run()
+
+
+def test_regex_groups_generative_soundness():
+    """Generative form of the soundness contract: for random patterns
+    and random TRUE full-matches of them (hypothesis.from_regex), every
+    required-trigram group intersects the match's trigrams — i.e. the
+    sidecar prefilter can never exclude a true match."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    lit = st.text(alphabet="abcdef", min_size=1, max_size=6)
+    pattern = st.one_of(
+        lit,
+        st.tuples(lit, lit).map(lambda t: f"{t[0]}|{t[1]}"),
+        st.tuples(lit, lit).map(lambda t: f"{t[0]}[a-z]*{t[1]}"),
+        st.tuples(lit, lit).map(lambda t: f"({t[0]})+{t[1]}?"),
+        lit.map(lambda s: s + "\\d+"),
+        st.tuples(lit, lit, lit).map(lambda t: f"{t[0]}({t[1]}|{t[2]})"),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(pattern, st.data())
+    def run(pat, data):
+        groups = bq._regex_required_groups(pat)
+        s = data.draw(st.from_regex(pat, fullmatch=True))
+        grams = {s[i:i + 3] for i in range(len(s) - 2)}
+        for g in groups:
+            assert g & grams, (pat, s, sorted(g))
+
+    run()
+
+
 def test_regex_required_groups_soundness():
     """The trigram extractor never claims a trigram a true match could
     lack: for each (pattern, matching string) pair, every AND-group
