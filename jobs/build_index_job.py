@@ -25,8 +25,10 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="parquet path, or table name with --format iceberg")
-    ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
+                    help="parquet path, table name with --format iceberg, "
+                         "or newline-delimited JSON with --format jsonl")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg", "jsonl"])
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--range-width", type=int, default=None)
     ap.add_argument("--n-groups", type=int, default=4)
@@ -47,13 +49,10 @@ def main() -> None:
 
     from searchengine_spark.operators.index_build import build_index
     from searchengine_spark.session import get_session
+    from searchengine_spark.sources.corpus import read_corpus
 
     spark = get_session(app_name="searchengine-build")  # master from spark-submit
-    docs = (
-        spark.read.table(args.input)
-        if args.format == "iceberg"
-        else spark.read.parquet(args.input)
-    )
+    docs = read_corpus(spark, args.input, format=args.format)
     man = build_index(
         spark,
         docs,

@@ -136,6 +136,57 @@ def corpus_df(spark, n: int, seed: int = 42, partitions: int = 8):
     return spark.range(0, n, numPartitions=partitions).mapInPandas(gen, schema)
 
 
+CORPUS_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
+def read_corpus(spark, path: str, format: str = "parquet"):
+    """Read a corpus table in the engine's input schema
+    ``(repo, path, commit, lang, content)`` — the boundary every
+    ingestion format funnels through.
+
+    * ``parquet`` — directory or file path (the sandbox stand-in for
+      the production Iceberg table);
+    * ``iceberg`` — catalog table name via ``spark.read.table``;
+    * ``jsonl`` — newline-delimited JSON, one document object per line
+      (``.jsonl`` / ``.json.gz`` / any codec Spark decompresses
+      transparently) — the interchange format training-data pipelines
+      actually ship. Read with an EXPLICIT all-string schema (no
+      sampling-based inference pass over 100 TB, no silent type drift —
+      a numeric-looking commit column stays a string) in FAILFAST mode,
+      so a malformed line fails the job loudly instead of becoming a
+      silent null row. A field absent from a line is still null under
+      JSON semantics — rows with a null ``content`` surface downstream
+      (sha256 malformed → fsck red), not here, because a
+      null-scan validation pass over 100 TB is not an acceptable
+      default read cost.
+
+    Columnar formats (parquet/iceberg) are validated to carry all five
+    columns — loudly listing what's missing — and every format returns
+    the canonical column order."""
+    from pyspark.sql import types as T
+
+    if format == "parquet":
+        df = spark.read.parquet(path)
+    elif format == "iceberg":
+        df = spark.read.table(path)
+    elif format == "jsonl":
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in CORPUS_COLUMNS]
+        )
+        df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    else:
+        raise ValueError(
+            f"unknown corpus format {format!r} (parquet | iceberg | jsonl)"
+        )
+    missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"corpus at {path!r} is missing required columns {missing}; "
+            f"expected {list(CORPUS_COLUMNS)}, found {df.columns}"
+        )
+    return df.select(*CORPUS_COLUMNS)
+
+
 # FIXTURES.md F3 — the reference query set: single/multi-term, numbers,
 # capitalized phrase, hashtag, mention, stop-words-only (→ empty result,
 # search_engine.py:133-134), and out-of-vocabulary terms.

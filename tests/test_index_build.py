@@ -32,6 +32,58 @@ def test_scalars_match_oracle(spark, index_1k, oracle_1k):
     assert man.data["stages"]["term_dict"]["shuffle_write_bytes"] > 0
 
 
+def test_jsonl_corpus_reads_and_builds_identically(spark, tmp_path):
+    """read_corpus(format='jsonl'): gzip'd newline-delimited JSON builds
+    a rank/score-identical index to the same rows read from parquet —
+    and the explicit schema means no inference pass and loud failures
+    on missing columns."""
+    import gzip
+    import json as _json
+
+    import pytest
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search
+    from searchengine_spark.sources.corpus import corpus_pdf, read_corpus
+
+    pdf = corpus_pdf(200, seed=9)
+    jl = tmp_path / "corpus.jsonl.gz"
+    with gzip.open(jl, "wt") as f:
+        for row in pdf.to_dict("records"):
+            f.write(_json.dumps(row) + "\n")
+    pq = str(tmp_path / "corpus_pq")
+    spark.createDataFrame(pdf).write.parquet(pq)
+
+    dj = read_corpus(spark, str(jl), format="jsonl")
+    dp = read_corpus(spark, pq, format="parquet")
+    assert dj.columns == dp.columns
+    assert sorted(map(tuple, dj.collect())) == sorted(map(tuple, dp.collect()))
+
+    idx_j = str(tmp_path / "idx_j")
+    idx_p = str(tmp_path / "idx_p")
+    build_index(spark, dj, idx_j, range_width=64, n_groups=2)
+    build_index(spark, dp, idx_p, range_width=64, n_groups=2)
+    for q in ("tokenizer", "def return", "result key"):
+        rj = [(r["doc_id"], round(r["score"], 9))
+              for r in search(spark, idx_j, q, k=10).collect()]
+        rp = [(r["doc_id"], round(r["score"], 9))
+              for r in search(spark, idx_p, q, k=10).collect()]
+        assert rj == rp, q
+
+    # FAILFAST: a malformed JSON line fails the read loudly
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"repo": "r", "path": }not json\n')
+    with pytest.raises(Exception, match="(?i)malformed|failfast"):
+        read_corpus(spark, str(bad), format="jsonl").collect()
+    # columnar formats validate the schema up front
+    pq_bad = str(tmp_path / "pq_bad")
+    spark.createDataFrame(pdf[["repo", "path"]]).write.parquet(pq_bad)
+    with pytest.raises(ValueError, match="missing required columns"):
+        read_corpus(spark, pq_bad, format="parquet")
+    with pytest.raises(ValueError, match="unknown corpus format"):
+        read_corpus(spark, pq, format="orc")
+
+
 def test_doc_map_sha_integrity(spark, index_1k, oracle_1k):
     """Per-row content sha256 equality vs oracle corpus (input_hint invariant)."""
     import hashlib
