@@ -131,13 +131,25 @@ def stream_ingest(
     checkpoint: str,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    source_format: str = "parquet",
 ):
-    """Start (and for availableNow: drain) the ingestion stream."""
+    """Start (and for availableNow: drain) the ingestion stream.
+    ``source_format``: ``parquet`` (default) or ``jsonl`` — the same two
+    file shapes as the batch boundary (sources.read_corpus), read under
+    the explicit corpus schema either way (a streaming json source MUST
+    have one — there is nothing to infer from yet-unwritten files)."""
     os.makedirs(index_dir, exist_ok=True)
     r = spark.readStream.schema(CORPUS_SCHEMA)
     if max_files_per_trigger:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = r.parquet(source_dir)
+    if source_format == "parquet":
+        stream = r.parquet(source_dir)
+    elif source_format == "jsonl":
+        stream = r.option("mode", "FAILFAST").json(source_dir)
+    else:
+        raise ValueError(
+            f"unknown source_format {source_format!r} (parquet | jsonl)"
+        )
 
     # scope batch ids to this stream: ids restart at 0 per checkpoint. The
     # id is a nonce stored INSIDE the checkpoint dir (not a hash of its

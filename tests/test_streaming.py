@@ -75,6 +75,39 @@ def streamed_vs_batch(spark, tmp_path_factory):
     return stream_idx, batch_idx
 
 
+def test_ingest_jsonl_source_identical(spark, tmp_path):
+    """stream_ingest(source_format='jsonl'): streaming the same rows as
+    newline-delimited JSON builds (after compaction) an index with an
+    identical term_dict to the parquet-streamed one; unknown formats
+    refuse loudly."""
+    import gzip
+    import json as _json
+
+    pdf = corpus_pdf(150, seed=13).sort_values(["repo", "path", "commit"])
+    for i, s in enumerate((pdf.iloc[:75], pdf.iloc[75:])):
+        os.makedirs(f"{tmp_path}/src_jl", exist_ok=True)
+        with gzip.open(f"{tmp_path}/src_jl/slice{i}.jsonl.gz", "wt") as f:
+            for row in s.to_dict("records"):
+                f.write(_json.dumps(row) + "\n")
+        spark.createDataFrame(s).coalesce(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/src_pq/slice={i}"
+        )
+    idx_j, idx_p = f"{tmp_path}/idx_j", f"{tmp_path}/idx_p"
+    ing.stream_ingest(spark, f"{tmp_path}/src_jl", idx_j, f"{tmp_path}/ck_j",
+                      max_files_per_trigger=1, source_format="jsonl")
+    ing.stream_ingest(spark, f"{tmp_path}/src_pq", idx_p, f"{tmp_path}/ck_p",
+                      max_files_per_trigger=1)
+    assert len(Manifest(idx_j).data["ingest_batches"]) == 2
+    ing.compact(spark, idx_j, n_groups=2)
+    ing.compact(spark, idx_p, n_groups=2)
+    tj = sorted(map(tuple, spark.read.parquet(f"{idx_j}/term_dict").collect()))
+    tp = sorted(map(tuple, spark.read.parquet(f"{idx_p}/term_dict").collect()))
+    assert tj == tp and tj
+    with pytest.raises(ValueError, match="unknown source_format"):
+        ing.stream_ingest(spark, f"{tmp_path}/src_jl", idx_j,
+                          f"{tmp_path}/ck_x", source_format="csv")
+
+
 def test_ingest_compact_term_dict_identical(spark, streamed_vs_batch):
     stream_idx, batch_idx = streamed_vs_batch
     a = _norm(spark.read.parquet(f"{stream_idx}/term_dict").toPandas())
