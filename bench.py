@@ -144,7 +144,8 @@ def main() -> None:
         "language_id", "ann_cosine_topk", "ann_filtered", "ann_batch_topk", "ann_mmr_topk",
         "lineitem_pricing",
         "top_customers", "events_hourly", "events_sessions",
-        "first_seen_docs", "dup_ngrams", "unigram_logprob", "bpe_token_counts",
+        "first_seen_docs", "dup_ngrams", "exact_substr_dedup",
+        "unigram_logprob", "bpe_token_counts",
         "train_val_split", "per_source_cap", "decontaminate",
         "redact_secrets", "gopher_repetition",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",

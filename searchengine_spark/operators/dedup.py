@@ -343,3 +343,91 @@ def simhash(
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return sums.select(id_col, fp.cast("long").alias("simhash"))
+
+
+def remove_duplicate_spans(
+    df: DataFrame, n: int = 50, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring span dedup — the REMOVAL transform from Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"
+    (2022, their ExactSubstr pass), restated at token granularity for
+    Spark: any n-token span that occurs at more than one (doc, position)
+    corpus-wide keeps only its FIRST occurrence (minimum (doc_id, pos)),
+    and every token covered by a non-first occurrence is dropped from
+    the rewritten text. Complements ``textstats.dup_ngram_stats`` (the
+    SIGNAL) with the transform a training pipeline actually applies.
+
+    Operates on RAW whitespace tokens (no lowercasing, no analyzer) so
+    the rewrite is byte-faithful modulo whitespace normalization; the
+    reference paper cuts byte ranges, which token granularity
+    approximates one token coarser. Returns
+    ``(doc_id, clean_text, n_tokens, n_removed)`` for every input doc
+    (sub-n-token docs pass through with n_removed = 0).
+
+    Shape at 100 TB: span extraction is a JVM transform over the token
+    array; duplicate detection + winner election is ONE groupBy(gram)
+    (min(struct(doc_id, pos)) elects the survivor in the same agg that
+    counts) and one join back — the dup_ngram_stats two-shuffle shape,
+    gram-hash uniform, no skew hotspot. Grams shuffle as xxhash64 longs
+    (same collision trade as dup_ngram_stats; the SQL oracle groups the
+    gram STRINGS, so a collision would fail the hash gate rather than
+    hide). Removal starts fold back per doc as one sorted array; the
+    token mask is a JVM exists() over that array — O(tokens × dup-spans
+    in the doc), with dup-spans bounded by the doc's own length.
+    """
+    arr = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+    base = df.select(id_col, arr.alias("_arr"))
+    occ = (
+        base.where(F.size("_arr") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_arr") - n),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice(F.col("_arr"), i + 1, n))
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select(id_col, F.col("o.pos").alias("pos"), F.col("o.gram").alias("gram"))
+        .localCheckpoint(eager=False)
+    )
+    winners = (
+        occ.groupBy("gram")
+        .agg(
+            F.count("*").alias("c"),
+            F.min(F.struct(id_col, "pos")).alias("w"),
+        )
+        .where(F.col("c") > 1)
+        .select("gram", F.col("w." + id_col).alias("_wd"), F.col("w.pos").alias("_wp"))
+    )
+    removals = (
+        occ.join(winners, "gram")
+        .where(~((F.col(id_col) == F.col("_wd")) & (F.col("pos") == F.col("_wp"))))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    starts = F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    # guard size==0: Spark sequence(0, -1) DESCENDS instead of being empty
+    keep = F.when(F.size("_arr") == 0, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(0), F.size("_arr") - 1),
+            lambda p: ~F.exists(starts, lambda s: (s <= p) & (p < s + n)),
+        )
+    )
+    return (
+        base.join(removals, id_col, "left")
+        .select(
+            id_col,
+            F.concat_ws(
+                " ",
+                F.transform(keep, lambda p: F.element_at("_arr", p + 1)),
+            ).alias("clean_text"),
+            F.size("_arr").cast("long").alias("n_tokens"),
+            (F.size("_arr") - F.size(keep)).cast("long").alias("n_removed"),
+        )
+    )

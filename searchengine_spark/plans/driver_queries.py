@@ -1103,6 +1103,18 @@ def q_dup_ngrams(spark, sf_dir):
     return textstats.dup_ngram_stats(_docs(spark, sf_dir), n=5)
 
 
+def q_exact_substr_dedup(spark, sf_dir):
+    """Exact-substring span REMOVAL (Lee et al. 2022 ExactSubstr, token
+    granularity): every 8-token span occurring at >1 (doc, position)
+    corpus-wide keeps only its first occurrence; covered tokens are cut
+    from the rewritten text (dedup.remove_duplicate_spans). The oracle
+    replays winner election (row_number over (doc_id, pos) per gram
+    string) and the coverage mask over the same whitespace tokens."""
+    from searchengine_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf_dir), n=8)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Mean corpus-unigram log-probability per doc (KenLM-quality
     stand-in, CCNet-style filtering signal)."""
@@ -2190,6 +2202,7 @@ QUERIES = {
     "bm25_merged": q_bm25_merged,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
+    "exact_substr_dedup": q_exact_substr_dedup,
     "unigram_logprob": q_unigram_logprob,
     "train_val_split": q_train_val_split,
     "per_source_cap": q_per_source_cap,
@@ -2542,6 +2555,37 @@ ORACLES = {
         " round(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)"
         "   AS dup_fraction"
         " FROM grams JOIN gdf USING (gram) GROUP BY doc_id"
+    ),
+    # ExactSubstr span removal: winner = first (doc_id, pos) per duplicated
+    # 8-token gram (row_number), removal mask = coverage by any non-winner
+    # occurrence; the engine shuffles xxhash64(gram) where the oracle
+    # groups the gram STRING, so a hash collision fails the gate loudly
+    "exact_substr_dedup": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr"
+        " FROM documents),"
+        " occ AS (SELECT doc_id, i - 1 AS pos,"
+        "   array_to_string(arr[i:i+7], ' ') AS gram"
+        "   FROM (SELECT doc_id, arr,"
+        "         unnest(generate_series(1, len(arr) - 7)) AS i"
+        "         FROM t WHERE len(arr) >= 8)),"
+        " d AS (SELECT doc_id, pos,"
+        "   row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,"
+        "   count(*) OVER (PARTITION BY gram) AS c FROM occ),"
+        " rem AS (SELECT DISTINCT doc_id, pos FROM d WHERE c > 1 AND rn > 1),"
+        " toks AS (SELECT doc_id, unnest(generate_series(1, len(arr))) AS j"
+        "   FROM t),"
+        " kept AS (SELECT tt.doc_id, tt.j FROM toks tt WHERE NOT EXISTS"
+        "   (SELECT 1 FROM rem r WHERE r.doc_id = tt.doc_id"
+        "    AND r.pos <= tt.j - 1 AND tt.j - 1 < r.pos + 8)),"
+        " ktok AS (SELECT k.doc_id, k.j, t.arr[k.j] AS tok"
+        "   FROM kept k JOIN t USING (doc_id)),"
+        " agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text,"
+        "   count(*) AS n_kept FROM ktok GROUP BY doc_id)"
+        " SELECT t.doc_id, coalesce(agg.clean_text, '') AS clean_text,"
+        " CAST(len(t.arr) AS BIGINT) AS n_tokens,"
+        " CAST(len(t.arr) - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed"
+        " FROM t LEFT JOIN agg USING (doc_id)"
     ),
     # hash_split(method='md5'): u = md5int('split:'||id)/2^32, labels by
     # cumulative weight in sorted-label order (test .1 | train .8 | val .1)

@@ -741,3 +741,39 @@ def test_gopher_repetition_signals(spark):
     assert got[2]["dup_line_frac"] == 0.0
     assert got[3]["top_2gram_frac"] == 0.0
     assert got[4]["n_lines"] == 2 and got[4]["dup_line_frac"] == 0.5
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    """ExactSubstr span removal: the FIRST (doc_id, pos) occurrence of a
+    duplicated n-token span survives, every other occurrence's covered
+    tokens are cut; overlapping coverage unions; non-duplicated text and
+    short/empty docs pass through; raw tokens keep their case."""
+    from searchengine_spark.operators.dedup import remove_duplicate_spans
+
+    span = "Alpha beta GAMMA delta epsilon zeta"
+    rows = [
+        (0, f"{span} unique0 tail0"),          # winner (min doc_id, pos)
+        (1, f"pre1 {span} post1"),             # loses the span
+        (2, span),                              # fully removed
+        (3, "totally different words with no overlap at all ok"),
+        (4, ""),                                # empty doc: safe
+        (5, "tiny doc"),                        # shorter than n
+        # overlapping dup spans: doc 6 repeats the span twice -> its
+        # second occurrence AND both occurrences' overlap resolve to
+        # one winner (doc 0) + union coverage here
+        (6, f"{span} mid6 {span}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(df, n=6).collect()}
+    assert out[0]["clean_text"] == f"{span} unique0 tail0"
+    assert out[0]["n_removed"] == 0
+    assert out[1]["clean_text"] == "pre1 post1" and out[1]["n_removed"] == 6
+    assert out[2]["clean_text"] == "" and out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0
+    assert out[4] and out[4]["n_tokens"] == 0 and out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "tiny doc" and out[5]["n_removed"] == 0
+    assert out[6]["clean_text"] == "mid6" and out[6]["n_removed"] == 12
+    # conservation: n_tokens == kept + removed, for every doc
+    for r in out.values():
+        kept = len([t for t in r["clean_text"].split(" ") if t])
+        assert r["n_tokens"] == kept + r["n_removed"], r
