@@ -37,9 +37,10 @@ def main() -> None:
                     help="Porter stemming at index time (P12; queries stem "
                          "symmetrically via the manifest flag)")
     ap.add_argument("--analyzer", default="reference",
-                    choices=["reference", "raw"],
-                    help="tokenizer: reference-faithful pipeline or plain "
-                         "lowercase [a-z0-9]+ split (manifest-recorded; "
+                    choices=["reference", "raw", "code"],
+                    help="tokenizer: reference-faithful pipeline, plain "
+                         "lowercase [a-z0-9]+ split, or code-identifier "
+                         "camelCase/acronym subtokens (manifest-recorded; "
                          "queries parse symmetrically)")
     ap.add_argument("--k1", type=float, default=None,
                     help="BM25 k1 (default 1.2; manifest-recorded)")

@@ -404,8 +404,9 @@ def build_index(
     ``stem=True`` turns on Porter stemming (P12) at index time; the flag is
     recorded in the manifest so the query path stems symmetrically.
     ``analyzer`` selects the tokenizer (see ``tokenize_docs``): the
-    reference pipeline or the plain ``raw`` lowercase split — also
-    recorded in the manifest for symmetric query parsing.
+    reference pipeline, the plain ``raw`` lowercase split, or the ``code``
+    identifier-splitting analyzer — also recorded in the manifest for
+    symmetric query parsing.
     ``k1``/``b`` override the BM25 parameters (defaults: the
     reference-fixed 1.2/0.75); recorded in the manifest so block-max
     packing and every query path use the same values."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from searchengine_spark.functions.tokenizer import tokenize
@@ -50,6 +51,86 @@ def raw_token_counts(text: str) -> dict:
     return d
 
 
+_CODE_RES = None  # compiled lazily in the workers
+
+
+def code_token_counts(text: str) -> dict:
+    """The ``code`` analyzer: identifiers (``[A-Za-z0-9]+`` runs) are split
+    at camelCase (``getUser`` → get, user) and ACRONYMWord (``HTTPServer`` →
+    http, server) boundaries into lowercase subtokens, and the whole
+    lowercased identifier is emitted too whenever it split into more than
+    one piece (Lucene WordDelimiter ``preserveOriginal`` semantics) so an
+    exact-identifier query still matches it directly. Returns {term: tf}.
+
+    The boundary rules are two global regexp substitutions applied in a
+    fixed order — acronym first, then lower/digit→upper — chosen because the
+    exact same chain is expressible as JVM ``regexp_replace`` columns
+    (``code_tokens`` below) and in the DuckDB oracle, so all three
+    implementations are replayable against each other."""
+    global _CODE_RES
+    if _CODE_RES is None:
+        import re
+
+        _CODE_RES = (
+            re.compile(r"[A-Za-z0-9]+"),
+            re.compile(r"([A-Z]+)([A-Z][a-z])"),
+            re.compile(r"([a-z0-9])([A-Z])"),
+        )
+    ident_re, acro_re, camel_re = _CODE_RES
+    d: dict = {}
+    for ident in ident_re.findall(text):
+        subs = camel_re.sub(r"\1 \2", acro_re.sub(r"\1 \2", ident)).lower().split(" ")
+        for t in subs:
+            d[t] = d.get(t, 0) + 1
+        if len(subs) > 1:
+            w = ident.lower()
+            d[w] = d.get(w, 0) + 1
+    return d
+
+
+def analyzer_fn(analyzer: str):
+    """Named analyzer → ``text -> {term: tf}`` counts function: the single
+    seam the index build (``tokenize_docs``) and the query parser
+    (``wand.fold_query_terms_batch``, keyed off the manifest ``analyzer``
+    scalar) share, so both sides always tokenize symmetrically."""
+    try:
+        return {
+            "reference": tokenize,
+            "raw": raw_token_counts,
+            "code": code_token_counts,
+        }[analyzer]
+    except KeyError:
+        raise ValueError(f"unknown analyzer {analyzer!r}") from None
+
+
+def code_tokens(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Declarative pure-JVM twin of ``code_token_counts`` → (id, term) long
+    form, one row per token occurrence. ``regexp_replace``/``split``/
+    ``explode`` only — whole-stage-codegen on the hot path, SQL-portable
+    (the DuckDB gate oracle mirrors the chain verbatim). The Arrow stage
+    above is what the engine's index build uses; this is the dedup/
+    textstats-style DataFrame surface."""
+    spaced = F.regexp_replace(
+        F.regexp_replace(F.col("ident"), "([A-Z]+)([A-Z][a-z])", "$1 $2"),
+        "([a-z0-9])([A-Z])",
+        "$1 $2",
+    )
+    subs = F.split(F.lower(spaced), " ")
+    toks = F.when(
+        F.size(subs) > 1, F.concat(subs, F.array(F.lower(F.col("ident"))))
+    ).otherwise(subs)
+    return (
+        df.select(
+            id_col,
+            F.explode(F.split(F.col(text_col), "[^A-Za-z0-9]+")).alias("ident"),
+        )
+        .where(F.col("ident") != "")
+        .select(id_col, F.explode(toks).alias("term"))
+    )
+
+
 def tokenize_docs(
     docs_with_id: DataFrame,
     text_col: str = "content",
@@ -63,13 +144,13 @@ def tokenize_docs(
     matching the reference's config toggle (configuration.py:7).
 
     ``analyzer`` selects the tokenizer: ``"reference"`` (default) is the
-    quirk-faithful reference pipeline (functions/tokenizer.py);
-    ``"raw"`` is the plain lowercase ``[a-z0-9]+`` split — the pluggable-
-    analyzer seam every production index has. The flag is recorded in the
-    manifest by ``build_index`` so queries tokenize symmetrically."""
-    if analyzer not in ("reference", "raw"):
-        raise ValueError(f"unknown analyzer {analyzer!r}")
-    raw = analyzer == "raw"
+    quirk-faithful reference pipeline (functions/tokenizer.py); ``"raw"``
+    is the plain lowercase ``[a-z0-9]+`` split; ``"code"`` adds camelCase/
+    acronym subtoken splitting with preserved whole identifiers
+    (``code_token_counts``) — the pluggable-analyzer seam every production
+    index has. The flag is recorded in the manifest by ``build_index`` so
+    queries tokenize symmetrically."""
+    counts = analyzer_fn(analyzer)
     if stem:
         from searchengine_spark.functions.stemmer import stem_terms
 
@@ -77,7 +158,7 @@ def tokenize_docs(
         for b in batches:
             doc_ids, terms, tfs, dls = [], [], [], []
             for doc_id, text in zip(b["doc_id"].values, b[text_col].values):
-                d = raw_token_counts(text or "") if raw else tokenize(text or "")
+                d = counts(text or "")
                 if stem and d:
                     d = stem_terms(d)
                 if not d:

@@ -40,7 +40,6 @@ from searchengine_spark.functions.codec import (
     unpack_block,
     unpack_run,
 )
-from searchengine_spark.functions.tokenizer import tokenize
 from searchengine_spark.plans.manifest import Manifest
 
 RESULT_SCHEMA = T.StructType(
@@ -103,12 +102,10 @@ def fold_query_terms_batch(
     plain lowercase split.
     """
     s = Manifest(index_dir).scalars
-    if s.get("analyzer", "reference") == "raw":
-        from searchengine_spark.operators.tokenize import raw_token_counts
+    from searchengine_spark.operators.tokenize import analyzer_fn
 
-        qdicts = [raw_token_counts(q) for q in queries]
-    else:
-        qdicts = [tokenize(q) for q in queries]
+    counts = analyzer_fn(s.get("analyzer", "reference"))
+    qdicts = [counts(q) for q in queries]
     if s.get("stemming"):
         from searchengine_spark.functions.stemmer import stem_terms
 

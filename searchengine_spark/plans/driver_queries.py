@@ -21,6 +21,7 @@ import os
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators import dedup, similarity, textstats
+from searchengine_spark.operators.tokenize import code_tokens
 
 K1, B = 1.2, 0.75
 QTERMS = ["fast", "key", "order"]  # fixed query for BM25/intersection entries
@@ -41,6 +42,35 @@ SQL_DOC_TERMS = (
     "GROUP BY doc_id, term"
 )
 _QLIST = ",".join(f"'{t}'" for t in QTERMS)
+
+# Code-analyzer entries: documents.text has no camelCase, so the entries
+# plant a deterministic camel identifier per doc in front of the text (the
+# same non-vacuity device as embedding_dup_prod) — 'Get'||source||'HandlerV2'
+# splits into 3 subtokens plus a source-specific whole identifier.
+_SQL_CODE_TEXT = "'Get' || source || 'HandlerV2 ' || text"
+# DuckDB mirror of operators/tokenize.code_tokens: identifiers split on
+# non-alnum, camel/acronym boundaries spaced by the same two global regexp
+# substitutions in the same order, whole identifier appended when it split.
+SQL_CODE_TOKENS = (
+    "SELECT doc_id, unnest(CASE WHEN len(subs) > 1"
+    " THEN list_append(subs, lower(ident)) ELSE subs END) AS term FROM ("
+    "SELECT doc_id, ident, string_split(lower(regexp_replace(regexp_replace("
+    "ident, '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
+    " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), ' ') AS subs FROM ("
+    f"SELECT doc_id, unnest(string_split_regex({_SQL_CODE_TEXT},"
+    " '[^A-Za-z0-9]+')) AS ident FROM documents) WHERE ident <> '')"
+)
+SQL_CODE_DOC_TERMS = (
+    f"SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ({SQL_CODE_TOKENS})"
+    " GROUP BY doc_id, term"
+)
+CODE_QUERY = "Getsrc3HandlerV2 key order"
+# code_token_counts(CODE_QUERY) keys, pinned literally so the oracle term
+# list cannot drift from the analyzer (tests/test_code_analyzer.py asserts
+# they stay equal): exact whole-identifier match + its subtokens + plain
+# terms, spanning the df spectrum (getsrc3* ≈ 1/20 of docs, handler/v2 all).
+CODE_QTERMS = ["getsrc3", "handler", "v2", "getsrc3handlerv2", "key", "order"]
+_CODE_QLIST = ",".join(f"'{t}'" for t in CODE_QTERMS)
 
 
 def _md5int_sql(expr: str) -> str:
@@ -159,19 +189,27 @@ def q_tfidf(spark, sf_dir):
     )
 
 
-def _bm25_topk_over(spark, sf_dir, terms, eligible=None, exclude_doc=None):
+def _bm25_topk_over(spark, sf_dir, terms, eligible=None, exclude_doc=None, dt=None):
     """Shared BM25 top-20 tail for the retrieval entries: pushed term
     filter (+ optional eligibility semi-join below the stats/weights
     joins, + optional seed exclusion), broadcast term_dict, two-phase
     agg, (score desc, doc_id asc) LIMIT 20. Every BM25-shaped entry
-    (bm25_topk / bm25_filtered / phrase_topk / more_like_this) routes
-    through here so the scoring form cannot drift between them."""
+    (bm25_topk / bm25_filtered / phrase_topk / more_like_this /
+    code_bm25_topk) routes through here so the scoring form cannot drift
+    between them. ``dt`` overrides the (doc_id, term, tf) token source
+    (default: the shared analysis-tokenizer doc_terms); stats and term
+    df then derive from the override so corpus statistics always match
+    the analyzer that produced the tokens."""
     docs = _docs(spark, sf_dir)
     n = docs.count()
-    dt = q_doc_terms(spark, sf_dir)
-    stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
+    if dt is None:
+        dt = q_doc_terms(spark, sf_dir)
+        stats = q_doc_stats(spark, sf_dir).select("doc_id", "dl")
+        td = q_term_dict(spark, sf_dir).select("term", "df")
+    else:
+        stats = dt.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+        td = dt.groupBy("term").agg(F.count("*").alias("df"))
     avgdl = stats.agg(F.avg("dl")).collect()[0][0]
-    td = q_term_dict(spark, sf_dir).select("term", "df")
     contrib = dt.where(F.col("term").isin(list(terms)))
     if exclude_doc is not None:
         contrib = contrib.where(F.col("doc_id") != exclude_doc)
@@ -218,6 +256,60 @@ def q_bm25_filtered(spark, sf_dir):
         .select("doc_id")
     )
     return _bm25_topk_over(spark, sf_dir, QTERMS, eligible=eligible)
+
+
+# code-analyzer doc_terms is the shared prefix of both code entries; cached
+# per (app, sf_dir) like _DT_CACHE so code_bm25_topk doesn't re-tokenize
+# for its stats/df/contribution branches
+_CODE_DT_CACHE: dict = {}
+
+
+def _q_code_doc_terms(spark, sf_dir):
+    """(doc_id, term, tf) under the ``code`` analyzer (camel/acronym
+    subtokens + preserved whole identifiers, operators/tokenize.code_tokens)
+    over documents with a deterministic planted camel identifier
+    ('Get'||source||'HandlerV2 ' — the raw table has no camelCase, and a
+    never-splitting corpus would leave the whole-identifier branch
+    vacuous)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    return _cache_get(
+        _CODE_DT_CACHE,
+        key,
+        lambda: (
+            code_tokens(
+                _docs(spark, sf_dir).select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("Get"), F.col("source"), F.lit("HandlerV2 "), F.col("text")
+                    ).alias("text"),
+                )
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").cast("long").alias("tf"))
+            .cache()
+        ),
+    )
+
+
+def q_code_term_dict(spark, sf_dir):
+    """Per-term df/cf under the code analyzer — pins the full token stream
+    (subtoken boundaries AND preserved-original emission) against the
+    DuckDB regexp-chain replay."""
+    return _q_code_doc_terms(spark, sf_dir).groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+
+
+def q_code_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for a camel-identifier query over the code-analyzed
+    corpus: CODE_QUERY analyzes to exact-identifier + subtoken + plain
+    terms, so ranking rewards docs matching the whole identifier over docs
+    that merely share its fragments — the code-search behavior the
+    preserved-original emission exists for."""
+    return _bm25_topk_over(
+        spark, sf_dir, CODE_QTERMS, dt=_q_code_doc_terms(spark, sf_dir)
+    )
 
 
 def q_candidates(spark, sf_dir):
@@ -2185,6 +2277,8 @@ QUERIES = {
     "near_match": q_near_match,
     "phrase_topk_idx": q_phrase_topk_idx,
     "bpe_token_counts": q_bpe_token_counts,
+    "code_term_dict": q_code_term_dict,
+    "code_bm25_topk": q_code_bm25_topk,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_filtered": q_ann_filtered,
     "ann_batch_topk": q_ann_batch_topk,
@@ -2316,6 +2410,23 @@ ORACLES = {
         f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
         f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
         " AND dt.doc_id IN (SELECT doc_id FROM el)"
+        ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+    ),
+    "code_term_dict": (
+        "SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT)"
+        f" AS cf FROM ({SQL_CODE_DOC_TERMS}) GROUP BY term"
+    ),
+    "code_bm25_topk": (
+        f"WITH dt AS ({SQL_CODE_DOC_TERMS}),"
+        " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+        " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+        " n AS (SELECT count(*) AS n FROM documents),"
+        " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+        f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+        f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_CODE_QLIST})"
         ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
     ),
     "candidates_k_of_n": (

@@ -1,0 +1,128 @@
+"""Code analyzer: camelCase/acronym identifier splitting with preserved
+whole identifiers (Lucene WordDelimiter ``preserveOriginal`` semantics).
+
+Three implementations must agree: the Python worker function
+(``code_token_counts``, used by the Arrow build stage and the query
+parser), the declarative JVM column chain (``code_tokens``, used by the
+gate entries), and the DuckDB oracle replay (exercised by
+tests/test_driver_queries.py and the correctness gate).
+"""
+
+from collections import Counter
+
+import pytest
+
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.tokenize import (
+    analyzer_fn,
+    code_token_counts,
+    code_tokens,
+)
+from searchengine_spark.operators.wand import search, search_join
+from searchengine_spark.plans.manifest import Manifest
+
+
+GOLDENS = {
+    "getUserName": {"get": 1, "user": 1, "name": 1, "getusername": 1},
+    "HTTPServer": {"http": 1, "server": 1, "httpserver": 1},
+    "parseHTTPResponse": {
+        "parse": 1, "http": 1, "response": 1, "parsehttpresponse": 1,
+    },
+    "utf8Decode": {"utf8": 1, "decode": 1, "utf8decode": 1},
+    # greedy acronym backoff: ABCDef -> ABC + Def on both regex engines
+    "ABCDef": {"abc": 1, "def": 1, "abcdef": 1},
+    # snake_case splits at the non-alnum boundary first; single-sub
+    # identifiers do NOT re-emit the whole (no double counting)
+    "snake_case": {"snake": 1, "case": 1},
+    "plain lower words": {"plain": 1, "lower": 1, "words": 1},
+    "x9Y": {"x9": 1, "y": 1, "x9y": 1},
+    "Getsrc3HandlerV2": {
+        "getsrc3": 1, "handler": 1, "v2": 1, "getsrc3handlerv2": 1,
+    },
+    "": {},
+    "  __ ++ ": {},
+    # non-ASCII letters are identifier separators (identifiers are the
+    # ASCII-alnum runs), so accents split identifiers in all three engines
+    "héllo WörldFoo": {"h": 1, "llo": 1, "w": 1, "rld": 1, "foo": 1,
+                       "rldfoo": 1},
+    "fast fast Fast": {"fast": 3},
+}
+
+
+def test_code_token_counts_goldens():
+    for text, want in GOLDENS.items():
+        assert code_token_counts(text) == want, text
+
+
+def test_code_qterms_pinned():
+    """The oracle's literal term list cannot drift from the analyzer."""
+    from searchengine_spark.plans.driver_queries import CODE_QTERMS, CODE_QUERY
+
+    assert set(code_token_counts(CODE_QUERY)) == set(CODE_QTERMS)
+    assert len(CODE_QTERMS) == len(set(CODE_QTERMS))
+
+
+def test_analyzer_fn_dispatch():
+    assert analyzer_fn("code") is code_token_counts
+    with pytest.raises(ValueError, match="unknown analyzer"):
+        analyzer_fn("porter")
+
+
+def test_declarative_matches_python(spark):
+    """code_tokens (JVM regexp chain) ≡ code_token_counts (worker regex)
+    on every golden plus a mixed document, occurrence-for-occurrence."""
+    texts = list(GOLDENS) + [
+        "def getUserName(self): return self.userName or USER_NAME",
+        "HTML5Parser v2 beats html5parser V1; XMLHttpRequest2 stays",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got: dict = {}
+    for r in code_tokens(df).collect():
+        got.setdefault(r["doc_id"], Counter())[r["term"]] += 1
+    for i, t in enumerate(texts):
+        assert dict(got.get(i, {})) == code_token_counts(t), t
+
+
+def test_code_index_end_to_end(spark, tmp_path):
+    """analyzer='code' round-trip: doc_terms equal the analyzer counts,
+    queries parse symmetrically (manifest-recorded), exact-identifier
+    matches outrank fragment matches, and WAND equals the declarative
+    cross-check scorer."""
+    rows = [
+        ("r", "impl.py", "c" * 40, "py",
+         "def getUserName(self): return user"),
+        ("r", "frag.py", "c" * 40, "py",
+         "get the user name from the request user"),
+        ("r", "other.py", "c" * 40, "py",
+         "unrelated HTTPServer words entirely"),
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    idx = str(tmp_path / "idx")
+    build_index(spark, spark.createDataFrame(rows, schema), idx,
+                range_width=16, n_groups=1, analyzer="code")
+    assert Manifest(idx).scalars["analyzer"] == "code"
+
+    dm = {r["path"]: r["doc_id"]
+          for r in spark.read.parquet(f"{idx}/doc_map").collect()}
+    dt = spark.read.parquet(f"{idx}/doc_terms").toPandas()
+    got = {(int(r.doc_id), r.term): int(r.tf)
+           for r in dt.itertuples(index=False)}
+    want = {}
+    for _, path, _, _, content in rows:
+        for t, n in code_token_counts(content).items():
+            want[(dm[path], t)] = n
+    assert got == want
+
+    # whole-identifier term (df=1, high idf) puts impl.py first even though
+    # frag.py matches the get/user/name fragments more often
+    out = [(d, s) for d, s in search(spark, idx, "getUserName", k=3)
+           .select("doc_id", "score").collect()]
+    assert out and out[0][0] == dm["impl.py"]
+    assert {d for d, _ in out} == {dm["impl.py"], dm["frag.py"]}
+    cross = [(d, s) for d, s in search_join(spark, idx, "getUserName", k=3)
+             .select("doc_id", "score").collect()]
+    assert [(d, round(s, 9)) for d, s in out] == [
+        (d, round(s, 9)) for d, s in cross
+    ]
