@@ -218,6 +218,7 @@ def main() -> None:
     timed("score_explain", lambda: QUERIES["score_explain"](spark, sf_dir).count())
     timed("bm25_page2", lambda: QUERIES["bm25_page2"](spark, sf_dir).count())
     timed("spell_suggest", lambda: QUERIES["spell_suggest"](spark, sf_dir).count())
+    timed("prefix_complete", lambda: QUERIES["prefix_complete"](spark, sf_dir).count())
 
     # production-shaped semantic dedup: the gated embedding_dup_clusters
     # entry runs low-bit/low-threshold CALIBRATION parameters (the

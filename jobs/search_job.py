@@ -41,6 +41,14 @@ def main() -> None:
     ap.add_argument("--hybrid-n-each", type=int, default=100,
                     help="per-leg top-N fed to the fuse")
     ap.add_argument("--rrf-c", type=int, default=60)
+    ap.add_argument("--complete", action="store_true",
+                    help="treat each query as an autocomplete prefix: print "
+                    "the top-k (term, df) completions, most-common-first "
+                    "(boolquery.complete_prefix)")
+    ap.add_argument("--suggest", action="store_true",
+                    help="treat each query as a misspelled word: print the "
+                    "top-k (term, df, dist) did-you-mean corrections "
+                    "(boolquery.suggest_terms)")
     args = ap.parse_args()
 
     queries = list(args.query)
@@ -53,6 +61,29 @@ def main() -> None:
     from searchengine_spark.session import get_session
 
     spark = get_session(app_name="searchengine-search")
+    if args.complete or args.suggest:
+        if args.bool or args.where or args.hybrid_embeddings or args.scorer != "wand":
+            raise SystemExit("--complete/--suggest are dictionary lookups "
+                             "(no --bool/--where/--hybrid/--scorer cosine)")
+        from searchengine_spark.operators.boolquery import (
+            complete_prefix,
+            suggest_terms,
+        )
+
+        for q in queries:
+            if args.complete:
+                rows = complete_prefix(spark, args.index_dir, q, k=args.k).collect()
+                print(json.dumps({"prefix": q, "completions": [
+                    {"term": r["term"], "df": r["df"]} for r in rows
+                ]}))
+            else:
+                rows = suggest_terms(spark, args.index_dir, q, k=args.k).collect()
+                print(json.dumps({"word": q, "suggestions": [
+                    {"term": r["term"], "df": r["df"], "dist": r["dist"]}
+                    for r in rows
+                ]}))
+        spark.stop()
+        return
     if args.hybrid_embeddings:
         if args.bool or args.where or args.scorer != "wand":
             raise SystemExit("--hybrid-embeddings composes plain BM25 "

@@ -414,6 +414,28 @@ def suggest_terms(
     return spark.createDataFrame(cand, "term string, df long, dist int")
 
 
+def complete_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    k: int = 10,
+    max_expansions: int = 1024,
+) -> DataFrame:
+    """Autocomplete: the ``k`` vocabulary completions of ``prefix`` ranked
+    (df desc, term asc) — most-common-first, the conventional search-box
+    policy (complements :func:`suggest_terms`' did-you-mean, which ranks
+    by edit distance). Reuses :func:`expand_prefix`'s single pushed
+    StartsWith scan of the SORTED term dictionary (row-group pruned by
+    term min/max at a production vocabulary) and its loud over-expansion
+    cap; the top-k pick runs on the ≤cap collected rows driver-side.
+    Returns DataFrame(term, df)."""
+    cand = sorted(
+        expand_prefix(spark, index_dir, prefix, max_expansions).items(),
+        key=lambda x: (-x[1], x[0]),
+    )[:k]
+    return spark.createDataFrame(cand, "term string, df long")
+
+
 def _lev_le(a: str, b: str, d: int) -> bool:
     """Plain Levenshtein(a, b) <= d (insert/delete/substitute, unit
     costs — the same metric as the JVM ``levenshtein`` expression), with

@@ -1630,6 +1630,22 @@ def q_spell_suggest(spark, sf_dir):
     return suggest_terms(spark, layout, SUGGEST_WORD, max_dist=2, k=10)
 
 
+COMPLETE_PREFIX = "s"
+
+
+def q_prefix_complete(spark, sf_dir):
+    """Search-box autocomplete over the PACKED index's term dictionary,
+    hash-gated: the top-5 vocabulary completions of a prefix ranked
+    (df desc, term asc) — most-common-first (boolquery.complete_prefix:
+    one pushed StartsWith dict scan with the loud over-expansion cap).
+    The oracle restates it as a vocabulary LIKE scan with the same
+    ordering."""
+    from searchengine_spark.operators.boolquery import complete_prefix
+
+    layout = _packed_layout(spark, sf_dir)
+    return complete_prefix(spark, layout, COMPLETE_PREFIX, k=5)
+
+
 INFIX_QUERY = "t*e +key"
 
 
@@ -2291,6 +2307,7 @@ QUERIES = {
     "score_explain": q_score_explain,
     "bm25_page2": q_bm25_page2,
     "spell_suggest": q_spell_suggest,
+    "prefix_complete": q_prefix_complete,
     "phrase_match_idx": q_phrase_match_idx,
     "facet_counts": q_facet_counts,
     "bm25_merged": q_bm25_merged,
@@ -2568,6 +2585,12 @@ ORACLES = {
         f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
         f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
         ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20 OFFSET 20"
+    ),
+    "prefix_complete": (
+        f"WITH dt AS ({SQL_DOC_TERMS}),"
+        " td AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term)"
+        f" SELECT term, df FROM td WHERE term LIKE '{COMPLETE_PREFIX}%'"
+        " ORDER BY df DESC, term ASC LIMIT 5"
     ),
     "spell_suggest": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"

@@ -510,6 +510,30 @@ def test_suggest_terms(spark, index_1k):
         bq.suggest_terms(spark, index_1k, "")
 
 
+def test_complete_prefix(spark, index_1k):
+    """Autocomplete: every completion starts with the prefix, ranking is
+    (df desc, term asc), k truncates, and the loud cap / empty-prefix
+    guards fire (via the shared expand_prefix scan)."""
+    got = [(r["term"], r["df"])
+           for r in bq.complete_prefix(spark, index_1k, "re", k=10).collect()]
+    assert got, "expected completions for 're'"
+    assert all(t.lower().startswith("re") for t, _ in got)
+    assert got == sorted(got, key=lambda x: (-x[1], x[0]))
+    # the full expansion, re-ranked, truncates to exactly the same top-k
+    full = sorted(
+        bq.expand_prefix(spark, index_1k, "re").items(),
+        key=lambda x: (-x[1], x[0]),
+    )
+    assert got == full[: len(got)]
+    top2 = [(r["term"], r["df"])
+            for r in bq.complete_prefix(spark, index_1k, "re", k=2).collect()]
+    assert top2 == got[:2]
+    with pytest.raises(ValueError, match="max_expansions"):
+        bq.complete_prefix(spark, index_1k, "r", max_expansions=1)
+    with pytest.raises(ValueError, match="empty"):
+        bq.complete_prefix(spark, index_1k, "")
+
+
 def test_bool_batch_matches_single(spark, index_1k):
     """search_bool_batch == per-query search_bool for every term-only
     grammar form, in one job; phrase/field queries are refused; an
