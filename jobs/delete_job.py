@@ -32,8 +32,11 @@ def main() -> None:
         raise SystemExit("nothing to delete (--where / --ids-file)")
 
     from searchengine_spark.operators import deletion
+    from searchengine_spark.plans.manifest import resolve_index_dir
     from searchengine_spark.session import get_session
 
+    # deletes through a serving dir apply to the live (CURRENT) index
+    args.index_dir = resolve_index_dir(args.index_dir)
     spark = get_session(
         master=f"local[{args.cpus}]",
         app_name="searchengine-spark-delete",

@@ -58,8 +58,12 @@ def main() -> None:
     if not queries:
         raise SystemExit("no queries given (--query / --queries-file)")
 
+    from searchengine_spark.plans.manifest import resolve_index_dir
     from searchengine_spark.session import get_session
 
+    # a serving dir holding a CURRENT pointer resolves to the live index;
+    # a concrete index dir passes through (manifest.publish_index)
+    args.index_dir = resolve_index_dir(args.index_dir)
     spark = get_session(app_name="searchengine-search")
     if args.complete or args.suggest:
         if args.bool or args.where or args.hybrid_embeddings or args.scorer != "wand":

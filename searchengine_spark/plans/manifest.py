@@ -112,3 +112,70 @@ class Manifest:
     @property
     def scalars(self) -> dict:
         return self.data["scalars"]
+
+    # -- completeness ---------------------------------------------------------
+    def complete(self) -> bool:
+        """True when every build stage and every postings partition group
+        committed — the publishable state. A resumed build that died
+        mid-way is incomplete; :func:`publish_index` refuses it."""
+        n_groups = self.scalars.get("n_groups")
+        if not n_groups:
+            return False
+        return all(
+            self.stage_done(x) for x in ("docs", "fold_map", "term_dict")
+        ) and all(self.group_done(g) for g in range(n_groups))
+
+
+# -- serving alias: atomic zero-downtime cutover --------------------------
+#
+# A serving tier should never point queries at a half-built index, and a
+# reindex should swap in with no reader downtime. The pattern (SCALE.md
+# "Streaming": staged-and-swapped; with Iceberg this is a snapshot/branch
+# pointer): indexes build into immutable versioned dirs, and a tiny
+# CURRENT pointer file in the SERVING dir names the live one. Publishing
+# writes the pointer to a temp file and os.replace()s it — POSIX rename
+# atomicity means a reader resolving mid-publish sees the old or the new
+# index, never a torn state. Old versions stay on disk for instant
+# rollback (re-publish them) until garbage-collected.
+
+ALIAS_FILE = "CURRENT"
+
+
+def publish_index(serving_dir: str, index_dir: str) -> dict:
+    """Atomically point ``serving_dir/CURRENT`` at a COMPLETE index and
+    append the cutover to ``PUBLISH_LOG.jsonl`` (the audit/rollback
+    trail). Raises if the index's manifest shows unfinished stages or
+    postings groups. Returns the pointer entry."""
+    man = Manifest(index_dir)
+    if not man.complete():
+        raise ValueError(
+            f"index at {index_dir!r} is not complete "
+            "(unfinished build stages or postings groups) — refusing to publish"
+        )
+    os.makedirs(serving_dir, exist_ok=True)
+    entry = {
+        "index_dir": os.path.abspath(index_dir),
+        "published_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "n_docs": man.scalars.get("n_docs_indexed", man.scalars.get("n_docs")),
+        "analyzer": man.scalars.get("analyzer", "reference"),
+    }
+    cur = os.path.join(serving_dir, ALIAS_FILE)
+    tmp = cur + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(entry, f, indent=2)
+    os.replace(tmp, cur)
+    with open(os.path.join(serving_dir, "PUBLISH_LOG.jsonl"), "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    return entry
+
+
+def resolve_index_dir(path: str) -> str:
+    """A concrete index dir passes through unchanged; a serving dir
+    (holding a CURRENT pointer) resolves to the index it points at.
+    Called once at the job/tool boundary (search_job, delete_job,
+    fsck_index) — package operators always receive concrete dirs."""
+    cur = os.path.join(path, ALIAS_FILE)
+    if os.path.exists(cur):
+        with open(cur) as f:
+            return json.load(f)["index_dir"]
+    return path

@@ -1,0 +1,85 @@
+"""Serving alias: atomic publish / resolve (zero-downtime reindex).
+
+Indexes build into immutable versioned dirs; a CURRENT pointer file in
+the serving dir names the live one. publish_index refuses incomplete
+builds, swaps the pointer atomically, and logs every cutover; readers
+resolve through resolve_index_dir at the job boundary.
+"""
+
+import json
+import os
+
+import pytest
+
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.wand import search
+from searchengine_spark.plans.manifest import (
+    Manifest,
+    publish_index,
+    resolve_index_dir,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def _build(spark, tmp_path, name, texts):
+    rows = [("r", f"{i}.py", "c" * 40, "py", t) for i, t in enumerate(texts)]
+    idx = str(tmp_path / name)
+    build_index(spark, spark.createDataFrame(rows, SCHEMA), idx,
+                range_width=16, n_groups=1)
+    return idx
+
+
+def test_publish_resolve_roundtrip(spark, tmp_path):
+    v1 = _build(spark, tmp_path, "v1", [
+        "alpha key order fast", "beta key slow merge", "gamma unrelated words",
+    ])
+    v2 = _build(spark, tmp_path, "v2", [
+        "delta key order fast fast", "epsilon key",
+    ])
+    serving = str(tmp_path / "serving")
+
+    # concrete dirs pass through untouched
+    assert resolve_index_dir(v1) == v1
+
+    e1 = publish_index(serving, v1)
+    assert resolve_index_dir(serving) == os.path.abspath(v1)
+    assert e1["n_docs"] == 3 and e1["analyzer"] == "reference"
+    r1 = [(r["doc_id"], round(r["score"], 9)) for r in
+          search(spark, resolve_index_dir(serving), "key order", k=5).collect()]
+    assert r1 == [(r["doc_id"], round(r["score"], 9)) for r in
+                  search(spark, v1, "key order", k=5).collect()]
+
+    # cutover: the same serving dir now answers from v2
+    publish_index(serving, v2)
+    assert resolve_index_dir(serving) == os.path.abspath(v2)
+    r2 = search(spark, resolve_index_dir(serving), "key order", k=5).collect()
+    assert len(r2) == 2  # v2 has 2 docs matching 'key'
+
+    # rollback = re-publish v1; the log has all three cutovers in order
+    publish_index(serving, v1)
+    assert resolve_index_dir(serving) == os.path.abspath(v1)
+    with open(os.path.join(serving, "PUBLISH_LOG.jsonl")) as f:
+        log = [json.loads(ln) for ln in f]
+    assert [os.path.basename(e["index_dir"]) for e in log] == ["v1", "v2", "v1"]
+
+    # no torn pointer file left behind
+    assert not os.path.exists(os.path.join(serving, "CURRENT.tmp"))
+
+
+def test_publish_refuses_incomplete(spark, tmp_path):
+    v1 = _build(spark, tmp_path, "v1b", ["alpha key", "beta key"])
+    serving = str(tmp_path / "serving_b")
+
+    # simulate a build that died before its postings group committed
+    man = Manifest(v1)
+    del man.data["posting_groups"]["0"]
+    man.save()
+    assert not Manifest(v1).complete()
+    with pytest.raises(ValueError, match="not complete"):
+        publish_index(serving, v1)
+    assert not os.path.exists(os.path.join(serving, "CURRENT"))
+
+    # an empty dir (no manifest at all) is also refused
+    with pytest.raises(ValueError, match="not complete"):
+        publish_index(serving, str(tmp_path / "nonexistent"))

@@ -1,0 +1,242 @@
+"""Code-analyzer A/B bench: what does identifier splitting cost, and what
+does it buy, versus the plain ``raw`` analyzer on the same corpus?
+
+Generates a deterministic code-shaped corpus (camelCase identifiers drawn
+zipf-ish from a verb×Noun×Tail pool, snake_case, plain words), builds the
+SAME corpus twice — ``analyzer="raw"`` and ``analyzer="code"`` — and
+records:
+
+* build cost: wall seconds, docs/s, token inflation (the code analyzer
+  emits subtokens + preserved whole identifiers, so Σtf grows), distinct
+  terms, on-disk index bytes;
+* warm serving p50 for an exact camel-identifier query (both analyzers
+  answer it: ``raw`` lowercases the identifier into one token) and a
+  20-query batch;
+* the capability gap the analyzer exists for — FRAGMENT RECALL: each of
+  ``--n-planted`` identifiers is built from noun/tail pieces unique to
+  it and defined in exactly one doc; querying just those fragments
+  ("userx7 namex7") finds the defining doc only where subtokens were
+  indexed. Expected: recall 1.0 under ``code``, 0.0 under ``raw``.
+
+Writes BENCH/code_analyzer.json.
+
+Usage::
+
+    python tools/code_analyzer_bench.py [--n-docs 50000] [--cpus 8]
+        [--json-out BENCH/code_analyzer.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VERBS = ["get", "set", "parse", "build", "merge", "flush",
+         "read", "write", "scan", "fold"]
+NOUNS = ["User", "Token", "Index", "Buffer", "Shard", "Record",
+         "Stream", "Block", "Query", "Cache"]
+TAILS = ["Name", "Count", "Offset", "State", "Map", "List",
+         "Id", "Path", "Size", "Hash"]
+WORDS = ["the", "fast", "key", "order", "value", "table", "row", "scan",
+         "merge", "join", "hash", "sort", "group", "filter", "batch"]
+
+
+def gen_corpus(path: str, n_docs: int, n_planted: int, seed: int) -> float:
+    """Deterministic code-shaped corpus → parquet dir. Returns gen sec."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = time.time()
+    os.makedirs(path, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    idents = np.array([f"{v}{n}{t}" for v in VERBS for n in NOUNS for t in TAILS])
+    # zipf-ish weights over the pool so identifier df is skewed like real code
+    w = 1.0 / np.arange(1, len(idents) + 1, dtype=np.float64)
+    cdf = np.cumsum(w / w.sum())
+    words = np.array(WORDS)
+    snakes = np.array([f"{v}_{n.lower()}_{t.lower()}"
+                       for v, n, t in zip(VERBS, NOUNS, TAILS)])
+    chunk = 25_000
+    rows_text: list[str] = []
+    for lo in range(0, n_docs, chunk):
+        n = min(chunk, n_docs - lo)
+        id_draw = idents[np.searchsorted(cdf, rng.random((n, 12)), side="left")]
+        wd_draw = words[rng.integers(0, len(words), (n, 24))]
+        sn_draw = snakes[rng.integers(0, len(snakes), (n, 4))]
+        for i in range(n):
+            rows_text.append(" ".join(np.concatenate(
+                [id_draw[i], wd_draw[i], sn_draw[i]])))
+    # planted identifiers: fragments unique to one defining doc each
+    planted = [f"planted{'Noun%dx' % i}{'Tail%dx' % i}" for i in range(n_planted)]
+    for i, ident in enumerate(planted):
+        d = i * (n_docs // n_planted)
+        rows_text[d] = f"def {ident}(self): return self.state " + rows_text[d]
+    ids = np.arange(n_docs)
+    tbl = pa.table({
+        "repo": pa.array([f"org/r{i % 50}" for i in ids]),
+        "path": pa.array([f"src/f{i}.py" for i in ids]),
+        "commit": pa.array(["0" * 40] * n_docs),
+        "lang": pa.array(["python" if i % 3 else "go" for i in ids]),
+        "content": pa.array(rows_text),
+    })
+    pq.write_table(tbl, f"{path}/part0.parquet", row_group_size=25_000)
+    return time.time() - t0
+
+
+def p50(fn, reps: int) -> dict:
+    fn()  # warm
+    xs = []
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        xs.append(time.time() - t0)
+    return {"p50_sec": round(statistics.median(xs), 4),
+            "min_sec": round(min(xs), 4), "max_sec": round(max(xs), 4)}
+
+
+def du_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-docs", type=int, default=50_000)
+    ap.add_argument("--n-planted", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=13)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--json-out",
+                    default=os.path.join(REPO, "BENCH", "code_analyzer.json"))
+    args = ap.parse_args()
+
+    corpus = f"/tmp/se_codean_corpus_{args.n_docs}"
+    load_start = round(os.getloadavg()[0], 2)
+    gen_sec = None
+    if not (args.keep and os.path.exists(corpus)):
+        shutil.rmtree(corpus, ignore_errors=True)
+        gen_sec = round(
+            gen_corpus(corpus, args.n_docs, args.n_planted, args.seed), 1)
+        print(f"# corpus generated in {gen_sec}s -> {corpus}", file=sys.stderr)
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search, search_batch
+    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.session import get_session
+
+    spark = get_session(master=f"local[{args.cpus}]",
+                        app_name="code-analyzer-bench",
+                        shuffle_partitions=args.cpus)
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+    # pull the corpus through the OS page cache before timing either side,
+    # so the first build measured doesn't also pay the cold read
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(corpus).select(F.sum(F.length("content"))).collect()
+    # ...and burn the session's one-time build cost (codegen, Arrow worker
+    # pools, write-committer init — measured ~7 s regardless of analyzer)
+    # on a throwaway 2k-doc build, so build_wall_ratio compares analyzers,
+    # not first-build-in-session overhead
+    shutil.rmtree("/tmp/se_codean_warmup_idx", ignore_errors=True)
+    build_index(spark, spark.read.parquet(corpus).limit(2000),
+                "/tmp/se_codean_warmup_idx", range_width=512, n_groups=1)
+
+    range_width = max(64, -(-args.n_docs // (4 * args.cpus)))
+    planted = [f"planted{'Noun%dx' % i}{'Tail%dx' % i}"
+               for i in range(args.n_planted)]
+    # paths of the defining docs; doc ids are index-assigned, so each side
+    # resolves its own path -> doc_id through doc_map
+    def_paths = {f"src/f{i * (args.n_docs // args.n_planted)}.py": planted[i]
+                 for i in range(args.n_planted)}
+
+    sides = {}
+    for analyzer in ("raw", "code"):
+        idx = f"/tmp/se_codean_idx_{analyzer}_{args.n_docs}"
+        build_sec = None
+        if not (args.keep and os.path.exists(f"{idx}/manifest.json")):
+            shutil.rmtree(idx, ignore_errors=True)
+            t0 = time.time()
+            build_index(spark, spark.read.parquet(corpus), idx,
+                        range_width=range_width, n_groups=2, analyzer=analyzer)
+            build_sec = round(time.time() - t0, 1)
+        s = Manifest(idx).scalars
+
+        # exact camel-identifier query: both analyzers answer it (raw folds
+        # the identifier to one lowercase token), so latency is comparable
+        exact = p50(lambda: search(
+            spark, idx, "parseTokenName scan", k=10).collect(), args.reps)
+        batch = p50(lambda: search_batch(
+            spark, idx,
+            [f"{v}{n}{t} key order" for v, n, t
+             in zip(VERBS[:5] * 4, NOUNS[:4] * 5, TAILS[:2] * 10)],
+            k=10).collect(), args.reps)
+
+        # fragment recall: query only the planted identifier's unique
+        # noun/tail subtokens; the defining doc is findable iff subtokens
+        # were indexed
+        dm = {r["path"]: r["doc_id"] for r in (
+            spark.read.parquet(f"{idx}/doc_map")
+            .where(F.col("path").isin(list(def_paths)))
+            .select("path", "doc_id").collect()
+        )}
+        hits = 0
+        for path, ident in def_paths.items():
+            i = planted.index(ident)
+            frag = f"noun{i}x tail{i}x"
+            rows = search(spark, idx, frag, k=10).collect()
+            if any(r["doc_id"] == dm[path] for r in rows):
+                hits += 1
+        sides[analyzer] = {
+            "build_wall_sec": build_sec,
+            "build_docs_per_sec": (
+                round(args.n_docs / build_sec, 1) if build_sec else None),
+            "n_tokens": s["n_tokens"],
+            "n_terms": s["n_terms"],
+            "avgdl": s["avgdl"],
+            "index_bytes": du_bytes(idx),
+            "exact_ident_query": exact,
+            "batch20": batch,
+            "fragment_recall_at_10": round(hits / args.n_planted, 3),
+        }
+
+    r, c = sides["raw"], sides["code"]
+    out = {
+        "metric": "code_analyzer_ab",
+        "n_docs": args.n_docs,
+        "n_planted": args.n_planted,
+        "cpus": args.cpus,
+        "gen_sec": gen_sec,
+        "raw": r,
+        "code": c,
+        "token_inflation": round(c["n_tokens"] / r["n_tokens"], 3),
+        "term_inflation": round(c["n_terms"] / r["n_terms"], 3),
+        "index_bytes_ratio": round(c["index_bytes"] / r["index_bytes"], 3),
+        "build_wall_ratio": (
+            round(c["build_wall_sec"] / r["build_wall_sec"], 3)
+            if r["build_wall_sec"] and c["build_wall_sec"] else None),
+        "ambient_load_start": load_start,
+        "ambient_load_end": round(os.getloadavg()[0], 2),
+    }
+    os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
+    with open(args.json_out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

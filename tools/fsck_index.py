@@ -60,14 +60,15 @@ def main() -> None:
                     help="decode every posting block / positions row")
     ap.add_argument("--cpus", type=int, default=8)
     args = ap.parse_args()
-    d = args.index_dir
 
     import numpy as np
     import pandas as pd
     from pyspark.sql import functions as F
 
-    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.plans.manifest import Manifest, resolve_index_dir
     from searchengine_spark.session import get_session
+
+    d = resolve_index_dir(args.index_dir)
 
     spark = get_session(master=f"local[{args.cpus}]", app_name="fsck",
                         shuffle_partitions=args.cpus)

@@ -1,0 +1,39 @@
+"""Atomically publish a finished index into a serving dir (no Spark).
+
+    python tools/publish_index.py --serving-dir /srv/search --index-dir /idx/v42
+
+Writes/replaces ``<serving-dir>/CURRENT`` (POSIX-atomic os.replace, so
+readers resolving mid-publish see the old or the new index, never a torn
+pointer) and appends to ``PUBLISH_LOG.jsonl``. Refuses an index whose
+manifest shows unfinished stages or postings groups. Rollback = publish
+the previous version again (the log has every pointer ever written).
+
+``search_job``/``delete_job``/``fsck_index`` accept the serving dir
+directly — they resolve CURRENT at startup (manifest.resolve_index_dir).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--serving-dir", required=True)
+    ap.add_argument("--index-dir", required=True)
+    args = ap.parse_args()
+
+    from searchengine_spark.plans.manifest import publish_index
+
+    entry = publish_index(args.serving_dir, args.index_dir)
+    print(json.dumps(entry))
+
+
+if __name__ == "__main__":
+    main()
