@@ -15,6 +15,30 @@ import argparse
 import json
 
 
+def _attach_meta(spark, index_dir: str, hit_lists) -> None:
+    """Mutate hit dicts to carry doc_map metadata (repo, path, commit,
+    lang): ONE pushed ``doc_id IN (...)`` scan over the <= |queries|*k
+    collected result ids — never a full doc_map read."""
+    ids = sorted({h["doc_id"] for hits in hit_lists for h in hits})
+    if not ids:
+        return
+    from pyspark.sql import functions as F
+
+    meta = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{index_dir}/doc_map")
+        .where(F.col("doc_id").isin(ids))
+        .select("doc_id", "repo", "path", "commit", "lang")
+        .collect()
+    }
+    for hits in hit_lists:
+        for h in hits:
+            m = meta.get(h["doc_id"])
+            if m is not None:
+                h.update(repo=m["repo"], path=m["path"],
+                         commit=m["commit"], lang=m["lang"])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--index-dir", required=True)
@@ -49,6 +73,10 @@ def main() -> None:
                     help="treat each query as a misspelled word: print the "
                     "top-k (term, df, dist) did-you-mean corrections "
                     "(boolquery.suggest_terms)")
+    ap.add_argument("--with-meta", action="store_true",
+                    help="attach doc_map metadata (repo, path, commit, "
+                    "lang) to every hit — one pushed doc_id IN scan over "
+                    "the <= |queries|*k result ids")
     args = ap.parse_args()
 
     queries = list(args.query)
@@ -113,6 +141,8 @@ def main() -> None:
                 {"doc_id": r["doc_id"], "rrf": r["rrf"]}
                 for r in fused.collect()
             ]
+            if args.with_meta:
+                _attach_meta(spark, args.index_dir, [hits])
             print(json.dumps({"query": q, "hits": hits}))
         spark.stop()
         return
@@ -141,6 +171,8 @@ def main() -> None:
                 by_q[r["query_id"]].append(
                     {"doc_id": r["doc_id"], "score": r["score"]}
                 )
+            if args.with_meta:
+                _attach_meta(spark, args.index_dir, list(by_q.values()))
             for i, q in enumerate(queries):
                 print(json.dumps({
                     "query": q,
@@ -155,6 +187,8 @@ def main() -> None:
                         spark, args.index_dir, q, k=args.k
                     ).collect()
                 ]
+                if args.with_meta:
+                    _attach_meta(spark, args.index_dir, [hits])
                 # the resolved scoring set (literals + every expansion) —
                 # what a highlighter should mark in the result text
                 print(json.dumps({
@@ -199,6 +233,8 @@ def main() -> None:
     by_q: dict = {i: [] for i in range(len(queries))}
     for r in rows:
         by_q[r["query_id"]].append({"doc_id": r["doc_id"], "score": r["score"]})
+    if args.with_meta:
+        _attach_meta(spark, args.index_dir, list(by_q.values()))
     for i, q in enumerate(queries):
         print(json.dumps({"query": q, "hits": by_q[i]}))
     spark.stop()
