@@ -1,0 +1,210 @@
+"""Retrieval-quality eval: does hybrid RRF actually beat its legs?
+
+BENCH latency artifacts show hybrid retrieval is cheap; this one shows
+it is RIGHT, on a corpus built so each leg has an adversarial failure
+mode and only their fusion separates the truly relevant docs:
+
+* per topic, 10 RELEVANT docs carry the topic words AND a near-centroid
+  embedding;
+* 10 LEXICAL DISTRACTORS carry the same topic words but a random
+  embedding — indistinguishable from relevant docs for BM25;
+* 10 SEMANTIC DISTRACTORS carry a near-centroid embedding but no topic
+  words — indistinguishable for cosine;
+* background docs carry neither.
+
+Queries are the topic words (BM25 leg) + the topic centroid (dense
+leg). Expected: precision@10 ≈ 0.5 for each single leg (it cannot tell
+its distractors apart), ≈ 1.0 for RRF (relevant docs are the only ones
+ranked high by BOTH legs — the Cormack et al. fusion argument).
+
+Writes BENCH/relevance.json with mean precision@10 / recall@10 /
+nDCG@10 over the topics for bm25 / cosine / rrf.
+
+Usage::
+
+    python tools/relevance_eval.py [--n-topics 20] [--cpus 8]
+        [--json-out BENCH/relevance.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FILLER = ["the", "fast", "key", "order", "value", "table", "row", "scan",
+          "merge", "join", "hash", "sort", "group", "filter", "batch",
+          "stream", "index", "query", "cache", "block"]
+DIM = 16
+PER_KIND = 10  # relevant / lexical-distractor / semantic-distractor per topic
+
+
+def gen(n_topics: int, n_background: int, seed: int):
+    """→ (texts, embs, kinds) by row index; kinds[i] = (topic, kind)."""
+    rng = np.random.default_rng(seed)
+    centroids = rng.standard_normal((n_topics, DIM))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    texts, embs, kinds = [], [], []
+
+    def filler(n):
+        return " ".join(np.array(FILLER)[rng.integers(0, len(FILLER), n)])
+
+    for t in range(n_topics):
+        words = " ".join(f"topic{t}word{j}" for j in range(3))
+        near = centroids[t] + 0.25 * rng.standard_normal((2 * PER_KIND, DIM))
+        for i in range(PER_KIND):          # relevant: words + near embedding
+            texts.append(f"{words} {filler(20)}")
+            embs.append(near[i])
+            kinds.append((t, "relevant"))
+        for i in range(PER_KIND):          # lexical distractor: words only
+            texts.append(f"{words} {filler(20)}")
+            embs.append(rng.standard_normal(DIM))
+            kinds.append((t, "lexical"))
+        for i in range(PER_KIND):          # semantic distractor: embedding only
+            texts.append(filler(23))
+            embs.append(near[PER_KIND + i])
+            kinds.append((t, "semantic"))
+    for _ in range(n_background):
+        texts.append(filler(23))
+        embs.append(rng.standard_normal(DIM))
+        kinds.append((-1, "background"))
+    return texts, np.asarray(embs), kinds, centroids
+
+
+def ndcg_at_k(ranked_ids, relevant: set, k: int) -> float:
+    dcg = sum(1.0 / math.log2(i + 2)
+              for i, d in enumerate(ranked_ids[:k]) if d in relevant)
+    ideal = sum(1.0 / math.log2(i + 2) for i in range(min(k, len(relevant))))
+    return dcg / ideal
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-topics", type=int, default=20)
+    ap.add_argument("--n-background", type=int, default=2000)
+    ap.add_argument("--seed", type=int, default=17)
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-each", type=int, default=50,
+                    help="per-leg top-N fed to the fuse")
+    ap.add_argument("--json-out",
+                    default=os.path.join(REPO, "BENCH", "relevance.json"))
+    args = ap.parse_args()
+
+    texts, embs, kinds, centroids = gen(
+        args.n_topics, args.n_background, args.seed)
+    n_docs = len(texts)
+    load_start = round(os.getloadavg()[0], 2)
+
+    from searchengine_spark.operators import fusion, similarity
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search_batch
+    from searchengine_spark.session import get_session
+    from pyspark.sql import functions as F
+
+    spark = get_session(master=f"local[{args.cpus}]",
+                        app_name="relevance-eval",
+                        shuffle_partitions=args.cpus)
+
+    idx = "/tmp/se_releval_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    rows = [(f"org/r{i % 20}", f"doc/{i}.txt", "0" * 40, "en", texts[i])
+            for i in range(n_docs)]
+    schema = "repo string, path string, commit string, lang string, content string"
+    t0 = time.time()
+    build_index(spark, spark.createDataFrame(rows, schema), idx,
+                range_width=max(64, n_docs // (2 * args.cpus)),
+                n_groups=2, analyzer="raw")
+    build_sec = round(time.time() - t0, 1)
+
+    # doc ids are index-assigned: map my row index -> doc_id through the
+    # path column, then key the embeddings table by assigned doc_id
+    dm = {r["path"]: r["doc_id"] for r in
+          spark.read.parquet(f"{idx}/doc_map").select("path", "doc_id").collect()}
+    row2doc = [dm[f"doc/{i}.txt"] for i in range(n_docs)]
+    emb_df = spark.createDataFrame(
+        [(row2doc[i], [float(x) for x in embs[i]]) for i in range(n_docs)],
+        "doc_id long, embedding array<float>",
+    ).cache()
+    emb_df.count()
+
+    relevant = {t: set() for t in range(args.n_topics)}
+    for i, (t, kind) in enumerate(kinds):
+        if kind == "relevant":
+            relevant[t].add(row2doc[i])
+
+    # BM25 leg: ALL topic queries in one distributed job
+    queries = [" ".join(f"topic{t}word{j}" for j in range(3))
+               for t in range(args.n_topics)]
+    t0 = time.time()
+    bm_rows = search_batch(spark, idx, queries, k=args.n_each).collect()
+    bm_sec = round(time.time() - t0, 2)
+    bm_by_t: dict = {t: [] for t in range(args.n_topics)}
+    for r in bm_rows:
+        bm_by_t[r["query_id"]].append((r["doc_id"], r["score"]))
+
+    per_leg = {"bm25": [], "cosine": [], "rrf": []}
+    t0 = time.time()
+    for t in range(args.n_topics):
+        qvec = [float(x) for x in centroids[t]]
+        cos = similarity.cosine_topk(
+            emb_df, qvec, k=args.n_each, id_col="doc_id"
+        ).select("doc_id", F.col("cos").alias("score"))
+        cos_ids = [r["doc_id"] for r in cos.collect()]
+        bm = spark.createDataFrame(
+            bm_by_t[t] or [(-1, 0.0)], "doc_id long, score double")
+        fused_ids = [r["doc_id"] for r in
+                     fusion.rrf_fuse([bm, cos], k=args.k).collect()]
+        bm_ids = [d for d, _ in bm_by_t[t]]
+        rel = relevant[t]
+        for leg, ids in (("bm25", bm_ids), ("cosine", cos_ids),
+                         ("rrf", fused_ids)):
+            top = ids[: args.k]
+            per_leg[leg].append({
+                "p": len([d for d in top if d in rel]) / args.k,
+                "r": len([d for d in top if d in rel]) / len(rel),
+                "ndcg": ndcg_at_k(ids, rel, args.k),
+            })
+    eval_sec = round(time.time() - t0, 2)
+
+    def mean(leg, key):
+        return round(sum(x[key] for x in per_leg[leg]) / len(per_leg[leg]), 4)
+
+    out = {
+        "metric": "hybrid_relevance_eval",
+        "n_docs": n_docs,
+        "n_topics": args.n_topics,
+        "k": args.k,
+        "n_each": args.n_each,
+        "build_sec": build_sec,
+        "bm25_batch_sec": bm_sec,
+        "eval_sec": eval_sec,
+        "legs": {
+            leg: {
+                "precision_at_k": mean(leg, "p"),
+                "recall_at_k": mean(leg, "r"),
+                "ndcg_at_k": mean(leg, "ndcg"),
+            }
+            for leg in ("bm25", "cosine", "rrf")
+        },
+        "ambient_load_start": load_start,
+        "ambient_load_end": round(os.getloadavg()[0], 2),
+    }
+    os.makedirs(os.path.dirname(args.json_out), exist_ok=True)
+    with open(args.json_out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
