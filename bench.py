@@ -137,6 +137,7 @@ def main() -> None:
 
     bench_queries = [
         "doc_terms", "term_dict", "bm25_topk", "bm25_filtered",
+        "bm25_collapse", "percolate",
         "code_term_dict", "code_bm25_topk",
         "exact_dedup",
         "minhash_signatures", "near_dup_jaccard", "simhash", "lsh_pairs",

@@ -73,6 +73,14 @@ def main() -> None:
                     help="treat each query as a misspelled word: print the "
                     "top-k (term, df, dist) did-you-mean corrections "
                     "(boolquery.suggest_terms)")
+    ap.add_argument("--collapse", metavar="FIELD",
+                    help="field-collapse results: best-scoring hit per "
+                    "distinct doc_map FIELD value (repo/lang/...), top-k "
+                    "group winners (wand.search_collapse; composes with "
+                    "--where)")
+    ap.add_argument("--collapse-pool", type=int, default=100,
+                    help="BM25 pool size the collapse operates over "
+                    "(groups ranking below it are absent)")
     ap.add_argument("--with-meta", action="store_true",
                     help="attach doc_map metadata (repo, path, commit, "
                     "lang) to every hit — one pushed doc_id IN scan over "
@@ -196,6 +204,35 @@ def main() -> None:
                     "terms": query_terms(spark, args.index_dir, q),
                     "hits": hits,
                 }))
+        spark.stop()
+        return
+    if args.collapse:
+        if args.bool or args.scorer != "wand":
+            raise SystemExit("--collapse composes plain BM25 "
+                             "(no --bool/--scorer cosine)")
+        from searchengine_spark.operators.wand import search_collapse
+
+        allowed = None
+        if args.where:
+            allowed = (
+                spark.read.parquet(f"{args.index_dir}/doc_map")
+                .where(args.where)
+                .select("doc_id")
+            )
+        for q in queries:
+            hits = [
+                {args.collapse: r[args.collapse], "doc_id": r["doc_id"],
+                 "score": r["score"]}
+                for r in search_collapse(
+                    spark, args.index_dir, q, args.collapse, k=args.k,
+                    pool=args.collapse_pool, allowed=allowed
+                ).collect()
+            ]
+            if args.with_meta:
+                _attach_meta(spark, args.index_dir, [hits])
+            print(json.dumps(
+                {"query": q, "collapse": args.collapse, "hits": hits}
+            ))
         spark.stop()
         return
     if args.scorer == "wand":

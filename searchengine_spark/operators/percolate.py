@@ -1,0 +1,89 @@
+"""Percolation (reverse search): match documents against STORED queries.
+
+The forward engine answers "which docs match this query?"; a percolator
+answers "which of my standing queries match this doc batch?" — the shape
+behind alerting, routing, and saved-search notification in every serving
+stack (Elasticsearch percolate, Lucene Monitor), and in training-data
+pipelines the router that tags each incoming document with the curation
+rules it trips. The reference engine has no percolator (its retrieval is
+strictly query→docs, search_engine.py:117-139); this is beyond-reference
+surface built on the same analysis chain so stored queries and documents
+tokenize symmetrically.
+
+Scale shape: the stored-query table is small relative to the corpus
+(10³–10⁶ rows vs 10¹² docs), so it broadcasts; matching is a broadcast
+hash join from each doc's distinct terms into the query-term table, then
+ONE shuffle — the partial-aggregated count per (query_id, doc_id). No
+per-row Python, no driver-side corpus materialization; a doc whose terms
+hit no stored query never leaves its input partition (the join is inner).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def percolate_terms(doc_terms: DataFrame, queries: DataFrame) -> DataFrame:
+    """Match analyzed documents against stored term queries.
+
+    ``doc_terms``: (doc_id, term, ...) — UNIQUE on (doc_id, term), the
+    ``tokenize_docs``/groupBy output shape (pass ``.distinct()`` yourself
+    for a raw occurrence stream; uniqueness is the caller's contract so
+    the already-deduplicated hot path doesn't pay a redundant shuffle).
+
+    ``queries``: (query_id, term, min_should_match) — one row per stored
+    query term; ``min_should_match`` is constant within a query_id and
+    counts DISTINCT matched terms (a term the index never saw simply
+    contributes nothing, same absent-term semantics as
+    ``wand.search_terms``).
+
+    Returns (query_id, doc_id, n_matched) for every (stored query, doc)
+    pair where the doc contains >= min_should_match of the query's terms.
+    """
+    q = queries.select("query_id", "term", "min_should_match")
+    return (
+        doc_terms.select("doc_id", "term")
+        .join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id", "min_should_match")
+        .agg(F.count("*").cast("long").alias("n_matched"))
+        .where(F.col("n_matched") >= F.col("min_should_match"))
+        .select("query_id", "doc_id", "n_matched")
+    )
+
+
+def percolate_docs(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "content",
+    analyzer: str = "reference",
+) -> DataFrame:
+    """Percolate RAW documents (doc_id, <text_col>) — tokenizes through the
+    shared analyzer seam (``tokenize_docs``, the same ``analyzer`` the
+    target index was built with, recorded in its manifest) so stored-query
+    terms written against index vocabulary match incoming text exactly."""
+    from searchengine_spark.operators.tokenize import tokenize_docs
+
+    dt = tokenize_docs(docs, text_col=text_col, analyzer=analyzer)
+    return percolate_terms(dt.select("doc_id", "term"), queries)
+
+
+def queries_from_text(spark, stored: list, analyzer: str = "reference") -> DataFrame:
+    """Build the stored-query table from ``[(query_id, query_text,
+    min_should_match), ...]`` through the analyzer — driver-side dictionary
+    work over a bounded list (stored queries are configuration, not data).
+    ``min_should_match`` <= 0 means "all terms" (after analysis, so a
+    stop-word-only query that analyzes to nothing matches nothing)."""
+    from searchengine_spark.operators.tokenize import analyzer_fn
+
+    counts = analyzer_fn(analyzer)
+    rows = []
+    for qid, text, msm in stored:
+        terms = sorted(counts(text or ""))
+        if not terms:
+            continue
+        eff = int(msm) if int(msm) > 0 else len(terms)
+        rows.extend((int(qid), t, eff) for t in terms)
+    return spark.createDataFrame(
+        rows, "query_id INT, term STRING, min_should_match INT"
+    )

@@ -850,6 +850,63 @@ def search_where(
                   allowed=allowed)
 
 
+def search_collapse(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    k: int = 10,
+    pool: int = 100,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Field-collapsed BM25 top-k: the single best-scoring hit per distinct
+    value of a ``doc_map`` metadata column (``repo``/``lang``/...), then
+    the top-``k`` of those group winners — Lucene/Elasticsearch "field
+    collapsing" for result diversification (one hit per repo instead of
+    ten files from the same repo). Beyond-reference surface; the verified
+    declarative mirror is ``plans.driver_queries.q_bm25_collapse``.
+
+    Contract: collapse operates over the top-``pool`` BM25 hits (default
+    100), NOT the full posting universe — the standard serving trade-off
+    (a group whose best hit ranks below the pool is absent; widen ``pool``
+    to cover more groups). Cost: one WAND top-``pool`` job (prunes
+    identically to :func:`search`) + one pushed ``doc_id IN (...)``
+    doc_map scan over <= pool ids — never a full doc_map read; the
+    collapse itself is driver-side over <= pool rows, the same bounded
+    pattern as ``search_job._attach_meta``. Ties break (score desc,
+    doc_id asc) both inside a group and across group winners, so output
+    is deterministic. Returns DataFrame(<field>, doc_id, score), <= k
+    rows, globally ordered."""
+    hits = search(
+        spark, index_dir, query, k=pool, maxscore=maxscore, allowed=allowed
+    ).collect()
+    meta_df = (
+        spark.read.parquet(f"{index_dir}/doc_map")
+        .where(F.col("doc_id").isin([r["doc_id"] for r in hits] or [-1]))
+        .select("doc_id", field)
+    )
+    field_type = meta_df.schema[field].dataType
+    group_of = {r["doc_id"]: r[field] for r in meta_df.collect()}
+    best: dict = {}
+    for r in sorted(hits, key=lambda r: (-r["score"], r["doc_id"])):
+        # doc_map covers every indexed id (fsck invariant) — a miss is loud
+        g = group_of[r["doc_id"]]
+        if g not in best:
+            best[g] = r
+    winners = sorted(best.items(), key=lambda kv: (-kv[1]["score"], kv[1]["doc_id"]))
+    schema = T.StructType(
+        [
+            T.StructField(field, field_type),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(g, int(r["doc_id"]), float(r["score"])) for g, r in winners[:k]], schema
+    )
+
+
 def search_join(
     spark: SparkSession,
     index_dir: str,

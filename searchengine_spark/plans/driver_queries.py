@@ -189,7 +189,8 @@ def q_tfidf(spark, sf_dir):
     )
 
 
-def _bm25_topk_over(spark, sf_dir, terms, eligible=None, exclude_doc=None, dt=None):
+def _bm25_topk_over(spark, sf_dir, terms, eligible=None, exclude_doc=None, dt=None,
+                    limit=20):
     """Shared BM25 top-20 tail for the retrieval entries: pushed term
     filter (+ optional eligibility semi-join below the stats/weights
     joins, + optional seed exclusion), broadcast term_dict, two-phase
@@ -225,12 +226,10 @@ def _bm25_topk_over(spark, sf_dir, terms, eligible=None, exclude_doc=None, dt=No
             / (F.col("tf") + K1 * (1 - B + B * (F.col("dl") / F.lit(float(avgdl))))),
         )
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(F.round(F.sum("c"), 6).alias("score"))
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(20)
-    )
+    scored = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 6).alias("score"))
+    if limit is None:  # full scored set (collapse/window consumers)
+        return scored
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
 
 
 def q_bm25_topk(spark, sf_dir):
@@ -256,6 +255,63 @@ def q_bm25_filtered(spark, sf_dir):
         .select("doc_id")
     )
     return _bm25_topk_over(spark, sf_dir, QTERMS, eligible=eligible)
+
+
+COLLAPSE_FIELD = "source"  # bm25_collapse grouping column
+
+
+def q_bm25_collapse(spark, sf_dir):
+    """Field-collapsed retrieval: the best-scoring hit per distinct value
+    of a metadata column, then the top-10 group winners (Lucene/ES field
+    collapsing — result diversification, one hit per source). Declarative
+    mirror of ``wand.search_collapse``: full BM25 scored set → window
+    rank 1 per group → global top-10. Windowing over the ROUNDED score
+    keeps tie-breaking (score desc, doc_id asc) identical to the oracle."""
+    from pyspark.sql import Window
+
+    scored = _bm25_topk_over(spark, sf_dir, QTERMS, limit=None)
+    meta = _docs(spark, sf_dir).select("doc_id", COLLAPSE_FIELD)
+    w = Window.partitionBy(COLLAPSE_FIELD).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.join(meta, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(COLLAPSE_FIELD, "doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# stored standing queries for the percolate entry: (query_id, terms, msm).
+# Mix of all-match, k-of-n, single-term, and an out-of-vocabulary term that
+# can never satisfy its msm (pins absent-term semantics: contributes
+# nothing, the row set stays non-vacuous through the other queries).
+PERCOLATE_QUERIES = [
+    (0, ["fast", "key", "order"], 2),
+    (1, ["merge", "scan"], 2),
+    (2, ["slow", "filter", "group", "row"], 3),
+    (3, ["spark", "zzz_out_of_vocabulary"], 2),
+    (4, ["table"], 1),
+]
+
+
+def q_percolate(spark, sf_dir):
+    """Reverse search: which stored standing queries match each document
+    (operators/percolate.py — alerting/routing shape; broadcast stored
+    queries, one partial-aggregated shuffle)."""
+    from searchengine_spark.operators.percolate import percolate_terms
+
+    q = spark.createDataFrame(
+        [
+            (qid, t, msm)
+            for qid, terms, msm in PERCOLATE_QUERIES
+            for t in terms
+        ],
+        "query_id INT, term STRING, min_should_match INT",
+    )
+    return percolate_terms(q_doc_terms(spark, sf_dir), q)
 
 
 # code-analyzer doc_terms is the shared prefix of both code entries; cached
@@ -2277,6 +2333,8 @@ QUERIES = {
     "tfidf": q_tfidf,
     "bm25_topk": q_bm25_topk,
     "bm25_filtered": q_bm25_filtered,
+    "bm25_collapse": q_bm25_collapse,
+    "percolate": q_percolate,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3013,6 +3071,42 @@ ORACLES["phrase_topk_idx"] = ORACLES["phrase_topk"]
 # the packed-index entry answers from the REAL engine (raw analyzer ==
 # the oracle's tokenization) — same SQL as the declarative composition
 ORACLES["bm25_topk_packed"] = ORACLES["bm25_topk"]
+
+# field-collapsed retrieval: same BM25 CTE, rank-1 per source window
+ORACLES["bm25_collapse"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id)"
+    f" SELECT {COLLAPSE_FIELD}, doc_id, score FROM ("
+    f" SELECT d.{COLLAPSE_FIELD}, s.doc_id, s.score,"
+    f" row_number() OVER (PARTITION BY d.{COLLAPSE_FIELD}"
+    " ORDER BY s.score DESC, s.doc_id ASC) AS rn"
+    " FROM scored s JOIN documents d USING (doc_id))"
+    " WHERE rn = 1 ORDER BY score DESC, doc_id ASC LIMIT 10"
+)
+
+# percolation: stored queries as a VALUES table generated from the same
+# literal list the Spark entry uses, so the two sides cannot drift
+_PERC_VALUES = ",".join(
+    f"({qid},'{t}',{msm})"
+    for qid, terms, msm in PERCOLATE_QUERIES
+    for t in terms
+)
+ORACLES["percolate"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" q(query_id, term, msm) AS (VALUES {_PERC_VALUES})"
+    " SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched"
+    " FROM dt JOIN q USING (term)"
+    " GROUP BY query_id, doc_id, msm HAVING count(*) >= msm"
+)
 
 # shard-build-then-merge serves the SAME answers as one build: merge
 # recomputes every corpus-global statistic (fold fixpoint, df/cf, N,

@@ -1,0 +1,168 @@
+"""Percolation (reverse search) and field-collapsed retrieval.
+
+``percolate_terms`` semantics under test: a stored query fires on a doc
+iff the doc contains >= min_should_match DISTINCT query terms; absent
+(out-of-vocabulary) terms contribute nothing; non-matching (query, doc)
+pairs never appear.
+
+``search_collapse`` is verified against the engine with the collapse
+lifted out (full ranking pool -> pandas first-row-per-group under the
+same (score desc, doc_id asc) tiebreak) — the independent-construction
+pattern of test_filtered_search.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.percolate import (
+    percolate_docs,
+    percolate_terms,
+    queries_from_text,
+)
+from searchengine_spark.operators.wand import search, search_collapse
+
+
+def _queries_df(spark, triples):
+    return spark.createDataFrame(
+        [(qid, t, msm) for qid, terms, msm in triples for t in terms],
+        "query_id INT, term STRING, min_should_match INT",
+    )
+
+
+def _doc_terms_df(spark, docs):
+    return spark.createDataFrame(
+        [(d, t) for d, terms in docs for t in terms], "doc_id LONG, term STRING"
+    )
+
+
+def test_percolate_terms_tiny(spark):
+    dt = _doc_terms_df(
+        spark, [(1, ["a", "b", "c"]), (2, ["a"]), (3, ["b", "c", "d"])]
+    )
+    q = _queries_df(
+        spark,
+        [
+            (0, ["a", "b"], 2),   # both terms -> doc 1 only
+            (1, ["a"], 1),        # single term -> docs 1, 2
+            (2, ["a", "zzz"], 2), # OOV term can never satisfy msm=2
+            (3, ["c", "d"], 1),   # 1-of-2 -> docs 1, 3
+        ],
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["n_matched"]
+        for r in percolate_terms(dt, q).collect()
+    }
+    assert got == {
+        (0, 1): 2,
+        (1, 1): 1,
+        (1, 2): 1,
+        (3, 1): 1,
+        (3, 3): 2,
+    }
+
+
+def test_percolate_docs_through_analyzer(spark):
+    docs = spark.createDataFrame(
+        [(10, "Fast KEY order!"), (11, "key value store"), (12, "nothing here")],
+        "doc_id LONG, content STRING",
+    )
+    q = _queries_df(spark, [(0, ["key", "order"], 2), (1, ["value"], 1)])
+    got = {
+        (r["query_id"], r["doc_id"])
+        for r in percolate_docs(docs, q, analyzer="raw").collect()
+    }
+    assert got == {(0, 10), (1, 11)}
+
+
+def test_queries_from_text(spark):
+    q = queries_from_text(
+        spark,
+        [
+            (0, "key index", 0),   # msm<=0 -> all (2) analyzed terms
+            (1, "the and of", 0),  # stop-words analyze to nothing -> dropped
+            (2, "value data result", 2),
+        ],
+    ).toPandas()
+    assert sorted(q["query_id"].unique()) == [0, 2]
+    q0 = q[q["query_id"] == 0]
+    assert sorted(q0["term"]) == ["index", "key"]
+    assert set(q0["min_should_match"]) == {2}
+    assert set(q[q["query_id"] == 2]["min_should_match"]) == {2}
+
+
+def _lifted_collapse(spark, index_dir, query, field, k):
+    """Independent reference: full ranking -> pandas first-per-group."""
+    full = search(spark, index_dir, query, k=10**6).toPandas()
+    meta = (
+        spark.read.parquet(f"{index_dir}/doc_map")
+        .select("doc_id", field)
+        .toPandas()
+    )
+    m = full.merge(meta, on="doc_id").sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    return m.drop_duplicates(field).head(k).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("query,field", [
+    ("def return", "lang"),
+    ("posting shard merge", "repo"),
+    ("index", "lang"),
+])
+def test_collapse_equals_lifted_full_pool(spark, index_1k, query, field):
+    want = _lifted_collapse(spark, index_1k, query, field, k=8)
+    got = search_collapse(
+        spark, index_1k, query, field, k=8, pool=10**6
+    ).toPandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist(), query
+    # scores ride through the pool unmodified — bit-identical, not close
+    assert got["score"].tolist() == want["score"].tolist(), query
+    assert got[field].tolist() == want[field].tolist(), query
+
+
+def test_collapse_pool_and_shape_contract(spark, index_1k):
+    pool_hits = search(spark, index_1k, "def return", k=25).toPandas()
+    got = search_collapse(
+        spark, index_1k, "def return", "repo", k=10, pool=25
+    ).toPandas()
+    # winners come from the pool, one per group, globally ordered
+    assert set(got["doc_id"]) <= set(pool_hits["doc_id"])
+    assert got["repo"].is_unique
+    assert len(got) <= 10
+    key = list(zip(-got["score"], got["doc_id"]))
+    assert key == sorted(key)
+    # each winner is the pool's best (score desc, doc_id asc) of its group
+    meta = (
+        spark.read.parquet(f"{index_1k}/doc_map")
+        .where(F.col("doc_id").isin(pool_hits["doc_id"].tolist()))
+        .select("doc_id", "repo")
+        .toPandas()
+    )
+    pm = pool_hits.merge(meta, on="doc_id").sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    best = pm.drop_duplicates("repo").set_index("repo")["doc_id"]
+    for _, r in got.iterrows():
+        assert best[r["repo"]] == r["doc_id"]
+
+
+def test_collapse_composes_with_allowed(spark, index_1k):
+    allowed = (
+        spark.read.parquet(f"{index_1k}/doc_map")
+        .where("doc_id % 2 = 0")
+        .select("doc_id")
+    )
+    got = search_collapse(
+        spark, index_1k, "index", "lang", k=5, pool=50, allowed=allowed
+    ).toPandas()
+    assert len(got) > 0
+    assert (got["doc_id"] % 2 == 0).all()
+
+
+def test_collapse_empty_query(spark, index_1k):
+    got = search_collapse(
+        spark, index_1k, "zzz_out_of_vocabulary", "lang", k=5
+    )
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["lang", "doc_id", "score"]
