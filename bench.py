@@ -184,6 +184,9 @@ def main() -> None:
     # same WAND serving path as any other index
     timed("bm25_merged_cold", lambda: QUERIES["bm25_merged"](spark, sf_dir).count())
     timed("bm25_merged", lambda: QUERIES["bm25_merged"](spark, sf_dir).count())
+    # online federation over the same two shards: no merge step, each
+    # shard scores under composed global stats, union of per-shard top-k
+    timed("bm25_federated", lambda: QUERIES["bm25_federated"](spark, sf_dir).count())
     timed("bool_topk", lambda: QUERIES["bool_topk"](spark, sf_dir).count())
     timed("bool_group_topk", lambda: QUERIES["bool_group_topk"](spark, sf_dir).count())
     timed("bool_batch_topk", lambda: QUERIES["bool_batch_topk"](spark, sf_dir).count())

@@ -41,7 +41,12 @@ def _attach_meta(spark, index_dir: str, hit_lists) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--index-dir")
+    ap.add_argument("--shard", action="append", default=[],
+                    help="federate: repeat per shard index dir — the query "
+                    "runs over ALL shards with exact composed global "
+                    "statistics (operators/federate.search_shards); hits "
+                    "carry (shard, doc_id). Replaces --index-dir.")
     ap.add_argument("--query", action="append", default=[])
     ap.add_argument("--queries-file")
     ap.add_argument("--k", type=int, default=10)
@@ -97,10 +102,32 @@ def main() -> None:
     from searchengine_spark.plans.manifest import resolve_index_dir
     from searchengine_spark.session import get_session
 
+    if bool(args.shard) == bool(args.index_dir):
+        raise SystemExit("give exactly one of --index-dir or --shard (2+)")
     # a serving dir holding a CURRENT pointer resolves to the live index;
     # a concrete index dir passes through (manifest.publish_index)
-    args.index_dir = resolve_index_dir(args.index_dir)
+    if args.index_dir:
+        args.index_dir = resolve_index_dir(args.index_dir)
     spark = get_session(app_name="searchengine-search")
+    if args.shard:
+        if (args.bool or args.where or args.hybrid_embeddings or args.complete
+                or args.suggest or args.collapse or args.scorer != "wand"):
+            raise SystemExit("--shard federates plain BM25 (no --bool/--where/"
+                             "--hybrid/--collapse/--complete/--suggest/"
+                             "--scorer cosine)")
+        if len(args.shard) < 2:
+            raise SystemExit("--shard needs 2+ dirs (one dir is --index-dir)")
+        from searchengine_spark.operators.federate import search_shards
+
+        dirs = [resolve_index_dir(d) for d in args.shard]
+        for q in queries:
+            hits = [
+                {"shard": r["shard"], "doc_id": r["doc_id"], "score": r["score"]}
+                for r in search_shards(spark, dirs, q, k=args.k).collect()
+            ]
+            print(json.dumps({"query": q, "shards": dirs, "hits": hits}))
+        spark.stop()
+        return
     if args.complete or args.suggest:
         if args.bool or args.where or args.hybrid_embeddings or args.scorer != "wand":
             raise SystemExit("--complete/--suggest are dictionary lookups "

@@ -1,0 +1,114 @@
+"""Query-time federation: one query over N independently built indexes.
+
+`merge_indexes` (operators/merge.py) is the OFFLINE answer to sharded
+builds — rewrite everything into one serving index. This is the ONLINE
+answer: fan the query out to each shard, score every shard under GLOBAL
+corpus statistics, and merge the per-shard top-k — how every distributed
+search engine serves (Elasticsearch/Solr DFS query-then-fetch), and at
+10^12 files the only shape that works across index *generations* (daily
+builds, per-repo-group shards) without a rewrite in the serving path.
+
+Exactness contract: BM25 is a per-doc sum of qtf·idf(df)·tf_part(tf, dl,
+avgdl). Every input is either per-doc (tf, dl — identical in a shard and
+in a monolithic build) or corpus-global and exactly composable from shard
+manifests: N = Σ n_docs, avgdl = Σ n_tokens / Σ n_docs, df(t) = Σ df_i(t).
+Shards score through the standard WAND tail with (N, avgdl) overridden
+and global df riding in the query weights, so a doc's score is
+bit-identical to the score a single monolithic index would give it
+(gate entry ``bm25_federated`` pins this against the bm25_topk oracle;
+tests/test_federate.py pins it against a literal monolithic build).
+Block-max pruning stays safe under the override because blocks carry
+``pack_avgdl`` and the scorer rescales bounds by
+max(1, avgdl_global/pack_avgdl).
+
+Caveat (documented, not hidden): the ``reference`` analyzer's case-fold
+map is corpus-global per shard, so a case-variant term can fold
+differently in different shards than in a monolithic build — the same
+cross-shard-statistics caveat Elasticsearch carries. Lowercase terms
+(and the ``raw``/``code`` analyzers, which fold nothing) are exact.
+
+Reference: beyond-reference surface (the reference engine is a
+single-process loop, search_engine.py:93-123, with no shard concept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.plans.manifest import Manifest
+
+# knobs that make scores comparable across shards — refuse to merge
+# incomparable score spaces instead of silently blending them
+_COMPAT_KEYS = ("analyzer", "stemming", "k1", "b")
+
+
+def global_stats(index_dirs: list) -> tuple:
+    """(N, avgdl) composed exactly from shard manifests: N = Σ indexed
+    docs, avgdl = Σ tokens / Σ docs — the same two integers a monolithic
+    build would divide."""
+    mans = [Manifest(d).scalars for d in index_dirs]
+    for key in _COMPAT_KEYS:
+        vals = {m.get(key) for m in mans}
+        if len(vals) > 1:
+            raise ValueError(
+                f"shards disagree on {key!r}: {sorted(map(str, vals))} — "
+                "scores would not be comparable (rebuild or pick one)"
+            )
+    n = sum(m.get("n_docs_indexed", m["n_docs"]) for m in mans)
+    n_built = sum(m["n_docs"] for m in mans)
+    avgdl = (sum(m["n_tokens"] for m in mans) / n_built) if n_built else 0.0
+    return n, avgdl
+
+
+def search_shards(
+    spark: SparkSession,
+    index_dirs: list,
+    query: str,
+    k: int = 10,
+    maxscore: bool = True,
+) -> DataFrame:
+    """BM25 top-k across shard indexes with exact global statistics →
+    DataFrame(shard, doc_id, score): ``shard`` is the position in
+    ``index_dirs`` (doc ids are per-shard), globally ordered
+    (score desc, shard asc, doc_id asc).
+
+    Plan shape: each shard runs the standard pushed-scan WAND top-k
+    (over-fetching nothing — a shard can own all k global hits, so each
+    fetches k); the merge is a union of <= len(index_dirs)·k rows.
+    Per-term global df comes from each shard's term dictionary lookup —
+    driver-side dictionary work over the query's terms only, never a
+    full term_dict read."""
+    from searchengine_spark.operators.wand import (
+        _topk_for_qweights,
+        fold_query_terms,
+    )
+
+    n, avgdl = global_stats(index_dirs)
+    folded = [fold_query_terms(spark, d, query) for d in index_dirs]
+    gdf: dict = {}
+    for f in folded:
+        for t, (_qtf, df) in f.items():
+            gdf[t] = gdf.get(t, 0) + df
+    parts = []
+    for sid, (d, f) in enumerate(zip(index_dirs, folded)):
+        if not f:
+            continue
+        qw = {t: (qtf, gdf[t]) for t, (qtf, _df) in f.items()}
+        parts.append(
+            _topk_for_qweights(
+                spark, d, qw, k, maxscore, None, stats_override=(n, avgdl)
+            ).select(
+                F.lit(sid).cast("int").alias("shard"), "doc_id", "score"
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], "shard INT, doc_id LONG, score DOUBLE"
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy(
+        F.desc("score"), F.asc("shard"), F.asc("doc_id")
+    ).limit(k)

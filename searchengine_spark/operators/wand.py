@@ -695,10 +695,20 @@ def _topk_for_qweights(
     allowed: DataFrame | None,
     clauses: tuple | None = None,
     offset: int = 0,
+    stats_override: tuple | None = None,
 ) -> DataFrame:
     """Shared single-query scoring tail: postings scan (pushed ``term
     IN``), per-range scorer stage, global (score desc, doc_id asc)
     top-k. ``qweights``: {term: (qtf, df)} with resolved index terms.
+
+    ``stats_override`` = (n_docs, avgdl) replaces this index's corpus
+    statistics — the federation hook (operators/federate.py): a shard
+    scores with GLOBAL N/avgdl (and global df, which rides inside
+    ``qweights``) so its scores are comparable across shards. Block-max
+    pruning stays safe because every block stores the ``pack_avgdl`` it
+    was packed under and the scorer rescales bounds by
+    max(1, avgdl_now/pack_avgdl) — the same stale-bound machinery
+    selective compaction relies on.
 
     ``clauses`` = ``(pos_clauses, neg_terms)`` pushes boolean
     eligibility into the scorer (see ``_score_range_batch_factory``):
@@ -721,10 +731,15 @@ def _topk_for_qweights(
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(scan_terms))
     )
+    n_eff, avgdl_eff = (
+        stats_override
+        if stats_override is not None
+        else (s.get("n_docs_indexed", s["n_docs"]), s["avgdl"])
+    )
     per_range, _ = _scored_ranges(
         spark, index_dir, posts,
         lambda sc, fl, tb: _score_range_batch_factory(
-            {0: qweights}, s.get("n_docs_indexed", s["n_docs"]), s["avgdl"],
+            {0: qweights}, n_eff, avgdl_eff,
             s["range_width"], k + offset, maxscore=maxscore, sidecar=sc,
             filtered=fl, tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
             qclauses=None if clauses is None else {0: clauses},

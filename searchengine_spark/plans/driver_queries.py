@@ -1499,18 +1499,17 @@ def q_bm25_topk_packed(spark, sf_dir):
     return _packed_topk(spark, _packed_layout(spark, sf_dir))
 
 
-def _merged_layout(spark, sf_dir) -> str:
+def _shard_layout(spark, sf_dir) -> list:
     """Two raw-analyzer shard indexes (docs split by original-id parity,
-    so both shards interleave over the whole corpus) merged by
-    ``merge_indexes`` into one serving index — same content-keyed /tmp
-    cache scheme as :func:`_packed_layout`."""
+    so both shards interleave over the whole corpus) — the shared input
+    of the merged (offline, bm25_merged) and federated (online,
+    bm25_federated) serving paths; same content-keyed /tmp cache scheme
+    as :func:`_packed_layout`."""
     import hashlib
-    import os
     import shutil
     import tempfile
 
     from searchengine_spark.operators.index_build import build_index
-    from searchengine_spark.operators.merge import merge_indexes
 
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     st = os.stat(src)
@@ -1519,21 +1518,35 @@ def _merged_layout(spark, sf_dir) -> str:
         tempfile.gettempdir(),
         "se_mrg_" + hashlib.md5(key.encode()).hexdigest()[:10],
     )
-    merged = f"{d}/merged"
-    if not os.path.exists(f"{merged}/manifest.json") or not os.path.exists(
-        f"{merged}/postings"
+    shard_dirs = [f"{d}/shard{i}" for i in range(2)]
+    if not all(
+        os.path.exists(f"{sd}/manifest.json") and os.path.exists(f"{sd}/postings")
+        for sd in shard_dirs
     ):
-        shutil.rmtree(d, ignore_errors=True)
         corpus = _docs_as_corpus(spark, sf_dir)
         orig = F.substring("path", 5, 30).cast("long")
-        shard_dirs = []
-        for i in range(2):
-            sd = f"{d}/shard{i}"
+        for i, sd in enumerate(shard_dirs):
+            shutil.rmtree(sd, ignore_errors=True)
             build_index(
                 spark, corpus.where(orig % 2 == i), sd,
                 n_groups=2, analyzer="raw",
             )
-            shard_dirs.append(sd)
+    return shard_dirs
+
+
+def _merged_layout(spark, sf_dir) -> str:
+    """:func:`_shard_layout`'s two shards merged by ``merge_indexes``
+    into one serving index (cached beside them)."""
+    import shutil
+
+    from searchengine_spark.operators.merge import merge_indexes
+
+    shard_dirs = _shard_layout(spark, sf_dir)
+    merged = f"{os.path.dirname(shard_dirs[0])}/merged"
+    if not os.path.exists(f"{merged}/manifest.json") or not os.path.exists(
+        f"{merged}/postings"
+    ):
+        shutil.rmtree(merged, ignore_errors=True)
         merge_indexes(spark, shard_dirs, merged, n_groups=2)
     return merged
 
@@ -1548,6 +1561,40 @@ def q_bm25_merged(spark, sf_dir):
     engine. The oracle is bm25_topk's single-build SQL, so a hash match
     proves merge ≡ fresh build on statistics, scores, and ranks."""
     return _packed_topk(spark, _merged_layout(spark, sf_dir))
+
+
+def q_bm25_federated(spark, sf_dir):
+    """QUERY-TIME federation, hash-gated: the same two independent shard
+    indexes as bm25_merged, but with NO merge step — each shard scores
+    under composed global statistics (operators/federate.search_shards:
+    N = ΣN_i, avgdl = Σtokens/Σdocs, df = Σdf_i riding in the query
+    weights) and the per-shard top-k union is the answer. The oracle is
+    bm25_topk's single-build SQL, so a hash match proves online
+    federation ≡ a monolithic build on scores, ranks, and ties —
+    the serving path that spans index generations without a rewrite."""
+    from searchengine_spark.operators.federate import search_shards
+
+    shard_dirs = _shard_layout(spark, sf_dir)
+    hits = search_shards(spark, shard_dirs, " ".join(QTERMS), k=60)
+    parts = []
+    for sid, sd in enumerate(shard_dirs):
+        dm = spark.read.parquet(f"{sd}/doc_map").select(
+            "doc_id",
+            F.substring("path", 5, 30).cast("long").alias("orig_id"),
+        )
+        parts.append(
+            hits.where(F.col("shard") == sid).join(dm, "doc_id")
+            .select("orig_id", "score")
+        )
+    u = parts[0].unionByName(parts[1])
+    return (
+        u.select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
 
 
 def q_bm25_tombstoned(spark, sf_dir):
@@ -2335,6 +2382,7 @@ QUERIES = {
     "bm25_filtered": q_bm25_filtered,
     "bm25_collapse": q_bm25_collapse,
     "percolate": q_percolate,
+    "bm25_federated": q_bm25_federated,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3071,6 +3119,8 @@ ORACLES["phrase_topk_idx"] = ORACLES["phrase_topk"]
 # the packed-index entry answers from the REAL engine (raw analyzer ==
 # the oracle's tokenization) — same SQL as the declarative composition
 ORACLES["bm25_topk_packed"] = ORACLES["bm25_topk"]
+# online federation over two independent shard builds ≡ one monolithic build
+ORACLES["bm25_federated"] = ORACLES["bm25_topk"]
 
 # field-collapsed retrieval: same BM25 CTE, rank-1 per source window
 ORACLES["bm25_collapse"] = (

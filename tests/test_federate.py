@@ -1,0 +1,112 @@
+"""Query-time federation (operators/federate.py).
+
+The load-bearing claim: searching N independently built shard indexes
+with composed global statistics is bit-identical to searching one
+monolithic index over the concatenated corpus — same docs, same ranks,
+same float64 scores. Verified here against a literal monolithic build
+(index_1k) with the corpus prefix-split into two shard builds.
+
+Queries stick to lowercase corpus vocabulary: the reference analyzer's
+case-fold map is corpus-global PER SHARD, so case-variant terms carry
+the documented cross-shard caveat (module docstring) and are not part
+of the exactness contract.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.federate import global_stats, search_shards
+from searchengine_spark.operators.wand import search
+from searchengine_spark.plans.manifest import Manifest
+
+QUERIES = [
+    "tokenizer",
+    "def return",
+    "posting shard merge",
+    "index",
+    "value data result count",
+    "varint codec block",
+    "segment manifest spill fanout cursor",
+    "tokenizer zzz_out_of_vocabulary",  # absent term contributes nothing
+]
+
+
+@pytest.fixture(scope="module")
+def shard_dirs(spark, small_corpus_pdf, tmp_path_factory):
+    """The SAME 1000-doc corpus as index_1k, prefix-split into two
+    independent builds (docs 0-499 / 500-999)."""
+    from searchengine_spark.operators.index_build import build_index
+
+    base = tmp_path_factory.mktemp("fed_shards")
+    dirs = []
+    for i, sl in enumerate([slice(0, 500), slice(500, 1000)]):
+        d = str(base / f"shard{i}")
+        half = spark.createDataFrame(small_corpus_pdf.iloc[sl])
+        build_index(spark, half, d, range_width=128, n_groups=2)
+        dirs.append(d)
+    return dirs
+
+
+def _paths(spark, index_dir, hits_pdf):
+    dm = (
+        spark.read.parquet(f"{index_dir}/doc_map")
+        .select("doc_id", "path")
+        .toPandas()
+        .set_index("doc_id")["path"]
+    )
+    return [dm[d] for d in hits_pdf["doc_id"]]
+
+
+def test_global_stats_compose_exactly(spark, index_1k, shard_dirs):
+    mono = Manifest(index_1k).scalars
+    n, avgdl = global_stats(shard_dirs)
+    assert n == mono["n_docs"]
+    assert avgdl == mono["avgdl"]  # Σtokens/Σdocs — bit-equal, not close
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_federated_equals_monolithic(spark, index_1k, shard_dirs, query):
+    mono = search(spark, index_1k, query, k=10).toPandas()
+    fed = search_shards(spark, shard_dirs, query, k=10).toPandas()
+    assert len(fed) == len(mono), query
+    # same documents in the same order (doc ids differ per build — map
+    # both sides to the corpus path)
+    mono_paths = _paths(spark, index_1k, mono)
+    dms = [
+        spark.read.parquet(f"{d}/doc_map")
+        .select("doc_id", "path")
+        .toPandas()
+        .set_index("doc_id")["path"]
+        for d in shard_dirs
+    ]
+    fed_paths = [
+        dms[int(r["shard"])][int(r["doc_id"])] for _, r in fed.iterrows()
+    ]
+    assert fed_paths == mono_paths, query
+    # bit-identical scores: every BM25 input composes exactly
+    assert fed["score"].tolist() == mono["score"].tolist(), query
+
+
+def test_shard_order_breaks_ties_like_corpus_order(spark, shard_dirs):
+    """Prefix split ⇒ (shard asc, local doc_id asc) is corpus order, so
+    the federated tiebreak is the monolithic doc_id tiebreak."""
+    fed = search_shards(spark, shard_dirs, "index", k=25).toPandas()
+    key = list(zip(-fed["score"], fed["shard"], fed["doc_id"]))
+    assert key == sorted(key)
+
+
+def test_empty_and_oov_query(spark, shard_dirs):
+    got = search_shards(spark, shard_dirs, "zzz_out_of_vocabulary", k=5)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["shard", "doc_id", "score"]
+
+
+def test_incompatible_shards_refused(spark, small_corpus_pdf, tmp_path):
+    from searchengine_spark.operators.index_build import build_index
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    tiny = spark.createDataFrame(small_corpus_pdf.iloc[:60])
+    build_index(spark, tiny, a, range_width=64, n_groups=1, analyzer="raw")
+    build_index(spark, tiny, b, range_width=64, n_groups=1, analyzer="code")
+    with pytest.raises(ValueError, match="analyzer"):
+        search_shards(spark, [a, b], "value data", k=5)
