@@ -70,6 +70,10 @@ def main() -> None:
     ap.add_argument("--hybrid-n-each", type=int, default=100,
                     help="per-leg top-N fed to the fuse")
     ap.add_argument("--rrf-c", type=int, default=60)
+    ap.add_argument("--significant", action="store_true",
+                    help="significant-terms aggregation: print the top-k "
+                    "JLH-significant terms of each query's match set "
+                    "instead of ranked hits (operators/significant.py)")
     ap.add_argument("--complete", action="store_true",
                     help="treat each query as an autocomplete prefix: print "
                     "the top-k (term, df) completions, most-common-first "
@@ -111,10 +115,11 @@ def main() -> None:
     spark = get_session(app_name="searchengine-search")
     if args.shard:
         if (args.bool or args.where or args.hybrid_embeddings or args.complete
-                or args.suggest or args.collapse or args.scorer != "wand"):
+                or args.suggest or args.collapse or args.significant
+                or args.scorer != "wand"):
             raise SystemExit("--shard federates plain BM25 (no --bool/--where/"
                              "--hybrid/--collapse/--complete/--suggest/"
-                             "--scorer cosine)")
+                             "--significant/--scorer cosine)")
         if len(args.shard) < 2:
             raise SystemExit("--shard needs 2+ dirs (one dir is --index-dir)")
         from searchengine_spark.operators.federate import search_shards
@@ -126,6 +131,22 @@ def main() -> None:
                 for r in search_shards(spark, dirs, q, k=args.k).collect()
             ]
             print(json.dumps({"query": q, "shards": dirs, "hits": hits}))
+        spark.stop()
+        return
+    if args.significant:
+        if (args.bool or args.where or args.hybrid_embeddings or args.complete
+                or args.suggest or args.collapse or args.scorer != "wand"):
+            raise SystemExit("--significant is a match-set aggregation "
+                             "(no --bool/--where/--hybrid/--collapse/"
+                             "--complete/--suggest/--scorer cosine)")
+        from searchengine_spark.operators.significant import significant_terms
+
+        for q in queries:
+            rows = significant_terms(spark, args.index_dir, q, k=args.k).collect()
+            print(json.dumps({"query": q, "significant": [
+                {"term": r["term"], "fg_df": r["fg_df"], "score": r["score"]}
+                for r in rows
+            ]}))
         spark.stop()
         return
     if args.complete or args.suggest:

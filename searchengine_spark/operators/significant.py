@@ -1,0 +1,125 @@
+"""Significant-terms aggregation over the query's match set.
+
+Beyond-reference surface (the reference engine, shiloari/SearchEngine,
+ranks documents only — it has no result-set analytics): given a query,
+find the terms that are OVER-REPRESENTED in the matching documents
+relative to the whole corpus — "what is this result set about" /
+"people who matched X also say Y". The Elasticsearch
+``significant_terms`` aggregation shape, scored with its default JLH
+heuristic:
+
+    fg_pct = fg_df / fg_n        (share of FOREGROUND docs holding t)
+    bg_pct = df    / n_docs      (share of the CORPUS holding t)
+    jlh    = (fg_pct - bg_pct) * (fg_pct / bg_pct)
+
+— the absolute lift times the relative lift, keeping only terms with
+positive lift (fg_pct > bg_pct). Deterministic, so the driver gate can
+hash-verify it against a pure-SQL restatement.
+
+Distributed shape (scale story first):
+
+1. foreground ids: pushed term-IN postings scan + bulk gap decode
+   (``boolquery._postings_ids``) — df(q) rows, never a corpus pass;
+2. per-term foreground counts: the layout's FORWARD index
+   (``doc_terms``, written once at build) semi-joined to the foreground
+   ids, one map-side-combined ``groupBy(term)``. The semi-join is the
+   only shuffle whose size tracks the foreground; the groupBy output is
+   ≤ |vocab| rows;
+3. background df: the ``term_dict`` sidecar — already materialized, no
+   second corpus aggregation;
+4. the JLH arithmetic is a JVM-side projection over ≤ |vocab| rows and
+   the final top-k is a ``TakeOrderedAndProject``.
+
+Nothing driver-side except the query-term resolution (cached term_dict
+lookup) — the foreground count rides the plan as a 1-row broadcast. At
+10^12-doc scale every stage is bounded by df(query terms) or |vocab|,
+never by corpus size.
+
+Tombstone semantics mirror BM25 serving (operators/deletion.py): deleted
+docs leave the FOREGROUND immediately (they can't match), while the
+background statistics (df, n_docs) stay pre-delete until a physical
+purge — the same eligibility-only contract the scorer documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.plans.manifest import Manifest
+
+OUT_SCHEMA = "term string, fg_df long, score double"
+
+
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 20,
+    min_fg_df: int = 3,
+    include_query_terms: bool = False,
+) -> DataFrame:
+    """Top-``k`` JLH-significant terms of ``query``'s match set →
+    DataFrame(term, fg_df, score) ordered (score desc, term asc).
+
+    ``query`` resolves through the index's own analyzer + casing
+    fallback (``wand.fold_query_terms``), exactly like search — so the
+    foreground here is the same doc set ``search``/``facet_counts``
+    operate on (every doc holding ≥1 resolved term). Terms seen in
+    fewer than ``min_fg_df`` foreground docs are dropped (the ES
+    ``min_doc_count`` guard: a term seen twice in a 10-doc foreground
+    is noise, not signal). The query's own terms are excluded unless
+    ``include_query_terms=True`` — they trivially maximize JLH
+    (fg_pct = 1) and carry no information.
+
+    Scores are rounded to 6 dp (the repo-wide hash-gate convention);
+    ordering uses the rounded value so engine and oracle agree on ties.
+    """
+    from searchengine_spark.operators.boolquery import _postings_ids
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([], OUT_SCHEMA)
+    qterms = sorted(qweights)
+
+    fg_ids = _postings_ids(spark, index_dir, qterms)
+    if has_tombstones(index_dir):
+        fg_ids = fg_ids.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+
+    n_docs = int(Manifest(index_dir).scalars["n_docs"])
+
+    # forward index restricted to the foreground: one row per
+    # (doc, term), so count(*) IS the foreground document frequency
+    fg = (
+        spark.read.parquet(f"{index_dir}/doc_terms")
+        .select("doc_id", "term")
+        .join(fg_ids, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count("*").alias("fg_df"))
+    )
+    bg = spark.read.parquet(f"{index_dir}/term_dict").select("term", "df")
+    # 1-row broadcast join, not a driver scalar: the foreground count
+    # stays inside the plan (mirrors the oracle's CROSS JOIN fgn)
+    fgn = fg_ids.agg(F.count("*").cast("double").alias("fg_n"))
+
+    fg_pct = F.col("fg_df").cast("double") / F.col("fg_n")
+    bg_pct = F.col("df").cast("double") / F.lit(float(n_docs))
+    scored = (
+        fg.join(bg, "term")
+        .crossJoin(F.broadcast(fgn))
+        .withColumn(
+            "score",
+            F.round((fg_pct - bg_pct) * (fg_pct / bg_pct), 6),
+        )
+        .where(F.col("score") > 0)
+        .where(F.col("fg_df") >= int(min_fg_df))
+    )
+    if not include_query_terms:
+        scored = scored.where(~F.col("term").isin(qterms))
+    return (
+        scored.select("term", "fg_df", "score")
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(k)
+    )

@@ -2024,6 +2024,21 @@ def q_facet_counts(spark, sf_dir):
     return facet_counts(spark, layout, " ".join(QTERMS), "lang")
 
 
+SIG_QUERY = "dup"  # df ≈ 5% of docs at every sf — a real foreground
+
+
+def q_significant_terms(spark, sf_dir):
+    """Significant-terms aggregation (operators/significant.py): terms
+    over-represented in the 'dup' match set vs the corpus, scored with
+    the ES JLH heuristic — postings-scan foreground, forward-index
+    semi-join, term_dict background, all ≤|vocab| rows after the one
+    foreground-sized shuffle. Term output only, so no orig-id remap."""
+    from searchengine_spark.operators.significant import significant_terms
+
+    layout = _packed_layout(spark, sf_dir)
+    return significant_terms(spark, layout, SIG_QUERY)
+
+
 def q_phrase_match_idx(spark, sf_dir):
     """Phrase occurrence counts answered ENTIRELY from the positional
     sidecar (operators/positions.py): pushed term-IN scan of the
@@ -2383,6 +2398,7 @@ QUERIES = {
     "bm25_collapse": q_bm25_collapse,
     "percolate": q_percolate,
     "bm25_federated": q_bm25_federated,
+    "significant_terms": q_significant_terms,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3156,6 +3172,26 @@ ORACLES["percolate"] = (
     " SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_matched"
     " FROM dt JOIN q USING (term)"
     " GROUP BY query_id, doc_id, msm HAVING count(*) >= msm"
+)
+
+# significant terms: JLH lift of the 'dup' foreground vs the corpus —
+# same division/multiplication tree as the engine (double throughout),
+# query term excluded, min_fg_df=3, positive lift only
+ORACLES["significant_terms"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" f AS (SELECT DISTINCT doc_id FROM dt WHERE term = '{SIG_QUERY}'),"
+    " fgn AS (SELECT CAST(count(*) AS DOUBLE) AS fg_n FROM f),"
+    " n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),"
+    " fg AS (SELECT term, CAST(count(*) AS BIGINT) AS fg_df FROM dt"
+    "   WHERE doc_id IN (SELECT doc_id FROM f) GROUP BY term),"
+    " bg AS (SELECT term, count(*) AS df FROM dt GROUP BY term)"
+    " SELECT term, fg_df, score FROM ("
+    "   SELECT fg.term, fg.fg_df,"
+    "   round(((fg_df / fg_n) - (df / nd))"
+    "         * ((fg_df / fg_n) / (df / nd)), 6) AS score"
+    "   FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN n)"
+    f" WHERE score > 0 AND fg_df >= 3 AND term <> '{SIG_QUERY}'"
+    " ORDER BY score DESC, term ASC LIMIT 20"
 )
 
 # shard-build-then-merge serves the SAME answers as one build: merge

@@ -1,0 +1,80 @@
+"""Significant-terms aggregation (operators/significant.py): JLH math,
+foreground semantics, guards — verified against a brute-force pandas
+recompute from the index's own forward index + term dictionary. The
+text-level end-to-end definition is pinned by the hash-gated
+``significant_terms`` driver entry against its DuckDB oracle."""
+
+import pandas as pd
+import pytest
+
+from searchengine_spark.operators.significant import significant_terms
+from searchengine_spark.operators.wand import fold_query_terms
+
+QUERY = "result"
+
+
+def _expected(spark, index_dir, query, k=20, min_fg_df=3, include=False):
+    dt = (
+        spark.read.parquet(f"{index_dir}/doc_terms")
+        .select("doc_id", "term")
+        .toPandas()
+    )
+    td = spark.read.parquet(f"{index_dir}/term_dict").toPandas()
+    import json
+
+    n_docs = json.load(open(f"{index_dir}/manifest.json"))["scalars"]["n_docs"]
+    qterms = sorted(fold_query_terms(spark, index_dir, query))
+    f_ids = set(dt[dt["term"].isin(qterms)]["doc_id"])
+    fg = (
+        dt[dt["doc_id"].isin(f_ids)]
+        .groupby("term")
+        .size()
+        .rename("fg_df")
+        .reset_index()
+    )
+    m = fg.merge(td[["term", "df"]], on="term")
+    fgp = m["fg_df"] / float(len(f_ids))
+    bgp = m["df"] / float(n_docs)
+    m["score"] = ((fgp - bgp) * (fgp / bgp)).round(6)
+    m = m[(m["score"] > 0) & (m["fg_df"] >= min_fg_df)]
+    if not include:
+        m = m[~m["term"].isin(qterms)]
+    m = m.sort_values(["score", "term"], ascending=[False, True]).head(k)
+    return list(m[["term", "fg_df", "score"]].itertuples(index=False, name=None))
+
+
+def _rows(df):
+    return [(r["term"], r["fg_df"], r["score"]) for r in df.collect()]
+
+
+def test_matches_pandas_recompute(spark, index_1k):
+    got = _rows(significant_terms(spark, index_1k, QUERY))
+    want = _expected(spark, index_1k, QUERY)
+    assert got == want
+    assert len(got) >= 3  # non-vacuous: a real foreground with real lift
+
+
+def test_query_terms_excluded_by_default(spark, index_1k):
+    got = {t for t, _, _ in _rows(significant_terms(spark, index_1k, QUERY))}
+    qterms = set(fold_query_terms(spark, index_1k, QUERY))
+    assert got and not (got & qterms)
+
+
+def test_include_query_terms_tops_the_list(spark, index_1k):
+    rows = _rows(
+        significant_terms(spark, index_1k, QUERY, include_query_terms=True)
+    )
+    qterms = set(fold_query_terms(spark, index_1k, QUERY))
+    # a query term has fg_pct = 1 — the maximal JLH lift in the set
+    assert rows[0][0] in qterms
+
+
+def test_min_fg_df_guard(spark, index_1k):
+    hi = 10 ** 9
+    assert _rows(significant_terms(spark, index_1k, QUERY, min_fg_df=hi)) == []
+
+
+def test_unresolvable_query_is_empty_with_schema(spark, index_1k):
+    out = significant_terms(spark, index_1k, "zzzznotaterm")
+    assert out.columns == ["term", "fg_df", "score"]
+    assert out.collect() == []
