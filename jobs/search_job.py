@@ -70,6 +70,11 @@ def main() -> None:
     ap.add_argument("--hybrid-n-each", type=int, default=100,
                     help="per-leg top-N fed to the fuse")
     ap.add_argument("--rrf-c", type=int, default=60)
+    ap.add_argument("--boost-parquet", metavar="PATH",
+                    help="function-score retrieval: parquet of (doc_id, "
+                    "factor) per-doc multipliers; hits score "
+                    "factor*BM25 with exact pruning "
+                    "(wand.search_function_score); composes with --where")
     ap.add_argument("--significant", action="store_true",
                     help="significant-terms aggregation: print the top-k "
                     "JLH-significant terms of each query's match set "
@@ -108,6 +113,13 @@ def main() -> None:
 
     if bool(args.shard) == bool(args.index_dir):
         raise SystemExit("give exactly one of --index-dir or --shard (2+)")
+    if args.boost_parquet and (
+        args.bool or args.hybrid_embeddings or args.complete or args.suggest
+        or args.collapse or args.significant or args.shard
+    ):
+        raise SystemExit("--boost-parquet composes plain BM25 (optionally "
+                         "with --where) — no --bool/--hybrid/--collapse/"
+                         "--complete/--suggest/--significant/--shard")
     # a serving dir holding a CURRENT pointer resolves to the live index;
     # a concrete index dir passes through (manifest.publish_index)
     if args.index_dir:
@@ -293,12 +305,31 @@ def main() -> None:
                 .where(args.where)
                 .select("doc_id")
             )
+        if args.boost_parquet:
+            from searchengine_spark.operators.wand import search_function_score
+
+            factors = spark.read.parquet(args.boost_parquet)
+            for q in queries:
+                hits = [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in search_function_score(
+                        spark, args.index_dir, q, factors, k=args.k,
+                        allowed=allowed,
+                    ).collect()
+                ]
+                if args.with_meta:
+                    _attach_meta(spark, args.index_dir, [hits])
+                print(json.dumps({"query": q, "hits": hits}))
+            spark.stop()
+            return
         result = search_batch(
             spark, args.index_dir, queries, k=args.k, allowed=allowed
         )
     else:
         if args.where:
             raise SystemExit("--where requires --scorer wand")
+        if args.boost_parquet:
+            raise SystemExit("--boost-parquet requires --scorer wand")
         from searchengine_spark.operators import parity
 
         parity.build_cosine_tables(spark, args.index_dir, prune=True)

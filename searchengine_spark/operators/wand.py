@@ -150,7 +150,8 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                                sidecar: bool = False, filtered: bool = False,
                                tombstoned: bool = False,
                                k1: float | None = None, b: float | None = None,
-                               qclauses: dict | None = None):
+                               qclauses: dict | None = None,
+                               boosted: bool = False):
     """Build the per-range pandas scorer for a BATCH of queries.
     ``qmap``: {query_id: {term: (qtf, df)}}.
 
@@ -219,6 +220,17 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     bit-exactness argument: eligibility only selects rows, never changes
     a surviving doc's addend set or order.
 
+    ``boosted=True`` (cogroup: the aux row may carry a per-range
+    ``boost`` array of per-doc multipliers, float64 local-offset
+    indexed — ``search_function_score``): a doc's final score is
+    ``factor · Σ BM25 addends`` — ONE multiply after the sum, so the
+    addend tree the oracle replays is unchanged. Pruning stays exact:
+    every chunk bound is scaled by the MAX factor inside that chunk
+    (score ≤ factor·Σ ≤ chunk_fmax·bound), θ competes boosted scores,
+    and the MaxScore tail test compares the boosted tail bound. A range
+    with no boost row scores unboosted (missing docs default to factor
+    1, the ES function_score convention).
+
     Batching amortizes the dominant shared costs across queries: one
     postings scan + one shuffle + one Python stage per BATCH (not per
     query), and decoded blocks (doc offsets + query-independent BM25 tf
@@ -235,7 +247,8 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
         for qid, qw in qmap.items()
     }
 
-    def _score(key, pdf: pd.DataFrame, dl_arr, fmask=None, tmask=None) -> pd.DataFrame:
+    def _score(key, pdf: pd.DataFrame, dl_arr, fmask=None, tmask=None,
+               barr=None) -> pd.DataFrame:
         base = int(key[0]) * range_width
         n_chunks = (range_width + CHUNK - 1) // CHUNK
         per_term: dict = {}  # term -> (first, last, bmax, gaps, tfs, dls, ns)
@@ -351,6 +364,14 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                     np.maximum(t_ub[f : l + 1], u, out=t_ub[f : l + 1])
                 t_ubs[t] = t_ub
                 chunk_ub += t_ub
+            cfc = None
+            if barr is not None:
+                # per-chunk max factor: score(doc) = factor·Σ ≤
+                # chunk_fmax·bound, so scaled bounds stay upper bounds
+                cfc = np.maximum.reduceat(
+                    barr, np.arange(0, range_width, CHUNK)
+                )
+                chunk_ub *= cfc
 
             q_ids, q_scores = [], []
             theta = -np.inf
@@ -368,7 +389,8 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 if maxscore and theta > -np.inf and len(w) > 1:
                     tail = 0.0
                     for t in sorted(w, key=lambda t: t_ubs[t][c])[:-1]:
-                        if tail + t_ubs[t][c] < theta:
+                        bnd = tail + t_ubs[t][c]
+                        if (bnd if cfc is None else bnd * cfc[c]) < theta:
                             tail += t_ubs[t][c]
                             ness.add(t)
                         else:
@@ -446,7 +468,10 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 if cand.size == 0:
                     continue
                 q_ids.append(cand + lo)
-                q_scores.append(scores[cand])
+                sc_c = scores[cand]
+                if barr is not None:
+                    sc_c = sc_c * barr[lo + cand]
+                q_scores.append(sc_c)
                 if sum(len(a) for a in q_scores) >= k:
                     allsc = np.concatenate(q_scores)
                     theta = (
@@ -473,7 +498,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
             }
         )
 
-    if not (sidecar or filtered or tombstoned):
+    if not (sidecar or filtered or tombstoned or boosted):
         # groupBy().applyInPandas validates a (key, pdf) signature — wrap
         def score_range(key, pdf: pd.DataFrame) -> pd.DataFrame:
             return _score(key, pdf, None)
@@ -502,6 +527,7 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
             )[:range_width].astype(bool)
         dl_arr = None
         tmask = None
+        barr = None
         if not lens_pdf.empty:
             row = lens_pdf.iloc[0]
             # under filtered+legacy the mask row left-joins a missing
@@ -514,7 +540,11 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 tmask = np.unpackbits(
                     np.frombuffer(bytes(row["tmask"]), dtype=np.uint8)
                 )[:range_width].astype(bool)
-        return _score(key, posts_pdf, dl_arr, fmask, tmask)
+            # per-doc boost factors ride the same aux row (left join:
+            # ranges with no explicit factor score unboosted)
+            if "boost" in lens_pdf.columns and row["boost"] is not None:
+                barr = np.frombuffer(bytes(row["boost"]), dtype=np.float64)
+        return _score(key, posts_pdf, dl_arr, fmask, tmask, barr)
 
     return score_range_cogrouped
 
@@ -563,9 +593,65 @@ def _range_masks(allowed: DataFrame, range_width: int) -> DataFrame:
     )
 
 
+BOOST_SCHEMA = T.StructType(
+    [
+        T.StructField("rng", T.IntegerType(), False),
+        T.StructField("boost", T.BinaryType(), False),
+    ]
+)
+
+
+def _range_boosts(factors: DataFrame, range_width: int) -> DataFrame:
+    """(rng, boost) — one float64 array of per-doc multipliers per
+    document range (local-offset indexed, missing docs = 1.0), built with
+    a single shuffle of the factor rows by ``rng`` — the same key the
+    postings shuffle uses, so the cogroup adds no extra shuffle. 8·
+    range_width bytes per TOUCHED range only; ranges with no factor row
+    score unboosted. In a serving deployment with a stable factor column
+    (pagerank, recency tier) you'd materialize this once as a sidecar
+    table exactly like ``doc_lens``."""
+
+    def to_arr(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rng = int(key[0])
+        loc = pdf["doc_id"].to_numpy(np.int64) - rng * range_width
+        if loc.min() < 0 or loc.max() >= range_width:
+            raise ValueError(
+                f"factor doc_id outside range {rng} "
+                f"[{rng * range_width}, {(rng + 1) * range_width})"
+            )
+        if pdf["doc_id"].duplicated().any():
+            dup = pdf["doc_id"][pdf["doc_id"].duplicated()].iloc[0]
+            raise ValueError(
+                f"duplicate factor for doc_id {int(dup)} — which one "
+                "wins would depend on shuffle order"
+            )
+        v = pdf["factor"].to_numpy(np.float64)
+        if not np.all(np.isfinite(v)) or (v < 0).any():
+            raise ValueError(
+                "factors must be finite and >= 0 (negative factors would "
+                "invert the chunk upper bounds the pruner relies on)"
+            )
+        a = np.ones(range_width, dtype=np.float64)
+        a[loc] = v
+        return pd.DataFrame(
+            {"rng": np.array([rng], np.int32), "boost": [a.tobytes()]}
+        )
+
+    return (
+        factors.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("factor").cast("double").alias("factor"),
+            (F.col("doc_id") / F.lit(range_width)).cast("int").alias("rng"),
+        )
+        .groupBy("rng")
+        .applyInPandas(to_arr, BOOST_SCHEMA)
+    )
+
+
 def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
                    scorer, allowed: DataFrame | None = None,
-                   range_width: int | None = None) -> tuple:
+                   range_width: int | None = None,
+                   boost: DataFrame | None = None) -> tuple:
     """Shared tail of the query plans: build the per-range scorer stage.
 
     Returns ``(per_range_df, sidecar)``. With the doc-length sidecar
@@ -591,6 +677,7 @@ def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
     filtered = allowed is not None
     tomb = tombstone_masks(spark, index_dir)
     tombstoned = tomb is not None
+    boosted = boost is not None
     # ``scorer``: (sidecar, filtered, tombstoned) → scorer fn
     factory_scorer = scorer(sidecar, filtered, tombstoned)
     if filtered:
@@ -607,18 +694,27 @@ def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
             )
         if tombstoned:
             aux = aux.join(tomb, "rng", "left")
+        if boosted:
+            aux = aux.join(boost, "rng", "left")
         per_range = (
             posts.groupBy("rng")
             .cogroup(aux.groupBy("rng"))
             .applyInPandas(factory_scorer, BATCH_RESULT_SCHEMA)
         )
-    elif sidecar or tombstoned:
+    elif sidecar or tombstoned or boosted:
         if sidecar:
             aux = spark.read.parquet(f"{index_dir}/doc_lens")
+            # doc_lens has a row for EVERY range, so left joins lose
+            # nothing; without it, tomb/boost rows cover disjoint range
+            # sets and must union via outer joins
             if tombstoned:
                 aux = aux.join(tomb, "rng", "left")
+            if boosted:
+                aux = aux.join(boost, "rng", "left")
+        elif tombstoned:
+            aux = tomb if not boosted else tomb.join(boost, "rng", "outer")
         else:
-            aux = tomb
+            aux = boost
         per_range = (
             posts.groupBy("rng")
             .cogroup(aux.groupBy("rng"))
@@ -696,6 +792,7 @@ def _topk_for_qweights(
     clauses: tuple | None = None,
     offset: int = 0,
     stats_override: tuple | None = None,
+    factors: DataFrame | None = None,
 ) -> DataFrame:
     """Shared single-query scoring tail: postings scan (pushed ``term
     IN``), per-range scorer stage, global (score desc, doc_id asc)
@@ -736,6 +833,11 @@ def _topk_for_qweights(
         if stats_override is not None
         else (s.get("n_docs_indexed", s["n_docs"]), s["avgdl"])
     )
+    boost = (
+        None
+        if factors is None
+        else _range_boosts(factors.select("doc_id", "factor"), s["range_width"])
+    )
     per_range, _ = _scored_ranges(
         spark, index_dir, posts,
         lambda sc, fl, tb: _score_range_batch_factory(
@@ -743,8 +845,9 @@ def _topk_for_qweights(
             s["range_width"], k + offset, maxscore=maxscore, sidecar=sc,
             filtered=fl, tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
             qclauses=None if clauses is None else {0: clauses},
+            boosted=factors is not None,
         ),
-        allowed=allowed, range_width=s["range_width"],
+        allowed=allowed, range_width=s["range_width"], boost=boost,
     )
     top = (
         per_range.select("doc_id", "score")
@@ -778,6 +881,44 @@ def search(
     qweights = fold_query_terms(spark, index_dir, query)
     return _topk_for_qweights(
         spark, index_dir, qweights, k, maxscore, allowed, offset=offset
+    )
+
+
+def search_function_score(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    factors: DataFrame,
+    k: int = 10,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Function-score retrieval: ``score(doc) = factor(doc) · BM25(doc)``
+    → DataFrame(doc_id, score), globally ordered — the ES
+    ``function_score`` / Lucene ``FunctionScoreQuery`` shape for
+    query-independent per-doc signals (pagerank, recency tier, stars,
+    quality). Beyond-reference surface: the reference engine
+    (shiloari/SearchEngine) has no doc-value scoring at all.
+
+    ``factors``: any DataFrame with (doc_id, factor) columns; factor must
+    be finite and ≥ 0 (one value per doc — duplicates raise). Docs
+    absent from ``factors`` score with factor 1 — pass only the docs a
+    signal exists for. This is EXACT global top-k under the multiplier,
+    not a rescored pool: factors are packed into per-range float64
+    arrays riding the scorer's aux cogroup (one shuffle of |factors|
+    rows by the same ``rng`` key the postings use — see
+    ``_range_boosts``), every chunk upper bound is scaled by the max
+    factor inside that chunk, and θ competes boosted scores — so
+    block-max WAND/MaxScore pruning remains provably lossless (the
+    boost-vs-brute-force identity test pins it). The multiply happens
+    once per doc AFTER the BM25 sum, so surviving scores are
+    bit-identical to ``factor · search(...)``.
+
+    Composes with ``allowed`` metadata filtering (eligibility-only, same
+    contract as ``search_batch``)."""
+    qweights = fold_query_terms(spark, index_dir, query)
+    return _topk_for_qweights(
+        spark, index_dir, qweights, k, maxscore, allowed, factors=factors
     )
 
 

@@ -2039,6 +2039,32 @@ def q_significant_terms(spark, sf_dir):
     return significant_terms(spark, layout, SIG_QUERY)
 
 
+def q_bm25_function_score(spark, sf_dir):
+    """Function-score retrieval through the REAL pruned engine
+    (wand.search_function_score): score = factor·BM25 with factor =
+    1 + n_chars/10000 (a doc-value signal — length prior standing in
+    for pagerank/recency), packed into per-range float64 arrays on the
+    scorer's aux cogroup; chunk bounds scale by the per-chunk max
+    factor so WAND/MaxScore pruning stays exact under the multiplier.
+    The arithmetic is all +,/,· on integers and powers of ten — IEEE-
+    identical in Spark and DuckDB, so the hash gate is meaningful."""
+    from searchengine_spark.operators.wand import search_function_score
+
+    layout = _packed_layout(spark, sf_dir)
+    dm = spark.read.parquet(f"{layout}/doc_map").select(
+        "doc_id", F.substring("path", 5, 30).cast("long").alias("orig_id")
+    )
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"),
+        (F.lit(1.0) + F.col("n_chars") / F.lit(10000.0)).alias("factor"),
+    )
+    factors = dm.join(docs, "orig_id").select("doc_id", "factor")
+    hits = search_function_score(
+        spark, layout, " ".join(QTERMS), factors, k=60
+    )
+    return _orig_topk(spark, layout, hits)
+
+
 def q_phrase_match_idx(spark, sf_dir):
     """Phrase occurrence counts answered ENTIRELY from the positional
     sidecar (operators/positions.py): pushed term-IN scan of the
@@ -2399,6 +2425,7 @@ QUERIES = {
     "percolate": q_percolate,
     "bm25_federated": q_bm25_federated,
     "significant_terms": q_significant_terms,
+    "bm25_function_score": q_bm25_function_score,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3192,6 +3219,26 @@ ORACLES["significant_terms"] = (
     "   FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN n)"
     f" WHERE score > 0 AND fg_df >= 3 AND term <> '{SIG_QUERY}'"
     " ORDER BY score DESC, term ASC LIMIT 20"
+)
+
+# function score: factor·BM25 with factor = 1 + n_chars/10000 — the
+# multiply happens ONCE after the per-doc sum (same op tree as the
+# engine's post-sum numpy multiply), then the 6dp round
+ORACLES["bm25_function_score"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " s AS (SELECT doc_id, sum(c) AS s FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id)"
+    " SELECT doc_id, round(s * (1.0 + n_chars / 10000.0), 6) AS score"
+    " FROM s JOIN documents USING (doc_id)"
+    " ORDER BY score DESC, doc_id ASC LIMIT 20"
 )
 
 # shard-build-then-merge serves the SAME answers as one build: merge

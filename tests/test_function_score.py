@@ -1,0 +1,110 @@
+"""Function-score retrieval (wand.search_function_score): factor·BM25
+with exact pruning under the multiplier — verified against brute force
+(full unboosted scoring × factors, re-sorted), plus guard rails. The
+text-level definition is pinned by the hash-gated ``bm25_function_score``
+driver entry against its DuckDB oracle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.wand import search, search_function_score
+
+QUERY = "fast key order"
+
+
+def _rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+def _factors(spark, n=1000):
+    # deterministic per-doc signal with real spread and exact doubles
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(1.0) + (F.col("id") % 7).cast("double") / F.lit(4.0)).alias(
+            "factor"
+        ),
+    )
+
+
+def test_all_ones_is_bit_identical_to_plain_search(spark, index_1k):
+    ones = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("factor")
+    )
+    got = _rows(search_function_score(spark, index_1k, QUERY, ones, k=15))
+    want = _rows(search(spark, index_1k, QUERY, k=15))
+    assert got == want and got
+
+
+def test_matches_brute_force_rescore(spark, index_1k):
+    full = _rows(search(spark, index_1k, QUERY, k=10 ** 6))
+    fac = {r["doc_id"]: r["factor"] for r in _factors(spark).collect()}
+    want = sorted(
+        ((d, s * fac.get(d, 1.0)) for d, s in full),
+        key=lambda x: (-x[1], x[0]),
+    )[:10]
+    got = _rows(
+        search_function_score(spark, index_1k, QUERY, _factors(spark), k=10)
+    )
+    assert got == want
+
+
+def test_pruning_lossless_maxscore_on_off(spark, index_1k):
+    on = _rows(
+        search_function_score(
+            spark, index_1k, QUERY, _factors(spark), k=10, maxscore=True
+        )
+    )
+    off = _rows(
+        search_function_score(
+            spark, index_1k, QUERY, _factors(spark), k=10, maxscore=False
+        )
+    )
+    assert on == off and on
+
+
+def test_missing_docs_default_to_factor_one(spark, index_1k):
+    plain = _rows(search(spark, index_1k, QUERY, k=10))
+    # a factor table covering a strict subset: uncovered docs score plain
+    # (a factor for a doc_id beyond the corpus lands in a postings-less
+    # range and is ignored — not an error)
+    sub = spark.createDataFrame(
+        [(0, 1.0), (10 ** 9 - 1, 5.0)], "doc_id long, factor double"
+    )
+    got = _rows(search_function_score(spark, index_1k, QUERY, sub, k=10))
+    assert got == plain
+    # negative ids would wrap numpy indexing — must raise loudly
+    neg_id = spark.createDataFrame(
+        [(-5, 2.0)], "doc_id long, factor double"
+    )
+    with pytest.raises(Exception, match="outside range"):
+        search_function_score(spark, index_1k, QUERY, neg_id, k=10).collect()
+
+
+def test_negative_and_duplicate_factors_raise(spark, index_1k):
+    neg = spark.createDataFrame([(1, -2.0)], "doc_id long, factor double")
+    with pytest.raises(Exception, match="finite and >= 0"):
+        search_function_score(spark, index_1k, QUERY, neg, k=5).collect()
+    dup = spark.createDataFrame(
+        [(1, 1.0), (1, 2.0)], "doc_id long, factor double"
+    )
+    with pytest.raises(Exception, match="duplicate factor"):
+        search_function_score(spark, index_1k, QUERY, dup, k=5).collect()
+
+
+def test_composes_with_allowed_filter(spark, index_1k):
+    allowed = spark.range(0, 1000, 2).select(F.col("id").alias("doc_id"))
+    got = _rows(
+        search_function_score(
+            spark, index_1k, QUERY, _factors(spark), k=10, allowed=allowed
+        )
+    )
+    assert got and all(d % 2 == 0 for d, _ in got)
+    # eligibility-only: surviving scores equal the unfiltered boosted run
+    unfiltered = dict(
+        _rows(
+            search_function_score(
+                spark, index_1k, QUERY, _factors(spark), k=10 ** 6
+            )
+        )
+    )
+    assert all(unfiltered[d] == s for d, s in got)
