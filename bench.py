@@ -204,6 +204,14 @@ def main() -> None:
     timed("fuzzy_topk", lambda: QUERIES["fuzzy_topk"](spark, sf_dir).count())
     timed("facet_counts", lambda: QUERIES["facet_counts"](spark, sf_dir).count())
     timed("boosted_topk", lambda: QUERIES["boosted_topk"](spark, sf_dir).count())
+    timed(
+        "bm25_function_score",
+        lambda: QUERIES["bm25_function_score"](spark, sf_dir).count(),
+    )
+    timed(
+        "significant_terms",
+        lambda: QUERIES["significant_terms"](spark, sf_dir).count(),
+    )
     timed("near_match", lambda: QUERIES["near_match"](spark, sf_dir).count())
     timed("bm25_custom_params", lambda: QUERIES["bm25_custom_params"](spark, sf_dir).count())
     timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
