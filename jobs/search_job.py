@@ -70,6 +70,10 @@ def main() -> None:
     ap.add_argument("--hybrid-n-each", type=int, default=100,
                     help="per-leg top-N fed to the fuse")
     ap.add_argument("--rrf-c", type=int, default=60)
+    ap.add_argument("--min-should-match", type=int, default=0, metavar="M",
+                    help="with --bool: a doc must match at least M of the "
+                    "free (SHOULD) clauses — each bare word or expansion "
+                    "pattern counts once (ES minimum_should_match)")
     ap.add_argument("--boost-parquet", metavar="PATH",
                     help="function-score retrieval: parquet of (doc_id, "
                     "factor) per-doc multipliers; hits score "
@@ -113,6 +117,8 @@ def main() -> None:
 
     if bool(args.shard) == bool(args.index_dir):
         raise SystemExit("give exactly one of --index-dir or --shard (2+)")
+    if args.min_should_match and not args.bool:
+        raise SystemExit("--min-should-match requires --bool")
     if args.boost_parquet and (
         args.bool or args.hybrid_embeddings or args.complete or args.suggest
         or args.collapse or args.significant or args.shard
@@ -229,8 +235,10 @@ def main() -> None:
             c = parse_bool_query(q)
             return not (c["phrases"] or c["not_phrases"] or c["fields"])
 
-        if len(queries) > 1 and all(_term_only(q) for q in queries):
+        if (len(queries) > 1 and not args.min_should_match
+                and all(_term_only(q) for q in queries)):
             # every query compiles onto postings: ONE distributed job
+            # (minimum_should_match routes through the per-query path)
             rows = search_bool_batch(
                 spark, args.index_dir, queries, k=args.k
             ).collect()
@@ -252,7 +260,8 @@ def main() -> None:
                 hits = [
                     {"doc_id": r["doc_id"], "score": r["score"]}
                     for r in search_bool(
-                        spark, args.index_dir, q, k=args.k
+                        spark, args.index_dir, q, k=args.k,
+                        min_should_match=args.min_should_match,
                     ).collect()
                 ]
                 if args.with_meta:

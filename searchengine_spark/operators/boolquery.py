@@ -1145,6 +1145,33 @@ def _term_parts(spark, index_dir, c, splits, maps):
     return qweights, clauses, neg_terms
 
 
+def _free_groups(spark, index_dir, free_split, maps) -> list[list[str]]:
+    """One SHOULD group per FREE word/pattern of the query — the member
+    index-term set that satisfies it (an expansion is one group: holding
+    any matching term counts once). An unresolvable free literal yields
+    an empty group: it stays in the clause count (the ES convention —
+    ``minimum_should_match`` counts query clauses, not resolvable ones)
+    but can never match."""
+    lit, wild, fuzz, sfx, inx, rex, ctn = free_split
+    wild_map, fuzz_map, sfx_map, inx_map, rex_map, ctn_map = maps
+    groups: list[list[str]] = []
+    for w, _b in lit:
+        groups.append(_resolve(spark, index_dir, w))
+    for p, _b in wild:
+        groups.append(sorted(wild_map[p]))
+    for w, d, _b in fuzz:
+        groups.append(sorted(fuzz_map[(w, d)]))
+    for s, _b in sfx:
+        groups.append(sorted(sfx_map[s]))
+    for a, b, _b in inx:
+        groups.append(sorted(inx_map[(a, b)]))
+    for x, _b in rex:
+        groups.append(sorted(rex_map[x]))
+    for m, _b in ctn:
+        groups.append(sorted(ctn_map[m]))
+    return groups
+
+
 def query_terms(
     spark: SparkSession,
     index_dir: str,
@@ -1193,6 +1220,7 @@ def search_bool(
     docs: DataFrame | None = None,
     maxscore: bool = True,
     max_expansions: int = 1024,
+    min_should_match: int = 0,
 ) -> DataFrame:
     """Boolean/fielded BM25 top-k → DataFrame(doc_id, score) (module
     docstring for grammar and semantics).
@@ -1201,7 +1229,16 @@ def search_bool(
     result empty (it can never be satisfied); a MUST-NOT that resolves to
     nothing is a no-op; a phrase uses raw-token semantics (independent of
     the analyzer). ``docs`` is only needed for phrase clauses on an index
-    without the positional sidecar."""
+    without the positional sidecar.
+
+    ``min_should_match``: a doc must match at least this many of the
+    FREE (SHOULD) clauses — each bare word or expansion pattern is one
+    clause, matched by holding any of its member terms (the ES knob).
+    Eligibility-only: surviving scores are unchanged (every held scoring
+    term still contributes). MUST/MUST-NOT/phrase/field clauses are
+    mandatory regardless and don't count toward the tally; a value
+    larger than the number of free clauses is provably empty. Rides the
+    scorer's pushed-eligibility bitmaps — no extra scan or shuffle."""
     from searchengine_spark.operators.phrase import phrase_match
     from searchengine_spark.operators.positions import (
         has_positions,
@@ -1286,7 +1323,21 @@ def search_bool(
     # term clauses ride the scorer's own postings scan (one job total);
     # only phrase/field predicates and negated phrases use the allowed
     # bitmap path on top
-    clause_arg = (clauses, neg_terms) if (clauses or neg_terms) else None
+    msm_arg = None
+    if min_should_match:
+        if min_should_match < 0:
+            raise ValueError(
+                f"min_should_match must be >= 0, got {min_should_match}"
+            )
+        groups = _free_groups(spark, index_dir, splits[0], maps)
+        if min_should_match > len(groups):
+            return spark.createDataFrame([], RESULT_SCHEMA)
+        msm_arg = (groups, int(min_should_match))
+    clause_arg = (
+        (clauses, neg_terms, msm_arg)
+        if (clauses or neg_terms or msm_arg)
+        else None
+    )
     return _topk_for_qweights(
         spark, index_dir, qweights, k, maxscore, allowed, clauses=clause_arg
     )

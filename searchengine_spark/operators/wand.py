@@ -207,10 +207,14 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     statistics stay pre-delete until a purge, so surviving docs' scores
     are unchanged (eligibility-only semantics, Lucene liveDocs shape).
 
-    ``qclauses`` (``{query_id: (pos_clauses, neg_terms)}``) pushes
-    boolean eligibility INTO the scorer: each positive clause is a list
-    of index terms of which the doc must hold at least one; ``neg_terms``
-    is the union of MUST-NOT terms, none of which the doc may hold. The
+    ``qclauses`` (``{query_id: (pos_clauses, neg_terms)}`` or
+    ``(pos_clauses, neg_terms, msm)``) pushes boolean eligibility INTO
+    the scorer: each positive clause is a list of index terms of which
+    the doc must hold at least one; ``neg_terms`` is the union of
+    MUST-NOT terms, none of which the doc may hold; ``msm`` (optional,
+    ``(groups, m)``) requires the doc to match at least ``m`` of the
+    SHOULD ``groups`` — the ES ``minimum_should_match`` knob, counted
+    per group (holding any member term of a group matches it once). The
     clause terms' postings ride the same pushed term-IN scan as the
     scoring terms (the caller widens the scan set), so eligibility is a
     per-range bitmap computed from postings already in hand — no second
@@ -345,7 +349,9 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 continue
             qf = fmask
             if qclauses is not None and qid in qclauses:
-                pos_clauses, neg_terms = qclauses[qid]
+                entry = qclauses[qid]
+                pos_clauses, neg_terms = entry[0], entry[1]
+                msm = entry[2] if len(entry) > 2 else None
                 elig = None
                 for cl in pos_clauses:
                     m = full_mask(cl)
@@ -353,6 +359,17 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 if neg_terms:
                     nm = ~full_mask(neg_terms)
                     elig = nm if elig is None else elig & nm
+                if msm is not None:
+                    # minimum_should_match: ≥ m of the SHOULD groups must
+                    # hold (a group matches when the doc holds any of its
+                    # member terms — an expansion is one group)
+                    groups, m_req = msm
+                    cnt = np.zeros(range_width, dtype=np.int32)
+                    for g in groups:
+                        if g:
+                            cnt += full_mask(g)
+                    mm = cnt >= m_req
+                    elig = mm if elig is None else elig & mm
                 if elig is not None:
                     qf = elig if qf is None else qf & elig
             chunk_ub = np.zeros(n_chunks, dtype=np.float64)
@@ -823,8 +840,10 @@ def _topk_for_qweights(
     s = Manifest(index_dir).scalars
     scan_terms = set(qweights)
     if clauses is not None:
-        pos_clauses, neg_terms = clauses
+        pos_clauses, neg_terms = clauses[0], clauses[1]
         scan_terms |= {t for cl in pos_clauses for t in cl} | set(neg_terms)
+        if len(clauses) > 2 and clauses[2] is not None:
+            scan_terms |= {t for g in clauses[2][0] for t in g}
     posts = spark.read.parquet(f"{index_dir}/postings").where(
         F.col("term").isin(sorted(scan_terms))
     )

@@ -2039,6 +2039,22 @@ def q_significant_terms(spark, sf_dir):
     return significant_terms(spark, layout, SIG_QUERY)
 
 
+def q_bm25_msm(spark, sf_dir):
+    """minimum_should_match retrieval (boolquery.search_bool
+    min_should_match=2): a doc must hold ≥2 of the 3 query words to be
+    eligible; survivors keep their full BM25 score over every held term
+    (eligibility-only — the ES bool-query knob). The tally rides the
+    scorer's pushed-eligibility bitmaps: one postings scan, no id-set
+    join. Oracle: HAVING count(DISTINCT term) >= 2."""
+    from searchengine_spark.operators.boolquery import search_bool
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout,
+        search_bool(spark, layout, " ".join(QTERMS), k=60, min_should_match=2),
+    )
+
+
 def q_bm25_function_score(spark, sf_dir):
     """Function-score retrieval through the REAL pruned engine
     (wand.search_function_score): score = factor·BM25 with factor =
@@ -2426,6 +2442,7 @@ QUERIES = {
     "bm25_federated": q_bm25_federated,
     "significant_terms": q_significant_terms,
     "bm25_function_score": q_bm25_function_score,
+    "bm25_msm": q_bm25_msm,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3219,6 +3236,25 @@ ORACLES["significant_terms"] = (
     "   FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN n)"
     f" WHERE score > 0 AND fg_df >= 3 AND term <> '{SIG_QUERY}'"
     " ORDER BY score DESC, term ASC LIMIT 20"
+)
+
+# minimum_should_match: docs holding >=2 DISTINCT query words, scored
+# full BM25 over every held word (eligibility-only)
+ORACLES["bm25_msm"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " el AS (SELECT doc_id FROM dt WHERE term IN"
+    f" ({_QLIST}) GROUP BY doc_id HAVING count(DISTINCT term) >= 2)"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
 )
 
 # function score: factor·BM25 with factor = 1 + n_chars/10000 — the

@@ -761,3 +761,81 @@ def test_regex_trigram_acceleration_matches_scan(spark, index_1k, tmp_path):
         bq.expand_multi(
             spark, index_1k, [], [], [], regexes=[wide], max_expansions=1
         )
+
+
+# --- minimum_should_match --------------------------------------------------
+
+
+def _msm_query(spark, index_1k):
+    """Three frequent co-occurring words of the 1k corpus."""
+    dt = spark.read.parquet(f"{index_1k}/doc_terms")
+    top = [
+        r["term"]
+        for r in dt.groupBy("term")
+        .count()
+        .orderBy(F.desc("count"), F.asc("term"))
+        .limit(3)
+        .collect()
+    ]
+    return " ".join(top), top
+
+
+def test_msm_equals_manual_eligibility(spark, index_1k):
+    q, terms = _msm_query(spark, index_1k)
+    dt = spark.read.parquet(f"{index_1k}/doc_terms")
+    el = (
+        dt.where(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("term").alias("c"))
+        .where("c >= 2")
+        .select("doc_id")
+    )
+    want = _rows(search(spark, index_1k, q, k=15, allowed=el))
+    got = _rows(bq.search_bool(spark, index_1k, q, k=15, min_should_match=2))
+    assert got == want and got
+
+
+def test_msm_one_is_plain_and_msm_composes_with_must_not(spark, index_1k):
+    q, terms = _msm_query(spark, index_1k)
+    assert _rows(bq.search_bool(spark, index_1k, q, k=15, min_should_match=1)) \
+        == _rows(bq.search_bool(spark, index_1k, q, k=15))
+    # MUST-NOT still applies on top of the msm tally
+    got = _rows(
+        bq.search_bool(
+            spark, index_1k, f"{q} -{QUERY_TERM}", k=10 ** 6,
+            min_should_match=2,
+        )
+    )
+    holders = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{index_1k}/doc_terms")
+        .where(F.col("term") == QUERY_TERM)
+        .select("doc_id")
+        .collect()
+    }
+    assert got and not ({d for d, _ in got} & holders)
+
+
+def test_msm_above_clause_count_is_empty_and_negative_raises(spark, index_1k):
+    q, _ = _msm_query(spark, index_1k)
+    assert bq.search_bool(
+        spark, index_1k, q, k=5, min_should_match=4
+    ).collect() == []
+    with pytest.raises(ValueError, match="min_should_match"):
+        bq.search_bool(spark, index_1k, q, k=5, min_should_match=-1)
+
+
+def test_msm_counts_expansion_as_one_clause(spark, index_1k):
+    # 'resul*' expands to several terms but is ONE should-clause: a doc
+    # holding two of its expansions (and nothing else) matches only 1
+    q = f"resul* {QUERY_TERM}"
+    dt = spark.read.parquet(f"{index_1k}/doc_terms")
+    holders = {
+        r["doc_id"]
+        for r in dt.where(F.col("term") == QUERY_TERM).collect()
+    }
+    got = _rows(
+        bq.search_bool(spark, index_1k, q, k=10 ** 6, min_should_match=2)
+    )
+    # every hit must hold the literal AND some resul*-expansion
+    assert got and all(d in holders for d, _ in got)
