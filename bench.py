@@ -208,6 +208,7 @@ def main() -> None:
         "bm25_function_score",
         lambda: QUERIES["bm25_function_score"](spark, sf_dir).count(),
     )
+    timed("bm25_msm", lambda: QUERIES["bm25_msm"](spark, sf_dir).count())
     timed(
         "significant_terms",
         lambda: QUERIES["significant_terms"](spark, sf_dir).count(),

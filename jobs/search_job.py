@@ -79,6 +79,11 @@ def main() -> None:
                     "factor) per-doc multipliers; hits score "
                     "factor*BM25 with exact pruning "
                     "(wand.search_function_score); composes with --where")
+    ap.add_argument("--boost-sidecar", metavar="NAME",
+                    help="function-score via a prematerialized boost "
+                    "sidecar under <index>/boosts/NAME "
+                    "(wand.build_boost_sidecar) instead of a parquet "
+                    "of raw factors")
     ap.add_argument("--significant", action="store_true",
                     help="significant-terms aggregation: print the top-k "
                     "JLH-significant terms of each query's match set "
@@ -119,13 +124,16 @@ def main() -> None:
         raise SystemExit("give exactly one of --index-dir or --shard (2+)")
     if args.min_should_match and not args.bool:
         raise SystemExit("--min-should-match requires --bool")
-    if args.boost_parquet and (
+    if args.boost_parquet and args.boost_sidecar:
+        raise SystemExit("give one of --boost-parquet / --boost-sidecar")
+    if (args.boost_parquet or args.boost_sidecar) and (
         args.bool or args.hybrid_embeddings or args.complete or args.suggest
         or args.collapse or args.significant or args.shard
     ):
-        raise SystemExit("--boost-parquet composes plain BM25 (optionally "
-                         "with --where) — no --bool/--hybrid/--collapse/"
-                         "--complete/--suggest/--significant/--shard")
+        raise SystemExit("--boost-parquet/--boost-sidecar compose plain BM25 "
+                         "(optionally with --where) — no --bool/--hybrid/"
+                         "--collapse/--complete/--suggest/--significant/"
+                         "--shard")
     # a serving dir holding a CURRENT pointer resolves to the live index;
     # a concrete index dir passes through (manifest.publish_index)
     if args.index_dir:
@@ -314,10 +322,14 @@ def main() -> None:
                 .where(args.where)
                 .select("doc_id")
             )
-        if args.boost_parquet:
+        if args.boost_parquet or args.boost_sidecar:
             from searchengine_spark.operators.wand import search_function_score
 
-            factors = spark.read.parquet(args.boost_parquet)
+            factors = (
+                args.boost_sidecar
+                if args.boost_sidecar
+                else spark.read.parquet(args.boost_parquet)
+            )
             for q in queries:
                 hits = [
                     {"doc_id": r["doc_id"], "score": r["score"]}
@@ -337,8 +349,9 @@ def main() -> None:
     else:
         if args.where:
             raise SystemExit("--where requires --scorer wand")
-        if args.boost_parquet:
-            raise SystemExit("--boost-parquet requires --scorer wand")
+        if args.boost_parquet or args.boost_sidecar:
+            raise SystemExit("--boost-parquet/--boost-sidecar require "
+                             "--scorer wand")
         from searchengine_spark.operators import parity
 
         parity.build_cosine_tables(spark, args.index_dir, prune=True)

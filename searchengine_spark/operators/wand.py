@@ -665,6 +665,39 @@ def _range_boosts(factors: DataFrame, range_width: int) -> DataFrame:
     )
 
 
+def build_boost_sidecar(
+    spark: SparkSession,
+    index_dir: str,
+    factors: DataFrame,
+    name: str = "default",
+) -> str:
+    """Materialize a per-doc factor signal as a SERVING sidecar at
+    ``{index_dir}/boosts/{name}`` — the steady-state shape for a stable
+    signal (pagerank, recency tier, quality): pack the (doc_id, factor)
+    rows into per-range float64 arrays ONCE (one shuffle by the postings'
+    own ``rng`` key) instead of re-packing on every query. Serve with
+    ``search_function_score(..., factors=name)``.
+
+    Lifecycle: doc ids are stable across tombstone/purge (purge
+    anti-joins dead ids, never renumbers — operators/deletion.py), so
+    the sidecar stays valid through the deletion lifecycle; entries for
+    purged docs are dead weight, not wrong answers. Docs ingested AFTER
+    the build (streaming compaction) default to factor 1 until the
+    sidecar is rebuilt — the same missing-doc convention as the inline
+    path. Several named signals can coexist (``boosts/pagerank``,
+    ``boosts/recency``)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"boost sidecar name must be path-safe, got {name!r}")
+    s = Manifest(index_dir).scalars
+    out = f"{index_dir}/boosts/{name}"
+    _range_boosts(
+        factors.select("doc_id", "factor"), s["range_width"]
+    ).write.mode("overwrite").parquet(out)
+    return out
+
+
 def _scored_ranges(spark: SparkSession, index_dir: str, posts: DataFrame,
                    scorer, allowed: DataFrame | None = None,
                    range_width: int | None = None,
@@ -809,7 +842,7 @@ def _topk_for_qweights(
     clauses: tuple | None = None,
     offset: int = 0,
     stats_override: tuple | None = None,
-    factors: DataFrame | None = None,
+    boost: DataFrame | None = None,
 ) -> DataFrame:
     """Shared single-query scoring tail: postings scan (pushed ``term
     IN``), per-range scorer stage, global (score desc, doc_id asc)
@@ -852,11 +885,6 @@ def _topk_for_qweights(
         if stats_override is not None
         else (s.get("n_docs_indexed", s["n_docs"]), s["avgdl"])
     )
-    boost = (
-        None
-        if factors is None
-        else _range_boosts(factors.select("doc_id", "factor"), s["range_width"])
-    )
     per_range, _ = _scored_ranges(
         spark, index_dir, posts,
         lambda sc, fl, tb: _score_range_batch_factory(
@@ -864,7 +892,7 @@ def _topk_for_qweights(
             s["range_width"], k + offset, maxscore=maxscore, sidecar=sc,
             filtered=fl, tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
             qclauses=None if clauses is None else {0: clauses},
-            boosted=factors is not None,
+            boosted=boost is not None,
         ),
         allowed=allowed, range_width=s["range_width"], boost=boost,
     )
@@ -907,7 +935,7 @@ def search_function_score(
     spark: SparkSession,
     index_dir: str,
     query: str,
-    factors: DataFrame,
+    factors: DataFrame | str,
     k: int = 10,
     maxscore: bool = True,
     allowed: DataFrame | None = None,
@@ -919,13 +947,16 @@ def search_function_score(
     quality). Beyond-reference surface: the reference engine
     (shiloari/SearchEngine) has no doc-value scoring at all.
 
-    ``factors``: any DataFrame with (doc_id, factor) columns; factor must
-    be finite and ≥ 0 (one value per doc — duplicates raise). Docs
-    absent from ``factors`` score with factor 1 — pass only the docs a
-    signal exists for. This is EXACT global top-k under the multiplier,
-    not a rescored pool: factors are packed into per-range float64
-    arrays riding the scorer's aux cogroup (one shuffle of |factors|
-    rows by the same ``rng`` key the postings use — see
+    ``factors``: any DataFrame with (doc_id, factor) columns — packed
+    into per-range arrays at query time — OR the NAME of a sidecar
+    prematerialized by :func:`build_boost_sidecar` (the serving shape
+    for a stable signal: the packing shuffle is paid once at build, a
+    query just scans the tiny (rng, boost) table). Factor must be
+    finite and ≥ 0 (one value per doc — duplicates raise). Docs absent
+    from ``factors`` score with factor 1 — pass only the docs a signal
+    exists for. This is EXACT global top-k under the multiplier, not a
+    rescored pool: the per-range float64 arrays ride the scorer's aux
+    cogroup (the same ``rng`` key the postings shuffle uses — see
     ``_range_boosts``), every chunk upper bound is scaled by the max
     factor inside that chunk, and θ competes boosted scores — so
     block-max WAND/MaxScore pruning remains provably lossless (the
@@ -935,9 +966,25 @@ def search_function_score(
 
     Composes with ``allowed`` metadata filtering (eligibility-only, same
     contract as ``search_batch``)."""
+    if isinstance(factors, str):
+        path = f"{index_dir}/boosts/{factors}"
+        if not os.path.exists(path):
+            have = sorted(os.listdir(f"{index_dir}/boosts")) if (
+                os.path.isdir(f"{index_dir}/boosts")
+            ) else []
+            raise ValueError(
+                f"no boost sidecar {factors!r} under {index_dir}/boosts "
+                f"(have: {have}) — build one with build_boost_sidecar"
+            )
+        boost = spark.read.parquet(path)
+    else:
+        boost = _range_boosts(
+            factors.select("doc_id", "factor"),
+            Manifest(index_dir).scalars["range_width"],
+        )
     qweights = fold_query_terms(spark, index_dir, query)
     return _topk_for_qweights(
-        spark, index_dir, qweights, k, maxscore, allowed, factors=factors
+        spark, index_dir, qweights, k, maxscore, allowed, boost=boost
     )
 
 

@@ -108,3 +108,20 @@ def test_composes_with_allowed_filter(spark, index_1k):
         )
     )
     assert all(unfiltered[d] == s for d, s in got)
+
+
+def test_boost_sidecar_serves_identically(spark, index_1k, tmp_path):
+    from searchengine_spark.operators.wand import build_boost_sidecar
+
+    build_boost_sidecar(spark, index_1k, _factors(spark), "quality")
+    inline = _rows(
+        search_function_score(spark, index_1k, QUERY, _factors(spark), k=10)
+    )
+    served = _rows(
+        search_function_score(spark, index_1k, QUERY, "quality", k=10)
+    )
+    assert served == inline and served
+    with pytest.raises(ValueError, match="no boost sidecar"):
+        search_function_score(spark, index_1k, QUERY, "absent", k=5)
+    with pytest.raises(ValueError, match="path-safe"):
+        build_boost_sidecar(spark, index_1k, _factors(spark), "../evil")
