@@ -230,6 +230,10 @@ def main() -> None:
     timed("hybrid_rrf_topk", lambda: QUERIES["hybrid_rrf_topk"](spark, sf_dir).count())
     timed("score_explain", lambda: QUERIES["score_explain"](spark, sf_dir).count())
     timed("bm25_page2", lambda: QUERIES["bm25_page2"](spark, sf_dir).count())
+    timed(
+        "bm25_search_after",
+        lambda: QUERIES["bm25_search_after"](spark, sf_dir).count(),
+    )
     timed("spell_suggest", lambda: QUERIES["spell_suggest"](spark, sf_dir).count())
     timed("prefix_complete", lambda: QUERIES["prefix_complete"](spark, sf_dir).count())
 

@@ -74,6 +74,11 @@ def main() -> None:
                     help="with --bool: a doc must match at least M of the "
                     "free (SHOULD) clauses — each bare word or expansion "
                     "pattern counts once (ES minimum_should_match)")
+    ap.add_argument("--after", metavar="SCORE,DOC_ID",
+                    help="search_after cursor: return the top-k strictly "
+                    "after this (score, doc_id) — pass the previous "
+                    "page's last hit verbatim; constant cost at any "
+                    "depth (one --query only)")
     ap.add_argument("--boost-parquet", metavar="PATH",
                     help="function-score retrieval: parquet of (doc_id, "
                     "factor) per-doc multipliers; hits score "
@@ -124,6 +129,20 @@ def main() -> None:
         raise SystemExit("give exactly one of --index-dir or --shard (2+)")
     if args.min_should_match and not args.bool:
         raise SystemExit("--min-should-match requires --bool")
+    after = None
+    if args.after:
+        if (args.bool or args.hybrid_embeddings or args.complete
+                or args.suggest or args.collapse or args.significant
+                or args.shard or args.scorer != "wand"):
+            raise SystemExit("--after pages plain BM25 only")
+        if len(queries) != 1:
+            raise SystemExit("--after is a per-query cursor: one --query")
+        try:
+            s_part, d_part = args.after.rsplit(",", 1)
+            after = (float(s_part), int(d_part))
+        except ValueError:
+            raise SystemExit("--after expects SCORE,DOC_ID "
+                             "(e.g. 0.134290,384)")
     if args.boost_parquet and args.boost_sidecar:
         raise SystemExit("give one of --boost-parquet / --boost-sidecar")
     if (args.boost_parquet or args.boost_sidecar) and (
@@ -343,9 +362,19 @@ def main() -> None:
                 print(json.dumps({"query": q, "hits": hits}))
             spark.stop()
             return
-        result = search_batch(
-            spark, args.index_dir, queries, k=args.k, allowed=allowed
-        )
+        if after is not None:
+            from pyspark.sql import functions as F
+
+            from searchengine_spark.operators.wand import search
+
+            result = search(
+                spark, args.index_dir, queries[0], k=args.k,
+                allowed=allowed, after=after,
+            ).select(F.lit(0).alias("query_id"), "doc_id", "score")
+        else:
+            result = search_batch(
+                spark, args.index_dir, queries, k=args.k, allowed=allowed
+            )
     else:
         if args.where:
             raise SystemExit("--where requires --scorer wand")

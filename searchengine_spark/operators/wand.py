@@ -151,7 +151,8 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                                tombstoned: bool = False,
                                k1: float | None = None, b: float | None = None,
                                qclauses: dict | None = None,
-                               boosted: bool = False):
+                               boosted: bool = False,
+                               qafter: dict | None = None):
     """Build the per-range pandas scorer for a BATCH of queries.
     ``qmap``: {query_id: {term: (qtf, df)}}.
 
@@ -234,6 +235,17 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
     and the MaxScore tail test compares the boosted tail bound. A range
     with no boost row scores unboosted (missing docs default to factor
     1, the ES function_score convention).
+
+    ``qafter`` (``{query_id: (score, doc_id)}``) is the search_after
+    cursor: only docs strictly after the cursor in the global
+    (score desc, doc_id asc) order are candidates — compared in RAW
+    float64 score space (the cursor is a prior page's last hit exactly
+    as the engine returned it, so equality round-trips). The filter
+    runs AFTER exact scoring but BEFORE θ, so the per-range heaps track
+    the post-cursor top-k: page depth no longer widens the heaps (the
+    ES search_after contract — constant cost per page, unlike
+    ``offset``). Chunk bounds stay valid (they bound the unfiltered
+    score, an upper bound of any filtered candidate's score).
 
     Batching amortizes the dominant shared costs across queries: one
     postings scan + one shuffle + one Python stage per BATCH (not per
@@ -484,10 +496,17 @@ def _score_range_batch_factory(qmap: dict, n_docs: int, avgdl: float,
                 cand = np.flatnonzero(seen)
                 if cand.size == 0:
                     continue
-                q_ids.append(cand + lo)
                 sc_c = scores[cand]
                 if barr is not None:
                     sc_c = sc_c * barr[lo + cand]
+                if qafter is not None and qid in qafter:
+                    a_s, a_d = qafter[qid]
+                    gids = base + lo + cand
+                    keep = (sc_c < a_s) | ((sc_c == a_s) & (gids > a_d))
+                    cand, sc_c = cand[keep], sc_c[keep]
+                    if cand.size == 0:
+                        continue
+                q_ids.append(cand + lo)
                 q_scores.append(sc_c)
                 if sum(len(a) for a in q_scores) >= k:
                     allsc = np.concatenate(q_scores)
@@ -843,6 +862,7 @@ def _topk_for_qweights(
     offset: int = 0,
     stats_override: tuple | None = None,
     boost: DataFrame | None = None,
+    after: tuple | None = None,
 ) -> DataFrame:
     """Shared single-query scoring tail: postings scan (pushed ``term
     IN``), per-range scorer stage, global (score desc, doc_id asc)
@@ -865,11 +885,23 @@ def _topk_for_qweights(
     ``offset`` skips the first ``offset`` globally-ranked hits (page
     N = ``offset=(N-1)*k``): the per-range heaps widen to
     ``offset + k`` — the standard deep-paging tradeoff (Elasticsearch
-    from+size); cost grows with depth, so a cursor tier caps it."""
+    from+size); cost grows with depth, so a cursor tier caps it.
+
+    ``after`` = ``(score, doc_id)`` IS that cursor tier (Elasticsearch
+    search_after): return the top-k strictly after the cursor in the
+    global (score desc, doc_id asc) order, comparing in RAW float64
+    score space — pass a prior page's last hit exactly as returned.
+    The cursor filters inside the scorer BEFORE θ, so per-range heaps
+    stay at ``k`` at any depth. Mutually exclusive with ``offset``."""
     if not qweights:
         return spark.createDataFrame([], RESULT_SCHEMA)
     if offset < 0:
         raise ValueError(f"offset must be >= 0, got {offset}")
+    if after is not None:
+        if offset:
+            raise ValueError("give one of offset= / after= (not both)")
+        a_s, a_d = after
+        after = (float(a_s), int(a_d))
     s = Manifest(index_dir).scalars
     scan_terms = set(qweights)
     if clauses is not None:
@@ -893,6 +925,7 @@ def _topk_for_qweights(
             filtered=fl, tombstoned=tb, k1=s.get("k1"), b=s.get("b"),
             qclauses=None if clauses is None else {0: clauses},
             boosted=boost is not None,
+            qafter=None if after is None else {0: after},
         ),
         allowed=allowed, range_width=s["range_width"], boost=boost,
     )
@@ -919,15 +952,18 @@ def search(
     maxscore: bool = True,
     allowed: DataFrame | None = None,
     offset: int = 0,
+    after: tuple | None = None,
 ) -> DataFrame:
     """BM25 top-k for ``query`` → DataFrame(doc_id, score), globally
     ordered. ``allowed`` restricts eligibility (see ``search_batch``);
     ``offset`` skips the first ``offset`` hits (page N of size k =
-    ``offset=(N-1)*k`` — see ``_topk_for_qweights`` for the deep-paging
-    cost contract)."""
+    ``offset=(N-1)*k``); ``after=(score, doc_id)`` is the constant-cost
+    cursor alternative — pass the previous page's last hit verbatim
+    (see ``_topk_for_qweights`` for both paging cost contracts)."""
     qweights = fold_query_terms(spark, index_dir, query)
     return _topk_for_qweights(
-        spark, index_dir, qweights, k, maxscore, allowed, offset=offset
+        spark, index_dir, qweights, k, maxscore, allowed, offset=offset,
+        after=after,
     )
 
 

@@ -2039,6 +2039,24 @@ def q_significant_terms(spark, sf_dir):
     return significant_terms(spark, layout, SIG_QUERY)
 
 
+def q_bm25_search_after(spark, sf_dir):
+    """Cursor pagination (wand.search after=): page 3 (hits 21–40) of
+    the flagship ranking reached through the CONSTANT-COST cursor tier —
+    the ES search_after contract: the cursor (page 2's last raw hit,
+    one bounded driver pick) filters inside the scorer before θ, so the
+    per-range heaps stay at k at any depth (unlike offset=, whose heaps
+    widen with the page number). Raw-score cursor space on both sides:
+    the oracle derives the same 20th-hit cursor from its own unrounded
+    sums, filters, then applies the usual 6dp rounding discipline."""
+    from searchengine_spark.operators.wand import search
+
+    layout = _packed_layout(spark, sf_dir)
+    q = " ".join(QTERMS)
+    page12 = search(spark, layout, q, k=20).collect()
+    cur = (page12[-1]["score"], page12[-1]["doc_id"])
+    return _orig_topk(spark, layout, search(spark, layout, q, k=40, after=cur))
+
+
 def q_bm25_msm(spark, sf_dir):
     """minimum_should_match retrieval (boolquery.search_bool
     min_should_match=2): a doc must hold ≥2 of the 3 query words to be
@@ -2443,6 +2461,7 @@ QUERIES = {
     "significant_terms": q_significant_terms,
     "bm25_function_score": q_bm25_function_score,
     "bm25_msm": q_bm25_msm,
+    "bm25_search_after": q_bm25_search_after,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3236,6 +3255,29 @@ ORACLES["significant_terms"] = (
     "   FROM fg JOIN bg USING (term) CROSS JOIN fgn CROSS JOIN n)"
     f" WHERE score > 0 AND fg_df >= 3 AND term <> '{SIG_QUERY}'"
     " ORDER BY score DESC, term ASC LIMIT 20"
+)
+
+# search_after: the oracle derives the SAME raw-score cursor (20th hit
+# by unrounded sum, doc_id tiebreak), filters strictly-after in raw
+# space, then rounds — mirroring the engine's cursor discipline
+ORACLES["bm25_search_after"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " scored AS (SELECT doc_id, sum(c) AS s FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id),"
+    " cur AS (SELECT s, doc_id FROM scored"
+    "   ORDER BY s DESC, doc_id ASC LIMIT 1 OFFSET 19)"
+    " SELECT scored.doc_id, round(scored.s, 6) AS score"
+    " FROM scored CROSS JOIN cur"
+    " WHERE scored.s < cur.s OR (scored.s = cur.s AND scored.doc_id > cur.doc_id)"
+    " ORDER BY score DESC, scored.doc_id ASC LIMIT 20"
 )
 
 # minimum_should_match: docs holding >=2 DISTINCT query words, scored

@@ -97,3 +97,30 @@ def test_explain_sums_to_search_score(spark, index_1k):
     # empty query / empty doc set
     assert explain_score(spark, index_1k, "the of", doc_ids=[1]).count() == 0
     assert explain_score(spark, index_1k, q, doc_ids=[]).count() == 0
+
+
+def test_search_after_cursor_identity(spark, index_1k):
+    """search(after=last_hit) must equal the offset page (raw scores),
+    and a cursor walk must reproduce the full ranking — at constant
+    per-range heap width (the ES search_after contract)."""
+    q = "result key"
+    full = [(r["doc_id"], r["score"])
+            for r in search(spark, index_1k, q, k=40).collect()]
+    for off, kk in ((10, 10), (25, 5)):
+        want = full[off:off + kk]
+        cur = (full[off - 1][1], full[off - 1][0])
+        got = [(r["doc_id"], r["score"])
+               for r in search(spark, index_1k, q, k=kk, after=cur).collect()]
+        assert got == want
+    # cursor walk: 8 pages of 5 == the deep ranking
+    walked, cur2 = [], None
+    for _ in range(8):
+        page = [(r["doc_id"], r["score"])
+                for r in search(spark, index_1k, q, k=5, after=cur2).collect()]
+        walked += page
+        cur2 = (page[-1][1], page[-1][0])
+    assert walked == full
+    # past the end: a cursor below every score yields nothing
+    assert search(spark, index_1k, q, k=5, after=(-1.0, 0)).count() == 0
+    with pytest.raises(ValueError, match="not both"):
+        search(spark, index_1k, q, k=5, offset=5, after=(1.0, 2))
