@@ -203,6 +203,12 @@ def main() -> None:
     timed("embedding_dup_prod", lambda: QUERIES["embedding_dup_prod"](spark, sf_dir).count())
     timed("fuzzy_topk", lambda: QUERIES["fuzzy_topk"](spark, sf_dir).count())
     timed("facet_counts", lambda: QUERIES["facet_counts"](spark, sf_dir).count())
+    timed("match_count", lambda: QUERIES["match_count"](spark, sf_dir).count())
+    timed("sort_by_field", lambda: QUERIES["sort_by_field"](spark, sf_dir).count())
+    timed(
+        "facet_histogram",
+        lambda: QUERIES["facet_histogram"](spark, sf_dir).count(),
+    )
     timed("boosted_topk", lambda: QUERIES["boosted_topk"](spark, sf_dir).count())
     timed(
         "bm25_function_score",

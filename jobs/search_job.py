@@ -89,6 +89,21 @@ def main() -> None:
                     "sidecar under <index>/boosts/NAME "
                     "(wand.build_boost_sidecar) instead of a parquet "
                     "of raw factors")
+    ap.add_argument("--count", action="store_true",
+                    help="matching-doc count only (the ES _count API): "
+                         "one JSON line {query, n_docs} per query, no "
+                         "ranking")
+    ap.add_argument("--sort-by", metavar="FIELD",
+                    help="order the match set by a doc_map metadata "
+                         "column (repo/path/commit/lang) instead of "
+                         "relevance; ties break on doc_id (--descending "
+                         "flips it)")
+    ap.add_argument("--descending", action="store_true",
+                    help="with --sort-by: descending field order")
+    ap.add_argument("--histogram", type=int, metavar="INTERVAL",
+                    help="histogram aggregation over the match set's "
+                         "indexed token counts: one (bucket, n_docs) row "
+                         "per floor(dl/INTERVAL)*INTERVAL bucket")
     ap.add_argument("--significant", action="store_true",
                     help="significant-terms aggregation: print the top-k "
                     "JLH-significant terms of each query's match set "
@@ -176,6 +191,46 @@ def main() -> None:
                 for r in search_shards(spark, dirs, q, k=args.k).collect()
             ]
             print(json.dumps({"query": q, "shards": dirs, "hits": hits}))
+        spark.stop()
+        return
+    if args.count or args.sort_by or args.histogram:
+        picked = [f for f, on in [("--count", args.count),
+                                  ("--sort-by", args.sort_by),
+                                  ("--histogram", args.histogram)] if on]
+        if (len(picked) > 1 or args.bool or args.where
+                or args.hybrid_embeddings or args.complete or args.suggest
+                or args.collapse or args.significant
+                or args.scorer != "wand"):
+            raise SystemExit(f"{'/'.join(picked)} are standalone match-set "
+                             "aggregations (pick one; no --bool/--where/"
+                             "--hybrid/--collapse/--significant/--complete/"
+                             "--suggest/--scorer cosine)")
+        from searchengine_spark.operators.boolquery import (
+            facet_histogram,
+            match_count,
+            search_sort,
+        )
+
+        for q in queries:
+            if args.count:
+                n = match_count(spark, args.index_dir, q).collect()[0]["n_docs"]
+                print(json.dumps({"query": q, "n_docs": int(n)}))
+            elif args.sort_by:
+                rows = search_sort(spark, args.index_dir, q, args.sort_by,
+                                   k=args.k, descending=args.descending).collect()
+                print(json.dumps({"query": q, "sort_by": args.sort_by, "hits": [
+                    {"doc_id": r["doc_id"], args.sort_by: r[args.sort_by]}
+                    for r in rows
+                ]}))
+            else:
+                rows = facet_histogram(spark, args.index_dir, q,
+                                       args.histogram).collect()
+                print(json.dumps({"query": q, "interval": args.histogram,
+                                  "histogram": [
+                                      {"bucket": r["bucket"],
+                                       "n_docs": r["n_docs"]}
+                                      for r in rows
+                                  ]}))
         spark.stop()
         return
     if args.significant:

@@ -956,6 +956,108 @@ def facet_counts(
     )
 
 
+def match_count(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
+    """Matching-doc count for ``query`` → one-row DataFrame(n_docs) —
+    the ES ``_count`` API: how many live docs hold ≥1 resolved query
+    term (exactly the population ``search``/``facet_counts`` operate
+    on), without ranking anything. Pushed term-IN postings scan + bulk
+    gap decode + one count-distinct; honors tombstones. At any corpus
+    size this touches df(term) posting rows, never the corpus."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([(0,)], "n_docs long")
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    return matchers.agg(F.count("*").cast("long").alias("n_docs"))
+
+
+def search_sort(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    by: str,
+    k: int = 20,
+    descending: bool = False,
+) -> DataFrame:
+    """Field-sorted retrieval → DataFrame(doc_id, ``by``) — the ES
+    ``sort`` API: the query's FULL matcher set ordered by a ``doc_map``
+    metadata column instead of relevance (ties and the final order break
+    on doc_id asc, so the result is deterministic). Postings-union ids ⋈
+    doc_map (pushed column projection) into one ``TakeOrderedAndProject``
+    — the k survivors are the only rows that leave the executors.
+    Honors tombstones. Beyond-reference surface: the reference engine
+    (shiloari/SearchEngine) ranks by score only."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    if by not in FIELD_COLS:
+        raise ValueError(f"unknown field {by!r} (doc_map metadata: {FIELD_COLS})")
+    qweights = fold_query_terms(spark, index_dir, query)
+    out_schema = f"doc_id long, {by} string"
+    if not qweights:
+        return spark.createDataFrame([], out_schema)
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    dm = spark.read.parquet(f"{index_dir}/doc_map").select("doc_id", by)
+    key = F.desc(by) if descending else F.asc(by)
+    return (
+        matchers.join(dm, "doc_id")
+        .select(F.col("doc_id").cast("long"), by)
+        .orderBy(key, F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def facet_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    interval: int,
+    field: str = "dl",
+) -> DataFrame:
+    """Numeric histogram aggregation over the query's match set →
+    DataFrame(bucket, n_docs) ordered by bucket — the ES ``histogram``
+    aggregation: each matching doc falls in ``floor(value/interval) *
+    interval``. The one numeric doc value the index itself carries is
+    ``dl`` (the doc's indexed token count, from ``doc_stats`` — the
+    exact lengths BM25 normalizes with), so ``field`` currently accepts
+    only ``"dl"``; anything else raises. Matcher ids ⋈ doc_stats (two
+    pushed columns), one map-side-combined groupBy — empty buckets are
+    omitted (the sparse convention). Honors tombstones."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    if field != "dl":
+        raise ValueError(
+            f"unknown histogram field {field!r} (index-side numeric doc "
+            "values: ('dl',) — metadata fields are categorical, use "
+            "facet_counts)"
+        )
+    if interval <= 0:
+        raise ValueError(f"interval must be a positive integer, got {interval!r}")
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([], "bucket long, n_docs long")
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    stats = spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl")
+    bucket = (F.floor(F.col("dl") / F.lit(int(interval))) * F.lit(int(interval))).cast(
+        "long"
+    )
+    return (
+        matchers.join(stats, "doc_id")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 def _resolve(spark, index_dir, word: str) -> list[str]:
     """One query word → its canonical index term(s) through the index's
     analyzer + casing fallback (may be several terms if the analyzer

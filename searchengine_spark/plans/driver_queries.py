@@ -2024,6 +2024,43 @@ def q_facet_counts(spark, sf_dir):
     return facet_counts(spark, layout, " ".join(QTERMS), "lang")
 
 
+def q_match_count(spark, sf_dir):
+    """Matching-doc count (the ES ``_count`` API): how many live docs
+    hold ≥1 query term — the facet_counts population as one scalar row.
+    Pushed term-IN postings scan, bulk gap decode, count-distinct."""
+    from searchengine_spark.operators.boolquery import match_count
+
+    layout = _packed_layout(spark, sf_dir)
+    return match_count(spark, layout, " ".join(QTERMS))
+
+
+def q_sort_by_field(spark, sf_dir):
+    """Field-sorted retrieval (the ES ``sort`` API): the query's match
+    set ordered by the ``path`` metadata column instead of relevance —
+    matcher ids ⋈ doc_map into one TakeOrderedAndProject. The packed
+    layout names docs ``doc/<original id>``, so the oracle sorts the
+    same strings; index doc ids map back through that path."""
+    from searchengine_spark.operators.boolquery import search_sort
+
+    layout = _packed_layout(spark, sf_dir)
+    hits = search_sort(spark, layout, " ".join(QTERMS), "path", k=25)
+    return hits.select(
+        F.substring("path", 5, 30).cast("long").alias("doc_id"), "path"
+    )
+
+
+def q_facet_histogram(spark, sf_dir):
+    """Histogram aggregation over the match set (the ES ``histogram``
+    agg): each matching doc bucketed by floor(dl/32)·32 where dl is its
+    indexed token count from doc_stats — matcher ids ⋈ doc_stats, one
+    map-side-combined groupBy. The oracle recomputes dl as Σtf per doc
+    over the same tokenization."""
+    from searchengine_spark.operators.boolquery import facet_histogram
+
+    layout = _packed_layout(spark, sf_dir)
+    return facet_histogram(spark, layout, " ".join(QTERMS), 32)
+
+
 SIG_QUERY = "dup"  # df ≈ 5% of docs at every sf — a real foreground
 
 
@@ -2495,6 +2532,9 @@ QUERIES = {
     "prefix_complete": q_prefix_complete,
     "phrase_match_idx": q_phrase_match_idx,
     "facet_counts": q_facet_counts,
+    "match_count": q_match_count,
+    "sort_by_field": q_sort_by_field,
+    "facet_histogram": q_facet_histogram,
     "bm25_merged": q_bm25_merged,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
@@ -3628,6 +3668,34 @@ ORACLES["facet_counts"] = (
     " SELECT lang, CAST(count(*) AS BIGINT) AS n_docs"
     " FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"
     " GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 20"
+)
+
+# match count: the facet population as one scalar row
+ORACLES["match_count"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS})"
+    " SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs"
+    f" FROM dt WHERE term IN ({_QLIST})"
+)
+
+# sort-by-field: match set ordered by the doc_map path string (the
+# packed layout names docs 'doc/<original id>', so both sides sort the
+# same strings; ties are impossible — path is unique)
+ORACLES["sort_by_field"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST}))"
+    " SELECT doc_id, 'doc/' || CAST(doc_id AS VARCHAR) AS path"
+    " FROM m ORDER BY path ASC, doc_id ASC LIMIT 25"
+)
+
+# histogram over the match set: dl = Σtf per doc, bucket = floor(dl/32)*32
+ORACLES["facet_histogram"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST})),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id)"
+    " SELECT CAST(floor(dl / 32) * 32 AS BIGINT) AS bucket,"
+    " CAST(count(*) AS BIGINT) AS n_docs"
+    " FROM st WHERE doc_id IN (SELECT doc_id FROM m)"
+    " GROUP BY bucket ORDER BY bucket ASC"
 )
 
 # NEAR: positional self-join restated in SQL (1-based SQL positions

@@ -233,6 +233,102 @@ def test_facet_counts(spark, index_1k):
     assert bq.facet_counts(spark, index_1k, "zzzunseen", "lang").count() == 0
 
 
+def _matcher_ids(spark, index_1k, words):
+    terms = []
+    for w in words:
+        terms += bq._resolve(spark, index_1k, w)
+    return {
+        r["doc_id"]
+        for r in bq._postings_ids(spark, index_1k, sorted(set(terms))).collect()
+    }
+
+
+def test_match_count(spark, index_1k):
+    got = bq.match_count(spark, index_1k, "fast key").collect()
+    assert len(got) == 1
+    assert got[0]["n_docs"] == len(_matcher_ids(spark, index_1k, ["fast", "key"]))
+    # unresolvable query counts zero (one row, not empty)
+    empty = bq.match_count(spark, index_1k, "zzzunseen").collect()
+    assert len(empty) == 1 and empty[0]["n_docs"] == 0
+
+
+def test_search_sort(spark, index_1k):
+    matchers = _matcher_ids(spark, index_1k, ["fast", "key"])
+    dm = spark.read.parquet(f"{index_1k}/doc_map").toPandas()
+    want = (
+        dm[dm["doc_id"].isin(matchers)][["doc_id", "path"]]
+        .sort_values(["path", "doc_id"])
+        .head(15)
+    )
+    got = bq.search_sort(spark, index_1k, "fast key", "path", k=15).collect()
+    assert [(r["doc_id"], r["path"]) for r in got] == list(
+        want.itertuples(index=False, name=None)
+    )
+    # descending flips the order; same population
+    desc = bq.search_sort(
+        spark, index_1k, "fast key", "path", k=15, descending=True
+    ).collect()
+    want_d = (
+        dm[dm["doc_id"].isin(matchers)][["doc_id", "path"]]
+        .sort_values(["path", "doc_id"], ascending=[False, True])
+        .head(15)
+    )
+    assert [(r["doc_id"], r["path"]) for r in desc] == list(
+        want_d.itertuples(index=False, name=None)
+    )
+    with pytest.raises(ValueError, match="unknown field"):
+        bq.search_sort(spark, index_1k, "fast", "nosuch")
+    assert bq.search_sort(spark, index_1k, "zzzunseen", "path").count() == 0
+
+
+def test_facet_histogram(spark, index_1k):
+    matchers = _matcher_ids(spark, index_1k, ["fast", "key"])
+    stats = spark.read.parquet(f"{index_1k}/doc_stats").toPandas()
+    sub = stats[stats["doc_id"].isin(matchers)]
+    want = (
+        (sub["dl"] // 16 * 16).value_counts().sort_index().to_dict()
+    )
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in bq.facet_histogram(spark, index_1k, "fast key", 16).collect()
+    }
+    assert got == {int(k): int(v) for k, v in want.items()}
+    assert sum(got.values()) == len(matchers)
+    # buckets come back sorted
+    bs = [
+        r["bucket"]
+        for r in bq.facet_histogram(spark, index_1k, "fast key", 16).collect()
+    ]
+    assert bs == sorted(bs)
+    with pytest.raises(ValueError, match="unknown histogram field"):
+        bq.facet_histogram(spark, index_1k, "fast", 16, field="lang")
+    with pytest.raises(ValueError, match="interval"):
+        bq.facet_histogram(spark, index_1k, "fast", 0)
+    assert bq.facet_histogram(spark, index_1k, "zzzunseen", 16).count() == 0
+
+
+def test_result_analytics_honor_tombstones(spark, tmp_path_factory):
+    from searchengine_spark.operators.deletion import delete_where
+    from searchengine_spark.operators.index_build import build_index
+
+    idx = str(tmp_path_factory.mktemp("analytics_del") / "idx")
+    build_index(spark, corpus_df(spark, 300, seed=9, partitions=4), idx, n_groups=1)
+    before = bq.match_count(spark, idx, "fast key").collect()[0]["n_docs"]
+    victims = [
+        r["doc_id"]
+        for r in bq.search_sort(spark, idx, "fast key", "path", k=3).collect()
+    ]
+    delete_where(spark, idx, f"doc_id IN ({','.join(map(str, victims))})")
+    after = bq.match_count(spark, idx, "fast key").collect()[0]["n_docs"]
+    assert after == before - len(victims)
+    surv = {
+        r["doc_id"] for r in bq.search_sort(spark, idx, "fast key", "path", k=50).collect()
+    }
+    assert not surv & set(victims)
+    hist = bq.facet_histogram(spark, idx, "fast key", 16)
+    assert sum(r["n_docs"] for r in hist.collect()) == after
+
+
 def test_boost_scales_term_weight(spark, index_1k):
     from searchengine_spark.operators.wand import search_terms
 

@@ -117,6 +117,70 @@ def bench_index(spark, index_dir: str, docs_txt, reps: int) -> dict:
         ),
         "facet_lang": facet_lang,
     }
+
+    # --- round-5 serving surfaces -------------------------------------
+    import re
+
+    from searchengine_spark.operators.boolquery import search_bool
+    from searchengine_spark.operators.significant import significant_terms
+    from searchengine_spark.operators.wand import (
+        build_boost_sidecar,
+        search_function_score,
+    )
+
+    word_qs = [" ".join(re.findall(r"[A-Za-z0-9]+", q)) for q in REFERENCE_QUERIES]
+    word_qs = [q for q in word_qs if q]
+
+    # search_after: warm page-2 latency — cursors derived outside timing
+    curs = {}
+    for q in word_qs:
+        rows = search(spark, index_dir, q, k=10).collect()
+        if rows:
+            curs[q] = (rows[-1]["score"], rows[-1]["doc_id"])
+    with_cursor = [q for q in word_qs if q in curs]
+    if with_cursor:
+        out["search_after_page2"] = measure(
+            lambda q: search(
+                spark, index_dir, q, k=10, after=curs[q]
+            ).collect(),
+            with_cursor,
+            reps,
+        )
+
+    # function-score through a MATERIALIZED boost sidecar (built outside
+    # timing — the steady-state serving shape)
+    n_docs = dm.count()
+    factors = dm.select(
+        "doc_id",
+        (F.lit(1.0) + (F.col("doc_id") % 7).cast("double") / F.lit(4.0)).alias(
+            "factor"
+        ),
+    )
+    build_boost_sidecar(spark, index_dir, factors, "latency_bench")
+    out["search_function_score"] = measure(
+        lambda q: search_function_score(
+            spark, index_dir, q, "latency_bench", k=10
+        ).collect(),
+        word_qs,
+        reps,
+    )
+    out["function_score_n_factors"] = n_docs
+
+    # minimum_should_match=2 over the free words
+    out["search_msm2"] = measure(
+        lambda q: search_bool(
+            spark, index_dir, q, k=10, min_should_match=2
+        ).collect(),
+        [q for q in word_qs if len(q.split()) >= 2] or word_qs,
+        reps,
+    )
+
+    # significant-terms aggregation over the match set
+    out["significant_terms"] = measure(
+        lambda q: significant_terms(spark, index_dir, q, k=10).collect(),
+        word_qs,
+        max(6, reps // 2),
+    )
     return out
 
 
