@@ -209,6 +209,8 @@ def main() -> None:
         "facet_histogram",
         lambda: QUERIES["facet_histogram"](spark, sf_dir).count(),
     )
+    timed("match_stats", lambda: QUERIES["match_stats"](spark, sf_dir).count())
+    timed("facet_range", lambda: QUERIES["facet_range"](spark, sf_dir).count())
     timed("boosted_topk", lambda: QUERIES["boosted_topk"](spark, sf_dir).count())
     timed(
         "bm25_function_score",

@@ -104,6 +104,15 @@ def main() -> None:
                     help="histogram aggregation over the match set's "
                          "indexed token counts: one (bucket, n_docs) row "
                          "per floor(dl/INTERVAL)*INTERVAL bucket")
+    ap.add_argument("--stats", action="store_true",
+                    help="extended-stats aggregation over the match "
+                         "set's indexed token counts: one JSON line "
+                         "{query, n_docs, min/max/sum/avg/std dl}")
+    ap.add_argument("--range", dest="range_edges", metavar="E1,E2,...",
+                    help="range aggregation over the match set's indexed "
+                         "token counts: comma-separated ascending edges; "
+                         "one (bucket, n_docs) row per half-open range "
+                         "*-E1, E1-E2, ..., En-* (empty ranges included)")
     ap.add_argument("--significant", action="store_true",
                     help="significant-terms aggregation: print the top-k "
                     "JLH-significant terms of each query's match set "
@@ -193,10 +202,13 @@ def main() -> None:
             print(json.dumps({"query": q, "shards": dirs, "hits": hits}))
         spark.stop()
         return
-    if args.count or args.sort_by or args.histogram:
+    if (args.count or args.sort_by or args.histogram or args.stats
+            or args.range_edges):
         picked = [f for f, on in [("--count", args.count),
                                   ("--sort-by", args.sort_by),
-                                  ("--histogram", args.histogram)] if on]
+                                  ("--histogram", args.histogram),
+                                  ("--stats", args.stats),
+                                  ("--range", args.range_edges)] if on]
         if (len(picked) > 1 or args.bool or args.where
                 or args.hybrid_embeddings or args.complete or args.suggest
                 or args.collapse or args.significant
@@ -207,7 +219,9 @@ def main() -> None:
                              "--suggest/--scorer cosine)")
         from searchengine_spark.operators.boolquery import (
             facet_histogram,
+            facet_range,
             match_count,
+            match_stats,
             search_sort,
         )
 
@@ -220,6 +234,18 @@ def main() -> None:
                                    k=args.k, descending=args.descending).collect()
                 print(json.dumps({"query": q, "sort_by": args.sort_by, "hits": [
                     {"doc_id": r["doc_id"], args.sort_by: r[args.sort_by]}
+                    for r in rows
+                ]}))
+            elif args.stats:
+                r = match_stats(spark, args.index_dir, q).collect()[0]
+                print(json.dumps({"query": q, **{c: r[c] for c in (
+                    "n_docs", "min_dl", "max_dl", "sum_dl",
+                    "avg_dl", "std_dl")}}))
+            elif args.range_edges:
+                edges = [int(e) for e in args.range_edges.split(",") if e]
+                rows = facet_range(spark, args.index_dir, q, edges).collect()
+                print(json.dumps({"query": q, "edges": edges, "ranges": [
+                    {"bucket": r["bucket"], "n_docs": r["n_docs"]}
                     for r in rows
                 ]}))
             else:

@@ -1058,6 +1058,98 @@ def facet_histogram(
     )
 
 
+def match_stats(spark: SparkSession, index_dir: str, query: str) -> DataFrame:
+    """Extended-stats aggregation over the match set's indexed token
+    counts → one-row DataFrame(n_docs, min_dl, max_dl, sum_dl, avg_dl,
+    std_dl) — the ES ``stats``/``extended_stats`` aggregation over the
+    one numeric doc value the index itself carries (``dl`` from
+    ``doc_stats``, the exact lengths BM25 normalizes with). Matcher ids
+    ⋈ doc_stats (two pushed columns), one map-side-combined global
+    aggregate — a single row leaves the executors at any corpus size.
+    ``std_dl`` is the population standard deviation; avg/std are
+    rounded at 6 dp (the repo's cross-engine determinism convention).
+    Honors tombstones. An unresolvable query returns one row with
+    ``n_docs`` 0 and null min/max/avg/std (the ES empty-stats shape)."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame(
+            [(0, None, None, 0, None, None)],
+            "n_docs long, min_dl long, max_dl long, sum_dl long,"
+            " avg_dl double, std_dl double",
+        )
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    stats = spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl")
+    return matchers.join(stats, "doc_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("dl").cast("long").alias("min_dl"),
+        F.max("dl").cast("long").alias("max_dl"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        F.round(F.avg("dl"), 6).alias("avg_dl"),
+        F.round(F.stddev_pop("dl"), 6).alias("std_dl"),
+    )
+
+
+def facet_range(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    edges: list,
+) -> DataFrame:
+    """Range aggregation over the match set's indexed token counts →
+    DataFrame(bucket, n_docs) with one row PER CONFIGURED RANGE —
+    the ES ``range`` aggregation: caller-chosen half-open buckets
+    ``*-e0, e0-e1, …, eN-*`` (lower bound inclusive, upper exclusive)
+    over ``dl``, empty buckets included with ``n_docs`` 0 (unlike the
+    sparse ``facet_histogram``, the ES range contract reports every
+    requested range). One when-chain label per matching doc (no join
+    against the ranges — pure codegen), one map-side-combined groupBy,
+    then a broadcast right-join onto the literal range list to restore
+    empties. Honors tombstones. ``edges`` must be strictly increasing
+    and non-empty."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    edges = [int(e) for e in edges]
+    if not edges or sorted(set(edges)) != edges:
+        raise ValueError(
+            f"edges must be a non-empty strictly-increasing list, got {edges!r}"
+        )
+    labels = (
+        [f"*-{edges[0]}"]
+        + [f"{lo}-{hi}" for lo, hi in zip(edges, edges[1:])]
+        + [f"{edges[-1]}-*"]
+    )
+    ranges = spark.createDataFrame([(l,) for l in labels], "bucket string")
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return ranges.select(
+            "bucket", F.lit(0).cast("long").alias("n_docs")
+        ).orderBy("bucket")
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    stats = spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl")
+    label = F.when(F.col("dl") < edges[0], F.lit(labels[0]))
+    for (lo, hi), lab in zip(zip(edges, edges[1:]), labels[1:-1]):
+        label = label.when((F.col("dl") >= lo) & (F.col("dl") < hi), F.lit(lab))
+    label = label.otherwise(F.lit(labels[-1]))
+    counts = (
+        matchers.join(stats, "doc_id")
+        .groupBy(label.alias("bucket"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    return (
+        ranges.join(F.broadcast(counts), "bucket", "left")
+        .select("bucket", F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
 def _resolve(spark, index_dir, word: str) -> list[str]:
     """One query word → its canonical index term(s) through the index's
     analyzer + casing fallback (may be several terms if the analyzer

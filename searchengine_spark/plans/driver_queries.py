@@ -2061,6 +2061,30 @@ def q_facet_histogram(spark, sf_dir):
     return facet_histogram(spark, layout, " ".join(QTERMS), 32)
 
 
+def q_match_stats(spark, sf_dir):
+    """Extended-stats aggregation (the ES ``stats``/``extended_stats``
+    API): count/min/max/sum/avg/population-stddev of the match set's
+    indexed token counts — matcher ids ⋈ doc_stats, one global
+    aggregate. The oracle recomputes dl as Σtf per doc over the same
+    tokenization; avg/std rounded at 6 dp on both sides."""
+    from searchengine_spark.operators.boolquery import match_stats
+
+    layout = _packed_layout(spark, sf_dir)
+    return match_stats(spark, layout, " ".join(QTERMS))
+
+
+def q_facet_range(spark, sf_dir):
+    """Range aggregation (the ES ``range`` API): caller-chosen half-open
+    dl buckets ``*-64, 64-256, 256-*`` over the match set, EMPTY buckets
+    reported at zero — per-doc when-chain label, one groupBy, broadcast
+    left-join onto the literal range list. The oracle restates the same
+    three CASE buckets and restores empties from a VALUES list."""
+    from searchengine_spark.operators.boolquery import facet_range
+
+    layout = _packed_layout(spark, sf_dir)
+    return facet_range(spark, layout, " ".join(QTERMS), [64, 256])
+
+
 SIG_QUERY = "dup"  # df ≈ 5% of docs at every sf — a real foreground
 
 
@@ -2535,6 +2559,8 @@ QUERIES = {
     "match_count": q_match_count,
     "sort_by_field": q_sort_by_field,
     "facet_histogram": q_facet_histogram,
+    "match_stats": q_match_stats,
+    "facet_range": q_facet_range,
     "bm25_merged": q_bm25_merged,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
@@ -3696,6 +3722,34 @@ ORACLES["facet_histogram"] = (
     " CAST(count(*) AS BIGINT) AS n_docs"
     " FROM st WHERE doc_id IN (SELECT doc_id FROM m)"
     " GROUP BY bucket ORDER BY bucket ASC"
+)
+
+# extended stats over the match set: dl = Σtf per doc, population
+# stddev, avg/std rounded at 6 dp (the engine rounds identically)
+ORACLES["match_stats"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST})),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(min(dl) AS BIGINT) AS min_dl, CAST(max(dl) AS BIGINT) AS max_dl,"
+    " CAST(sum(dl) AS BIGINT) AS sum_dl,"
+    " ROUND(avg(dl), 6) AS avg_dl, ROUND(stddev_pop(dl), 6) AS std_dl"
+    " FROM st WHERE doc_id IN (SELECT doc_id FROM m)"
+)
+
+# range aggregation: three CASE buckets over dl, empties restored from
+# a VALUES list of the configured ranges
+ORACLES["facet_range"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST})),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id),"
+    " c AS (SELECT CASE WHEN dl < 64 THEN '*-64'"
+    " WHEN dl < 256 THEN '64-256' ELSE '256-*' END AS bucket,"
+    " CAST(count(*) AS BIGINT) AS n_docs"
+    " FROM st WHERE doc_id IN (SELECT doc_id FROM m) GROUP BY bucket)"
+    " SELECT r.bucket, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs"
+    " FROM (VALUES ('*-64'), ('64-256'), ('256-*')) r(bucket)"
+    " LEFT JOIN c ON c.bucket = r.bucket ORDER BY r.bucket ASC"
 )
 
 # NEAR: positional self-join restated in SQL (1-based SQL positions

@@ -307,6 +307,57 @@ def test_facet_histogram(spark, index_1k):
     assert bq.facet_histogram(spark, index_1k, "zzzunseen", 16).count() == 0
 
 
+def test_match_stats(spark, index_1k):
+    matchers = _matcher_ids(spark, index_1k, ["fast", "key"])
+    stats = spark.read.parquet(f"{index_1k}/doc_stats").toPandas()
+    dl = stats[stats["doc_id"].isin(matchers)]["dl"]
+    got = bq.match_stats(spark, index_1k, "fast key").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == len(dl)
+    assert r["min_dl"] == dl.min() and r["max_dl"] == dl.max()
+    assert r["sum_dl"] == dl.sum()
+    assert r["avg_dl"] == round(dl.mean(), 6)
+    assert r["std_dl"] == round(dl.std(ddof=0), 6)
+    # unresolvable query: the ES empty-stats shape (one row, nulls)
+    empty = bq.match_stats(spark, index_1k, "zzzunseen").collect()
+    assert len(empty) == 1
+    assert empty[0]["n_docs"] == 0 and empty[0]["sum_dl"] == 0
+    assert empty[0]["min_dl"] is None and empty[0]["avg_dl"] is None
+
+
+def test_facet_range(spark, index_1k):
+    matchers = _matcher_ids(spark, index_1k, ["fast", "key"])
+    stats = spark.read.parquet(f"{index_1k}/doc_stats").toPandas()
+    dl = stats[stats["doc_id"].isin(matchers)]["dl"]
+    got = {
+        r["bucket"]: r["n_docs"]
+        for r in bq.facet_range(spark, index_1k, "fast key", [64, 256]).collect()
+    }
+    assert got == {
+        "*-64": int((dl < 64).sum()),
+        "64-256": int(((dl >= 64) & (dl < 256)).sum()),
+        "256-*": int((dl >= 256).sum()),
+    }
+    assert sum(got.values()) == len(matchers)
+    # empty buckets are reported with zero (huge lower edge catches none)
+    wide = {
+        r["bucket"]: r["n_docs"]
+        for r in bq.facet_range(
+            spark, index_1k, "fast key", [100000, 200000]
+        ).collect()
+    }
+    assert wide["100000-200000"] == 0 and wide["200000-*"] == 0
+    assert wide["*-100000"] == len(matchers)
+    with pytest.raises(ValueError, match="strictly-increasing"):
+        bq.facet_range(spark, index_1k, "fast", [64, 64])
+    with pytest.raises(ValueError, match="strictly-increasing"):
+        bq.facet_range(spark, index_1k, "fast", [])
+    # unresolvable query: every configured range at zero
+    empty = bq.facet_range(spark, index_1k, "zzzunseen", [64]).collect()
+    assert {r["bucket"]: r["n_docs"] for r in empty} == {"*-64": 0, "64-*": 0}
+
+
 def test_result_analytics_honor_tombstones(spark, tmp_path_factory):
     from searchengine_spark.operators.deletion import delete_where
     from searchengine_spark.operators.index_build import build_index
@@ -327,6 +378,9 @@ def test_result_analytics_honor_tombstones(spark, tmp_path_factory):
     assert not surv & set(victims)
     hist = bq.facet_histogram(spark, idx, "fast key", 16)
     assert sum(r["n_docs"] for r in hist.collect()) == after
+    assert bq.match_stats(spark, idx, "fast key").collect()[0]["n_docs"] == after
+    rng = bq.facet_range(spark, idx, "fast key", [128]).collect()
+    assert sum(r["n_docs"] for r in rng) == after
 
 
 def test_boost_scales_term_weight(spark, index_1k):
