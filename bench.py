@@ -211,6 +211,10 @@ def main() -> None:
     )
     timed("match_stats", lambda: QUERIES["match_stats"](spark, sf_dir).count())
     timed("facet_range", lambda: QUERIES["facet_range"](spark, sf_dir).count())
+    timed(
+        "match_cardinality",
+        lambda: QUERIES["match_cardinality"](spark, sf_dir).count(),
+    )
     timed("boosted_topk", lambda: QUERIES["boosted_topk"](spark, sf_dir).count())
     timed(
         "bm25_function_score",

@@ -108,6 +108,13 @@ def main() -> None:
                     help="extended-stats aggregation over the match "
                          "set's indexed token counts: one JSON line "
                          "{query, n_docs, min/max/sum/avg/std dl}")
+    ap.add_argument("--cardinality", metavar="FIELD",
+                    help="cardinality aggregation: distinct values of a "
+                         "doc_map metadata column (repo/path/commit/lang) "
+                         "over the match set; --approx swaps in the "
+                         "HyperLogLog++ estimator (the ES default)")
+    ap.add_argument("--approx", action="store_true",
+                    help="with --cardinality: approximate (HLL++) count")
     ap.add_argument("--range", dest="range_edges", metavar="E1,E2,...",
                     help="range aggregation over the match set's indexed "
                          "token counts: comma-separated ascending edges; "
@@ -203,12 +210,13 @@ def main() -> None:
         spark.stop()
         return
     if (args.count or args.sort_by or args.histogram or args.stats
-            or args.range_edges):
+            or args.range_edges or args.cardinality):
         picked = [f for f, on in [("--count", args.count),
                                   ("--sort-by", args.sort_by),
                                   ("--histogram", args.histogram),
                                   ("--stats", args.stats),
-                                  ("--range", args.range_edges)] if on]
+                                  ("--range", args.range_edges),
+                                  ("--cardinality", args.cardinality)] if on]
         if (len(picked) > 1 or args.bool or args.where
                 or args.hybrid_embeddings or args.complete or args.suggest
                 or args.collapse or args.significant
@@ -220,6 +228,7 @@ def main() -> None:
         from searchengine_spark.operators.boolquery import (
             facet_histogram,
             facet_range,
+            match_cardinality,
             match_count,
             match_stats,
             search_sort,
@@ -241,6 +250,14 @@ def main() -> None:
                 print(json.dumps({"query": q, **{c: r[c] for c in (
                     "n_docs", "min_dl", "max_dl", "sum_dl",
                     "avg_dl", "std_dl")}}))
+            elif args.cardinality:
+                n = match_cardinality(
+                    spark, args.index_dir, q, args.cardinality,
+                    approximate=args.approx,
+                ).collect()[0]["n_values"]
+                print(json.dumps({"query": q, "field": args.cardinality,
+                                  "approx": bool(args.approx),
+                                  "n_values": int(n)}))
             elif args.range_edges:
                 edges = [int(e) for e in args.range_edges.split(",") if e]
                 rows = facet_range(spark, args.index_dir, q, edges).collect()

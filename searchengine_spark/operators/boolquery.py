@@ -1150,6 +1150,42 @@ def facet_range(
     )
 
 
+def match_cardinality(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    approximate: bool = False,
+) -> DataFrame:
+    """Distinct-value count of a ``doc_map`` metadata column over the
+    query's match set → one-row DataFrame(n_values) — the ES
+    ``cardinality`` aggregation ("how many distinct repos/langs match
+    this query"). Matcher ids ⋈ doc_map (two pushed columns), then one
+    count-distinct. ``approximate=True`` swaps in
+    ``approx_count_distinct`` (HyperLogLog++, the estimator ES itself
+    uses) — at 100 TB that is the right default because exact
+    count-distinct shuffles every distinct value while HLL merges
+    fixed-size sketches map-side; the exact form is the hash-gated one
+    because two engines' HLL estimates never agree bit-for-bit.
+    Honors tombstones."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    if field not in FIELD_COLS:
+        raise ValueError(f"unknown field {field!r} (doc_map metadata: {FIELD_COLS})")
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([(0,)], "n_values long")
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    dm = spark.read.parquet(f"{index_dir}/doc_map").select("doc_id", field)
+    agg = (
+        F.approx_count_distinct(field) if approximate else F.count_distinct(field)
+    )
+    return matchers.join(dm, "doc_id").agg(agg.cast("long").alias("n_values"))
+
+
 def _resolve(spark, index_dir, word: str) -> list[str]:
     """One query word → its canonical index term(s) through the index's
     analyzer + casing fallback (may be several terms if the analyzer

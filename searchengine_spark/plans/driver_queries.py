@@ -2085,6 +2085,17 @@ def q_facet_range(spark, sf_dir):
     return facet_range(spark, layout, " ".join(QTERMS), [64, 256])
 
 
+def q_match_cardinality(spark, sf_dir):
+    """Cardinality aggregation (the ES ``cardinality`` API): distinct
+    ``lang`` values over the match set — matcher ids ⋈ doc_map, one
+    exact count-distinct (the gate-able form; ``approximate=True`` is
+    the HLL scale path, unverifiable cross-engine by construction)."""
+    from searchengine_spark.operators.boolquery import match_cardinality
+
+    layout = _packed_layout(spark, sf_dir)
+    return match_cardinality(spark, layout, " ".join(QTERMS), "lang")
+
+
 SIG_QUERY = "dup"  # df ≈ 5% of docs at every sf — a real foreground
 
 
@@ -2561,6 +2572,7 @@ QUERIES = {
     "facet_histogram": q_facet_histogram,
     "match_stats": q_match_stats,
     "facet_range": q_facet_range,
+    "match_cardinality": q_match_cardinality,
     "bm25_merged": q_bm25_merged,
     "dup_clusters": q_dup_clusters,
     "dup_ngrams": q_dup_ngrams,
@@ -3750,6 +3762,14 @@ ORACLES["facet_range"] = (
     " SELECT r.bucket, CAST(COALESCE(c.n_docs, 0) AS BIGINT) AS n_docs"
     " FROM (VALUES ('*-64'), ('64-256'), ('256-*')) r(bucket)"
     " LEFT JOIN c ON c.bucket = r.bucket ORDER BY r.bucket ASC"
+)
+
+# cardinality over the match set: distinct langs among matching docs
+ORACLES["match_cardinality"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST}))"
+    " SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_values"
+    " FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"
 )
 
 # NEAR: positional self-join restated in SQL (1-based SQL positions

@@ -358,6 +358,23 @@ def test_facet_range(spark, index_1k):
     assert {r["bucket"]: r["n_docs"] for r in empty} == {"*-64": 0, "64-*": 0}
 
 
+def test_match_cardinality(spark, index_1k):
+    matchers = _matcher_ids(spark, index_1k, ["fast", "key"])
+    dm = spark.read.parquet(f"{index_1k}/doc_map").toPandas()
+    want = dm[dm["doc_id"].isin(matchers)]["lang"].nunique()
+    got = bq.match_cardinality(spark, index_1k, "fast key", "lang").collect()
+    assert len(got) == 1 and got[0]["n_values"] == want
+    # the HLL path lands within its documented error band (rsd 5%)
+    approx = bq.match_cardinality(
+        spark, index_1k, "fast key", "lang", approximate=True
+    ).collect()[0]["n_values"]
+    assert abs(approx - want) <= max(2, int(0.1 * want))
+    with pytest.raises(ValueError, match="unknown field"):
+        bq.match_cardinality(spark, index_1k, "fast", "dl")
+    empty = bq.match_cardinality(spark, index_1k, "zzzunseen", "lang").collect()
+    assert len(empty) == 1 and empty[0]["n_values"] == 0
+
+
 def test_result_analytics_honor_tombstones(spark, tmp_path_factory):
     from searchengine_spark.operators.deletion import delete_where
     from searchengine_spark.operators.index_build import build_index
