@@ -215,6 +215,10 @@ def main() -> None:
         "match_cardinality",
         lambda: QUERIES["match_cardinality"](spark, sf_dir).count(),
     )
+    timed("facet_stats_by", lambda: QUERIES["facet_stats_by"](spark, sf_dir).count())
+    timed("term_vectors", lambda: QUERIES["term_vectors"](spark, sf_dir).count())
+    timed("bm25_top_hits", lambda: QUERIES["bm25_top_hits"](spark, sf_dir).count())
+    timed("bm25_rescore", lambda: QUERIES["bm25_rescore"](spark, sf_dir).count())
     timed("boosted_topk", lambda: QUERIES["boosted_topk"](spark, sf_dir).count())
     timed(
         "bm25_function_score",

@@ -138,8 +138,23 @@ def main() -> None:
                     "group winners (wand.search_collapse; composes with "
                     "--where)")
     ap.add_argument("--collapse-pool", type=int, default=100,
-                    help="BM25 pool size the collapse operates over "
-                    "(groups ranking below it are absent)")
+                    help="BM25 pool size the collapse/top-hits grouping "
+                    "operates over (groups ranking below it are absent)")
+    ap.add_argument("--top-hits", metavar="FIELD",
+                    help="grouped top-k (the ES terms+top_hits nested "
+                    "agg): the best --per-group hits inside each of the "
+                    "top -k doc_map FIELD groups (wand.search_top_hits; "
+                    "composes with --where; pool via --collapse-pool)")
+    ap.add_argument("--per-group", type=int, default=3,
+                    help="with --top-hits: hits kept per group")
+    ap.add_argument("--facet-stats", metavar="FIELD",
+                    help="nested terms+stats aggregation: per-FIELD "
+                    "bucket doc count and min/max/avg indexed token "
+                    "count over the match set (boolquery.facet_stats)")
+    ap.add_argument("--termvectors", type=int, metavar="DOC_ID",
+                    help="per-document term statistics (the ES "
+                    "_termvectors API): every canonical term of DOC_ID "
+                    "with in-doc tf and corpus df; needs no --query")
     ap.add_argument("--with-meta", action="store_true",
                     help="attach doc_map metadata (repo, path, commit, "
                     "lang) to every hit — one pushed doc_id IN scan over "
@@ -150,7 +165,7 @@ def main() -> None:
     if args.queries_file:
         with open(args.queries_file) as f:
             queries += [ln.strip() for ln in f if ln.strip()]
-    if not queries:
+    if not queries and args.termvectors is None:
         raise SystemExit("no queries given (--query / --queries-file)")
 
     from searchengine_spark.plans.manifest import resolve_index_dir
@@ -163,7 +178,8 @@ def main() -> None:
     after = None
     if args.after:
         if (args.bool or args.hybrid_embeddings or args.complete
-                or args.suggest or args.collapse or args.significant
+                or args.suggest or args.collapse or args.top_hits
+                or args.significant
                 or args.shard or args.scorer != "wand"):
             raise SystemExit("--after pages plain BM25 only")
         if len(queries) != 1:
@@ -178,7 +194,7 @@ def main() -> None:
         raise SystemExit("give one of --boost-parquet / --boost-sidecar")
     if (args.boost_parquet or args.boost_sidecar) and (
         args.bool or args.hybrid_embeddings or args.complete or args.suggest
-        or args.collapse or args.significant or args.shard
+        or args.collapse or args.top_hits or args.significant or args.shard
     ):
         raise SystemExit("--boost-parquet/--boost-sidecar compose plain BM25 "
                          "(optionally with --where) — no --bool/--hybrid/"
@@ -191,7 +207,8 @@ def main() -> None:
     spark = get_session(app_name="searchengine-search")
     if args.shard:
         if (args.bool or args.where or args.hybrid_embeddings or args.complete
-                or args.suggest or args.collapse or args.significant
+                or args.suggest or args.collapse or args.top_hits
+                or args.significant
                 or args.scorer != "wand"):
             raise SystemExit("--shard federates plain BM25 (no --bool/--where/"
                              "--hybrid/--collapse/--complete/--suggest/"
@@ -209,17 +226,33 @@ def main() -> None:
             print(json.dumps({"query": q, "shards": dirs, "hits": hits}))
         spark.stop()
         return
+    if args.termvectors is not None:
+        if (args.bool or args.where or args.hybrid_embeddings or args.complete
+                or args.suggest or args.collapse or args.top_hits
+                or args.significant
+                or args.shard or queries or args.scorer != "wand"):
+            raise SystemExit("--termvectors is a per-document lookup "
+                             "(no queries, no other modes)")
+        from searchengine_spark.operators.boolquery import term_vectors
+
+        rows = term_vectors(spark, args.index_dir, args.termvectors).collect()
+        print(json.dumps({"doc_id": args.termvectors, "terms": [
+            {"term": r["term"], "tf": r["tf"], "df": r["df"]} for r in rows
+        ]}))
+        spark.stop()
+        return
     if (args.count or args.sort_by or args.histogram or args.stats
-            or args.range_edges or args.cardinality):
+            or args.range_edges or args.cardinality or args.facet_stats):
         picked = [f for f, on in [("--count", args.count),
                                   ("--sort-by", args.sort_by),
                                   ("--histogram", args.histogram),
                                   ("--stats", args.stats),
                                   ("--range", args.range_edges),
-                                  ("--cardinality", args.cardinality)] if on]
+                                  ("--cardinality", args.cardinality),
+                                  ("--facet-stats", args.facet_stats)] if on]
         if (len(picked) > 1 or args.bool or args.where
                 or args.hybrid_embeddings or args.complete or args.suggest
-                or args.collapse or args.significant
+                or args.collapse or args.top_hits or args.significant
                 or args.scorer != "wand"):
             raise SystemExit(f"{'/'.join(picked)} are standalone match-set "
                              "aggregations (pick one; no --bool/--where/"
@@ -228,6 +261,7 @@ def main() -> None:
         from searchengine_spark.operators.boolquery import (
             facet_histogram,
             facet_range,
+            facet_stats,
             match_cardinality,
             match_count,
             match_stats,
@@ -265,6 +299,18 @@ def main() -> None:
                     {"bucket": r["bucket"], "n_docs": r["n_docs"]}
                     for r in rows
                 ]}))
+            elif args.facet_stats:
+                rows = facet_stats(spark, args.index_dir, q,
+                                   args.facet_stats, k=args.k).collect()
+                print(json.dumps({"query": q, "field": args.facet_stats,
+                                  "buckets": [
+                                      {args.facet_stats: r[args.facet_stats],
+                                       "n_docs": r["n_docs"],
+                                       "min_dl": r["min_dl"],
+                                       "max_dl": r["max_dl"],
+                                       "avg_dl": r["avg_dl"]}
+                                      for r in rows
+                                  ]}))
             else:
                 rows = facet_histogram(spark, args.index_dir, q,
                                        args.histogram).collect()
@@ -398,6 +444,34 @@ def main() -> None:
                     "terms": query_terms(spark, args.index_dir, q),
                     "hits": hits,
                 }))
+        spark.stop()
+        return
+    if args.top_hits:
+        if args.bool or args.collapse or args.scorer != "wand":
+            raise SystemExit("--top-hits composes plain BM25 "
+                             "(no --bool/--collapse/--scorer cosine)")
+        from searchengine_spark.operators.wand import search_top_hits
+
+        allowed = None
+        if args.where:
+            allowed = (
+                spark.read.parquet(f"{args.index_dir}/doc_map")
+                .where(args.where)
+                .select("doc_id")
+            )
+        for q in queries:
+            rows = search_top_hits(
+                spark, args.index_dir, q, args.top_hits,
+                k_per_group=args.per_group, groups=args.k,
+                pool=args.collapse_pool, allowed=allowed,
+            ).collect()
+            groups: dict = {}
+            for r in rows:
+                groups.setdefault(r["grp_rank"], {
+                    args.top_hits: r[args.top_hits], "hits": [],
+                })["hits"].append({"doc_id": r["doc_id"], "score": r["score"]})
+            print(json.dumps({"query": q, "field": args.top_hits,
+                              "groups": [groups[g] for g in sorted(groups)]}))
         spark.stop()
         return
     if args.collapse:

@@ -1186,6 +1186,112 @@ def match_cardinality(
     return matchers.join(dm, "doc_id").agg(agg.cast("long").alias("n_values"))
 
 
+def facet_stats(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    k: int = 20,
+) -> DataFrame:
+    """Terms aggregation with a stats SUB-aggregation — the ES nested
+    ``terms`` + ``stats`` shape ("per matching repo/lang: how many docs
+    and how long are they"): the query's match set bucketed by a
+    ``doc_map`` metadata column, each bucket reporting its doc count and
+    the min/max/avg of the indexed token count ``dl`` (from
+    ``doc_stats``, the exact lengths BM25 normalizes with) →
+    DataFrame(``field``, n_docs, min_dl, max_dl, avg_dl) ordered
+    (n_docs desc, value asc) LIMIT k. Matcher ids ⋈ doc_map ⋈ doc_stats
+    (pushed two-column projections on both sidecars), then ONE
+    map-side-combined groupBy — the nested sub-aggregation costs the
+    same single shuffle as the flat ``facet_counts``, which is the whole
+    point of pushing metrics into the bucketing pass instead of running
+    one stats job per bucket. ``avg_dl`` rounded at 6 dp (the
+    cross-engine hash-gate convention). Honors tombstones."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    if field not in FIELD_COLS:
+        raise ValueError(f"unknown field {field!r} (doc_map metadata: {FIELD_COLS})")
+    qweights = fold_query_terms(spark, index_dir, query)
+    out_schema = (
+        f"{field} string, n_docs long, min_dl long, max_dl long, avg_dl double"
+    )
+    if not qweights:
+        return spark.createDataFrame([], out_schema)
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    dm = spark.read.parquet(f"{index_dir}/doc_map").select("doc_id", field)
+    stats = spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl")
+    return (
+        matchers.join(dm, "doc_id")
+        .join(stats, "doc_id")
+        .groupBy(field)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("dl").cast("long").alias("min_dl"),
+            F.max("dl").cast("long").alias("max_dl"),
+            F.round(F.avg("dl"), 6).alias("avg_dl"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc(field))
+        .limit(k)
+    )
+
+
+def term_vectors(spark: SparkSession, index_dir: str, doc_id: int) -> DataFrame:
+    """Per-document term statistics — the ES ``_termvectors`` API →
+    DataFrame(term, tf, df) ordered term asc: every canonical indexed
+    term of ``doc_id`` with its within-doc frequency and its corpus
+    document frequency (the inputs a client needs to recompute any
+    tf-idf-family weight for one document, e.g. for MLT-style seeding or
+    debugging a ranking).
+
+    Point-lookup cost, never a corpus pass: the FORWARD index
+    (``doc_terms``) is read with a pushed ``doc_id`` equality predicate
+    (parquet row-group pruning applies), the index's global case-fold
+    (``fold_map``) re-canonicalizes those ≤dl rows and tf re-aggregates
+    per canonical term — so tf here equals what postings store, not the
+    raw pre-fold count — and ``df`` broadcast-joins from the
+    ``term_dict`` sidecar. A doc_id outside the corpus raises (the ES
+    404 contract); a tombstoned doc raises too (deleted docs are not
+    servable, same eligibility semantics as search)."""
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.index_build import _fold_expr
+
+    doc_id = int(doc_id)
+    dm = spark.read.parquet(f"{index_dir}/doc_map").where(
+        F.col("doc_id") == doc_id
+    )
+    if dm.limit(1).count() == 0:
+        raise ValueError(f"doc_id {doc_id} is not in this index (doc_map miss)")
+    if has_tombstones(index_dir):
+        gone = (
+            deleted_ids(spark, index_dir)
+            .where(F.col("doc_id") == doc_id)
+            .limit(1)
+            .count()
+        )
+        if gone:
+            raise ValueError(f"doc_id {doc_id} is deleted (tombstoned)")
+    dt = (
+        spark.read.parquet(f"{index_dir}/doc_terms")
+        .where(F.col("doc_id") == doc_id)
+        .select("term", "tf")
+    )
+    fold = spark.read.parquet(f"{index_dir}/fold_map")
+    canon = (
+        _fold_expr(fold, dt)
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("tf"))
+    )
+    td = spark.read.parquet(f"{index_dir}/term_dict").select("term", "df")
+    return (
+        canon.join(F.broadcast(td), "term")
+        .select("term", "tf", F.col("df").cast("long").alias("df"))
+        .orderBy(F.asc("term"))
+    )
+
+
 def _resolve(spark, index_dir, word: str) -> list[str]:
     """One query word → its canonical index term(s) through the index's
     analyzer + casing fallback (may be several terms if the analyzer

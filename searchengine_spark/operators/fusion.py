@@ -70,3 +70,68 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rescore(
+    primary: DataFrame,
+    secondary: DataFrame,
+    k: int = 10,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_window_rows: int = 100_000,
+) -> DataFrame:
+    """Second-pass window re-ranking — the Elasticsearch ``rescore``
+    API: ``primary`` is the bounded top-``window_size`` ranking from the
+    cheap first pass (the caller's own top-k operator — WAND over the
+    packed index — already did the distributed cut), ``secondary``
+    carries a more expensive scorer's values (dense cosine, proximity,
+    a model score) for whatever ids it covers. Every window doc's final
+    score is
+
+        query_weight · primary + rescore_weight · secondary
+
+    with a doc the rescore query does not match keeping only its
+    weighted primary score (the ES contract — LEFT join, missing
+    secondary contributes 0). Only window members can appear: rescoring
+    re-orders the window, it never resurrects a doc the first pass cut.
+
+    Scale contract mirrors :func:`rrf_fuse`: both inputs are bounded
+    lists (tens-to-thousands of rows — each leg's distributed work is
+    already done), so the combine is a broadcast-sized join; the loud
+    ``max_window_rows`` guard fires inside the scan if a caller feeds an
+    unbounded ranking. Scores round at 6 dp on both legs and on the
+    combined value (the repo-wide hash-gate tie discipline); final order
+    (combined desc, id asc) LIMIT k."""
+    if query_weight < 0 or rescore_weight < 0:
+        raise ValueError(
+            f"weights must be >= 0, got {query_weight}/{rescore_weight}"
+        )
+    w = Window.orderBy(F.desc(F.round(F.col(score_col), 6)), F.asc(F.col(id_col)))
+    guard = F.when(
+        F.row_number().over(w) > max_window_rows,
+        F.raise_error(
+            F.lit(
+                f"rescore window exceeds max_window_rows={max_window_rows}; "
+                "rescore re-ranks a bounded first-pass window — cut the "
+                "primary ranking with its own top-k first (or raise "
+                "max_window_rows deliberately)"
+            )
+        ).cast("double"),
+    ).otherwise(F.round(F.col(score_col), 6))
+    p = primary.select(F.col(id_col), guard.alias("_p"))
+    s = secondary.select(
+        F.col(id_col), F.round(F.col(score_col), 6).alias("_s")
+    )
+    combined = F.round(
+        F.lit(float(query_weight)) * F.col("_p")
+        + F.lit(float(rescore_weight)) * F.coalesce(F.col("_s"), F.lit(0.0)),
+        6,
+    )
+    return (
+        p.join(s, id_col, "left")
+        .select(F.col(id_col), combined.alias(score_col))
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .limit(k)
+    )

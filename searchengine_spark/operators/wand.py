@@ -1165,6 +1165,73 @@ def search_collapse(
     )
 
 
+def search_top_hits(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    field: str,
+    k_per_group: int = 3,
+    groups: int = 10,
+    pool: int = 100,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Grouped top-k: the best ``k_per_group`` hits inside each of the
+    top ``groups`` distinct values of a ``doc_map`` metadata column —
+    the Elasticsearch ``terms`` aggregation with a ``top_hits``
+    sub-aggregation ("for each of the 10 best-matching repos, show its
+    3 best files"). Generalizes :func:`search_collapse` (which is the
+    ``k_per_group=1`` case) and shares its contract: the grouping
+    operates over the top-``pool`` BM25 hits, NOT the full posting
+    universe — the standard serving trade-off (widen ``pool`` to cover
+    more/deeper groups). Cost: one WAND top-``pool`` job (prunes
+    identically to :func:`search`) + one pushed ``doc_id IN (...)``
+    doc_map scan over ≤ pool ids; the grouping itself is driver-side
+    over ≤ pool rows — the same bounded pattern as ``search_collapse``.
+
+    Groups rank by their best hit (score desc, doc_id asc); hits inside
+    a group rank the same way. Returns DataFrame(<field>, grp_rank, rn,
+    doc_id, score) — grp_rank/rn 1-based — ordered (grp_rank, rn),
+    ≤ groups·k_per_group rows. The hash-gated declarative mirror is
+    ``plans.driver_queries.q_bm25_top_hits``."""
+    if k_per_group < 1 or groups < 1:
+        raise ValueError(
+            f"k_per_group and groups must be >= 1, got {k_per_group}/{groups}"
+        )
+    hits = search(
+        spark, index_dir, query, k=pool, maxscore=maxscore, allowed=allowed
+    ).collect()
+    meta_df = (
+        spark.read.parquet(f"{index_dir}/doc_map")
+        .where(F.col("doc_id").isin([r["doc_id"] for r in hits] or [-1]))
+        .select("doc_id", field)
+    )
+    field_type = meta_df.schema[field].dataType
+    group_of = {r["doc_id"]: r[field] for r in meta_df.collect()}
+    by_group: dict = {}
+    for r in sorted(hits, key=lambda r: (-r["score"], r["doc_id"])):
+        # doc_map covers every indexed id (fsck invariant) — a miss is loud
+        by_group.setdefault(group_of[r["doc_id"]], []).append(r)
+    ranked = sorted(
+        by_group.items(), key=lambda kv: (-kv[1][0]["score"], kv[1][0]["doc_id"])
+    )[:groups]
+    schema = T.StructType(
+        [
+            T.StructField(field, field_type),
+            T.StructField("grp_rank", T.IntegerType()),
+            T.StructField("rn", T.IntegerType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = [
+        (g, gi + 1, ri + 1, int(r["doc_id"]), float(r["score"]))
+        for gi, (g, rs) in enumerate(ranked)
+        for ri, r in enumerate(rs[:k_per_group])
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 def search_join(
     spark: SparkSession,
     index_dir: str,

@@ -284,6 +284,51 @@ def q_bm25_collapse(spark, sf_dir):
     )
 
 
+TOP_HITS_K = 2  # bm25_top_hits: hits kept per group
+TOP_HITS_GROUPS = 5  # bm25_top_hits: groups kept
+
+
+def q_bm25_top_hits(spark, sf_dir):
+    """Grouped top-k retrieval: the best TOP_HITS_K hits inside each of
+    the TOP_HITS_GROUPS best-matching values of a metadata column — the
+    ES ``terms`` + ``top_hits`` nested aggregation (collapse's
+    k-per-group generalization; ``wand.search_top_hits`` is the
+    pool-bounded serving path this mirrors declaratively). Two windows
+    over the full BM25 scored set: rank hits inside each group, then
+    rank groups by their winner; both windows order on the ROUNDED
+    score (score desc, doc_id asc) so ties break identically in the
+    oracle."""
+    from pyspark.sql import Window
+
+    scored = _bm25_topk_over(spark, sf_dir, QTERMS, limit=None)
+    meta = _docs(spark, sf_dir).select("doc_id", COLLAPSE_FIELD)
+    w = Window.partitionBy(COLLAPSE_FIELD).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    hits = (
+        scored.join(meta, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOP_HITS_K)
+    )
+    gw = Window.orderBy(F.desc("_ws"), F.asc("_wd"))
+    ranked = (
+        hits.where(F.col("rn") == 1)
+        .select(
+            COLLAPSE_FIELD,
+            F.col("score").alias("_ws"),
+            F.col("doc_id").alias("_wd"),
+        )
+        .withColumn("grp_rank", F.row_number().over(gw))
+        .where(F.col("grp_rank") <= TOP_HITS_GROUPS)
+        .select(COLLAPSE_FIELD, "grp_rank")
+    )
+    return (
+        hits.join(ranked, COLLAPSE_FIELD)
+        .select(COLLAPSE_FIELD, "grp_rank", "rn", "doc_id", "score")
+        .orderBy("grp_rank", "rn")
+    )
+
+
 # stored standing queries for the percolate entry: (query_id, terms, msm).
 # Mix of all-match, k-of-n, single-term, and an out-of-vocabulary term that
 # can never satisfy its msm (pins absent-term semantics: contributes
@@ -1080,6 +1125,42 @@ def q_hybrid_rrf_topk(spark, sf_dir):
         F.col("vec_id").alias("doc_id"), F.col("cos").alias("score")
     )
     return fusion.rrf_fuse([bm, cos], k=10, c=HYBRID_RRF_C)
+
+
+RESCORE_WINDOW = 20  # bm25_rescore first-pass window size
+RESCORE_QW = 1.0  # bm25_rescore query_weight
+RESCORE_RW = 2.0  # bm25_rescore rescore_weight
+
+
+def q_bm25_rescore(spark, sf_dir):
+    """Second-pass window re-ranking (fusion.rescore — the ES
+    ``rescore`` API), hash-gated end-to-end: the cheap first pass is
+    BM25 top-RESCORE_WINDOW over the PACKED index (block-max WAND), the
+    expensive second pass scores ONLY those window docs by dense cosine
+    vs the vec_id-0 query vector (pushed id semi-join — the rescorer
+    never scans the corpus), and the final order is
+    1.0·bm25 + 2.0·cosine with a doc the rescore query misses (zero-norm
+    embedding) keeping its weighted BM25 score. The oracle restates the
+    BM25 window cut, the windowed cosine, and the weighted combine, so
+    one hash match pins both legs AND the combine arithmetic."""
+    from searchengine_spark.operators import fusion
+
+    layout = _packed_layout(spark, sf_dir)
+    bm = _packed_topk(spark, layout, k=RESCORE_WINDOW)
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    cos = similarity.cosine_topk(
+        emb,
+        qvec,
+        k=RESCORE_WINDOW,
+        allowed=bm.select(F.col("doc_id").alias("vec_id")),
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cos").alias("score"))
+    return fusion.rescore(
+        bm, cos, k=10, query_weight=RESCORE_QW, rescore_weight=RESCORE_RW
+    )
 
 
 LSH_BITS = 8
@@ -2096,6 +2177,42 @@ def q_match_cardinality(spark, sf_dir):
     return match_cardinality(spark, layout, " ".join(QTERMS), "lang")
 
 
+def q_facet_stats_by(spark, sf_dir):
+    """Nested terms + stats aggregation (the ES sub-aggregation shape):
+    the match set bucketed by ``lang``, each bucket reporting doc count
+    and min/max/avg indexed token count — matcher ids ⋈ doc_map ⋈
+    doc_stats, ONE map-side-combined groupBy (the nested metrics ride
+    the bucketing shuffle). The oracle recomputes dl as Σtf per doc over
+    the same tokenization; avg rounded 6 dp both sides."""
+    from searchengine_spark.operators.boolquery import facet_stats
+
+    layout = _packed_layout(spark, sf_dir)
+    return facet_stats(spark, layout, " ".join(QTERMS), "lang")
+
+
+TV_DOC = 7  # term_vectors subject (original doc_id; packed path doc/7)
+
+
+def q_term_vectors(spark, sf_dir):
+    """Per-document term statistics (the ES ``_termvectors`` API): every
+    canonical term of one document with its in-doc tf and corpus df —
+    pushed-predicate forward-index read + fold re-canonicalization +
+    broadcast term_dict join (boolquery.term_vectors). The packed layout
+    assigns its own doc ids, so the subject resolves through the
+    doc_map path ('doc/<orig>'), the same remap every packed entry
+    uses; the oracle reads the raw-analyzer tokens of the same doc."""
+    from searchengine_spark.operators.boolquery import term_vectors
+
+    layout = _packed_layout(spark, sf_dir)
+    did = (
+        spark.read.parquet(f"{layout}/doc_map")
+        .where(F.col("path") == f"doc/{TV_DOC}")
+        .select("doc_id")
+        .collect()[0][0]
+    )
+    return term_vectors(spark, layout, int(did))
+
+
 SIG_QUERY = "dup"  # df ≈ 5% of docs at every sf — a real foreground
 
 
@@ -2534,6 +2651,10 @@ QUERIES = {
     "bm25_function_score": q_bm25_function_score,
     "bm25_msm": q_bm25_msm,
     "bm25_search_after": q_bm25_search_after,
+    "bm25_rescore": q_bm25_rescore,
+    "bm25_top_hits": q_bm25_top_hits,
+    "term_vectors": q_term_vectors,
+    "facet_stats_by": q_facet_stats_by,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3770,6 +3891,84 @@ ORACLES["match_cardinality"] = (
     f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST}))"
     " SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_values"
     " FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"
+)
+
+# nested terms+stats aggregation: per-lang doc count and dl metrics over
+# the match set (dl = Σtf per doc, avg rounded 6 dp like the engine)
+ORACLES["facet_stats_by"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST})),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id)"
+    " SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(min(dl) AS BIGINT) AS min_dl, CAST(max(dl) AS BIGINT) AS max_dl,"
+    " ROUND(avg(dl), 6) AS avg_dl"
+    " FROM st JOIN documents USING (doc_id)"
+    " WHERE doc_id IN (SELECT doc_id FROM m)"
+    " GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 20"
+)
+
+# term vectors: one doc's raw-analyzer terms with in-doc tf and corpus df
+ORACLES["term_vectors"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " td AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term)"
+    " SELECT term, CAST(tf AS BIGINT) AS tf, df"
+    f" FROM dt JOIN td USING (term) WHERE doc_id = {TV_DOC}"
+    " ORDER BY term ASC"
+)
+
+# grouped top-k (terms + top_hits): two row_number windows over the full
+# BM25 scored set — hits inside each source, then sources by their winner
+ORACLES["bm25_top_hits"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " scored AS (SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id),"
+    f" h AS (SELECT d.{COLLAPSE_FIELD}, s.doc_id, s.score,"
+    f" CAST(row_number() OVER (PARTITION BY d.{COLLAPSE_FIELD}"
+    " ORDER BY s.score DESC, s.doc_id ASC) AS INT) AS rn"
+    " FROM scored s JOIN documents d USING (doc_id)),"
+    f" g AS (SELECT {COLLAPSE_FIELD}, CAST(row_number() OVER"
+    " (ORDER BY score DESC, doc_id ASC) AS INT) AS grp_rank"
+    " FROM h WHERE rn = 1)"
+    f" SELECT h.{COLLAPSE_FIELD}, g.grp_rank, h.rn, h.doc_id, h.score"
+    f" FROM h JOIN g USING ({COLLAPSE_FIELD})"
+    f" WHERE h.rn <= {TOP_HITS_K} AND g.grp_rank <= {TOP_HITS_GROUPS}"
+    " ORDER BY g.grp_rank, h.rn"
+)
+
+# rescore: the BM25 window cut, the windowed cosine leg, and the
+# weighted combine (missing cosine — zero-norm embedding — keeps the
+# weighted BM25 score, the ES rescore contract)
+ORACLES["bm25_rescore"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " bm AS (SELECT doc_id, round(sum(c), 6) AS p FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    f" ) GROUP BY doc_id ORDER BY p DESC, doc_id ASC LIMIT {RESCORE_WINDOW}),"
+    " q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),"
+    " cs AS (SELECT vec_id AS doc_id,"
+    "   round(list_dot_product(embedding::DOUBLE[], qv)"
+    "   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+    "      * sqrt(list_dot_product(qv, qv))), 6) AS s"
+    "   FROM embeddings CROSS JOIN q"
+    "   WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+    "   AND vec_id IN (SELECT doc_id FROM bm))"
+    f" SELECT doc_id, round({RESCORE_QW} * p + {RESCORE_RW} * coalesce(s, 0), 6)"
+    " AS score FROM bm LEFT JOIN cs USING (doc_id)"
+    " ORDER BY score DESC, doc_id ASC LIMIT 10"
 )
 
 # NEAR: positional self-join restated in SQL (1-based SQL positions

@@ -398,6 +398,11 @@ def test_result_analytics_honor_tombstones(spark, tmp_path_factory):
     assert bq.match_stats(spark, idx, "fast key").collect()[0]["n_docs"] == after
     rng = bq.facet_range(spark, idx, "fast key", [128]).collect()
     assert sum(r["n_docs"] for r in rng) == after
+    fs = bq.facet_stats(spark, idx, "fast key", "lang").toPandas()
+    assert fs["n_docs"].sum() == after
+    # a tombstoned doc is not servable through term_vectors
+    with pytest.raises(ValueError, match="deleted"):
+        bq.term_vectors(spark, idx, victims[0])
 
 
 def test_boost_scales_term_weight(spark, index_1k):
@@ -1006,3 +1011,52 @@ def test_msm_counts_expansion_as_one_clause(spark, index_1k):
     )
     # every hit must hold the literal AND some resul*-expansion
     assert got and all(d in holders for d, _ in got)
+
+
+def test_facet_stats(spark, index_1k):
+    """Nested terms+stats agg: per-lang bucket metrics equal a pandas
+    recompute over the matcher set; ES ordering (n_docs desc, value
+    asc); bucket counts sum to the match-set size."""
+    matchers = _matcher_ids(spark, index_1k, ["fast", "key"])
+    dm = spark.read.parquet(f"{index_1k}/doc_map").toPandas()
+    st = spark.read.parquet(f"{index_1k}/doc_stats").toPandas()
+    sub = dm[dm["doc_id"].isin(matchers)].merge(st[["doc_id", "dl"]], on="doc_id")
+    want = sub.groupby("lang")["dl"].agg(["count", "min", "max", "mean"])
+    got = bq.facet_stats(spark, index_1k, "fast key", "lang").toPandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        w = want.loc[r["lang"]]
+        assert r["n_docs"] == w["count"]
+        assert r["min_dl"] == w["min"] and r["max_dl"] == w["max"]
+        assert r["avg_dl"] == round(w["mean"], 6)
+    key = list(zip(-got["n_docs"], got["lang"]))
+    assert key == sorted(key)
+    assert got["n_docs"].sum() == len(matchers)
+    with pytest.raises(ValueError, match="unknown field"):
+        bq.facet_stats(spark, index_1k, "fast", "nosuch")
+    assert bq.facet_stats(spark, index_1k, "zzzunseen", "lang").count() == 0
+
+
+def test_term_vectors(spark, index_1k):
+    """Per-doc term vectors equal a pandas recompute through the global
+    case-fold: tf re-aggregates per canonical term, df comes from
+    term_dict; a doc_id outside the corpus raises (the ES 404)."""
+    dt = spark.read.parquet(f"{index_1k}/doc_terms").toPandas()
+    fold = spark.read.parquet(f"{index_1k}/fold_map").toPandas()
+    td = spark.read.parquet(f"{index_1k}/term_dict").toPandas()
+    did = int(dt.groupby("doc_id").size().idxmax())  # busiest doc
+    sub = dt[dt["doc_id"] == did][["term", "tf"]].copy()
+    fmap = dict(zip(fold["term"], fold["canon"]))
+    sub["term"] = sub["term"].map(lambda t: fmap.get(t, t))
+    want = (
+        sub.groupby("term", as_index=False)["tf"].sum()
+        .merge(td[["term", "df"]], on="term")
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    got = bq.term_vectors(spark, index_1k, did).toPandas()
+    assert got["term"].tolist() == want["term"].tolist()
+    assert got["tf"].tolist() == want["tf"].tolist()
+    assert got["df"].tolist() == want["df"].tolist()
+    with pytest.raises(ValueError, match="not in this index"):
+        bq.term_vectors(spark, index_1k, 10**9)

@@ -84,3 +84,38 @@ def test_hybrid_bm25_cosine_shape(spark, index_1k):
     assert all(r["doc_id"] in leg_ids for r in rows)
     scores = [r["rrf"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_rescore_hand_computed(spark):
+    """Three-doc window, two rescored: combined = qw*p + rw*s with a
+    missing secondary contributing zero (the ES contract)."""
+    p = _df(spark, [(1, 5.0), (2, 4.0), (3, 3.0)])
+    s = _df(spark, [(3, 0.9), (1, 0.1)])
+    got = [tuple(r) for r in fusion.rescore(
+        p, s, k=10, query_weight=1.0, rescore_weight=2.0
+    ).collect()]
+    want = sorted(
+        [(1, round(5.0 + 2 * 0.1, 6)), (2, 4.0), (3, round(3.0 + 2 * 0.9, 6))],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert got == want
+    assert got[0][0] == 1 and got[1][0] == 3  # rescore reordered 3 past 2
+
+
+def test_rescore_never_resurrects_and_rounds(spark):
+    """Ids only in the secondary can't enter the result; 6dp rounding on
+    both legs and the combined value."""
+    p = _df(spark, [(1, 1.0000004), (2, 0.5)])
+    s = _df(spark, [(9, 100.0), (2, 0.1234564999)])
+    got = {r["doc_id"]: r["score"] for r in fusion.rescore(p, s, k=5).collect()}
+    assert 9 not in got
+    assert got == {1: 1.0, 2: round(0.5 + round(0.1234564999, 6), 6)}
+
+
+def test_rescore_guards(spark):
+    p = _df(spark, [(1, 1.0), (2, 0.5)])
+    s = _df(spark, [(1, 0.3)])
+    with pytest.raises(ValueError, match=">= 0"):
+        fusion.rescore(p, s, query_weight=-1)
+    with pytest.raises(Exception, match="max_window_rows"):
+        fusion.rescore(p, s, max_window_rows=1).collect()

@@ -166,3 +166,51 @@ def test_collapse_empty_query(spark, index_1k):
     )
     assert got.count() == 0
     assert [f.name for f in got.schema.fields] == ["lang", "doc_id", "score"]
+
+
+def test_top_hits_k1_equals_collapse(spark, index_1k):
+    """search_top_hits(k_per_group=1) is exactly field collapsing: same
+    groups, same winners, same scores, in the same order."""
+    from searchengine_spark.operators.wand import search_top_hits
+
+    want = search_collapse(
+        spark, index_1k, "def return", "repo", k=8, pool=200
+    ).toPandas()
+    got = search_top_hits(
+        spark, index_1k, "def return", "repo", k_per_group=1, groups=8, pool=200
+    ).toPandas()
+    assert got["rn"].eq(1).all()
+    assert got["grp_rank"].tolist() == list(range(1, len(got) + 1))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["score"].tolist() == want["score"].tolist()
+    assert got["repo"].tolist() == want["repo"].tolist()
+
+
+def test_top_hits_shape_contract(spark, index_1k):
+    """Groups rank by their winner; hits inside a group rank (score desc,
+    doc_id asc); everything comes from the pool; row count bounded."""
+    from searchengine_spark.operators.wand import search_top_hits
+
+    pool_hits = search(spark, index_1k, "def return", k=40).toPandas()
+    got = search_top_hits(
+        spark, index_1k, "def return", "repo", k_per_group=3, groups=5, pool=40
+    ).toPandas()
+    assert set(got["doc_id"]) <= set(pool_hits["doc_id"])
+    assert len(got) <= 15 and got["rn"].max() <= 3
+    # one field value per grp_rank, ranks contiguous from 1
+    per_group = got.groupby("grp_rank")["repo"].nunique()
+    assert (per_group == 1).all()
+    assert sorted(got["grp_rank"].unique()) == list(
+        range(1, got["grp_rank"].max() + 1)
+    )
+    # inside each group: rn follows (score desc, doc_id asc)
+    for _, g in got.groupby("grp_rank"):
+        g = g.sort_values("rn")
+        key = list(zip(-g["score"], g["doc_id"]))
+        assert key == sorted(key)
+    # across groups: winners (rn=1) ordered by (score desc, doc_id asc)
+    w = got[got["rn"] == 1].sort_values("grp_rank")
+    wkey = list(zip(-w["score"], w["doc_id"]))
+    assert wkey == sorted(wkey)
+    with pytest.raises(ValueError, match=">= 1"):
+        search_top_hits(spark, index_1k, "def", "repo", k_per_group=0)
