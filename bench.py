@@ -216,6 +216,11 @@ def main() -> None:
         lambda: QUERIES["match_cardinality"](spark, sf_dir).count(),
     )
     timed("facet_stats_by", lambda: QUERIES["facet_stats_by"](spark, sf_dir).count())
+    timed(
+        "match_percentiles",
+        lambda: QUERIES["match_percentiles"](spark, sf_dir).count(),
+    )
+    timed("near_ordered", lambda: QUERIES["near_ordered"](spark, sf_dir).count())
     timed("term_vectors", lambda: QUERIES["term_vectors"](spark, sf_dir).count())
     timed("bm25_top_hits", lambda: QUERIES["bm25_top_hits"](spark, sf_dir).count())
     timed("bm25_rescore", lambda: QUERIES["bm25_rescore"](spark, sf_dir).count())

@@ -114,7 +114,13 @@ def main() -> None:
                          "over the match set; --approx swaps in the "
                          "HyperLogLog++ estimator (the ES default)")
     ap.add_argument("--approx", action="store_true",
-                    help="with --cardinality: approximate (HLL++) count")
+                    help="with --cardinality/--percentiles: the mergeable-"
+                         "sketch estimator (HLL++ / percentile_approx)")
+    ap.add_argument("--percentiles", metavar="P1,P2,...",
+                    help="percentiles aggregation over the match set's "
+                         "indexed token counts: comma-separated percents "
+                         "in (0,100); exact interpolated by default, "
+                         "--approx for the one-pass sketch")
     ap.add_argument("--range", dest="range_edges", metavar="E1,E2,...",
                     help="range aggregation over the match set's indexed "
                          "token counts: comma-separated ascending edges; "
@@ -242,14 +248,16 @@ def main() -> None:
         spark.stop()
         return
     if (args.count or args.sort_by or args.histogram or args.stats
-            or args.range_edges or args.cardinality or args.facet_stats):
+            or args.range_edges or args.cardinality or args.facet_stats
+            or args.percentiles):
         picked = [f for f, on in [("--count", args.count),
                                   ("--sort-by", args.sort_by),
                                   ("--histogram", args.histogram),
                                   ("--stats", args.stats),
                                   ("--range", args.range_edges),
                                   ("--cardinality", args.cardinality),
-                                  ("--facet-stats", args.facet_stats)] if on]
+                                  ("--facet-stats", args.facet_stats),
+                                  ("--percentiles", args.percentiles)] if on]
         if (len(picked) > 1 or args.bool or args.where
                 or args.hybrid_embeddings or args.complete or args.suggest
                 or args.collapse or args.top_hits or args.significant
@@ -263,6 +271,7 @@ def main() -> None:
             facet_range,
             facet_stats,
             match_cardinality,
+            match_percentiles,
             match_count,
             match_stats,
             search_sort,
@@ -299,6 +308,12 @@ def main() -> None:
                     {"bucket": r["bucket"], "n_docs": r["n_docs"]}
                     for r in rows
                 ]}))
+            elif args.percentiles:
+                ps = tuple(float(p) for p in args.percentiles.split(",") if p)
+                r = match_percentiles(spark, args.index_dir, q, ps,
+                                      approximate=args.approx).collect()[0]
+                print(json.dumps({"query": q, "approx": bool(args.approx),
+                                  "percentiles": r.asDict()}))
             elif args.facet_stats:
                 rows = facet_stats(spark, args.index_dir, q,
                                    args.facet_stats, k=args.k).collect()

@@ -1186,6 +1186,62 @@ def match_cardinality(
     return matchers.join(dm, "doc_id").agg(agg.cast("long").alias("n_values"))
 
 
+def match_percentiles(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    percents: tuple = (25.0, 50.0, 75.0, 95.0, 99.0),
+    approximate: bool = False,
+) -> DataFrame:
+    """Percentiles aggregation over the match set's indexed token counts
+    → one-row DataFrame(p25, p50, …) — the ES ``percentiles``
+    aggregation over the one numeric doc value the index itself carries
+    (``dl`` from ``doc_stats``). The default is the EXACT interpolated
+    percentile (Spark ``percentile`` ≡ DuckDB ``quantile_cont``, linear
+    interpolation both sides — the same verified-to-6dp pairing as the
+    ``value_percentiles`` gate entry); ``approximate=True`` swaps in
+    ``percentile_approx`` — the one-pass bounded-memory mergeable sketch
+    (ES itself serves t-digest estimates) — which at 100 TB is the right
+    default because the exact form must buffer each group's values. The
+    approximate path is deliberately NOT hash-gated (two engines'
+    sketches never agree bit-for-bit); exact is the small-scale ground
+    truth for it. Column ``pN`` per requested percent (``p99_9`` for
+    fractional), rounded at 6 dp. Matcher ids ⋈ doc_stats, one global
+    aggregate — a single row leaves the executors. Honors tombstones.
+    An unresolvable query returns one all-null row (the ES empty shape).
+    """
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    ps = [float(p) for p in percents]
+    if not ps or len(set(ps)) != len(ps) or any(not 0 < p < 100 for p in ps):
+        raise ValueError(
+            f"percents must be distinct values in (0, 100), got {percents!r}"
+        )
+    names = [
+        "p" + (f"{p:g}".replace(".", "_")) for p in ps
+    ]
+    out_schema = ", ".join(f"{n} double" for n in names)
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return spark.createDataFrame([tuple(None for _ in ps)], out_schema)
+    matchers = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        matchers = matchers.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    stats = spark.read.parquet(f"{index_dir}/doc_stats").select("doc_id", "dl")
+    fracs = ",".join(repr(p / 100.0) for p in ps)
+    fn = "percentile_approx" if approximate else "percentile"
+    q = matchers.join(stats, "doc_id").agg(
+        F.expr(f"{fn}(dl, array({fracs}))").alias("_q")
+    )
+    return q.select(
+        *[
+            F.round(F.element_at("_q", i + 1), 6).alias(n)
+            for i, n in enumerate(names)
+        ]
+    )
+
+
 def facet_stats(
     spark: SparkSession,
     index_dir: str,

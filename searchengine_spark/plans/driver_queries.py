@@ -2177,6 +2177,33 @@ def q_match_cardinality(spark, sf_dir):
     return match_cardinality(spark, layout, " ".join(QTERMS), "lang")
 
 
+def q_match_percentiles(spark, sf_dir):
+    """Percentiles aggregation (the ES ``percentiles`` API) over the
+    match set's indexed token counts: exact interpolated p25/50/75/95/99
+    of dl — matcher ids ⋈ doc_stats, one global aggregate (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the same verified pairing
+    as ``value_percentiles``). ``approximate=True`` is the mergeable-
+    sketch 100 TB path, unverifiable cross-engine by construction."""
+    from searchengine_spark.operators.boolquery import match_percentiles
+
+    layout = _packed_layout(spark, sf_dir)
+    return match_percentiles(spark, layout, " ".join(QTERMS))
+
+
+def q_near_ordered(spark, sf_dir):
+    """ORDERED proximity (Lucene span_near with in_order=true): docs
+    where 'key' precedes 'value' within 4 raw-token positions, with pair
+    counts — the same pushed two-term positional-sidecar scan as
+    near_match, the window clamped to one side (0 < pos_b − pos_a ≤ 4).
+    Oracle: the positional self-join with the one-sided BETWEEN."""
+    from searchengine_spark.operators import positions
+
+    return positions.proximity_count_indexed(
+        spark, _positions_layout(spark, sf_dir), "key", "value", 4,
+        ordered=True,
+    )
+
+
 def q_facet_stats_by(spark, sf_dir):
     """Nested terms + stats aggregation (the ES sub-aggregation shape):
     the match set bucketed by ``lang``, each bucket reporting doc count
@@ -2655,6 +2682,8 @@ QUERIES = {
     "bm25_top_hits": q_bm25_top_hits,
     "term_vectors": q_term_vectors,
     "facet_stats_by": q_facet_stats_by,
+    "match_percentiles": q_match_percentiles,
+    "near_ordered": q_near_ordered,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3891,6 +3920,36 @@ ORACLES["match_cardinality"] = (
     f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST}))"
     " SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_values"
     " FROM documents WHERE doc_id IN (SELECT doc_id FROM m)"
+)
+
+# percentiles over the match set: exact interpolated quantiles of dl
+# (Spark percentile ≡ DuckDB quantile_cont, linear interpolation)
+ORACLES["match_percentiles"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    f" m AS (SELECT DISTINCT doc_id FROM dt WHERE term IN ({_QLIST})),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dt GROUP BY doc_id)"
+    " SELECT round(quantile_cont(dl, 0.25), 6) AS p25,"
+    " round(quantile_cont(dl, 0.5), 6) AS p50,"
+    " round(quantile_cont(dl, 0.75), 6) AS p75,"
+    " round(quantile_cont(dl, 0.95), 6) AS p95,"
+    " round(quantile_cont(dl, 0.99), 6) AS p99"
+    " FROM st WHERE doc_id IN (SELECT doc_id FROM m)"
+)
+
+# ordered NEAR: the positional self-join with a one-sided window
+# (key strictly before value, distance 1..4)
+ORACLES["near_ordered"] = (
+    "WITH t AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    "             x -> x <> '') AS arr FROM documents),"
+    " p AS (SELECT doc_id, i AS pos, arr[i] AS term"
+    "   FROM (SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i"
+    "         FROM t WHERE len(arr) >= 1))"
+    " SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs"
+    " FROM p a JOIN p b ON a.doc_id = b.doc_id"
+    " AND a.term = 'key' AND b.term = 'value'"
+    " AND b.pos - a.pos BETWEEN 1 AND 4"
+    " GROUP BY a.doc_id"
 )
 
 # nested terms+stats aggregation: per-lang doc count and dl metrics over

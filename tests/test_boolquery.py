@@ -1060,3 +1060,34 @@ def test_term_vectors(spark, index_1k):
     assert got["df"].tolist() == want["df"].tolist()
     with pytest.raises(ValueError, match="not in this index"):
         bq.term_vectors(spark, index_1k, 10**9)
+
+
+def test_match_percentiles(spark, index_1k):
+    """Exact percentiles over the match set's dl equal numpy's linear
+    interpolation; guards fire; empty query is one all-null row."""
+    import numpy as np
+
+    matchers = _matcher_ids(spark, index_1k, ["fast", "key"])
+    st = spark.read.parquet(f"{index_1k}/doc_stats").toPandas()
+    dl = st[st["doc_id"].isin(matchers)]["dl"].to_numpy()
+    got = bq.match_percentiles(spark, index_1k, "fast key").collect()
+    assert len(got) == 1
+    r = got[0]
+    for name, p in [("p25", 25), ("p50", 50), ("p75", 75),
+                    ("p95", 95), ("p99", 99)]:
+        assert r[name] == round(float(np.percentile(dl, p)), 6), name
+    # fractional percents get underscore names; approx path stays in band
+    fr = bq.match_percentiles(
+        spark, index_1k, "fast key", percents=(99.9,)
+    ).collect()[0]
+    assert fr["p99_9"] == round(float(np.percentile(dl, 99.9)), 6)
+    ap = bq.match_percentiles(
+        spark, index_1k, "fast key", approximate=True
+    ).collect()[0]
+    assert abs(ap["p50"] - float(np.percentile(dl, 50))) <= 5
+    with pytest.raises(ValueError, match="distinct values"):
+        bq.match_percentiles(spark, index_1k, "fast", percents=(0.0,))
+    with pytest.raises(ValueError, match="distinct values"):
+        bq.match_percentiles(spark, index_1k, "fast", percents=(50, 50))
+    empty = bq.match_percentiles(spark, index_1k, "zzzunseen").collect()
+    assert len(empty) == 1 and all(v is None for v in empty[0])
