@@ -15,6 +15,10 @@ pipeline (the reference engine has no counterpart — they extend the
 * :func:`decontaminate` — flag documents sharing any token n-gram with a
   benchmark/eval set (the Lee et al. 2021 / GPT-3 appendix-C style
   overlap rule), so test data can be excised from the training corpus.
+* :func:`pack_bins` — sequence packing: assign every document to a
+  fixed-token-budget bin by concatenation order (the "concat then chunk
+  every N tokens" shape pretraining loaders use), via a distributed
+  prefix sum — no single-partition global window anywhere.
 """
 
 from __future__ import annotations
@@ -205,3 +209,75 @@ def decontaminate(
             ),
         )
     )
+
+
+def pack_bins(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    count_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequence packing: every document assigned to a fixed-token-budget
+    bin by CONCATENATION ORDER → (id_col, count_col, bin_id).
+
+    Contract: documents sorted by ``id_col`` form one virtual token
+    stream; the stream is sliced every ``budget`` tokens; a document's
+    bin is the slice its FIRST token lands in —
+    ``bin_id = floor(tokens_before_doc / budget)``. This is the standard
+    "concatenate, then chunk every N tokens" approximation pretraining
+    loaders use (a doc may straddle a slice boundary; it is attributed
+    to the slice it starts in). Deterministic: a pure function of the
+    (id, count) pairs. ``id_col`` values must be unique (dense doc ids
+    are); duplicate ids would make "tokens before" ill-defined.
+
+    Scale shape — the reason this operator exists rather than a one-line
+    window: ``sum() over (order by id)`` collapses to ONE partition at
+    10^12 rows. Instead the same two-pass scheme as dense doc-id
+    assignment (``operators/doc_ids.py``): range-repartition by id, a
+    PER-PARTITION window cumsum (each partition's window is independent
+    → parallel), per-partition token totals collected as #partitions
+    scalars, driver prefix-sum broadcast back as offsets. One range
+    shuffle of (id, count) pairs + one lightweight agg job; the oracle
+    restates the global window directly (tiny at gate scale).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if budget < 1:
+        raise ValueError(f"budget must be a positive token count, got {budget!r}")
+    spark = df.sparkSession
+    p = num_partitions or 4 * spark.sparkContext.defaultParallelism
+    arranged = (
+        df.select(id_col, count_col)
+        .repartitionByRange(p, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    totals = {
+        r["_pid"]: r["tot"]
+        for r in arranged.groupBy("_pid")
+        .agg(F.sum(count_col).alias("tot"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += int(totals[pid])
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long")
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.col("_off") + F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    out = (
+        arranged.join(F.broadcast(off_df), "_pid")
+        .select(
+            id_col,
+            F.col(count_col).cast("long").alias(count_col),
+            F.floor(before / F.lit(int(budget))).cast("long").alias("bin_id"),
+        )
+    )
+    out._source_persisted = arranged  # handle for caller to unpersist
+    return out

@@ -2204,6 +2204,25 @@ def q_near_ordered(spark, sf_dir):
     )
 
 
+PACK_BUDGET = 2048  # pack_bins slice size (tokens)
+
+
+def q_pack_bins(spark, sf_dir):
+    """Sequence packing (sampling.pack_bins): every doc assigned to a
+    fixed-2048-token bin by concatenation order — the 'concat then chunk'
+    shape pretraining loaders use. Distributed prefix sum (range
+    partition + per-partition window + broadcast offsets — the doc-id
+    assignment scheme, no single-partition global window); the oracle
+    restates the global window cumsum directly."""
+    from searchengine_spark.operators.sampling import pack_bins
+    from searchengine_spark.operators.textstats import token_count_bpe_ish
+
+    counts = token_count_bpe_ish(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    return pack_bins(counts, PACK_BUDGET)
+
+
 def q_facet_stats_by(spark, sf_dir):
     """Nested terms + stats aggregation (the ES sub-aggregation shape):
     the match set bucketed by ``lang``, each bucket reporting doc count
@@ -2684,6 +2703,7 @@ QUERIES = {
     "facet_stats_by": q_facet_stats_by,
     "match_percentiles": q_match_percentiles,
     "near_ordered": q_near_ordered,
+    "pack_bins": q_pack_bins,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3950,6 +3970,18 @@ ORACLES["near_ordered"] = (
     " AND a.term = 'key' AND b.term = 'value'"
     " AND b.pos - a.pos BETWEEN 1 AND 4"
     " GROUP BY a.doc_id"
+)
+
+# sequence packing: the global window cumsum the engine computes as a
+# distributed prefix sum (bin = the 2048-token slice a doc STARTS in)
+ORACLES["pack_bins"] = (
+    "WITH t AS (SELECT doc_id,"
+    " CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    " AS BIGINT) AS n_tokens FROM documents)"
+    " SELECT doc_id, n_tokens,"
+    " CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
+    f" / {PACK_BUDGET}) AS BIGINT) AS bin_id FROM t"
 )
 
 # nested terms+stats aggregation: per-lang doc count and dl metrics over

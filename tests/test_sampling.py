@@ -148,3 +148,37 @@ def test_decontaminate_benchmark_without_id_column(spark):
         for r in sampling.decontaminate(docs, bench, n=5).collect()
     }
     assert got == {0: True, 1: False}
+
+
+def test_pack_bins_matches_brute_cumsum(spark):
+    """Bin assignment equals the single-stream cumsum rule, a doc
+    straddling a slice boundary goes to the slice it STARTS in, and the
+    result is invariant to the partition count (the distributed
+    prefix-sum property)."""
+    import itertools
+
+    rows = [(i, (i * 37) % 90 + 10) for i in range(200)]  # 10..99 tokens
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bin_id"])
+        for r in sampling.pack_bins(df, 512).collect()
+    }
+    acc = 0
+    for i, n in rows:
+        assert got[i] == (n, acc // 512), i
+        acc += n
+    assert len(got) == 200
+    # straddle: first doc bigger than the budget still lands in bin 0,
+    # and the next doc starts in the slice the overflow pushed it into
+    two = spark.createDataFrame([(0, 700), (1, 10)], "doc_id long, n_tokens long")
+    g2 = {r["doc_id"]: r["bin_id"] for r in sampling.pack_bins(two, 512).collect()}
+    assert g2 == {0: 0, 1: 1}
+    # partition-count invariance
+    for p in (1, 3, 17):
+        gp = {
+            r["doc_id"]: r["bin_id"]
+            for r in sampling.pack_bins(df, 512, num_partitions=p).collect()
+        }
+        assert gp == {i: b for i, (_, b) in got.items()}, p
+    with pytest.raises(ValueError, match="budget"):
+        sampling.pack_bins(df, 0)
