@@ -19,6 +19,10 @@ pipeline (the reference engine has no counterpart — they extend the
   fixed-token-budget bin by concatenation order (the "concat then chunk
   every N tokens" shape pretraining loaders use), via a distributed
   prefix sum — no single-partition global window anywhere.
+* :func:`source_mix` — data-mixture sampling: per-source token quotas
+  from explicit weights or temperature-scaled token totals (the
+  Pile/LLaMA-style multinomial mix), documents taken in concatenation
+  order within each source until its quota is spent.
 """
 
 from __future__ import annotations
@@ -277,6 +281,114 @@ def pack_bins(
             id_col,
             F.col(count_col).cast("long").alias(count_col),
             F.floor(before / F.lit(int(budget))).cast("long").alias("bin_id"),
+        )
+    )
+    out._source_persisted = arranged  # handle for caller to unpersist
+    return out
+
+
+def source_mix(
+    df: DataFrame,
+    budget: int,
+    weights: dict[str, float] | None = None,
+    temperature: float | None = None,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    count_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Data-mixture sampling: per-source token quotas, documents taken in
+    CONCATENATION ORDER within each source until the quota is spent →
+    (id_col, group_col, count_col, quota, selected).
+
+    Exactly one of ``weights`` / ``temperature`` must be given:
+
+    * ``weights`` — explicit source → weight map (any positive scale;
+      normalized over the map). Sources absent from the map get quota 0.
+      ``quota_s = floor(budget * w_s / Σw)`` — a pure function of the
+      arguments, so an external oracle can restate the quotas as
+      literals.
+    * ``temperature`` — the multinomial temperature mix (Pile/LLaMA
+      style): ``w_s ∝ (tokens_s)^T`` over the observed per-source token
+      totals, normalized. ``T=1`` is proportional sampling, ``T<1``
+      upweights small sources, ``T=0`` is uniform.
+
+    Selection rule mirrors :func:`pack_bins`: a document is selected iff
+    the tokens before it WITHIN its source are < quota — the document
+    that straddles the quota boundary is included (its first token still
+    fits). Every input row is returned with its flag, so the caller can
+    both materialize the mix (``where(selected)``) and audit what a
+    quota excluded.
+
+    Scale shape: the per-source running total is the same two-pass
+    distributed prefix sum as :func:`pack_bins`, generalized to reset at
+    source boundaries — range-repartition by (source, id) keeps each
+    partition's rows contiguous in the (source, id) order, the
+    per-partition window cumsum partitions by source, and the driver
+    prefix-sums the per-(partition, source) totals into offsets (the
+    collect is #partitions × #sources-spanning-a-boundary rows; mixes
+    have 10–10³ named sources, so this is bounded — per-domain quotas
+    over unbounded key sets belong to :func:`per_group_topn`). One range
+    shuffle + one agg job; no single-partition window at any size.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if budget < 1:
+        raise ValueError(f"budget must be a positive token count, got {budget!r}")
+    if (weights is None) == (temperature is None):
+        raise ValueError("give exactly one of weights= or temperature=")
+    if weights is not None and (not weights or min(weights.values()) < 0):
+        raise ValueError("weights must be a non-empty map of >=0 weights")
+    spark = df.sparkSession
+    p = num_partitions or 4 * spark.sparkContext.defaultParallelism
+    arranged = (
+        df.select(group_col, id_col, count_col)
+        .repartitionByRange(p, F.col(group_col), F.col(id_col))
+        .sortWithinPartitions(group_col, id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    part_totals = (
+        arranged.groupBy("_pid", group_col)
+        .agg(F.sum(count_col).alias("tot"))
+        .collect()
+    )
+    # per-source offsets: running sum over partitions in pid order
+    offsets, group_tot = [], {}
+    for r in sorted(part_totals, key=lambda r: (r[group_col], r["_pid"])):
+        g = r[group_col]
+        offsets.append((r["_pid"], g, group_tot.get(g, 0)))
+        group_tot[g] = group_tot.get(g, 0) + int(r["tot"])
+    if weights is not None:
+        wsum = float(sum(weights.values()))
+        if wsum <= 0:
+            raise ValueError("weights must not all be zero")
+        quota = {g: int(budget * w / wsum) for g, w in weights.items()}
+    else:
+        scaled = {g: float(t) ** float(temperature) for g, t in group_tot.items()}
+        wsum = sum(scaled.values())
+        quota = {g: int(budget * s / wsum) for g, s in scaled.items()}
+    off_df = spark.createDataFrame(
+        offsets or [(0, "", 0)], f"_pid int, {group_col} string, _off long"
+    )
+    quo_df = spark.createDataFrame(
+        list(quota.items()) or [("", 0)], f"{group_col} string, quota long"
+    )
+    w = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.col("_off") + F.coalesce(F.sum(count_col).over(w), F.lit(0))
+    out = (
+        arranged.join(F.broadcast(off_df), ["_pid", group_col])
+        .join(F.broadcast(quo_df), group_col, "left")
+        .select(
+            id_col,
+            group_col,
+            F.col(count_col).cast("long").alias(count_col),
+            F.coalesce(F.col("quota"), F.lit(0)).cast("long").alias("quota"),
+            (before < F.coalesce(F.col("quota"), F.lit(0))).alias("selected"),
         )
     )
     out._source_persisted = arranged  # handle for caller to unpersist

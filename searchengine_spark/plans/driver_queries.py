@@ -2223,6 +2223,30 @@ def q_pack_bins(spark, sf_dir):
     return pack_bins(counts, PACK_BUDGET)
 
 
+MIX_BUDGET = 2000  # source_mix total token budget
+MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+
+
+def q_source_mix(spark, sf_dir):
+    """Data-mixture sampling (sampling.source_mix): explicit per-source
+    weights → token quotas (floor(budget*w/Σw) — pure constants, so the
+    oracle restates them as literals), documents taken in concatenation
+    order within each source until the quota is spent; unlisted sources
+    get quota 0. Same distributed prefix-sum shape as pack_bins but with
+    per-(partition, source) offsets; the oracle restates the per-source
+    window cumsum directly."""
+    from searchengine_spark.operators.sampling import source_mix
+    from searchengine_spark.operators.textstats import token_count_bpe_ish
+
+    docs = _docs(spark, sf_dir)
+    counts = (
+        token_count_bpe_ish(docs)
+        .select("doc_id", F.col("n_ws_tokens").alias("n_tokens"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return source_mix(counts, MIX_BUDGET, weights=MIX_WEIGHTS)
+
+
 def q_facet_stats_by(spark, sf_dir):
     """Nested terms + stats aggregation (the ES sub-aggregation shape):
     the match set bucketed by ``lang``, each bucket reporting doc count
@@ -2704,6 +2728,7 @@ QUERIES = {
     "match_percentiles": q_match_percentiles,
     "near_ordered": q_near_ordered,
     "pack_bins": q_pack_bins,
+    "source_mix": q_source_mix,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -3982,6 +4007,25 @@ ORACLES["pack_bins"] = (
     " CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id"
     " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"
     f" / {PACK_BUDGET}) AS BIGINT) AS bin_id FROM t"
+)
+
+# data-mixture sampling: per-source quota from the same weight constants
+# the engine uses (quotas are pure Python ints — embedded as literals),
+# selection = the per-source window cumsum the engine computes as a
+# distributed prefix sum
+_MIX_CASE = " ".join(
+    f"WHEN '{g}' THEN {int(MIX_BUDGET * w / sum(MIX_WEIGHTS.values()))}"
+    for g, w in sorted(MIX_WEIGHTS.items())
+)
+ORACLES["source_mix"] = (
+    "WITH t AS (SELECT doc_id, source,"
+    " CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))"
+    " AS BIGINT) AS n_tokens FROM documents),"
+    " c AS (SELECT doc_id, source, n_tokens,"
+    " coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr,"
+    f" CAST(CASE source {_MIX_CASE} ELSE 0 END AS BIGINT) AS quota FROM t)"
+    " SELECT doc_id, source, n_tokens, quota, bfr < quota AS selected FROM c"
 )
 
 # nested terms+stats aggregation: per-lang doc count and dl metrics over

@@ -182,3 +182,61 @@ def test_pack_bins_matches_brute_cumsum(spark):
         assert gp == {i: b for i, (_, b) in got.items()}, p
     with pytest.raises(ValueError, match="budget"):
         sampling.pack_bins(df, 0)
+
+
+def _brute_mix(rows, quota):
+    """Python restatement of the source_mix selection rule."""
+    out, spent = {}, {}
+    for g, i, n in sorted(rows, key=lambda r: (r[0], r[1])):
+        q = quota.get(g, 0)
+        out[i] = (g, n, q, spent.get(g, 0) < q)
+        spent[g] = spent.get(g, 0) + n
+    return out
+
+
+def test_source_mix_explicit_weights(spark):
+    """Explicit-weight quotas: floor(budget*w/Σw), boundary-straddling
+    doc included, unlisted sources get quota 0, partition-invariant."""
+    rows = [(f"s{i % 3}", i, (i * 31) % 50 + 5) for i in range(120)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    budget, weights = 900, {"s0": 2.0, "s1": 1.0}  # s2 unlisted → quota 0
+    quota = {"s0": 600, "s1": 300}
+    want = _brute_mix(rows, quota)
+    got = {
+        r["doc_id"]: (r["source"], r["n_tokens"], r["quota"], r["selected"])
+        for r in sampling.source_mix(df, budget, weights=weights).collect()
+    }
+    assert got == want
+    assert any(v[3] for v in got.values()) and not all(v[3] for v in got.values())
+    assert not any(v[3] for i, v in got.items() if v[0] == "s2")
+    for p in (1, 2, 13):
+        gp = {
+            r["doc_id"]: r["selected"]
+            for r in sampling.source_mix(
+                df, budget, weights=weights, num_partitions=p
+            ).collect()
+        }
+        assert gp == {i: v[3] for i, v in want.items()}, p
+
+
+def test_source_mix_temperature(spark):
+    """Temperature mode: w_s ∝ tokens_s^T over observed totals — T=0 is
+    uniform, T=1 proportional; verified against a Python recompute."""
+    rows = [("big", i, 100) for i in range(20)] + [("small", 100 + i, 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    tot = {"big": 2000, "small": 50}
+    for T in (0.0, 0.5, 1.0):
+        scaled = {g: t**T for g, t in tot.items()}
+        quota = {g: int(1000 * s / sum(scaled.values())) for g, s in scaled.items()}
+        want = _brute_mix(rows, quota)
+        got = {
+            r["doc_id"]: (r["source"], r["n_tokens"], r["quota"], r["selected"])
+            for r in sampling.source_mix(df, 1000, temperature=T).collect()
+        }
+        assert got == want, T
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.source_mix(df, 1000)
+    with pytest.raises(ValueError, match="exactly one"):
+        sampling.source_mix(df, 1000, weights={"big": 1.0}, temperature=1.0)
+    with pytest.raises(ValueError, match="weights"):
+        sampling.source_mix(df, 1000, weights={})
