@@ -223,6 +223,7 @@ def main() -> None:
     timed("near_ordered", lambda: QUERIES["near_ordered"](spark, sf_dir).count())
     timed("pack_bins", lambda: QUERIES["pack_bins"](spark, sf_dir).count())
     timed("source_mix", lambda: QUERIES["source_mix"](spark, sf_dir).count())
+    timed("chunk_docs", lambda: QUERIES["chunk_docs"](spark, sf_dir).count())
     timed("term_vectors", lambda: QUERIES["term_vectors"](spark, sf_dir).count())
     timed("bm25_top_hits", lambda: QUERIES["bm25_top_hits"](spark, sf_dir).count())
     timed("bm25_rescore", lambda: QUERIES["bm25_rescore"](spark, sf_dir).count())

@@ -1,0 +1,64 @@
+"""Document chunking: fixed-token windows with overlap (RAG/embedding prep).
+
+The standard retrieval-corpus preparation step the reference engine has no
+counterpart for (it indexes whole documents — ``indexer.py`` builds one
+posting per (term, doc)): split every document into ``size``-token chunks
+every ``stride`` tokens, so each chunk can be embedded / indexed as its own
+retrieval unit and neighbouring chunks share ``size - stride`` tokens of
+context.
+
+Scale shape: one narrow JVM projection — ``split`` → ``sequence`` →
+``transform`` → ``explode`` — zero shuffle, no Python (the higher-order
+array expressions evaluate outside whole-stage codegen but stay on the
+JVM). Output size is input tokens × (size / stride), a constant factor
+the caller picks; at 100 TB the op runs at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_docs(
+    df: DataFrame,
+    size: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into whitespace-token chunks →
+    (id_col, chunk_id, start_token, n_chunk_tokens, chunk).
+
+    Contract: tokens are the non-empty ``\\s+``-split pieces of
+    ``text_col``. Chunk ``k`` starts at token ``k * stride`` and spans up
+    to ``size`` tokens; chunks are emitted while the start lies inside
+    the document (``k * stride < n_tokens``), so the final chunk may be
+    shorter than ``size`` and every token belongs to at least one chunk.
+    ``stride`` defaults to ``size`` (disjoint chunks); ``stride < size``
+    yields the overlapping-window shape RAG pipelines use. Documents
+    with no tokens emit no chunks.
+    """
+    stride = size if stride is None else stride
+    if size < 1:
+        raise ValueError(f"size must be a positive token count, got {size!r}")
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride!r}")
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride)),
+        lambda s: F.struct(
+            (s / stride).cast("long").alias("chunk_id"),
+            s.cast("long").alias("start_token"),
+            F.least(F.lit(size), F.size("_toks") - s)
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.slice("_toks", s + 1, size)).alias("chunk"),
+        ),
+    )
+    return (
+        df.select(id_col, toks.alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(id_col, F.explode(chunks).alias("_c"))
+        .select(id_col, "_c.*")
+    )

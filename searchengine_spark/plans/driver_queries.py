@@ -2247,6 +2247,20 @@ def q_source_mix(spark, sf_dir):
     return source_mix(counts, MIX_BUDGET, weights=MIX_WEIGHTS)
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 32, 24  # chunk_docs window (8-token overlap)
+
+
+def q_chunk_docs(spark, sf_dir):
+    """RAG-prep chunking (chunking.chunk_docs): every document split
+    into 32-whitespace-token chunks every 24 tokens (8-token overlap),
+    final short chunk kept. One narrow JVM projection — split →
+    sequence → transform → explode — zero shuffle, no Python; the oracle
+    restates the window rule with generate_series + list slicing."""
+    from searchengine_spark.operators.chunking import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_STRIDE)
+
+
 def q_facet_stats_by(spark, sf_dir):
     """Nested terms + stats aggregation (the ES sub-aggregation shape):
     the match set bucketed by ``lang``, each bucket reporting doc count
@@ -2729,6 +2743,7 @@ QUERIES = {
     "near_ordered": q_near_ordered,
     "pack_bins": q_pack_bins,
     "source_mix": q_source_mix,
+    "chunk_docs": q_chunk_docs,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -4026,6 +4041,22 @@ ORACLES["source_mix"] = (
     " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bfr,"
     f" CAST(CASE source {_MIX_CASE} ELSE 0 END AS BIGINT) AS quota FROM t)"
     " SELECT doc_id, source, n_tokens, quota, bfr < quota AS selected FROM c"
+)
+
+# RAG chunking: the same window rule via generate_series + 1-based
+# INCLUSIVE DuckDB list slicing (l[s+1 : s+size] is size tokens)
+ORACLES["chunk_docs"] = (
+    "WITH t AS (SELECT doc_id,"
+    " list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS l"
+    " FROM documents),"
+    " s AS (SELECT doc_id, l,"
+    f" unnest(generate_series(0, len(l) - 1, {CHUNK_STRIDE})) AS st"
+    " FROM t WHERE len(l) > 0)"
+    f" SELECT doc_id, CAST(st // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,"
+    " CAST(st AS BIGINT) AS start_token,"
+    f" CAST(least({CHUNK_SIZE}, len(l) - st) AS BIGINT) AS n_chunk_tokens,"
+    f" array_to_string(l[st + 1 : least(st + {CHUNK_SIZE}, len(l))], ' ')"
+    " AS chunk FROM s"
 )
 
 # nested terms+stats aggregation: per-lang doc count and dl metrics over

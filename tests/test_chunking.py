@@ -1,0 +1,64 @@
+"""chunk_docs: fixed-token windows with overlap (RAG/embedding prep)."""
+
+import pytest
+
+from searchengine_spark.operators import chunking
+
+
+def _brute(text, size, stride):
+    toks = [t for t in text.split() if t]
+    out = []
+    k = 0
+    while k * stride < len(toks):
+        s = k * stride
+        piece = toks[s : s + size]
+        out.append((k, s, len(piece), " ".join(piece)))
+        k += 1
+    return out
+
+
+@pytest.mark.parametrize("size,stride", [(4, 4), (4, 3), (5, 2), (3, 7)])
+def test_chunk_docs_matches_brute(spark, size, stride):
+    """Every (size, stride) shape — disjoint, overlapping, and
+    stride > size gaps — matches the Python window rule; empty and
+    whitespace-only docs emit nothing; the tail chunk is short."""
+    texts = [
+        "a b c d e f g h i j",
+        "one  two\tthree\nfour",  # mixed whitespace collapses
+        "solo",
+        "",
+        "   ",
+        " ".join(f"w{i}" for i in range(13)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in chunking.chunk_docs(df, size, stride).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_token"], r["n_chunk_tokens"], r["chunk"])
+        )
+    for i, text in enumerate(texts):
+        want = _brute(text, size, stride)
+        assert sorted(got.get(i, [])) == want, (i, size, stride)
+
+
+def test_chunk_docs_overlap_property(spark):
+    """stride < size ⇒ consecutive chunks share size - stride tokens."""
+    df = spark.createDataFrame(
+        [(0, " ".join(f"t{i}" for i in range(20)))], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunking.chunk_docs(df, 8, 5).collect(), key=lambda r: r["chunk_id"]
+    )
+    for a, b in zip(rows, rows[1:]):
+        if a["n_chunk_tokens"] == 8:
+            assert a["chunk"].split()[5:] == b["chunk"].split()[:3]
+
+
+def test_chunk_docs_validation(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="size"):
+        chunking.chunk_docs(df, 0)
+    with pytest.raises(ValueError, match="stride"):
+        chunking.chunk_docs(df, 4, 0)
