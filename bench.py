@@ -147,7 +147,7 @@ def main() -> None:
         "lineitem_pricing",
         "top_customers", "events_hourly", "events_sessions",
         "first_seen_docs", "dup_ngrams", "exact_substr_dedup",
-        "unigram_logprob", "bpe_token_counts",
+        "unigram_logprob", "bigram_logprob", "bpe_token_counts",
         "train_val_split", "per_source_cap", "decontaminate",
         "redact_secrets", "gopher_repetition",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",

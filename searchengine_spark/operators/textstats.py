@@ -205,6 +205,76 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mean corpus-bigram log-probability per document with add-``k``
+    smoothing — one rung up from :func:`unigram_logprob` on the CCNet
+    LM-quality-filter ladder: p(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V)
+    over THIS corpus (V = distinct unigrams), score = mean ln p over the
+    doc's adjacent token pairs. Word-salad documents keep a plausible
+    unigram profile but an implausible bigram one, so this separates
+    shuffled/templated junk the unigram score cannot.
+
+    Returns (doc_id, n_bigrams, mean_logprob) for documents with ≥2
+    tokens (no bigram exists below that). Shape: bigram instances are a
+    narrow array transform (no tokenizer rerun); the LM is one
+    groupBy(w1, w2) + one groupBy(term) — both map-side-combinable; V
+    rides the plan as a 1-row broadcast crossJoin (no driver action);
+    the two LM joins are left to Catalyst/AQE stats like the unigram
+    path. Everything JVM-side; cost is one extra shuffle over
+    :func:`unigram_logprob` for the bigram counts.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != ""
+    )
+    toks = df.select(F.col(id_col), arr.alias("_arr"))
+    uni = (
+        toks.select(F.explode("_arr").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cf"))
+    )
+    nv = uni.agg(F.count("*").cast("double").alias("_nv"))
+    big = (
+        toks.where(F.size("_arr") >= 2)
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_arr") - 1),
+                    lambda i: F.struct(
+                        F.element_at("_arr", i).alias("w1"),
+                        F.element_at("_arr", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("_b"),
+        )
+        .select(id_col, "_b.*")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    return (
+        big.join(bc, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(nv))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("c12") + F.lit(float(k)))
+                        / (F.col("cf") + F.lit(float(k)) * F.col("_nv"))
+                    )
+                ),
+                6,
+            ).alias("mean_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII / secret scrubbing (Dolma/CCNet-style pre-training hygiene)
 # ---------------------------------------------------------------------------

@@ -1350,6 +1350,16 @@ def q_unigram_logprob(spark, sf_dir):
     return textstats.unigram_logprob(_docs(spark, sf_dir))
 
 
+BIGRAM_K = 0.5  # add-k smoothing for the bigram LM score
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Add-k smoothed corpus-bigram log-probability per doc
+    (textstats.bigram_logprob) — the next CCNet LM-filter rung: catches
+    word-salad documents whose unigram profile looks fine."""
+    return textstats.bigram_logprob(_docs(spark, sf_dir), k=BIGRAM_K)
+
+
 def q_train_val_split(spark, sf_dir):
     """Deterministic train/val/test assignment (sampling.hash_split) —
     membership is a pure function of (salt, doc_id). The md5 hash family
@@ -2788,6 +2798,7 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "exact_substr_dedup": q_exact_substr_dedup,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "train_val_split": q_train_val_split,
     "per_source_cap": q_per_source_cap,
     "decontaminate": q_decontaminate,
@@ -3350,6 +3361,25 @@ ORACLES = {
         " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
         " round(avg(ln(cf / total)), 6) AS mean_logprob"
         " FROM toks JOIN lm USING (term) CROSS JOIN tot GROUP BY doc_id"
+    ),
+    # add-k bigram LM: p(w2|w1) = (c12 + k) / (c(w1) + k·V) over this
+    # corpus; docs with < 2 tokens have no bigram and are absent
+    "bigram_logprob": (
+        "WITH t AS (SELECT doc_id,"
+        " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+        "             x -> x <> '') AS arr FROM documents),"
+        " u AS (SELECT w1, count(*) AS cf FROM"
+        "   (SELECT unnest(arr) AS w1 FROM t) GROUP BY w1),"
+        " nv AS (SELECT CAST(count(*) AS DOUBLE) AS nv FROM u),"
+        " b AS (SELECT doc_id, arr[i] AS w1, arr[i + 1] AS w2 FROM"
+        "   (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i"
+        "    FROM t WHERE len(arr) >= 2)),"
+        " bc AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY w1, w2)"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+        f" round(avg(ln((c12 + {BIGRAM_K}) / (cf + {BIGRAM_K} * nv))), 6)"
+        " AS mean_logprob"
+        " FROM b JOIN bc USING (w1, w2) JOIN u USING (w1) CROSS JOIN nv"
+        " GROUP BY doc_id"
     ),
     "pruned_doc_stats": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"

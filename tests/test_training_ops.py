@@ -543,6 +543,47 @@ def test_unigram_logprob_orders_gibberish_below_normal(spark):
     assert got[9] < got[0]  # rare-token doc is less probable
 
 
+def test_bigram_logprob_matches_brute_lm(spark):
+    """Exact add-k bigram LM recompute in Python, <2-token docs absent,
+    and the separation property: a word-salad doc built from corpus
+    words (fine unigrams, unseen bigrams) scores below a fluent doc."""
+    import math
+    from collections import Counter
+
+    from searchengine_spark.operators.textstats import bigram_logprob
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat sat on the mat again",
+        2: "mat the on sat cat the",  # salad: same words, novel bigrams
+        3: "solo",  # 1 token -> no bigrams
+        4: "",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    k = 0.5
+    split = {i: [w for w in t.lower().split() if w] for i, t in texts.items()}
+    uni = Counter(w for ws in split.values() for w in ws)
+    big = Counter(
+        (ws[j], ws[j + 1]) for ws in split.values() for j in range(len(ws) - 1)
+    )
+    V = len(uni)
+    want = {}
+    for i, ws in split.items():
+        pairs = list(zip(ws, ws[1:]))
+        if pairs:
+            lp = [math.log((big[p] + k) / (uni[p[0]] + k * V)) for p in pairs]
+            want[i] = (len(pairs), round(sum(lp) / len(lp), 6))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["mean_logprob"])
+        for r in bigram_logprob(docs, k=k).collect()
+    }
+    assert set(got) == set(want) == {0, 1, 2}
+    for i in want:
+        assert got[i][0] == want[i][0], i
+        assert abs(got[i][1] - want[i][1]) < 1e-9, i
+    assert got[2][1] < got[0][1]  # salad below fluent
+
+
 def test_cosine_topk_batch_equals_per_query(spark, emb, qvec):
     """The batched path must equal |Q| independent exact searches —
     including tie order — and handle zero-norm queries (no rows) and the
