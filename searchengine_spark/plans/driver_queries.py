@@ -2754,6 +2754,7 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "source_mix": q_source_mix,
     "chunk_docs": q_chunk_docs,
+    "bigram_logprob": q_bigram_logprob,
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
@@ -2798,7 +2799,6 @@ QUERIES = {
     "dup_ngrams": q_dup_ngrams,
     "exact_substr_dedup": q_exact_substr_dedup,
     "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
     "train_val_split": q_train_val_split,
     "per_source_cap": q_per_source_cap,
     "decontaminate": q_decontaminate,
