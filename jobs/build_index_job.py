@@ -46,7 +46,18 @@ def main() -> None:
                     help="BM25 k1 (default 1.2; manifest-recorded)")
     ap.add_argument("--b", type=float, default=None,
                     help="BM25 b (default 0.75; manifest-recorded)")
+    ap.add_argument("--fields", default=None,
+                    help="simple BM25F field spec 'col:w,col:w' (integer "
+                         "weights; per-field tf scaled before the shared "
+                         "saturation — manifest-recorded)")
     args = ap.parse_args()
+
+    fields = None
+    if args.fields:
+        fields = []
+        for part in args.fields.split(","):
+            col, _, w = part.partition(":")
+            fields.append((col.strip(), int(w or 1)))
 
     from searchengine_spark.operators.index_build import build_index
     from searchengine_spark.session import get_session
@@ -65,6 +76,7 @@ def main() -> None:
         analyzer=args.analyzer,
         k1=args.k1,
         b=args.b,
+        fields=fields,
     )
     print(json.dumps({"scalars": man.scalars, "stages": man.data["stages"],
                       "posting_groups": man.data["posting_groups"]}))

@@ -398,6 +398,7 @@ def build_index(
     analyzer: str = "reference",
     k1: float | None = None,
     b: float | None = None,
+    fields: list | None = None,
 ) -> Manifest:
     """Build (or resume building) the index for ``docs`` into ``index_dir``.
 
@@ -409,7 +410,13 @@ def build_index(
     symmetric query parsing.
     ``k1``/``b`` override the BM25 parameters (defaults: the
     reference-fixed 1.2/0.75); recorded in the manifest so block-max
-    packing and every query path use the same values."""
+    packing and every query path use the same values.
+    ``fields`` switches on simple BM25F field-weighted indexing: a list of
+    ``(column, integer_weight)`` pairs analyzed into ONE shared term space
+    with tf = Σ_f w_f·tf_f (see ``tokenize_docs``). Recorded in the
+    manifest (``fields`` scalar, ``"col:w,col:w"``) — the query path needs
+    no change because the term space and every index artifact keep their
+    single-field shape."""
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     if not resume:
@@ -445,7 +452,7 @@ def build_index(
         group_width = max(1, math.ceil(n_ranges / n_groups)) if n_ranges else 1
         actual_groups = math.ceil(n_ranges / group_width) if n_ranges else 0
         doc_terms = (
-            tokenize_docs(with_id, stem=stem, analyzer=analyzer)
+            tokenize_docs(with_id, stem=stem, analyzer=analyzer, fields=fields)
             .withColumn("rng", (F.col("doc_id") / F.lit(range_width)).cast("int"))
             .withColumn("grp", grp_expr(F.col("rng"), group_width))
         )
@@ -483,6 +490,9 @@ def build_index(
             block_size=BLOCK_SIZE,
             stemming=stem,
             analyzer=analyzer,
+            fields=",".join(f"{c}:{int(w)}" for c, w in fields)
+            if fields is not None
+            else None,
             k1=float(k1) if k1 is not None else BM25_K1,
             b=float(b) if b is not None else BM25_B,
         )

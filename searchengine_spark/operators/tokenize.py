@@ -136,6 +136,7 @@ def tokenize_docs(
     text_col: str = "content",
     stem: bool = False,
     analyzer: str = "reference",
+    fields: list | None = None,
 ) -> DataFrame:
     """(doc_id, content, ...) → (doc_id, term, tf, dl) exploded long-form.
 
@@ -149,16 +150,46 @@ def tokenize_docs(
     acronym subtoken splitting with preserved whole identifiers
     (``code_token_counts``) — the pluggable-analyzer seam every production
     index has. The flag is recorded in the manifest by ``build_index`` so
-    queries tokenize symmetrically."""
+    queries tokenize symmetrically.
+
+    ``fields`` switches on simple BM25F (Robertson et al., "Simple BM25
+    extension to multiple weighted fields", CIKM 2004): a list of
+    ``(column, integer_weight)`` pairs. Each field is analyzed separately
+    and its term counts are scaled by the field weight BEFORE the shared
+    BM25 saturation: tf(doc, t) = Σ_f w_f·tf_f, dl(doc) = Σ_t tf — one
+    shared term space, one posting list per term, so every downstream
+    stage (codec, block-max, WAND, deletion, merge) is unchanged. Integer
+    weights keep tf an exact int32 (the varint codec's type). Overrides
+    ``text_col``; ``fields=[(col, 1)]`` ≡ ``text_col=col``."""
     counts = analyzer_fn(analyzer)
+    if fields is not None:
+        if not fields:
+            raise ValueError("fields must be a non-empty list of (col, weight)")
+        for _c, _w in fields:
+            if int(_w) != _w or int(_w) < 1:
+                raise ValueError(
+                    f"field weight must be a positive integer, got {_w!r} "
+                    f"for column {_c!r} (integer weights keep tf exact "
+                    "in the int32 posting codec)"
+                )
+        fields = [(c, int(w)) for c, w in fields]
     if stem:
         from searchengine_spark.functions.stemmer import stem_terms
+
+    field_cols = [c for c, _ in fields] if fields is not None else [text_col]
 
     def run(batches):
         for b in batches:
             doc_ids, terms, tfs, dls = [], [], [], []
-            for doc_id, text in zip(b["doc_id"].values, b[text_col].values):
-                d = counts(text or "")
+            col_vals = [b[c].values for c in field_cols]
+            for row_i, doc_id in enumerate(b["doc_id"].values):
+                if fields is None:
+                    d = counts(col_vals[0][row_i] or "")
+                else:
+                    d = {}
+                    for f_i, (_c, w) in enumerate(fields):
+                        for t, tf in counts(col_vals[f_i][row_i] or "").items():
+                            d[t] = d.get(t, 0) + w * tf
                 if stem and d:
                     d = stem_terms(d)
                 if not d:
@@ -177,4 +208,6 @@ def tokenize_docs(
                 }
             )
 
-    return docs_with_id.select("doc_id", text_col).mapInPandas(run, DOC_TERMS_SCHEMA)
+    return docs_with_id.select("doc_id", *field_cols).mapInPandas(
+        run, DOC_TERMS_SCHEMA
+    )

@@ -25,6 +25,7 @@ term ⇒ no intersection, blocks stream straight into top-k.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1022,6 +1023,56 @@ def search_function_score(
     return _topk_for_qweights(
         spark, index_dir, qweights, k, maxscore, allowed, boost=boost
     )
+
+
+def decay_factors(
+    df: DataFrame,
+    value_col: str,
+    origin: float,
+    scale: float,
+    decay: float = 0.5,
+    kind: str = "gauss",
+) -> DataFrame:
+    """Distance-decay factor column (the ES ``function_score`` decay
+    family — gauss/exp/linear) for :func:`search_function_score`:
+    ``df(doc_id, <value_col>)`` → ``(doc_id, factor)`` with factor 1 at
+    ``origin`` falling to ``decay`` at distance ``scale``, declaratively
+    (pure JVM column expressions — no Python in the plan):
+
+    - ``gauss``:  exp(((v−o)/s)² · ln d)   (σ² = −s²/(2 ln d) form)
+    - ``exp``:    exp(|v−o|/s · ln d)
+    - ``linear``: max(0, 1 − |v−o|·(1−d)/s)
+
+    ln(d) is folded to a Python float literal so the oracle SQL can
+    reuse the identical constant; the division/multiply tree is written
+    out explicitly (no ``pow``) to keep both engines on the same IEEE
+    ops. Rows with NULL value are dropped (absent docs score with
+    factor 1 under ``search_function_score``'s contract — the ES
+    ``missing origin`` behavior)."""
+    if not (0.0 < decay < 1.0):
+        raise ValueError(f"decay must be in (0, 1), got {decay!r}")
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale!r}")
+    ln_d = math.log(decay)
+    v = F.col(value_col).cast("double")
+    if kind == "gauss":
+        d2 = (v - F.lit(float(origin))) / F.lit(float(scale))
+        factor = F.exp(d2 * d2 * F.lit(ln_d))
+    elif kind == "exp":
+        factor = F.exp(
+            F.abs(v - F.lit(float(origin))) / F.lit(float(scale)) * F.lit(ln_d)
+        )
+    elif kind == "linear":
+        factor = F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.abs(v - F.lit(float(origin)))
+            * F.lit(1.0 - decay)
+            / F.lit(float(scale)),
+        )
+    else:
+        raise ValueError(f"unknown decay kind {kind!r} (gauss|exp|linear)")
+    return df.where(v.isNotNull()).select("doc_id", factor.alias("factor"))
 
 
 def search_terms(

@@ -2070,6 +2070,77 @@ def q_bm25_custom_params(spark, sf_dir):
     return _orig_topk(spark, d, search(spark, d, " ".join(QTERMS), k=60))
 
 
+BM25F_FIELDS = [("content", 1), ("repo", 3)]  # simple-BM25F field weights
+BM25F_QUERY = QTERMS + ["src3"]  # src3 exists ONLY in the repo field
+
+
+def q_bm25f_topk(spark, sf_dir):
+    """Simple BM25F (Robertson/Zaragoza/Taylor, CIKM'04) through the REAL
+    packed engine: the index is built with ``fields=[("content", 1),
+    ("repo", 3)]`` — each field analyzed separately, term counts scaled by
+    the integer field weight BEFORE the shared saturation (tf = Σ_f
+    w_f·tf_f, dl = Σ tf), one term space, so codec/block-max/WAND serve it
+    unchanged. The query adds ``src3``, a term that occurs ONLY in the
+    weighted repo field, so the hash match pins the per-field weighting
+    (weight 1 vs 3 changes both tf saturation and every dl), not just
+    plain BM25 over concatenated fields."""
+    import hashlib
+    import tempfile
+
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.wand import search
+
+    src = f"{sf_dir.rstrip('/')}/documents.parquet"
+    st = os.stat(src)
+    key = f"v1:bm25f:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_f_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(f"{d}/manifest.json"):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), d, n_groups=2,
+            analyzer="raw", fields=BM25F_FIELDS,
+        )
+    return _orig_topk(spark, d, search(spark, d, " ".join(BM25F_QUERY), k=60))
+
+
+DECAY_ORIGIN, DECAY_SCALE, DECAY_D = 1000.0, 2000.0, 0.5
+DECAY_LN_D = __import__("math").log(DECAY_D)  # folded constant, shared w/ oracle
+
+
+def q_bm25_decay(spark, sf_dir):
+    """Gaussian distance-decay scoring (the ES ``function_score`` decay
+    family) through the REAL pruned engine: factor =
+    exp(((n_chars−1000)/2000)²·ln ½) — 1 at the origin, 0.5 at distance
+    ``scale`` — built declaratively by ``wand.decay_factors`` (pure JVM
+    exp/mul tree, ln ½ folded to a literal the oracle reuses verbatim) and
+    multiplied into BM25 under exact block-max pruning by
+    ``search_function_score``. The recency/size-prior shape every serving
+    stack needs; hash-gated like bm25_function_score."""
+    from searchengine_spark.operators.wand import (
+        decay_factors,
+        search_function_score,
+    )
+
+    layout = _packed_layout(spark, sf_dir)
+    dm = spark.read.parquet(f"{layout}/doc_map").select(
+        "doc_id", F.substring("path", 5, 30).cast("long").alias("orig_id")
+    )
+    vals = dm.join(
+        _docs(spark, sf_dir).select(F.col("doc_id").alias("orig_id"), "n_chars"),
+        "orig_id",
+    ).select("doc_id", "n_chars")
+    factors = decay_factors(
+        vals, "n_chars", DECAY_ORIGIN, DECAY_SCALE, DECAY_D, kind="gauss"
+    )
+    hits = search_function_score(spark, layout, " ".join(QTERMS), factors, k=60)
+    return _orig_topk(spark, layout, hits)
+
+
 BOOSTED_QUERY = "fast^3 key order^0.5"
 
 
@@ -2758,6 +2829,8 @@ QUERIES = {
     "bm25_topk_packed": q_bm25_topk_packed,
     "bm25_after_delete": q_bm25_after_delete,
     "bm25_custom_params": q_bm25_custom_params,
+    "bm25f_topk": q_bm25f_topk,
+    "bm25_decay": q_bm25_decay,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4213,6 +4286,55 @@ ORACLES["bm25_custom_params"] = (
     f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
     f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
     ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# simple BM25F: per-field term counts scaled by the integer field weight
+# BEFORE the shared saturation — dt is the weighted union of the text
+# (w=1) and source (w=3) fields, then the standard formula verbatim
+_BM25F_QLIST = ",".join(f"'{t}'" for t in BM25F_QUERY)
+ORACLES["bm25f_topk"] = (
+    "WITH tt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ("
+    " SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"
+    " AS term FROM documents) WHERE term <> '' GROUP BY doc_id, term),"
+    " rt AS (SELECT doc_id, term, 3 * CAST(count(*) AS BIGINT) AS tf FROM ("
+    " SELECT doc_id, unnest(string_split_regex(lower(source), '[^a-z0-9]+'))"
+    " AS term FROM documents) WHERE term <> '' GROUP BY doc_id, term),"
+    " dt AS (SELECT doc_id, term, CAST(sum(tf) AS BIGINT) AS tf FROM ("
+    " SELECT * FROM tt UNION ALL SELECT * FROM rt) GROUP BY doc_id, term),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st)"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_BM25F_QLIST})"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# gaussian decay function-score: factor = exp(d²·ln½) with d the
+# scaled distance of n_chars from the origin — the identical constant
+# and explicit mul tree as wand.decay_factors, multiplied once after
+# the per-doc BM25 sum (the function-score contract), then round 6dp
+ORACLES["bm25_decay"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " s AS (SELECT doc_id, sum(c) AS s FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id)"
+    " SELECT doc_id, round(s * exp("
+    f" ((n_chars - {DECAY_ORIGIN!r}) / {DECAY_SCALE!r})"
+    f" * ((n_chars - {DECAY_ORIGIN!r}) / {DECAY_SCALE!r})"
+    f" * {DECAY_LN_D!r}), 6) AS score"
+    " FROM s JOIN documents USING (doc_id)"
+    " ORDER BY score DESC, doc_id ASC LIMIT 20"
 )
 
 # PII redaction: the same rule chain in RE2 (regexp_extract_all counts
