@@ -116,6 +116,11 @@ def main() -> None:
     ap.add_argument("--approx", action="store_true",
                     help="with --cardinality/--percentiles: the mergeable-"
                          "sketch estimator (HLL++ / percentile_approx)")
+    ap.add_argument("--unique-sketch", type=int, nargs="?", const=64,
+                    metavar="K", dest="unique_sketch",
+                    help="KMV bottom-K sketch estimate of the match set's "
+                         "distinct-content count (default K=64) — the "
+                         "auditable deterministic sketch, unlike --approx")
     ap.add_argument("--percentiles", metavar="P1,P2,...",
                     help="percentiles aggregation over the match set's "
                          "indexed token counts: comma-separated percents "
@@ -249,7 +254,7 @@ def main() -> None:
         return
     if (args.count or args.sort_by or args.histogram or args.stats
             or args.range_edges or args.cardinality or args.facet_stats
-            or args.percentiles):
+            or args.percentiles or args.unique_sketch is not None):
         picked = [f for f, on in [("--count", args.count),
                                   ("--sort-by", args.sort_by),
                                   ("--histogram", args.histogram),
@@ -257,7 +262,9 @@ def main() -> None:
                                   ("--range", args.range_edges),
                                   ("--cardinality", args.cardinality),
                                   ("--facet-stats", args.facet_stats),
-                                  ("--percentiles", args.percentiles)] if on]
+                                  ("--percentiles", args.percentiles),
+                                  ("--unique-sketch",
+                                   args.unique_sketch is not None)] if on]
         if (len(picked) > 1 or args.bool or args.where
                 or args.hybrid_embeddings or args.complete or args.suggest
                 or args.collapse or args.top_hits or args.significant
@@ -308,6 +315,16 @@ def main() -> None:
                     {"bucket": r["bucket"], "n_docs": r["n_docs"]}
                     for r in rows
                 ]}))
+            elif args.unique_sketch is not None:
+                from searchengine_spark.operators.sketches import (
+                    match_unique_sketch,
+                )
+
+                r = match_unique_sketch(
+                    spark, args.index_dir, q, k=args.unique_sketch
+                ).collect()[0]
+                print(json.dumps({"query": q, "sketch_k": int(r["sketch_k"]),
+                                  "est_distinct": float(r["est_distinct"])}))
             elif args.percentiles:
                 ps = tuple(float(p) for p in args.percentiles.split(",") if p)
                 r = match_percentiles(spark, args.index_dir, q, ps,

@@ -1,0 +1,163 @@
+"""Deterministic, oracle-replayable sketches.
+
+Spark ships HyperLogLog++ (``approx_count_distinct``) and t-digest
+(``percentile_approx``) built in, and the match-set analytics expose them
+(``boolquery.match_cardinality(approximate=True)`` etc.) — but those
+estimators can never be hash-gated: no two engines' sketch internals agree
+bit-for-bit. This module holds sketches chosen for the OPPOSITE property:
+every step (hash, threshold, estimator arithmetic) is expressible in both
+PySpark and ANSI SQL, so the driver gate can replay the sketch verbatim in
+DuckDB and hash-compare the estimate. That makes them the auditable tier
+of approximate analytics: exact enough to verify, cheap enough to run at
+10^12-doc scale.
+
+KMV / bottom-k distinct counting (Bar-Yossef et al., RANDOM 2002;
+Beyer et al., SIGMOD 2007): keep the k smallest values of a uniform hash
+of the distinct elements; with U(k) the k-th smallest normalized hash,
+E[distinct] ≈ (k-1)/U(k), relative error ~ 1/√(k−2). The sketch is a
+bounded top-k (TakeOrdered — no full-cardinality shuffle beyond the
+distinct), mergeable across partitions/shards by construction (min-k of a
+union = min-k of the per-side min-k unions).
+
+Beyond-reference surface: the reference engine (shiloari/SearchEngine)
+has no approximate analytics at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# 13 lowercase-hex chars of md5 = 52 bits: the largest hex prefix whose
+# integer value is exactly representable in a double (< 2^53), so Spark's
+# conv().cast(double) and the oracle's positional strpos-sum produce the
+# IDENTICAL float — the property the hash gate rests on.
+KMV_HEX_CHARS = 13
+KMV_DENOM = float(16**KMV_HEX_CHARS)  # 2^52
+
+
+def kmv_hash(col) -> "F.Column":
+    """Uniform (0, 1] hash of a string column: (first-13-hex-of-md5 + 1)
+    / 2^52. The +1 excludes 0 (the estimator divides by U(k)); md5 gives
+    the same lowercase hex in Spark, DuckDB, and Python."""
+    v = F.conv(F.substring(F.md5(col), 1, KMV_HEX_CHARS), 16, 10).cast("double")
+    return (v + F.lit(1.0)) / F.lit(KMV_DENOM)
+
+
+def kmv_distinct_estimate(values: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """KMV distinct-count estimate of ``values[col]`` → one-row
+    DataFrame(est_distinct double, sketch_k long).
+
+    ``est = (k-1)/U(k)`` when ≥ k distinct hashes exist, else the observed
+    count (exact by definition — fewer than k elements means the sketch IS
+    the set). Plan shape: distinct (the only full shuffle, bounded by the
+    true cardinality, map-side combined) → global bottom-k (TakeOrdered,
+    k rows to the driver side of the plan) → one-row aggregate. Estimate
+    rounded to 6dp so the gate hash is IEEE-stable."""
+    if k < 2:
+        raise ValueError(f"sketch k must be ≥ 2, got {k}")
+    bottom = (
+        values.select(kmv_hash(F.col(col)).alias("u"))
+        .distinct()
+        .orderBy("u")
+        .limit(k)
+    )
+    return bottom.agg(
+        F.round(
+            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
+                F.lit(float(k - 1)) / F.max("u")
+            ),
+            6,
+        ).alias("est_distinct"),
+        F.lit(k).cast("long").alias("sketch_k"),
+    )
+
+
+def match_vocab_sketch(
+    spark: SparkSession, index_dir: str, query: str, k: int = 64
+) -> DataFrame:
+    """KMV estimate of the DISTINCT-TERM count (vocabulary size) of a
+    query's match set → one-row DataFrame(est_distinct, sketch_k) — the
+    "how lexically diverse are the matching docs" aggregation, the
+    match-set sibling of ``boolquery.match_cardinality`` for a value space
+    (the vocabulary) that is far too large to count exactly per query at
+    corpus scale.
+
+    Plan: pushed term-IN postings scan for the match ids (bulk gap
+    decode, df(q) rows — ``boolquery._postings_ids``), forward-index
+    (``doc_terms``) semi-join restricted to those ids, then the KMV
+    bottom-k. No stage touches corpus text; the only full shuffle is the
+    distinct over the match set's vocabulary. Honors tombstones."""
+    from searchengine_spark.operators.boolquery import _postings_ids
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return kmv_distinct_estimate(
+            spark.createDataFrame([], "term string"), "term", k
+        )
+    ids = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        ids = ids.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    terms = (
+        spark.read.parquet(f"{index_dir}/doc_terms")
+        .select("doc_id", "term")
+        .join(ids, "doc_id", "left_semi")
+        .select("term")
+    )
+    return kmv_distinct_estimate(terms, "term", k)
+
+
+def match_unique_sketch(
+    spark: SparkSession, index_dir: str, query: str, k: int = 64
+) -> DataFrame:
+    """KMV estimate of the number of UNIQUE CONTENTS in a query's match
+    set → one-row DataFrame(est_distinct, sketch_k) — the ES
+    ``cardinality`` aggregation on a content-digest field ("how many
+    distinct documents match, net of exact duplicates"), at sketch cost.
+    The digests come from ``doc_map.content_sha256`` (stored once at
+    build — the corpus text is never re-read); match ids from the pushed
+    postings scan. Exact count-distinct over 10^12 docs shuffles every
+    digest; this bottom-k is bounded and mergeable. Honors tombstones."""
+    from searchengine_spark.operators.boolquery import _postings_ids
+    from searchengine_spark.operators.deletion import deleted_ids, has_tombstones
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    qweights = fold_query_terms(spark, index_dir, query)
+    if not qweights:
+        return kmv_distinct_estimate(
+            spark.createDataFrame([], "content_sha256 string"), "content_sha256", k
+        )
+    ids = _postings_ids(spark, index_dir, sorted(qweights))
+    if has_tombstones(index_dir):
+        ids = ids.join(deleted_ids(spark, index_dir), "doc_id", "left_anti")
+    digests = (
+        spark.read.parquet(f"{index_dir}/doc_map")
+        .select("doc_id", "content_sha256")
+        .join(ids, "doc_id", "left_semi")
+        .select("content_sha256")
+    )
+    return kmv_distinct_estimate(digests, "content_sha256", k)
+
+
+def kmv_hash_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`kmv_hash` — a positional strpos sum over
+    the 13 hex chars (DuckDB has no hex→int conv on this path; the sum of
+    exact-double terms reproduces conv().cast(double) bit-for-bit because
+    every partial sum stays an integer < 2^52). Every constant is CAST to
+    DOUBLE explicitly: DuckDB types bare ``281474976710656.0`` literals as
+    DECIMAL, whose fixed-scale division rounds differently by 1 ulp."""
+    h = f"md5({expr})"
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * CAST({float(16 ** (KMV_HEX_CHARS - 1 - i))!r} AS DOUBLE)"
+        for i in range(KMV_HEX_CHARS)
+    ]
+    return (
+        "("
+        + " + ".join(terms)
+        + " + CAST(1.0 AS DOUBLE)) / CAST("
+        + repr(KMV_DENOM)
+        + " AS DOUBLE)"
+    )

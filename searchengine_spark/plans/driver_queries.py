@@ -2141,6 +2141,28 @@ def q_bm25_decay(spark, sf_dir):
     return _orig_topk(spark, layout, hits)
 
 
+SKETCH_K = 64  # KMV bottom-k size for match_unique_sketch
+
+
+def q_match_unique_sketch(spark, sf_dir):
+    """KMV (bottom-k) distinct-count sketch, hash-gated END TO END: the
+    number of unique contents in the query's match set estimated as
+    (k−1)/U(k) over the k smallest md5-derived hashes of the stored
+    content digests (operators/sketches.py). Unlike Spark's built-in
+    HLL++ (exposed via match_cardinality(approximate=True) but
+    un-gateable — no two engines' sketches agree), every KMV step is
+    ANSI-SQL: the oracle replays the hash (positional hex sum ≡ conv,
+    exact in doubles below 2^52), the bottom-k cut, and the estimator
+    arithmetic verbatim. Match ids come from the pushed postings scan;
+    digests from doc_map — the corpus text is never read, and the match
+    set (hundreds of docs at gate scale) is ≫ k, so the entry exercises
+    the true estimator branch, not the exact fallback."""
+    from searchengine_spark.operators.sketches import match_unique_sketch
+
+    layout = _packed_layout(spark, sf_dir)
+    return match_unique_sketch(spark, layout, " ".join(QTERMS), k=SKETCH_K)
+
+
 BOOSTED_QUERY = "fast^3 key order^0.5"
 
 
@@ -2831,6 +2853,7 @@ QUERIES = {
     "bm25_custom_params": q_bm25_custom_params,
     "bm25f_topk": q_bm25f_topk,
     "bm25_decay": q_bm25_decay,
+    "match_unique_sketch": q_match_unique_sketch,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4335,6 +4358,27 @@ ORACLES["bm25_decay"] = (
     f" * {DECAY_LN_D!r}), 6) AS score"
     " FROM s JOIN documents USING (doc_id)"
     " ORDER BY score DESC, doc_id ASC LIMIT 20"
+)
+
+# KMV unique-content sketch of the match set: hash = (first-13-hex-of-
+# md5 + 1)/2^52 (the positional strpos sum is bit-identical to Spark's
+# conv().cast(double) — every partial sum is an exact integer double)
+# over sha256(text) ≡ the engine's stored content_sha256, DISTINCT over
+# the HASH (mirrors the engine; collisions, if any, fold identically),
+# bottom-64 cut, estimate (k-1)/U(k) — exact observed count when fewer
+# than k hashes exist
+from searchengine_spark.operators.sketches import kmv_hash_sql as _kmv_sql
+
+ORACLES["match_unique_sketch"] = (
+    f"WITH ids AS (SELECT DISTINCT doc_id FROM ({SQL_TOKENS})"
+    f" WHERE term IN ({_QLIST})),"
+    f" b AS (SELECT DISTINCT {_kmv_sql('sha256(text)')} AS u"
+    " FROM documents JOIN ids USING (doc_id)),"
+    f" sel AS (SELECT u FROM b ORDER BY u LIMIT {SKETCH_K})"
+    f" SELECT CASE WHEN count(*) < {SKETCH_K}"
+    " THEN round(CAST(count(*) AS DOUBLE), 6)"
+    f" ELSE round({float(SKETCH_K - 1)!r} / max(u), 6) END AS est_distinct,"
+    f" CAST({SKETCH_K} AS BIGINT) AS sketch_k FROM sel"
 )
 
 # PII redaction: the same rule chain in RE2 (regexp_extract_all counts

@@ -1,0 +1,108 @@
+"""KMV / bottom-k distinct-count sketch (operators/sketches.py)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.sketches import (
+    KMV_DENOM,
+    KMV_HEX_CHARS,
+    kmv_distinct_estimate,
+    kmv_hash,
+    kmv_hash_sql,
+)
+
+
+def _py_kmv_hash(s: str) -> float:
+    v = int(hashlib.md5(s.encode()).hexdigest()[:KMV_HEX_CHARS], 16)
+    return (v + 1.0) / KMV_DENOM
+
+
+def test_kmv_hash_matches_python_md5(spark):
+    vals = [f"value-{i}" for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = {
+        r["v"]: r["u"]
+        for r in df.select("v", kmv_hash(F.col("v")).alias("u")).collect()
+    }
+    for s in vals:
+        assert got[s] == _py_kmv_hash(s)  # bit-identical, not approx
+        assert 0.0 < got[s] <= 1.0
+
+
+def test_kmv_hash_sql_matches_spark(spark):
+    """The DuckDB positional-sum twin produces the identical double."""
+    import duckdb
+
+    vals = [f"item{i}" for i in range(200)]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": vals}))
+    sql = {
+        r[0]: r[1]
+        for r in con.sql(f"SELECT v, {kmv_hash_sql('v')} AS u FROM t").fetchall()
+    }
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    sp = {
+        r["v"]: r["u"]
+        for r in df.select("v", kmv_hash(F.col("v")).alias("u")).collect()
+    }
+    assert sql == sp
+
+
+def test_exact_branch_below_k(spark):
+    df = spark.createDataFrame(pd.DataFrame({"v": [f"x{i % 7}" for i in range(100)]}))
+    row = kmv_distinct_estimate(df, "v", k=64).collect()[0]
+    assert row["est_distinct"] == 7.0  # < k distinct → observed == exact
+    assert row["sketch_k"] == 64
+
+
+def test_estimator_accuracy(spark):
+    """(k−1)/U(k) with k=256 has σ ≈ 1/√254 ≈ 6.3%; assert within 4σ on a
+    2000-distinct set (deterministic — fixed values, fixed hash)."""
+    n = 2000
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [f"doc-{i}" for i in range(n)] * 3})  # dups collapse
+    )
+    est = kmv_distinct_estimate(df, "v", k=256).collect()[0]["est_distinct"]
+    assert abs(est - n) / n < 0.25
+    with pytest.raises(ValueError, match="sketch k"):
+        kmv_distinct_estimate(df, "v", k=1)
+
+
+def test_match_sketches_over_index(spark, index_1k):
+    """Both index-backed sketches run over a real layout; the vocab sketch
+    at 1k docs sits in the exact branch (vocab < k) so it equals the true
+    distinct-term count of the match set; the unique-content sketch with
+    small k exercises the estimator branch within tolerance."""
+    from searchengine_spark.operators.sketches import (
+        match_unique_sketch,
+        match_vocab_sketch,
+    )
+    from searchengine_spark.operators.wand import fold_query_terms
+    from searchengine_spark.operators.boolquery import _postings_ids
+
+    q = "key value"
+    terms = sorted(fold_query_terms(spark, index_1k, q))
+    ids = _postings_ids(spark, index_1k, terms)
+    true_vocab = (
+        spark.read.parquet(f"{index_1k}/doc_terms")
+        .join(ids, "doc_id", "left_semi")
+        .select("term")
+        .distinct()
+        .count()
+    )
+    row = match_vocab_sketch(spark, index_1k, q, k=4096).collect()[0]
+    assert row["est_distinct"] == float(true_vocab)  # exact branch
+
+    n_match = ids.count()
+    assert n_match > 64  # estimator branch is actually exercised
+    est = match_unique_sketch(spark, index_1k, q, k=64).collect()[0][
+        "est_distinct"
+    ]
+    # corpus_pdf contents are unique → true distinct == n_match
+    assert abs(est - n_match) / n_match < 0.5  # k=64 → σ≈12.7%, 4σ bound
+
+    empty = match_vocab_sketch(spark, index_1k, "zzzznotaterm", k=64).collect()[0]
+    assert empty["est_distinct"] == 0.0
