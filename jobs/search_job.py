@@ -74,6 +74,13 @@ def main() -> None:
                     help="with --bool: a doc must match at least M of the "
                     "free (SHOULD) clauses — each bare word or expansion "
                     "pattern counts once (ES minimum_should_match)")
+    ap.add_argument("--ltr", metavar="F:W,F:W,...",
+                    help="linear LTR rescore of the BM25 top---ltr-window: "
+                         "comma-separated feature:weight pairs over "
+                         "bm25/dl_ratio/n_matched/max_tf "
+                         "(operators/ltr.ltr_rescore)")
+    ap.add_argument("--ltr-window", type=int, default=100,
+                    help="first-pass candidate window for --ltr")
     ap.add_argument("--after", metavar="SCORE,DOC_ID",
                     help="search_after cursor: return the top-k strictly "
                     "after this (score, doc_id) — pass the previous "
@@ -203,6 +210,12 @@ def main() -> None:
                              "(e.g. 0.134290,384)")
     if args.boost_parquet and args.boost_sidecar:
         raise SystemExit("give one of --boost-parquet / --boost-sidecar")
+    if args.ltr and (args.bool or args.hybrid_embeddings or args.complete
+                     or args.suggest or args.boost_parquet
+                     or args.boost_sidecar or args.scorer != "wand"):
+        raise SystemExit("--ltr composes plain BM25 (optionally --where) — "
+                         "no --bool/--hybrid/--boost/--complete/--suggest/"
+                         "--scorer cosine)")
     if (args.boost_parquet or args.boost_sidecar) and (
         args.bool or args.hybrid_embeddings or args.complete or args.suggest
         or args.collapse or args.top_hits or args.significant or args.shard
@@ -545,6 +558,26 @@ def main() -> None:
                 .where(args.where)
                 .select("doc_id")
             )
+        if args.ltr:
+            from searchengine_spark.operators.ltr import ltr_rescore
+
+            weights = {}
+            for part in args.ltr.split(","):
+                name, _, w = part.partition(":")
+                weights[name.strip()] = float(w)
+            for q in queries:
+                hits = [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in ltr_rescore(
+                        spark, args.index_dir, q, weights,
+                        window=args.ltr_window, k=args.k, allowed=allowed,
+                    ).collect()
+                ]
+                if args.with_meta:
+                    _attach_meta(spark, args.index_dir, [hits])
+                print(json.dumps({"query": q, "hits": hits}))
+            spark.stop()
+            return
         if args.boost_parquet or args.boost_sidecar:
             from searchengine_spark.operators.wand import search_function_score
 

@@ -1,0 +1,110 @@
+"""Learning-to-rank rescoring: index-derived features + a linear model.
+
+The Elasticsearch LTR plugin shape (and the classic Lucene
+``FeatureField`` pipeline): a cheap first pass (BM25 block-max WAND)
+produces a bounded candidate window; per-candidate FEATURES are extracted
+from index artifacts only (never a corpus text pass); a model — here a
+linear one, the form every LTR stack can export (LambdaMART leaves sum to
+per-feature weights after flattening, logistic models are linear in the
+features) — re-scores the window; the re-ranked top-k is served.
+
+Features (all from the forward index / first pass — one pushed scan):
+
+- ``bm25``       first-pass score (the strongest single feature)
+- ``dl_ratio``   dl / avgdl (length prior)
+- ``n_matched``  number of DISTINCT query terms the doc holds (coverage)
+- ``max_tf``     max tf among the query terms (burstiness)
+
+Scale contract: the window is bounded (tens–thousands), so feature
+extraction is a semi-joined forward-index scan of window-many doc groups
+plus one broadcast-sized combine — no stage grows with corpus size.
+
+Beyond-reference surface: the reference engine (shiloari/SearchEngine)
+has a fixed scorer; its two-pass mode (local_method.py) re-RUNS retrieval
+with expanded terms rather than re-scoring a window with features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.plans.manifest import Manifest
+
+FEATURES = ("bm25", "dl_ratio", "n_matched", "max_tf")
+
+
+def ltr_features(
+    spark: SparkSession, index_dir: str, hits: DataFrame, query: str
+) -> DataFrame:
+    """(doc_id, score) window → (doc_id, bm25, dl_ratio, n_matched,
+    max_tf). ``hits.score`` becomes the ``bm25`` feature verbatim (raw or
+    rounded — the caller's serving discipline decides). One pushed
+    term-IN + window-semi-join scan of the forward index; dl rides
+    doc_terms so no extra stats join."""
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    qterms = sorted(fold_query_terms(spark, index_dir, query))
+    avgdl = float(Manifest(index_dir).scalars["avgdl"])
+    dt = (
+        spark.read.parquet(f"{index_dir}/doc_terms")
+        .where(F.col("term").isin(qterms))
+        .join(hits.select("doc_id"), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.first("dl").cast("double").alias("dl"),
+            F.count("*").alias("n_matched"),
+            F.max("tf").alias("max_tf"),
+        )
+    )
+    return hits.select("doc_id", F.col("score").alias("bm25")).join(
+        dt, "doc_id"
+    ).select(
+        "doc_id",
+        "bm25",
+        (F.col("dl") / F.lit(avgdl)).alias("dl_ratio"),
+        "n_matched",
+        "max_tf",
+    )
+
+
+def linear_score(weights: dict) -> "F.Column":
+    """Σ w_f · feature_f as ONE left-associated add chain in the fixed
+    ``FEATURES`` order — the same IEEE op tree the SQL oracle writes, so
+    the gate hash is meaningful. Unknown feature names raise."""
+    bad = set(weights) - set(FEATURES)
+    if bad:
+        raise ValueError(f"unknown features {sorted(bad)} (have {FEATURES})")
+    col = None
+    for f in FEATURES:
+        if f not in weights:
+            continue
+        term = F.lit(float(weights[f])) * F.col(f).cast("double")
+        col = term if col is None else col + term
+    if col is None:
+        raise ValueError("weights must name at least one feature")
+    return col
+
+
+def ltr_rescore(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    weights: dict,
+    window: int = 100,
+    k: int = 10,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """First-pass BM25 top-``window`` re-ranked by a linear feature model
+    → DataFrame(doc_id, score), the served top-``k``. Window docs only —
+    like ES rescore, the model re-orders candidates, it never resurrects
+    a doc the first pass cut."""
+    from searchengine_spark.operators.wand import search
+
+    hits = search(spark, index_dir, query, k=window, allowed=allowed)
+    feats = ltr_features(spark, index_dir, hits, query)
+    return (
+        feats.select("doc_id", linear_score(weights).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -2163,6 +2163,44 @@ def q_match_unique_sketch(spark, sf_dir):
     return match_unique_sketch(spark, layout, " ".join(QTERMS), k=SKETCH_K)
 
 
+LTR_WINDOW = 30
+LTR_WEIGHTS = {"bm25": 1.0, "dl_ratio": -0.25, "n_matched": 0.3, "max_tf": 0.05}
+
+
+def q_ltr_rescore(spark, sf_dir):
+    """Linear learning-to-rank rescore (operators/ltr.py — the ES LTR
+    plugin shape), hash-gated end-to-end: BM25 top-30 window from the
+    packed engine, per-candidate features from ONE pushed forward-index
+    scan (bm25, dl/avgdl, distinct-query-terms-matched, max tf), final
+    order by the fixed linear combination. The oracle restates the window
+    cut, every feature, and the weighted sum (weights CAST AS DOUBLE —
+    DuckDB types bare literals DECIMAL and a DECIMAL·BIGINT product
+    rounds differently), so one hash match pins the whole
+    retrieve→extract→score pipeline. The dl term has weight −0.25:
+    rank moves vs plain BM25 are guaranteed, not incidental."""
+    from searchengine_spark.operators.ltr import linear_score, ltr_features
+
+    layout = _packed_layout(spark, sf_dir)
+    bm = _packed_topk(spark, layout, k=LTR_WINDOW)  # orig ids, rounded 6dp
+    dm = spark.read.parquet(f"{layout}/doc_map").select(
+        F.col("doc_id").alias("idx_id"),
+        F.substring("path", 5, 30).cast("long").alias("doc_id"),
+    )
+    hits_idx = bm.join(dm, "doc_id").select(
+        F.col("idx_id").alias("doc_id"), "score", F.col("doc_id").alias("orig_id")
+    )
+    feats = ltr_features(spark, layout, hits_idx, " ".join(QTERMS))
+    return (
+        feats.join(hits_idx.select("doc_id", "orig_id"), "doc_id")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            F.round(linear_score(LTR_WEIGHTS), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 BOOSTED_QUERY = "fast^3 key order^0.5"
 
 
@@ -2854,6 +2892,7 @@ QUERIES = {
     "bm25f_topk": q_bm25f_topk,
     "bm25_decay": q_bm25_decay,
     "match_unique_sketch": q_match_unique_sketch,
+    "ltr_rescore": q_ltr_rescore,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4260,6 +4299,33 @@ ORACLES["bm25_rescore"] = (
     "   AND vec_id IN (SELECT doc_id FROM bm))"
     f" SELECT doc_id, round({RESCORE_QW} * p + {RESCORE_RW} * coalesce(s, 0), 6)"
     " AS score FROM bm LEFT JOIN cs USING (doc_id)"
+    " ORDER BY score DESC, doc_id ASC LIMIT 10"
+)
+
+# linear LTR rescore: the BM25 window cut (rounded scores, orig-id tie
+# break), the forward-index features, and the weighted sum — weights
+# CAST AS DOUBLE so DECIMAL·BIGINT products can't round differently
+ORACLES["ltr_rescore"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " bm AS (SELECT doc_id, round(sum(c), 6) AS p FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    f" ) GROUP BY doc_id ORDER BY p DESC, doc_id ASC LIMIT {LTR_WINDOW}),"
+    " f AS (SELECT dt.doc_id, count(*) AS n_matched, max(tf) AS max_tf"
+    f" FROM dt WHERE term IN ({_QLIST})"
+    " AND doc_id IN (SELECT doc_id FROM bm) GROUP BY dt.doc_id)"
+    " SELECT bm.doc_id, round("
+    f" CAST({LTR_WEIGHTS['bm25']!r} AS DOUBLE) * p"
+    f" + CAST({LTR_WEIGHTS['dl_ratio']!r} AS DOUBLE) * (dl / avgdl)"
+    f" + CAST({LTR_WEIGHTS['n_matched']!r} AS DOUBLE) * n_matched"
+    f" + CAST({LTR_WEIGHTS['max_tf']!r} AS DOUBLE) * max_tf, 6) AS score"
+    " FROM bm JOIN f USING (doc_id) JOIN st USING (doc_id) CROSS JOIN ad"
     " ORDER BY score DESC, doc_id ASC LIMIT 10"
 )
 

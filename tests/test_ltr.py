@@ -1,0 +1,68 @@
+"""Linear LTR rescore (operators/ltr.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.ltr import (
+    FEATURES,
+    linear_score,
+    ltr_features,
+    ltr_rescore,
+)
+
+
+def test_features_match_hand_computation(spark, index_1k):
+    from searchengine_spark.operators.wand import fold_query_terms, search
+    from searchengine_spark.plans.manifest import Manifest
+
+    q = "key value"
+    hits = search(spark, index_1k, q, k=20)
+    feats = ltr_features(spark, index_1k, hits, q).toPandas().set_index("doc_id")
+    assert set(feats.columns) == set(FEATURES) - {"bm25"} | {"bm25"}
+
+    qterms = sorted(fold_query_terms(spark, index_1k, q))
+    dt = (
+        spark.read.parquet(f"{index_1k}/doc_terms")
+        .where(F.col("term").isin(qterms))
+        .toPandas()
+    )
+    avgdl = float(Manifest(index_1k).scalars["avgdl"])
+    hp = hits.toPandas().set_index("doc_id")["score"]
+    for doc_id, row in feats.iterrows():
+        mine = dt[dt.doc_id == doc_id]
+        assert row["n_matched"] == len(mine)
+        assert row["max_tf"] == mine.tf.max()
+        assert row["dl_ratio"] == pytest.approx(mine.dl.iloc[0] / avgdl)
+        assert row["bm25"] == hp[doc_id]
+
+
+def test_rescore_reorders_within_window(spark, index_1k):
+    """A dl-penalizing model must re-rank, and may only serve docs the
+    first pass admitted (the ES rescore containment contract)."""
+    from searchengine_spark.operators.wand import search
+
+    q = "key value"
+    window = 25
+    first = search(spark, index_1k, q, k=window).toPandas()
+    got = ltr_rescore(
+        spark, index_1k, q,
+        {"bm25": 1.0, "dl_ratio": -0.5, "n_matched": 0.2},
+        window=window, k=10,
+    ).toPandas()
+    assert len(got) == 10
+    assert set(got.doc_id) <= set(first.doc_id)
+    assert list(got.doc_id) != list(first.doc_id.head(10))  # the model moved ranks
+
+    # bm25-only weights with weight 1 reproduce the first pass head
+    ident = ltr_rescore(
+        spark, index_1k, q, {"bm25": 1.0}, window=window, k=10
+    ).toPandas()
+    assert list(ident.doc_id) == list(first.doc_id.head(10))
+    assert list(ident.score) == list(first.score.head(10))
+
+
+def test_linear_score_validation():
+    with pytest.raises(ValueError, match="unknown features"):
+        linear_score({"pagerank": 1.0})
+    with pytest.raises(ValueError, match="at least one"):
+        linear_score({})
