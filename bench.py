@@ -165,7 +165,7 @@ def main() -> None:
 
     for pat in ("se_ivf_*", "se_lsh_*", "se_pq_*", "se_ivfpq_*", "se_pos_*",
                 "se_idx_*", "se_tomb_*", "se_purged_*", "se_k1b_*",
-                "se_mrg_*"):
+                "se_mrg_*", "se_f_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
             shutil.rmtree(d, ignore_errors=True)
     # positional-sidecar gate entries over the documents table: cold =
@@ -223,6 +223,10 @@ def main() -> None:
     timed("near_ordered", lambda: QUERIES["near_ordered"](spark, sf_dir).count())
     timed("pack_bins", lambda: QUERIES["pack_bins"](spark, sf_dir).count())
     timed("source_mix", lambda: QUERIES["source_mix"](spark, sf_dir).count())
+    timed(
+        "stratified_sample",
+        lambda: QUERIES["stratified_sample"](spark, sf_dir).count(),
+    )
     timed("chunk_docs", lambda: QUERIES["chunk_docs"](spark, sf_dir).count())
     timed("term_vectors", lambda: QUERIES["term_vectors"](spark, sf_dir).count())
     timed("bm25_top_hits", lambda: QUERIES["bm25_top_hits"](spark, sf_dir).count())
@@ -239,6 +243,16 @@ def main() -> None:
     )
     timed("near_match", lambda: QUERIES["near_match"](spark, sf_dir).count())
     timed("bm25_custom_params", lambda: QUERIES["bm25_custom_params"](spark, sf_dir).count())
+    # BM25F: cold = field-weighted index build into /tmp; warm = the
+    # unchanged WAND serving path (one shared term space)
+    timed("bm25f_cold", lambda: QUERIES["bm25f_topk"](spark, sf_dir).count())
+    timed("bm25f_topk", lambda: QUERIES["bm25f_topk"](spark, sf_dir).count())
+    timed("bm25_decay", lambda: QUERIES["bm25_decay"](spark, sf_dir).count())
+    timed(
+        "match_unique_sketch",
+        lambda: QUERIES["match_unique_sketch"](spark, sf_dir).count(),
+    )
+    timed("ltr_rescore", lambda: QUERIES["ltr_rescore"](spark, sf_dir).count())
     timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_tombstoned", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_purge_cold", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())

@@ -9,6 +9,9 @@ pipeline (the reference engine has no counterpart — they extend the
   hash, so membership is a pure function of (salt, id): re-runs,
   backfills, and incremental ingests never migrate a document between
   splits, and no global sort or sampling state is needed.
+* :func:`stratified_sample` — per-stratum rate downsampling (keep all
+  high-quality docs, a fraction of the tail) decided by a deterministic
+  keyed hash, so the kept set is reproducible and merge-stable.
 * :func:`per_group_topn` — per-source quota capping (keep the N best
   documents per domain/source), the standard counter to a handful of
   giant crawl domains dominating a pretraining mix.
@@ -87,6 +90,67 @@ def hash_split(
         else expr.otherwise(labels[-1])
     )
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    salt: str = "strat:",
+    method: str = "xxhash64",
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row survives iff u(salt ‖ id) < rate(stratum). The quality/language/
+    source-bucketed downsampling step of a pretraining mix ("keep all
+    high-quality, 30% of mid, 5% of tail"), as a pure narrow filter — no
+    shuffle, no sampling state, no driver action; membership is a
+    function of (salt, id, rates) alone, so re-runs and incremental
+    ingests make identical keep/drop decisions and the filter composes
+    with predicate pushdown.
+
+    Unlike ``df.sampleBy`` (Bernoulli on a per-run RNG), the decision is
+    reproducible across engines: ``method='md5'`` uses the md5-prefix
+    hash family that any ANSI SQL engine can recompute bit-for-bit (the
+    driver oracle replays it); ``method='xxhash64'`` is the cheaper
+    JVM-only production default. Strata absent from ``rates`` fall back
+    to ``default_rate`` (0 = drop, the safe default for unexpected
+    buckets)."""
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    sid = F.col(id_col).cast("string")
+    if method == "xxhash64":
+        u = (
+            F.shiftrightunsigned(F.xxhash64(F.concat(F.lit(salt), sid)), 1)
+            / F.lit(float(1 << 63))
+        )
+    elif method == "md5":
+        u = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), sid)), 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(_MD5_SPACE)
+        )
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    rate = None
+    for k in sorted(rates):
+        cond = F.col(strata_col) == F.lit(k)
+        rate = (
+            F.when(cond, F.lit(float(rates[k])))
+            if rate is None
+            else rate.when(cond, F.lit(float(rates[k])))
+        )
+    rate = (
+        F.lit(float(default_rate))
+        if rate is None
+        else rate.otherwise(F.lit(float(default_rate)))
+    )
+    return df.where(u < rate)
 
 
 def per_group_topn(

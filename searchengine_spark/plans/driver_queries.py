@@ -1360,6 +1360,31 @@ def q_bigram_logprob(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir), k=BIGRAM_K)
 
 
+STRAT_RATES = {"en": 0.3, "de": 1.0}  # stratified_sample per-lang rates
+STRAT_DEFAULT = 0.05
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic downsampling (sampling.stratified_sample)
+    — keep-all 'de', 30% of 'en', 5% of every other lang, decided by the
+    cross-engine md5 hash family so the oracle recomputes the exact
+    surviving set. The quality/language-bucketed mix step of a training
+    pipeline as a pure pushed filter."""
+    from searchengine_spark.operators import sampling
+
+    return (
+        sampling.stratified_sample(
+            _docs(spark, sf_dir),
+            "lang",
+            STRAT_RATES,
+            default_rate=STRAT_DEFAULT,
+            method="md5",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 def q_train_val_split(spark, sf_dir):
     """Deterministic train/val/test assignment (sampling.hash_split) —
     membership is a pure function of (salt, doc_id). The md5 hash family
@@ -2893,6 +2918,7 @@ QUERIES = {
     "bm25_decay": q_bm25_decay,
     "match_unique_sketch": q_match_unique_sketch,
     "ltr_rescore": q_ltr_rescore,
+    "stratified_sample": q_stratified_sample,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -3348,6 +3374,17 @@ ORACLES = {
         " FROM (SELECT doc_id, "
         + _md5int_sql("'split:' || doc_id")
         + " / 4294967296.0 AS u FROM documents)"
+    ),
+    # stratified_sample(method='md5'): keep iff u('strat:'||id) < rate of
+    # the row's lang stratum (u is an exact integer/2^32 double; the rate
+    # constants are the same literals the engine folds)
+    "stratified_sample": (
+        "SELECT doc_id, lang FROM (SELECT doc_id, lang, "
+        + _md5int_sql("'strat:' || doc_id")
+        + " / 4294967296.0 AS u FROM documents)"
+        " WHERE u < CASE WHEN lang = 'de' THEN CAST(1.0 AS DOUBLE)"
+        " WHEN lang = 'en' THEN CAST(0.3 AS DOUBLE)"
+        " ELSE CAST(0.05 AS DOUBLE) END"
     ),
     "per_source_cap": (
         "SELECT doc_id, source, n_chars FROM documents"

@@ -240,3 +240,43 @@ def test_source_mix_temperature(spark):
         sampling.source_mix(df, 1000, weights={"big": 1.0}, temperature=1.0)
     with pytest.raises(ValueError, match="weights"):
         sampling.source_mix(df, 1000, weights={})
+
+
+@pytest.mark.parametrize("method", ["xxhash64", "md5"])
+def test_stratified_sample_rates_and_determinism(spark, docs, method):
+    rates = {"en": 0.3, "de": 1.0}
+    a = sampling.stratified_sample(
+        docs, "lang", rates, default_rate=0.0, method=method
+    ).select("doc_id", "lang").toPandas().sort_values("doc_id")
+    b = sampling.stratified_sample(
+        docs, "lang", rates, default_rate=0.0, method=method
+    ).select("doc_id", "lang").toPandas().sort_values("doc_id")
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()  # pure function
+
+    base = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    kept = a["lang"].value_counts()
+    assert kept.get("de", 0) == base["de"]  # rate 1.0 keeps everything
+    frac_en = kept.get("en", 0) / base["en"]
+    assert abs(frac_en - 0.3) < 0.12, frac_en
+    # default_rate=0 drops every other stratum
+    assert set(a["lang"]) <= {"en", "de"}
+
+
+def test_stratified_sample_subset_of_corpus_and_growth_stable(spark, docs):
+    """A kept doc stays kept when the corpus grows (membership is a pure
+    function of (salt, id, rates) — merge/backfill stability)."""
+    rates = {"en": 0.5}
+    half = docs.where(F.col("doc_id") < 100)
+    small = sampling.stratified_sample(half, "lang", rates).select("doc_id")
+    full = sampling.stratified_sample(docs, "lang", rates).select("doc_id")
+    s, f = set(r[0] for r in small.collect()), set(r[0] for r in full.collect())
+    assert s == {d for d in f if d < 100}
+
+
+def test_stratified_sample_validation(spark, docs):
+    with pytest.raises(ValueError, match="rate for stratum"):
+        sampling.stratified_sample(docs, "lang", {"en": 1.5})
+    with pytest.raises(ValueError, match="default_rate"):
+        sampling.stratified_sample(docs, "lang", {"en": 0.5}, default_rate=-1)
+    with pytest.raises(ValueError, match="method"):
+        sampling.stratified_sample(docs, "lang", {"en": 0.5}, method="crc")
