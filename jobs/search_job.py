@@ -74,6 +74,12 @@ def main() -> None:
                     help="with --bool: a doc must match at least M of the "
                     "free (SHOULD) clauses — each bare word or expansion "
                     "pattern counts once (ES minimum_should_match)")
+    ap.add_argument("--cutoff-frequency", type=float, default=None,
+                    metavar="F", dest="cutoff_frequency",
+                    help="common-terms retrieval: query terms with df > "
+                         "F*N can't drive matching (a doc must hold a "
+                         "rarer term) but still score "
+                         "(wand.search_common_terms)")
     ap.add_argument("--ltr", metavar="F:W,F:W,...",
                     help="linear LTR rescore of the BM25 top---ltr-window: "
                          "comma-separated feature:weight pairs over "
@@ -608,6 +614,21 @@ def main() -> None:
                 spark, args.index_dir, queries[0], k=args.k,
                 allowed=allowed, after=after,
             ).select(F.lit(0).alias("query_id"), "doc_id", "score")
+        elif args.cutoff_frequency is not None:
+            from pyspark.sql import functions as F
+
+            from searchengine_spark.operators.wand import search_common_terms
+
+            parts = [
+                search_common_terms(
+                    spark, args.index_dir, q, args.cutoff_frequency,
+                    k=args.k, allowed=allowed,
+                ).select(F.lit(i).alias("query_id"), "doc_id", "score")
+                for i, q in enumerate(queries)
+            ]
+            result = parts[0]
+            for p in parts[1:]:
+                result = result.unionAll(p)
         else:
             result = search_batch(
                 spark, args.index_dir, queries, k=args.k, allowed=allowed

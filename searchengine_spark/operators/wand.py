@@ -968,6 +968,43 @@ def search(
     )
 
 
+def search_common_terms(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    cutoff_frequency: float = 0.01,
+    k: int = 10,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Common-terms retrieval (the ES ``cutoff_frequency`` contract):
+    query terms whose df exceeds ``cutoff_frequency``·N are too common to
+    DRIVE matching — a doc must hold at least one LOW-frequency query
+    term — but every query term still contributes its BM25 weight to the
+    scores of eligible docs. Kills the stopword-flood failure mode ("the
+    dup bug" should not match every doc containing "the") without a
+    stopword list, at no extra cost: the low-frequency MUST group rides
+    the scorer's own pushed term-IN scan as a boolean eligibility clause
+    (``clauses=``), not a separate job.
+
+    Degenerate cases keep plain ``search`` semantics: all-common or
+    all-rare queries (nothing to separate) score unrestricted."""
+    if not 0.0 < cutoff_frequency <= 1.0:
+        raise ValueError(
+            f"cutoff_frequency must be in (0, 1], got {cutoff_frequency!r}"
+        )
+    qweights = fold_query_terms(spark, index_dir, query)
+    s = Manifest(index_dir).scalars
+    n = s.get("n_docs_indexed", s.get("n_docs", 0))
+    low = sorted(
+        t for t, (_qtf, df) in qweights.items() if df <= cutoff_frequency * n
+    )
+    clauses = ([low], []) if low and len(low) < len(qweights) else None
+    return _topk_for_qweights(
+        spark, index_dir, qweights, k, maxscore, allowed, clauses=clauses
+    )
+
+
 def search_function_score(
     spark: SparkSession,
     index_dir: str,

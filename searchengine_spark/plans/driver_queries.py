@@ -2188,6 +2188,30 @@ def q_match_unique_sketch(spark, sf_dir):
     return match_unique_sketch(spark, layout, " ".join(QTERMS), k=SKETCH_K)
 
 
+CUTOFF_FREQ = 0.2  # bm25_cutoff: df/N above this can't drive matching
+CUTOFF_QUERY = "fast key dup"  # dup ≈ 5% df, fast/key ≈ 77% at every sf
+
+
+def q_bm25_cutoff(spark, sf_dir):
+    """Common-terms retrieval (wand.search_common_terms — the ES
+    ``cutoff_frequency`` contract), hash-gated through the packed engine:
+    'fast' and 'key' exceed the 0.2 df/N cutoff so they cannot drive
+    matching; a doc must hold the rare 'dup' — but all three terms score.
+    The low-frequency MUST group is pushed into the scorer as a boolean
+    eligibility clause (no extra job). The oracle restates eligibility
+    (docs holding 'dup') + full-query scoring; the generator keeps the
+    df split stable at every sf (dup ≈ 5%, the rest ≈ 77%)."""
+    from searchengine_spark.operators.wand import search_common_terms
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout,
+        search_common_terms(
+            spark, layout, CUTOFF_QUERY, cutoff_frequency=CUTOFF_FREQ, k=60
+        ),
+    )
+
+
 LTR_WINDOW = 30
 LTR_WEIGHTS = {"bm25": 1.0, "dl_ratio": -0.25, "n_matched": 0.3, "max_tf": 0.05}
 
@@ -2919,6 +2943,7 @@ QUERIES = {
     "match_unique_sketch": q_match_unique_sketch,
     "ltr_rescore": q_ltr_rescore,
     "stratified_sample": q_stratified_sample,
+    "bm25_cutoff": q_bm25_cutoff,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4337,6 +4362,26 @@ ORACLES["bm25_rescore"] = (
     f" SELECT doc_id, round({RESCORE_QW} * p + {RESCORE_RW} * coalesce(s, 0), 6)"
     " AS score FROM bm LEFT JOIN cs USING (doc_id)"
     " ORDER BY score DESC, doc_id ASC LIMIT 10"
+)
+
+# common-terms / cutoff_frequency: eligibility = docs holding the rare
+# term ('dup', the only query term with df ≤ 0.2·N), scoring = full BM25
+# over every query term the doc holds — the bm25_filtered contract with
+# the filter being the low-frequency MUST group
+ORACLES["bm25_cutoff"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " el AS (SELECT DISTINCT doc_id FROM dt WHERE term = 'dup')"
+    f" SELECT doc_id, round(sum(c), 6) AS score FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    " CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ('fast', 'key', 'dup')"
+    " AND dt.doc_id IN (SELECT doc_id FROM el)"
+    ") GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20"
 )
 
 # linear LTR rescore: the BM25 window cut (rounded scores, orig-id tie

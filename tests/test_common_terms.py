@@ -1,0 +1,67 @@
+"""Common-terms retrieval / cutoff_frequency (wand.search_common_terms)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.wand import search, search_common_terms
+
+
+def _rare_and_common(spark, index_1k):
+    """Pick one rare and two common terms from the 1k index's term_dict."""
+    from searchengine_spark.operators.wand import fold_query_terms
+
+    td = spark.read.parquet(f"{index_1k}/term_dict").toPandas()
+    td = td.sort_values(["df", "term"])
+    # single alnum tokens only (entity terms like "apache spark open"
+    # re-tokenize at query time), and require the candidate to round-trip
+    # the query tokenizer to itself so df-based cutoff picking is exact
+    simple = td[td.term.str.fullmatch(r"[a-z][a-z0-9]{2,}")]
+    rare = None
+    for cand in simple[simple.df.between(3, 30)].itertuples():
+        if set(fold_query_terms(spark, index_1k, cand.term)) == {cand.term}:
+            rare = cand
+            break
+    assert rare is not None, "no round-tripping rare term in the 1k vocab"
+    common = simple[simple.df > 300].head(2)
+    return rare, common
+
+
+def test_eligibility_and_score_identity(spark, index_1k):
+    """Results must hold the rare term; each hit keeps its EXACT plain-
+    search score (eligibility-only — statistics stay whole-corpus)."""
+    from searchengine_spark.operators.boolquery import _postings_ids
+    from searchengine_spark.plans.manifest import Manifest
+
+    rare, common = _rare_and_common(spark, index_1k)
+    q = f"{common.iloc[0].term} {common.iloc[1].term} {rare.term}"
+    n = Manifest(index_1k).scalars["n_docs_indexed"]
+    cutoff = (rare.df + 1) / n  # rare below, common far above
+
+    got = search_common_terms(spark, index_1k, q, cutoff, k=50).toPandas()
+    assert len(got) > 0
+    holders = {
+        r["doc_id"] for r in _postings_ids(spark, index_1k, [rare.term]).collect()
+    }
+    assert set(got.doc_id) <= holders
+
+    plain = search(spark, index_1k, q, k=2000).toPandas().set_index("doc_id")
+    for r in got.itertuples():
+        assert r.score == plain.loc[r.doc_id, "score"]
+    # and the common terms DID flood plain search beyond the holders
+    assert len(plain) > len(holders)
+
+
+def test_degenerate_queries_fall_back_to_plain(spark, index_1k):
+    rare, common = _rare_and_common(spark, index_1k)
+    q = f"{common.iloc[0].term} {common.iloc[1].term}"
+    a = search_common_terms(spark, index_1k, q, 0.001, k=10).toPandas()
+    b = search(spark, index_1k, q, k=10).toPandas()
+    assert a.equals(b)  # all terms common → unrestricted
+    c = search_common_terms(spark, index_1k, q, 1.0, k=10).toPandas()
+    assert c.equals(b)  # all terms "rare" → unrestricted
+
+    with pytest.raises(ValueError, match="cutoff_frequency"):
+        search_common_terms(spark, index_1k, q, 0.0)
+    assert (
+        search_common_terms(spark, index_1k, "zzznotaterm", 0.5, k=5).count() == 0
+    )
