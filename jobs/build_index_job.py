@@ -52,14 +52,10 @@ def main() -> None:
                          "saturation — manifest-recorded)")
     args = ap.parse_args()
 
-    fields = None
-    if args.fields:
-        fields = []
-        for part in args.fields.split(","):
-            col, _, w = part.partition(":")
-            fields.append((col.strip(), int(w or 1)))
-
     from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.operators.tokenize import parse_fields_spec
+
+    fields = parse_fields_spec(args.fields)
     from searchengine_spark.session import get_session
     from searchengine_spark.sources.corpus import read_corpus
 

@@ -71,7 +71,7 @@ from searchengine_spark.plans.manifest import Manifest
 
 # manifest scalars that must agree across shards: they change token or
 # score semantics, so a mixed merge would be silently wrong
-_COMPAT_SCALARS = ("analyzer", "stemming", "k1", "b", "block_size")
+_COMPAT_SCALARS = ("analyzer", "stemming", "k1", "b", "block_size", "fields")
 
 
 def _validate_shards(index_dirs: list[str]) -> list[Manifest]:
@@ -188,6 +188,7 @@ def merge_indexes(
         block_size=int(ref.get("block_size", BLOCK_SIZE)),
         stemming=bool(ref.get("stemming", False)),
         analyzer=ref.get("analyzer", "reference"),
+        fields=ref.get("fields"),
         k1=ref["k1"],
         b=ref["b"],
         merged_from=list(index_dirs),

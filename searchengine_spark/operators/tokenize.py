@@ -88,6 +88,20 @@ def code_token_counts(text: str) -> dict:
     return d
 
 
+def parse_fields_spec(spec) -> list | None:
+    """Manifest ``fields`` scalar (``"col:w,col:w"`` or None) → the
+    ``fields=`` list ``tokenize_docs`` takes — the round-trip of
+    ``build_index``'s recording, shared by streaming ingest so delta
+    batches weight fields exactly like the base build."""
+    if not spec:
+        return None
+    out = []
+    for part in str(spec).split(","):
+        col, _, w = part.partition(":")
+        out.append((col.strip(), int(w or 1)))
+    return out
+
+
 def analyzer_fn(analyzer: str):
     """Named analyzer → ``text -> {term: tf}`` counts function: the single
     seam the index build (``tokenize_docs``) and the query parser

@@ -38,6 +38,33 @@ class SparkSearchEngine:
 
         return search_bool(self.spark, self.index_dir, query, k=k, docs=docs)
 
+    def search_common_terms(self, query: str, cutoff_frequency: float = 0.01,
+                            k: int = 10) -> DataFrame:
+        """Common-terms retrieval: terms with df > cutoff·N can't drive
+        matching but still score (wand.search_common_terms)."""
+        from searchengine_spark.operators.wand import search_common_terms
+
+        return search_common_terms(
+            self.spark, self.index_dir, query, cutoff_frequency, k=k
+        )
+
+    def ltr_rescore(self, query: str, weights: dict, window: int = 100,
+                    k: int = 10) -> DataFrame:
+        """Linear LTR re-rank of the BM25 top-``window`` over
+        index-derived features (operators/ltr.py)."""
+        from searchengine_spark.operators.ltr import ltr_rescore
+
+        return ltr_rescore(
+            self.spark, self.index_dir, query, weights, window=window, k=k
+        )
+
+    def unique_sketch(self, query: str, k: int = 64) -> DataFrame:
+        """KMV distinct-content estimate of the match set
+        (operators/sketches.match_unique_sketch)."""
+        from searchengine_spark.operators.sketches import match_unique_sketch
+
+        return match_unique_sketch(self.spark, self.index_dir, query, k=k)
+
     def facet_counts(self, query: str, field: str, k: int = 20) -> DataFrame:
         """Facet aggregation over the query's full matcher set
         (operators/boolquery.facet_counts)."""

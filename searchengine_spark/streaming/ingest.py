@@ -89,13 +89,18 @@ def ingest_batch(
     )
     part = f"batch={stream_id}_{batch_id}" if stream_id else f"batch={batch_id}"
     doc_map.write.mode("overwrite").parquet(f"{index_dir}/delta/doc_map/{part}")
-    # tokenize with the INDEX's stemming mode (manifest scalar, recorded at
-    # build): streaming unstemmed docs into a stemmed index would make them
-    # unreachable — queries stem per the manifest and miss the raw terms
+    # tokenize with the INDEX's stemming/analyzer/fields modes (manifest
+    # scalars, recorded at build): streaming unstemmed docs into a stemmed
+    # index would make them unreachable — queries stem per the manifest and
+    # miss the raw terms — and skipping the BM25F field weights would score
+    # delta docs in a different tf space than the base build
+    from searchengine_spark.operators.tokenize import parse_fields_spec
+
     dt = tokenize_docs(
         with_id,
         stem=bool(man.scalars.get("stemming")),
         analyzer=man.scalars.get("analyzer", "reference"),
+        fields=parse_fields_spec(man.scalars.get("fields")),
     )
     dt.write.mode("overwrite").parquet(f"{index_dir}/delta/doc_terms/{part}")
     persisted.unpersist()

@@ -51,6 +51,15 @@ def test_single_field_weight_one_equals_text_col(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_parse_fields_spec_round_trip():
+    from searchengine_spark.operators.tokenize import parse_fields_spec
+
+    assert parse_fields_spec(None) is None
+    assert parse_fields_spec("") is None
+    assert parse_fields_spec("content:1,repo:3") == [("content", 1), ("repo", 3)]
+    assert parse_fields_spec("content") == [("content", 1)]  # bare col → w=1
+
+
 def test_field_weight_validation():
     with pytest.raises(ValueError, match="positive integer"):
         tokenize_docs(None, fields=[("content", 0)])

@@ -148,6 +148,13 @@ def test_merge_refusals(spark, index_1k, tmp_path):
     with pytest.raises(ValueError, match=">= 2"):
         merge_indexes(spark, [index_1k], str(tmp_path / "m2"))
 
+    # BM25F field spec is score semantics: mixed-fields merges refused
+    d_f = str(tmp_path / "bf")
+    build_index(spark, spark.createDataFrame(rows, cols), d_f,
+                analyzer="raw", fields=[("content", 1), ("repo", 2)])
+    with pytest.raises(ValueError, match="fields"):
+        merge_indexes(spark, [d_raw, d_f], str(tmp_path / "m4"))
+
     # tombstoned shard refused until purged
     from searchengine_spark.operators.deletion import delete_docs
 

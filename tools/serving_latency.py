@@ -181,6 +181,35 @@ def bench_index(spark, index_dir: str, docs_txt, reps: int) -> dict:
         word_qs,
         max(6, reps // 2),
     )
+
+    # --- this round's late serving surfaces ----------------------------
+    from searchengine_spark.operators.ltr import ltr_rescore
+    from searchengine_spark.operators.sketches import match_unique_sketch
+    from searchengine_spark.operators.wand import search_common_terms
+
+    # linear LTR rescore: top-50 window + ONE forward-index feature scan
+    out["ltr_rescore_w50"] = measure(
+        lambda q: ltr_rescore(
+            spark, index_dir, q,
+            {"bm25": 1.0, "dl_ratio": -0.25, "n_matched": 0.3},
+            window=50, k=10,
+        ).collect(),
+        word_qs,
+        max(6, reps // 2),
+    )
+    # common-terms cutoff (clause rides the scorer's own scan; queries
+    # with nothing to split fall back to plain search cost)
+    out["search_cutoff"] = measure(
+        lambda q: search_common_terms(spark, index_dir, q, 0.2, k=10).collect(),
+        word_qs,
+        reps,
+    )
+    # KMV unique-content sketch of the match set
+    out["match_unique_sketch"] = measure(
+        lambda q: match_unique_sketch(spark, index_dir, q, k=64).collect(),
+        word_qs,
+        max(6, reps // 2),
+    )
     return out
 
 
