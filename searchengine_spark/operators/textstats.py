@@ -318,6 +318,58 @@ def redact_secrets(
     )
 
 
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2) →
+    (doc_id, clean_text, n_lines_kept, n_lines_total, keep):
+
+    - a LINE survives iff it ends in a terminal punctuation mark
+      (``. ! ? "`` after right-trim), holds ≥ ``min_words_per_line``
+      whitespace-separated words, and does not mention "javascript"
+      (case-insensitive) — the boilerplate/navigation/code-chrome
+      heuristics;
+    - the DOCUMENT survives (``keep``) iff its text contains neither
+      "lorem ipsum" (placeholder pages) nor ``{`` (raw code/JSON pages)
+      and at least ``min_lines`` lines survived; dropped docs carry an
+      empty ``clean_text`` so the caller filters on ``keep``.
+
+    One narrow chain of JVM array/higher-order expressions — split,
+    filter lambda, array_join — zero shuffle, whole-stage codegen, and
+    every predicate is ANSI-SQL (the driver-gate oracle replays the
+    lambda verbatim with DuckDB ``list_filter``). The canonical
+    web-corpus curation pass; composes upstream of the quality/dedup
+    operators in this module."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep_line(x):
+        return (
+            F.rtrim(x).rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(x), r"\s+")) >= min_words_per_line)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep_line)
+    n_kept = F.size(kept)
+    doc_bad = F.lower(F.col(text_col)).contains("lorem ipsum") | F.col(
+        text_col
+    ).contains("{")
+    keep = (~doc_bad) & (n_kept >= min_lines)
+    return df.select(
+        id_col,
+        F.when(keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
+            "clean_text"
+        ),
+        n_kept.cast("long").alias("n_lines_kept"),
+        F.size(lines).cast("long").alias("n_lines_total"),
+        keep.alias("keep"),
+    )
+
+
 def gopher_repetition(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

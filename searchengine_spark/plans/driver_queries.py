@@ -2021,6 +2021,35 @@ def q_synonym_topk(spark, sf_dir):
     )
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (textstats.c4_clean, Raffel et al. 2020):
+    line survives iff terminal-punctuated ∧ ≥5 words ∧ no 'javascript';
+    doc survives iff no 'lorem ipsum'/'{' and ≥2 lines survived. The
+    synthetic corpus is single-line, so BOTH sides build the same
+    deterministic 4–5-line page per doc (good line from the text, a
+    too-short line, a javascript line on doc_id%3==0 else a good one, an
+    unterminated line, 'lorem ipsum' appended on doc_id%13==0) — the
+    hash then verifies every line predicate, the doc gate, and the
+    rejoined clean_text."""
+    from searchengine_spark.operators import textstats as ts
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" padded words here ok.\ntiny line.\n"),
+            F.when(
+                d % 3 == 0,
+                F.lit("this long line mentions javascript explicitly today."),
+            ).otherwise(F.lit("another good line with plenty of words here.")),
+            F.lit("\nno terminal punctuation on this longer line at all"),
+            F.when(d % 13 == 0, F.lit("\nlorem ipsum")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ts.c4_clean(aug, min_words_per_line=5, min_lines=2).orderBy("doc_id")
+
+
 def q_redact_secrets(spark, sf_dir):
     """PII/credential scrubbing (textstats.redact_secrets): emails, IPv4,
     AWS key ids, private-key headers → typed sentinels, one codegen
@@ -2944,6 +2973,7 @@ QUERIES = {
     "ltr_rescore": q_ltr_rescore,
     "stratified_sample": q_stratified_sample,
     "bm25_cutoff": q_bm25_cutoff,
+    "c4_clean": q_c4_clean,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4527,6 +4557,34 @@ ORACLES["match_unique_sketch"] = (
     " THEN round(CAST(count(*) AS DOUBLE), 6)"
     f" ELSE round({float(SKETCH_K - 1)!r} / max(u), 6) END AS est_distinct,"
     f" CAST({SKETCH_K} AS BIGINT) AS sketch_k FROM sel"
+)
+
+# C4 line cleaning: the identical synthetic page built in SQL, the line
+# lambda replayed with list_filter, the doc gate and rejoin verbatim
+ORACLES["c4_clean"] = (
+    "WITH aug AS (SELECT doc_id,"
+    " substr(text, 1, 60) || ' padded words here ok.' || chr(10)"
+    " || 'tiny line.' || chr(10)"
+    " || CASE WHEN doc_id % 3 = 0"
+    " THEN 'this long line mentions javascript explicitly today.'"
+    " ELSE 'another good line with plenty of words here.' END"
+    " || chr(10) || 'no terminal punctuation on this longer line at all'"
+    " || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'lorem ipsum'"
+    " ELSE '' END AS t FROM documents),"
+    " l AS (SELECT doc_id, t,"
+    " list_filter(string_split(t, chr(10)), x ->"
+    " regexp_matches(rtrim(x), '[.!?\"]$')"
+    " AND len(string_split_regex(trim(x), '\\s+')) >= 5"
+    " AND NOT contains(lower(x), 'javascript')) AS kept,"
+    " len(string_split(t, chr(10))) AS n_total FROM aug)"
+    " SELECT doc_id,"
+    " CASE WHEN keep THEN array_to_string(kept, chr(10)) ELSE '' END"
+    " AS clean_text,"
+    " CAST(len(kept) AS BIGINT) AS n_lines_kept,"
+    " CAST(n_total AS BIGINT) AS n_lines_total, keep FROM ("
+    " SELECT doc_id, kept, n_total,"
+    " (NOT contains(lower(t), 'lorem ipsum')) AND (NOT contains(t, '{'))"
+    " AND len(kept) >= 2 AS keep FROM l) ORDER BY doc_id"
 )
 
 # PII redaction: the same rule chain in RE2 (regexp_extract_all counts

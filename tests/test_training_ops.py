@@ -818,3 +818,43 @@ def test_remove_duplicate_spans_semantics(spark):
     for r in out.values():
         kept = len([t for t in r["clean_text"].split(" ") if t])
         assert r["n_tokens"] == kept + r["n_removed"], r
+
+
+def test_c4_clean_line_and_doc_rules(spark):
+    from pyspark.sql import Row
+
+    from searchengine_spark.operators import textstats as ts
+
+    good = "this is a perfectly good sentence with many words."
+    rows = [
+        # doc 0: 3 good lines of varied terminals -> kept verbatim
+        Row(doc_id=0, text=f'{good}\nanother fine long sentence right here!\nis this a question with enough words?'),
+        # doc 1: short line, unterminated line, javascript line all drop ->
+        # only 2 good lines survive < min_lines=3 -> doc dropped
+        Row(doc_id=1, text=f"{good}\ntiny line.\nno terminal punctuation on this line here\nplease enable javascript to view this page.\n{good}"),
+        # doc 2: lorem ipsum anywhere kills the doc
+        Row(doc_id=2, text=f"{good}\n{good}\n{good}\nlorem ipsum dolor."),
+        # doc 3: brace (code/JSON chrome) kills the doc
+        Row(doc_id=3, text=f"{good}\n{good}\nvar x = {{}} ok then fine."),
+        # doc 4: trailing spaces before the terminal still count; quote ok
+        Row(doc_id=4, text=f'{good}   \n"a quoted line with plenty of words here."\n{good}'),
+    ]
+    got = {r["doc_id"]: r for r in ts.c4_clean(spark.createDataFrame(rows)).collect()}
+    assert got[0]["keep"] and got[0]["n_lines_kept"] == 3
+    assert got[0]["clean_text"] == rows[0].text
+    assert not got[1]["keep"] and got[1]["n_lines_kept"] == 2
+    assert got[1]["clean_text"] == ""
+    # 3 good lines survive the LINE rules ("lorem ipsum dolor." is <5
+    # words) but the lorem marker kills the DOC regardless
+    assert not got[2]["keep"] and got[2]["n_lines_kept"] == 3
+    assert not got[3]["keep"]
+    assert got[4]["keep"] and got[4]["n_lines_kept"] == 3
+    assert got[4]["n_lines_total"] == 3
+    # thresholds are parameters
+    relaxed = {
+        r["doc_id"]: r
+        for r in ts.c4_clean(
+            spark.createDataFrame(rows), min_words_per_line=2, min_lines=1
+        ).collect()
+    }
+    assert relaxed[1]["keep"] and relaxed[1]["n_lines_kept"] == 3  # tiny line. now ok
