@@ -163,7 +163,7 @@ def main() -> None:
     # "cold" is deterministic run-to-run.
     import glob
 
-    for pat in ("se_ivf_*", "se_lsh_*", "se_pq_*", "se_ivfpq_*", "se_pos_*",
+    for pat in ("se_ivf_*", "se_ivfadd_*", "se_lsh_*", "se_pq_*", "se_ivfpq_*", "se_pos_*",
                 "se_idx_*", "se_tomb_*", "se_purged_*", "se_k1b_*",
                 "se_mrg_*", "se_f_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
@@ -261,6 +261,10 @@ def main() -> None:
     timed("bm25_after_delete", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())
     timed("ann_ivf_cold", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
     timed("ann_ivf_topk", lambda: QUERIES["ann_ivf_topk"](spark, sf_dir).count())
+    # cold = 80% base build + frozen-centroid delta append; warm = the
+    # same pruned probe over base+delta partitions
+    timed("ann_ivf_add_cold", lambda: QUERIES["ann_ivf_added"](spark, sf_dir).count())
+    timed("ann_ivf_added", lambda: QUERIES["ann_ivf_added"](spark, sf_dir).count())
     timed("ann_lsh_cold", lambda: QUERIES["ann_lsh_topk"](spark, sf_dir).count())
     timed("ann_lsh_topk", lambda: QUERIES["ann_lsh_topk"](spark, sf_dir).count())
     timed("ann_pq_cold", lambda: QUERIES["ann_pq_topk"](spark, sf_dir).count())

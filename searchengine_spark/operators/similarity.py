@@ -18,6 +18,8 @@ Three paths:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -290,6 +292,41 @@ def ivf_build(
         json.dump(meta, f)
     os.replace(tmp, os.path.join(out_dir, "ivf.json"))
     return C
+
+
+def ivf_add(spark, emb_new: DataFrame, ivf_dir: str) -> None:
+    """Incrementally add vectors to a prematerialized IVF layout: assign
+    each new row to its nearest EXISTING centroid (the few-KB ``ivf.json``
+    artifact — no retraining, no driver pass over the base table) and
+    APPEND to the ``_cell``-partitioned ``cells/`` table. The serving path
+    (:func:`ivf_serve_topk`) needs no change — a probe scan picks up
+    appended files in its pruned partitions on the next query. This is the
+    streaming-ingest shape: assignment cost is one narrow Arrow map over
+    the delta only.
+
+    Contract notes: the caller owns id uniqueness (appends do not dedupe
+    — same as the index's streaming ingest); centroids are frozen, so
+    recall degrades if the delta's distribution drifts far from the
+    training sample — the rebuild/retrain policy is the operator's knob,
+    exactly like compaction for the text index."""
+    import json
+
+    with open(os.path.join(ivf_dir, "ivf.json")) as f:
+        meta = json.load(f)
+    C = np.asarray(meta["centroids"], dtype=np.float64)
+    dim = int(meta["dim"])
+    vec_col = meta["vec_col"]
+    bad = emb_new.where(F.size(F.col(vec_col)) != dim).count()
+    if bad:
+        raise ValueError(
+            f"{bad} new vectors have dim != {dim} (the layout's dim)"
+        )
+    (
+        ivf_assign(emb_new, C, vec_col)
+        .write.partitionBy("_cell")
+        .mode("append")
+        .parquet(f"{ivf_dir}/cells")
+    )
 
 
 def ivf_probe_cells(centroids: np.ndarray, query_vec: list, nprobe: int) -> list:

@@ -887,6 +887,41 @@ def q_ann_ivf_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_added(spark, sf_dir):
+    """Incremental-add IVF (similarity.ivf_add): the layout is built over
+    80% of the vectors (vec_id % 5 != 0), the held-out 20% are APPENDED
+    afterwards through assignment against the frozen centroids — the
+    streaming-embeddings ingest shape — and the probe serves base+delta
+    from the same partition-pruned scan. nprobe == n_cells keeps it exact
+    by construction, so the full-table exact-cosine oracle hash-verifies
+    the whole add path: a lost, duplicated, or mis-assigned appended
+    vector breaks the hash."""
+    import hashlib
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    key = f"v1:add:{sf_dir}:{IVF_CELLS}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_ivfadd_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(os.path.join(d, "ivf.json")):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        similarity.ivf_build(
+            spark, emb.where(F.col("vec_id") % 5 != 0), d, n_cells=IVF_CELLS
+        )
+        similarity.ivf_add(spark, emb.where(F.col("vec_id") % 5 == 0), d)
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.ivf_serve_topk(spark, d, qvec, k=20, nprobe=IVF_CELLS)
+
+
 PQ_M, PQ_K = 8, 16  # 8 subspaces × 4-bit codes over the dim-64 embeddings
 
 
@@ -2974,6 +3009,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "bm25_cutoff": q_bm25_cutoff,
     "c4_clean": q_c4_clean,
+    "ann_ivf_added": q_ann_ivf_added,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4493,6 +4529,11 @@ ORACLES["bm25_custom_params"] = (
 # BEFORE the shared saturation — dt is the weighted union of the text
 # (w=1) and source (w=3) fields, then the standard formula verbatim
 _BM25F_QLIST = ",".join(f"'{t}'" for t in BM25F_QUERY)
+# incremental-add IVF with nprobe == n_cells serves base+delta exactly:
+# the full-table exact-cosine oracle applies verbatim — a hash match IS
+# the nothing-lost / nothing-duplicated / well-assigned proof
+ORACLES["ann_ivf_added"] = ORACLES["ann_ivf_topk"]
+
 ORACLES["bm25f_topk"] = (
     "WITH tt AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM ("
     " SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"

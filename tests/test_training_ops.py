@@ -858,3 +858,32 @@ def test_c4_clean_line_and_doc_rules(spark):
         ).collect()
     }
     assert relaxed[1]["keep"] and relaxed[1]["n_lines_kept"] == 3  # tiny line. now ok
+
+
+def test_ivf_add_serves_base_plus_delta(spark, emb, qvec, tmp_path):
+    """ivf_add appends against the FROZEN centroids: nprobe == n_cells
+    serving over base+delta equals exact cosine over the full table
+    (nothing lost/duplicated/mis-assigned), the centroid artifact is
+    untouched, and dim-mismatched deltas are refused loudly."""
+    import json
+
+    d = str(tmp_path / "ivf_add")
+    base = emb.where(F.col("vec_id") % 4 != 0)
+    delta = emb.where(F.col("vec_id") % 4 == 0)
+    similarity.ivf_build(spark, base, d, n_cells=8)
+    meta_before = json.load(open(f"{d}/ivf.json"))
+    similarity.ivf_add(spark, delta, d)
+    assert json.load(open(f"{d}/ivf.json")) == meta_before  # frozen
+
+    got = similarity.ivf_serve_topk(spark, d, qvec, k=20, nprobe=8).toPandas()
+    want = similarity.cosine_topk(emb, qvec, k=20).toPandas()
+    assert got["vec_id"].tolist() == want["vec_id"].tolist()
+    assert np.allclose(got["cos"], want["cos"], atol=1e-9)
+    # rows landed in existing cell partitions, none invented
+    cells = spark.read.parquet(f"{d}/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("_cell").distinct().count() <= 8
+
+    bad = delta.select("vec_id", F.slice("embedding", 1, 3).alias("embedding"))
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ivf_add(spark, bad, d)
