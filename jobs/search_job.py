@@ -74,6 +74,10 @@ def main() -> None:
                     help="with --bool: a doc must match at least M of the "
                     "free (SHOULD) clauses — each bare word or expansion "
                     "pattern counts once (ES minimum_should_match)")
+    ap.add_argument("--profile", action="store_true",
+                    help="profile each query: phase wall times, per-term "
+                         "df scan width, shuffle bytes, hits (the ES "
+                         "_profile analog; plans/profiler.py)")
     ap.add_argument("--cutoff-frequency", type=float, default=None,
                     metavar="F", dest="cutoff_frequency",
                     help="common-terms retrieval: query terms with df > "
@@ -216,6 +220,12 @@ def main() -> None:
                              "(e.g. 0.134290,384)")
     if args.boost_parquet and args.boost_sidecar:
         raise SystemExit("give one of --boost-parquet / --boost-sidecar")
+    if args.profile and (args.bool or args.hybrid_embeddings or args.complete
+                         or args.suggest or args.boost_parquet
+                         or args.boost_sidecar or args.ltr
+                         or args.scorer != "wand"):
+        raise SystemExit("--profile profiles the plain BM25 path (no "
+                         "--bool/--hybrid/--boost/--ltr/--scorer cosine)")
     if args.ltr and (args.bool or args.hybrid_embeddings or args.complete
                      or args.suggest or args.boost_parquet
                      or args.boost_sidecar or args.scorer != "wand"):
@@ -564,6 +574,15 @@ def main() -> None:
                 .where(args.where)
                 .select("doc_id")
             )
+        if args.profile:
+            from searchengine_spark.plans.profiler import profile_search
+
+            for q in queries:
+                print(json.dumps(profile_search(
+                    spark, args.index_dir, q, k=args.k
+                )))
+            spark.stop()
+            return
         if args.ltr:
             from searchengine_spark.operators.ltr import ltr_rescore
 

@@ -1,0 +1,64 @@
+"""Query profiler: the ES ``_profile`` analog for one search.
+
+Decomposes a single BM25 query into its serving phases with wall time,
+scan width, and shuffle bytes — the numbers an operator needs to answer
+"why is this query slow" without reproducing the engine's internals:
+
+- ``parse_fold``: query analysis + term-dictionary resolution (driver-
+  side against the cached term_dict — no cluster job on the warm path);
+- ``score_collect``: the ONE distributed job (pushed term-IN postings
+  scan → per-range scorer → global top-k) plus result collection;
+- per-term ``df`` (how many postings rows each term drags into the scan
+  — the scan-width story) and the per-stage shuffle bytes from Spark's
+  AppStatusStore (the same lineage source the build manifest snapshots).
+
+Wall times are wall times: on a shared cluster they include scheduling
+noise, so treat the shuffle/df numbers as the stable signal and the
+seconds as indicative. Read-only — profiles never mutate the index.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+
+from searchengine_spark.plans.manifest import shuffle_delta, shuffle_totals
+
+
+def profile_search(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    k: int = 10,
+    maxscore: bool = True,
+) -> dict:
+    """Profile one query end-to-end → a plain dict (JSON-safe)."""
+    from searchengine_spark.operators.wand import (
+        _topk_for_qweights,
+        fold_query_terms,
+    )
+
+    out: dict = {"query": query, "k": k}
+    t0 = time.time()
+    qweights = fold_query_terms(spark, index_dir, query)
+    out["parse_fold_sec"] = round(time.time() - t0, 4)
+    out["terms"] = {
+        t: {"qtf": float(w[0]), "df": int(w[1])}
+        for t, w in sorted(qweights.items())
+    }
+    out["scan_rows_upper_bound"] = int(
+        sum(w[1] for w in qweights.values())
+    )  # Σ df — the postings rows the pushed term-IN scan admits
+    sh0 = shuffle_totals(spark)
+    t1 = time.time()
+    rows = _topk_for_qweights(
+        spark, index_dir, qweights, k, maxscore, None
+    ).collect()
+    out["score_collect_sec"] = round(time.time() - t1, 4)
+    out["shuffle_bytes"] = shuffle_delta(sh0, shuffle_totals(spark))
+    out["n_hits"] = len(rows)
+    out["hits"] = [
+        {"doc_id": int(r["doc_id"]), "score": float(r["score"])} for r in rows
+    ]
+    return out

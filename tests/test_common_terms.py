@@ -65,3 +65,24 @@ def test_degenerate_queries_fall_back_to_plain(spark, index_1k):
     assert (
         search_common_terms(spark, index_1k, "zzznotaterm", 0.5, k=5).count() == 0
     )
+
+
+def test_profile_search_decomposition(spark, index_1k):
+    """profiler: hits identical to plain search, term df truthful, the
+    phase/scan/shuffle fields present and sane."""
+    from searchengine_spark.operators.wand import fold_query_terms
+    from searchengine_spark.plans.profiler import profile_search
+
+    q = "key value"
+    prof = profile_search(spark, index_1k, q, k=10)
+    plain = search(spark, index_1k, q, k=10).collect()
+    assert prof["hits"] == [
+        {"doc_id": r["doc_id"], "score": r["score"]} for r in plain
+    ]
+    qw = fold_query_terms(spark, index_1k, q)
+    assert set(prof["terms"]) == set(qw)
+    assert prof["scan_rows_upper_bound"] == sum(df for _, df in qw.values())
+    for t, meta in prof["terms"].items():
+        assert meta["df"] == qw[t][1]
+    assert prof["parse_fold_sec"] >= 0 and prof["score_collect_sec"] > 0
+    assert prof["n_hits"] == 10
