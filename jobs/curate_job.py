@@ -1,0 +1,162 @@
+"""Training-corpus curation pipeline: one spark-submit job chaining the
+repo's curation operators over a documents table and writing the curated
+corpus + one JSON line of per-stage survival metrics.
+
+Fixed stage order (each opt-in; every stage is one of the hash-gated
+operators, so the pipeline adds composition, not new semantics):
+
+  1. --c4             line-level cleaning (textstats.c4_clean) — drops
+                      boilerplate lines, gates lorem/brace/min-line docs
+  2. --redact         PII/secret scrubbing (textstats.redact_secrets)
+  3. --min-tokens N   short-document floor (textstats token count)
+  4. --lang L         language filter (textstats.language_id)
+  5. --dedup          exact-content dedup (first doc_id per digest wins)
+  6. --sample-by COL --sample-rates "en:0.3,de:1.0" [--sample-default R]
+                      stratified downsampling (sampling.stratified_sample)
+
+Usage:
+  spark-submit --py-files dist/searchengine_spark.zip jobs/curate_job.py \
+      --input /data/documents.parquet --output /data/curated \
+      --redact --dedup --min-tokens 16 \
+      --sample-by lang --sample-rates "en:0.5" --sample-default 1.0
+
+Every stage is a narrow filter/projection or one bounded aggregation —
+the pipeline inherits each operator's documented 100 TB posture, and the
+per-stage counts come from one count() action per enabled stage (drop
+--counts for a single-pass run with only in/out counts).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="curated parquet dir")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--c4", action="store_true",
+                    help="C4 line cleaning (needs multi-line text)")
+    ap.add_argument("--min-words-per-line", type=int, default=5)
+    ap.add_argument("--min-lines", type=int, default=3)
+    ap.add_argument("--redact", action="store_true",
+                    help="PII/secret scrubbing")
+    ap.add_argument("--min-tokens", type=int, default=0,
+                    help="drop docs with fewer raw tokens")
+    ap.add_argument("--lang", default=None,
+                    help="keep only docs language_id classifies as LANG")
+    ap.add_argument("--dedup", action="store_true",
+                    help="exact-content dedup (min doc_id per digest wins)")
+    ap.add_argument("--sample-by", default=None, metavar="COL",
+                    help="stratified sampling column (with --sample-rates)")
+    ap.add_argument("--sample-rates", default=None, metavar="K:R,K:R",
+                    help="per-stratum keep rates")
+    ap.add_argument("--sample-default", type=float, default=0.0,
+                    help="rate for strata absent from --sample-rates")
+    ap.add_argument("--no-counts", action="store_true",
+                    help="skip per-stage counts (single final action)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import sampling, textstats
+    from searchengine_spark.session import get_session
+
+    spark = get_session(app_name="searchengine-curate")
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+    stage_counts: dict = {}
+
+    def record(stage: str, frame):
+        if not args.no_counts:
+            stage_counts[stage] = frame.count()
+        return frame
+
+    record("input", df)
+
+    if args.c4:
+        cleaned = textstats.c4_clean(
+            df, id_col=id_col, text_col=text_col,
+            min_words_per_line=args.min_words_per_line,
+            min_lines=args.min_lines,
+        )
+        df = (
+            df.drop(text_col)
+            .join(cleaned.where("keep").select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+        df = record("c4", df)
+
+    if args.redact:
+        red = textstats.redact_secrets(df, id_col=id_col, text_col=text_col)
+        df = (
+            df.drop(text_col)
+            .join(red.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+        # a projection, not a filter: row count is unchanged by contract
+        if not args.no_counts:
+            stage_counts["redact"] = stage_counts.get(
+                "c4", stage_counts["input"]
+            )
+
+    if args.min_tokens > 0:
+        ts = textstats.token_stats(df, id_col=id_col, text_col=text_col)
+        df = df.join(
+            ts.where(F.col("n_tokens") >= args.min_tokens).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        df = record("min_tokens", df)
+
+    if args.lang:
+        lid = textstats.language_id(df, id_col=id_col, text_col=text_col)
+        df = df.join(
+            lid.where(F.col("pred_lang") == args.lang).select(id_col),
+            id_col,
+            "left_semi",
+        )
+        df = record("lang", df)
+
+    if args.dedup:
+        w_first = (
+            df.select(id_col, F.sha2(F.col(text_col), 256).alias("_dig"))
+            .groupBy("_dig")
+            .agg(F.min(id_col).alias(id_col))
+        )
+        df = df.join(w_first.select(id_col), id_col, "left_semi")
+        df = record("dedup", df)
+
+    if args.sample_by:
+        if not args.sample_rates:
+            raise SystemExit("--sample-by needs --sample-rates")
+        rates = {}
+        for part in args.sample_rates.split(","):
+            k, _, r = part.partition(":")
+            rates[k.strip()] = float(r)
+        df = sampling.stratified_sample(
+            df, args.sample_by, rates,
+            default_rate=args.sample_default, id_col=id_col,
+        )
+        df = record("sample", df)
+
+    df = df.persist()
+    out_n = df.count()  # not a read-back: an all-filtered corpus writes a
+    # part-less parquet dir that spark.read refuses to infer a schema from
+    df.write.mode("overwrite").parquet(args.output)
+    stage_counts["output"] = out_n
+    print(json.dumps({
+        "output": args.output,
+        "stage_counts": stage_counts,
+        "wall_sec": round(time.time() - t0, 2),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
