@@ -2085,6 +2085,52 @@ def q_c4_clean(spark, sf_dir):
     return ts.c4_clean(aug, min_words_per_line=5, min_lines=2).orderBy("doc_id")
 
 
+CURATE_MIN_TOKENS = 50  # ~median at the gate sf — the floor actually bites
+CURATE_RATES = {"en": 0.5, "de": 1.0}
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The batch-curation composition (jobs/curate_job.py's stage chain),
+    hash-gated end to end: plant duplicate groups (every doc takes the
+    text of its group leader, groups of 11) → token floor
+    (textstats.token_stats n_tokens ≥ 50) → exact-content dedup (min
+    doc_id per sha256 digest — collapses each surviving group to its
+    leader) → stratified downsampling (keep-all 'de', half 'en', 5%
+    tail). Each stage is individually gated elsewhere; this entry pins
+    the COMPOSITION — stage order, the interplay of filters with the
+    dedup winner pick, and the sampling hash on the survivors — against
+    one chained-CTE oracle."""
+    from searchengine_spark.operators import sampling
+    from searchengine_spark.operators import textstats as ts
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id", "lang", (F.col("doc_id") - F.col("doc_id") % 11).alias("_lead")
+    )
+    lead_text = docs.select(
+        F.col("doc_id").alias("_lead"), F.col("text").alias("_t")
+    )
+    aug = base.join(lead_text, "_lead").select(
+        "doc_id", "lang", F.col("_t").alias("text")
+    )
+    stats = ts.token_stats(aug)
+    kept = aug.join(
+        stats.where(F.col("n_tokens") >= CURATE_MIN_TOKENS).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    winners = (
+        kept.select("doc_id", F.sha2(F.col("text"), 256).alias("_dig"))
+        .groupBy("_dig")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    deduped = kept.join(winners.select("doc_id"), "doc_id", "left_semi")
+    out = sampling.stratified_sample(
+        deduped, "lang", CURATE_RATES, default_rate=0.05, method="md5"
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def q_redact_secrets(spark, sf_dir):
     """PII/credential scrubbing (textstats.redact_secrets): emails, IPv4,
     AWS key ids, private-key headers → typed sentinels, one codegen
@@ -3010,6 +3056,7 @@ QUERIES = {
     "bm25_cutoff": q_bm25_cutoff,
     "c4_clean": q_c4_clean,
     "ann_ivf_added": q_ann_ivf_added,
+    "curation_pipeline": q_curation_pipeline,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4598,6 +4645,27 @@ ORACLES["match_unique_sketch"] = (
     " THEN round(CAST(count(*) AS DOUBLE), 6)"
     f" ELSE round({float(SKETCH_K - 1)!r} / max(u), 6) END AS est_distinct,"
     f" CAST({SKETCH_K} AS BIGINT) AS sketch_k FROM sel"
+)
+
+# batch-curation composition: planted duplicate groups → token floor →
+# digest dedup (min-id winner) → stratified hash sampling, one CTE chain
+ORACLES["curation_pipeline"] = (
+    "WITH aug AS (SELECT a.doc_id, a.lang, b.text FROM documents a"
+    " JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 11)),"
+    " tok AS (SELECT doc_id, count(*) AS n FROM ("
+    " SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+'))"
+    " AS term FROM aug) WHERE term <> '' GROUP BY doc_id),"
+    f" kept AS (SELECT aug.* FROM aug JOIN tok USING (doc_id)"
+    f" WHERE n >= {CURATE_MIN_TOKENS}),"
+    " w AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),"
+    " ded AS (SELECT kept.* FROM kept"
+    " WHERE doc_id IN (SELECT doc_id FROM w))"
+    " SELECT doc_id, lang FROM ded WHERE "
+    + _md5int_sql("'strat:' || doc_id")
+    + " / 4294967296.0 < CASE"
+    " WHEN lang = 'de' THEN CAST(1.0 AS DOUBLE)"
+    " WHEN lang = 'en' THEN CAST(0.5 AS DOUBLE)"
+    " ELSE CAST(0.05 AS DOUBLE) END ORDER BY doc_id"
 )
 
 # C4 line cleaning: the identical synthetic page built in SQL, the line
