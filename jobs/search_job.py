@@ -74,6 +74,11 @@ def main() -> None:
                     help="with --bool: a doc must match at least M of the "
                     "free (SHOULD) clauses — each bare word or expansion "
                     "pattern counts once (ES minimum_should_match)")
+    ap.add_argument("--suggest-phrase", action="store_true",
+                    dest="suggest_phrase",
+                    help="whole-query did-you-mean: each word rewritten "
+                         "by Laplace-unigram LM score minus edit-distance "
+                         "penalty (boolquery.suggest_phrase)")
     ap.add_argument("--profile", action="store_true",
                     help="profile each query: phase wall times, per-term "
                          "df scan width, shuffle bytes, hits (the ES "
@@ -574,6 +579,23 @@ def main() -> None:
                 .where(args.where)
                 .select("doc_id")
             )
+        if args.suggest_phrase:
+            from searchengine_spark.operators.boolquery import suggest_phrase
+
+            for q in queries:
+                rows = suggest_phrase(spark, args.index_dir, q).orderBy(
+                    "pos"
+                ).collect()
+                print(json.dumps({
+                    "query": q,
+                    "suggestion": " ".join(r["suggestion"] for r in rows),
+                    "words": [
+                        {"word": r["word"], "suggestion": r["suggestion"],
+                         "score": r["score"]} for r in rows
+                    ],
+                }))
+            spark.stop()
+            return
         if args.profile:
             from searchengine_spark.plans.profiler import profile_search
 

@@ -414,6 +414,87 @@ def suggest_terms(
     return spark.createDataFrame(cand, "term string, df long, dist int")
 
 
+def suggest_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    max_dist: int = 2,  # the ES suggester max_edits default
+    lam: float = 1.0,
+    max_expansions: int = 4096,
+) -> DataFrame:
+    """Whole-query did-you-mean (the ES phrase-suggester shape with a
+    Laplace UNIGRAM corpus LM): every query word is rewritten to the
+    vocabulary term maximizing
+
+        ln((df + 1) / (N + V))  −  λ · levenshtein(word, term)
+
+    over candidates within ``max_dist`` edits (the word itself competes
+    at distance 0 — with its real df when indexed, as the Laplace-unseen
+    pseudo-candidate when not, so a rare typo-neighbor only displaces the
+    original when its frequency clears e^λ). A unigram LM makes the
+    argmax separable per word — no candidate cartesian — which is what
+    keeps the whole suggester ONE pushed bounded-levenshtein dictionary
+    scan for ALL words (the ``expand_multi`` fusion shape, same loud
+    cap) plus a driver-side argmax over ≤cap rows. Returns
+    DataFrame(pos, word, suggestion, score) in query order; join
+    ``suggestion`` by pos for the rewritten query string."""
+    import math
+
+    from searchengine_spark.plans.manifest import Manifest
+
+    words = re.findall(r"[a-z0-9]+", query.lower())
+    if not words:
+        raise ValueError("no suggestable words in query")
+    s = Manifest(index_dir).scalars
+    n_docs = int(s.get("n_docs_indexed", s.get("n_docs", 0)))
+    n_terms = int(s["n_terms"])
+    denom = float(n_docs + n_terms)
+
+    uniq = sorted(set(words))
+    cond = None
+    for w in uniq:
+        c = F.levenshtein(F.col("term"), F.lit(w), max_dist) >= 0
+        cond = c if cond is None else (cond | c)
+    rows = (
+        spark.read.parquet(f"{index_dir}/term_dict")
+        .where(cond)
+        .select("term", "df")
+        .limit(max_expansions + 1)
+        .collect()
+    )
+    if len(rows) > max_expansions:
+        raise ValueError(
+            f"phrase-suggest candidates for {uniq} exceed max_expansions="
+            f"{max_expansions}; lower max_dist or raise the cap"
+        )
+    vocab = {r["term"]: int(r["df"]) for r in rows}
+
+    def _score(df: int, dist: int) -> float:
+        return math.log((df + 1.0) / denom) - lam * dist
+
+    out = []
+    for pos, w in enumerate(words):
+        # the original always competes at distance 0 (Laplace df=0 unseen)
+        best = (w, _score(vocab.get(w, 0), 0))
+        for t, df in vocab.items():
+            if t == w:
+                continue
+            d = None
+            for cand_d in range(1, max_dist + 1):
+                if _lev_le(t, w, cand_d):
+                    d = cand_d
+                    break
+            if d is None:
+                continue
+            sc = _score(df, d)
+            if sc > best[1] or (sc == best[1] and t < best[0]):
+                best = (t, sc)
+        out.append((pos, w, best[0], round(best[1], 6)))
+    return spark.createDataFrame(
+        out, "pos int, word string, suggestion string, score double"
+    )
+
+
 def complete_prefix(
     spark: SparkSession,
     index_dir: str,

@@ -2085,6 +2085,25 @@ def q_c4_clean(spark, sf_dir):
     return ts.c4_clean(aug, min_words_per_line=5, min_lines=2).orderBy("doc_id")
 
 
+SUGGEST_PHRASE = "fsat key ordre"  # two misspellings + one vocab word
+
+
+def q_suggest_phrase(spark, sf_dir):
+    """Whole-query did-you-mean (boolquery.suggest_phrase — the ES phrase
+    suggester with a Laplace unigram corpus LM), hash-gated: 'fsat' and
+    'ordre' must rewrite to their frequent distance-2 vocabulary
+    neighbors while 'key' must survive (its own df beats every
+    edit-penalized neighbor). The oracle replays the candidate scan, the
+    Laplace score ln((df+1)/(N+V)) − λ·dist, and the per-word argmax with
+    the unrounded-score/term tie order."""
+    from searchengine_spark.operators.boolquery import suggest_phrase
+
+    layout = _packed_layout(spark, sf_dir)
+    return suggest_phrase(spark, layout, SUGGEST_PHRASE, max_dist=2).orderBy(
+        "pos"
+    )
+
+
 CURATE_MIN_TOKENS = 50  # ~median at the gate sf — the floor actually bites
 CURATE_RATES = {"en": 0.5, "de": 1.0}
 
@@ -3057,6 +3076,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "ann_ivf_added": q_ann_ivf_added,
     "curation_pipeline": q_curation_pipeline,
+    "suggest_phrase": q_suggest_phrase,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4645,6 +4665,37 @@ ORACLES["match_unique_sketch"] = (
     " THEN round(CAST(count(*) AS DOUBLE), 6)"
     f" ELSE round({float(SKETCH_K - 1)!r} / max(u), 6) END AS est_distinct,"
     f" CAST({SKETCH_K} AS BIGINT) AS sketch_k FROM sel"
+)
+
+# phrase suggester: per-word Laplace-unigram argmax — candidates via
+# levenshtein ≤ 2 over the term dictionary plus the original as the
+# distance-0 (Laplace-unseen when unindexed) competitor; ordered by the
+# UNROUNDED score then term, rounded only for output
+def _suggest_phrase_word_sql(pos: int, w: str) -> str:
+    return (
+        f"(SELECT {pos} AS pos, '{w}' AS word, suggestion,"
+        " round(ln((df + 1.0) / denom) - 1.0 * dist, 6) AS score FROM ("
+        f" SELECT term AS suggestion, df, levenshtein(term, '{w}') AS dist"
+        f" FROM td WHERE levenshtein(term, '{w}') <= 2"
+        f" UNION ALL SELECT '{w}', 0, 0"
+        f" WHERE '{w}' NOT IN (SELECT term FROM td)"
+        ") CROSS JOIN nv"
+        " ORDER BY ln((df + 1.0) / denom) - 1.0 * dist DESC, suggestion ASC"
+        " LIMIT 1)"
+    )
+
+
+ORACLES["suggest_phrase"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " td AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term),"
+    " nv AS (SELECT (SELECT count(*) FROM documents)"
+    " + (SELECT count(*) FROM td) AS denom)"
+    " SELECT * FROM ("
+    + " UNION ALL ".join(
+        _suggest_phrase_word_sql(i, w)
+        for i, w in enumerate(SUGGEST_PHRASE.split())
+    )
+    + ") ORDER BY pos"
 )
 
 # batch-curation composition: planted duplicate groups → token floor →

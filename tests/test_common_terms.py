@@ -86,3 +86,26 @@ def test_profile_search_decomposition(spark, index_1k):
         assert meta["df"] == qw[t][1]
     assert prof["parse_fold_sec"] >= 0 and prof["score_collect_sec"] > 0
     assert prof["n_hits"] == 10
+
+
+def test_suggest_phrase_rewrites_and_keeps(spark, index_1k):
+    """A misspelled common word rewrites to it; an indexed word whose df
+    beats every edit-penalized neighbor survives; an out-of-vocab word
+    with no strong neighbor stays itself (Laplace-unseen competitor)."""
+    from searchengine_spark.operators.boolquery import suggest_phrase
+
+    # 'digest' df≈476 in the 1k corpus; 'digets' is 2 edits away
+    got = {
+        r["word"]: r["suggestion"]
+        for r in suggest_phrase(
+            spark, index_1k, "digets spill zzqx", max_dist=2
+        ).collect()
+    }
+    assert got["digets"] == "digest"
+    assert got["spill"] == "spill"    # indexed, frequent → survives
+    assert got["zzqx"] == "zzqx"      # no neighbors → original kept
+
+    with pytest.raises(ValueError, match="suggestable"):
+        suggest_phrase(spark, index_1k, "!!!")
+    with pytest.raises(ValueError, match="max_expansions"):
+        suggest_phrase(spark, index_1k, "spill", max_dist=2, max_expansions=3)
