@@ -255,6 +255,14 @@ def main() -> None:
     timed("ltr_rescore", lambda: QUERIES["ltr_rescore"](spark, sf_dir).count())
     timed("bm25_cutoff", lambda: QUERIES["bm25_cutoff"](spark, sf_dir).count())
     timed("c4_clean", lambda: QUERIES["c4_clean"](spark, sf_dir).count())
+    timed(
+        "curation_pipeline",
+        lambda: QUERIES["curation_pipeline"](spark, sf_dir).count(),
+    )
+    timed(
+        "suggest_phrase",
+        lambda: QUERIES["suggest_phrase"](spark, sf_dir).count(),
+    )
     timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_tombstoned", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_purge_cold", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())
