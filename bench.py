@@ -263,6 +263,10 @@ def main() -> None:
         "suggest_phrase",
         lambda: QUERIES["suggest_phrase"](spark, sf_dir).count(),
     )
+    timed(
+        "bm25_boosting",
+        lambda: QUERIES["bm25_boosting"](spark, sf_dir).count(),
+    )
     timed("bm25_tomb_cold", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_tombstoned", lambda: QUERIES["bm25_tombstoned"](spark, sf_dir).count())
     timed("bm25_purge_cold", lambda: QUERIES["bm25_after_delete"](spark, sf_dir).count())

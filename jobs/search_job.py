@@ -74,6 +74,12 @@ def main() -> None:
                     help="with --bool: a doc must match at least M of the "
                     "free (SHOULD) clauses — each bare word or expansion "
                     "pattern counts once (ES minimum_should_match)")
+    ap.add_argument("--boosting", metavar="NEG_TERMS", default=None,
+                    help="ES boosting query: demote (don't exclude) docs "
+                         "matching these terms by --negative-boost "
+                         "(wand.search_boosting)")
+    ap.add_argument("--negative-boost", type=float, default=0.5,
+                    dest="negative_boost")
     ap.add_argument("--suggest-phrase", action="store_true",
                     dest="suggest_phrase",
                     help="whole-query did-you-mean: each word rewritten "
@@ -579,6 +585,24 @@ def main() -> None:
                 .where(args.where)
                 .select("doc_id")
             )
+        if args.boosting:
+            from searchengine_spark.operators.wand import search_boosting
+
+            for q in queries:
+                hits = [
+                    {"doc_id": r["doc_id"], "score": r["score"]}
+                    for r in search_boosting(
+                        spark, args.index_dir, q, args.boosting,
+                        negative_boost=args.negative_boost, k=args.k,
+                        allowed=allowed,
+                    ).collect()
+                ]
+                if args.with_meta:
+                    _attach_meta(spark, args.index_dir, [hits])
+                print(json.dumps({"query": q, "negative": args.boosting,
+                                  "hits": hits}))
+            spark.stop()
+            return
         if args.suggest_phrase:
             from searchengine_spark.operators.boolquery import suggest_phrase
 

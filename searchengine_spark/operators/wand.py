@@ -968,6 +968,46 @@ def search(
     )
 
 
+def search_boosting(
+    spark: SparkSession,
+    index_dir: str,
+    query: str,
+    negative: str,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    maxscore: bool = True,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """The ES ``boosting`` query: docs matching any ``negative`` term are
+    DEMOTED by ``negative_boost`` (score × factor), not excluded — the
+    middle ground between ``-not`` (hard exclusion) and doing nothing,
+    for "probably irrelevant but don't hide it" signals (deprecated APIs,
+    staging repos, boilerplate-heavy files).
+
+    Exact under pruning: the demotion rides :func:`search_function_score`
+    (per-range factor arrays scale the block-max bounds), and the factor
+    table is just the negative terms' postings ids — df(negative) rows
+    from a pushed term-IN scan, never a corpus pass. Empty/unknown
+    negative terms degrade to plain search."""
+    if not 0.0 < negative_boost <= 1.0:
+        raise ValueError(
+            f"negative_boost must be in (0, 1], got {negative_boost!r}"
+        )
+    from searchengine_spark.operators.boolquery import _postings_ids
+
+    neg_weights = fold_query_terms(spark, index_dir, negative)
+    if not neg_weights:
+        return search(spark, index_dir, query, k=k, maxscore=maxscore,
+                      allowed=allowed)
+    factors = _postings_ids(spark, index_dir, sorted(neg_weights)).select(
+        "doc_id", F.lit(float(negative_boost)).alias("factor")
+    )
+    return search_function_score(
+        spark, index_dir, query, factors, k=k, maxscore=maxscore,
+        allowed=allowed,
+    )
+
+
 def search_common_terms(
     spark: SparkSession,
     index_dir: str,

@@ -2085,6 +2085,27 @@ def q_c4_clean(spark, sf_dir):
     return ts.c4_clean(aug, min_words_per_line=5, min_lines=2).orderBy("doc_id")
 
 
+BOOSTING_NEG, BOOSTING_FACTOR = "slow", 0.5  # bm25_boosting demotion
+
+
+def q_bm25_boosting(spark, sf_dir):
+    """The ES ``boosting`` query (wand.search_boosting), hash-gated: docs
+    holding 'slow' keep ranking but at half score — demotion, not
+    exclusion — through the exactly-pruned function-score machinery with
+    factors drawn from the negative terms' postings ids (a pushed
+    df(neg)-row scan). Oracle: CASE demotion after the per-doc sum."""
+    from searchengine_spark.operators.wand import search_boosting
+
+    layout = _packed_layout(spark, sf_dir)
+    return _orig_topk(
+        spark, layout,
+        search_boosting(
+            spark, layout, " ".join(QTERMS), BOOSTING_NEG,
+            negative_boost=BOOSTING_FACTOR, k=60,
+        ),
+    )
+
+
 SUGGEST_PHRASE = "fsat key ordre"  # two misspellings + one vocab word
 
 
@@ -3077,6 +3098,7 @@ QUERIES = {
     "ann_ivf_added": q_ann_ivf_added,
     "curation_pipeline": q_curation_pipeline,
     "suggest_phrase": q_suggest_phrase,
+    "bm25_boosting": q_bm25_boosting,
     "bool_topk": q_bool_topk,
     "bool_group_topk": q_bool_group_topk,
     "bool_batch_topk": q_bool_batch_topk,
@@ -4665,6 +4687,26 @@ ORACLES["match_unique_sketch"] = (
     " THEN round(CAST(count(*) AS DOUBLE), 6)"
     f" ELSE round({float(SKETCH_K - 1)!r} / max(u), 6) END AS est_distinct,"
     f" CAST({SKETCH_K} AS BIGINT) AS sketch_k FROM sel"
+)
+
+# boosting (demote-don't-exclude): factor applied ONCE after the
+# per-doc sum, exactly like the engine's function-score multiply
+ORACLES["bm25_boosting"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    f" neg AS (SELECT DISTINCT doc_id FROM dt WHERE term = '{BOOSTING_NEG}'),"
+    " s AS (SELECT doc_id, sum(c) AS s FROM ("
+    f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+    f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+    f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+    f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({_QLIST})"
+    ") GROUP BY doc_id)"
+    " SELECT doc_id, round(CASE WHEN doc_id IN (SELECT doc_id FROM neg)"
+    f" THEN s * CAST({BOOSTING_FACTOR!r} AS DOUBLE) ELSE s END, 6) AS score"
+    " FROM s ORDER BY score DESC, doc_id ASC LIMIT 20"
 )
 
 # phrase suggester: per-word Laplace-unigram argmax — candidates via

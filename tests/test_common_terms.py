@@ -109,3 +109,30 @@ def test_suggest_phrase_rewrites_and_keeps(spark, index_1k):
         suggest_phrase(spark, index_1k, "!!!")
     with pytest.raises(ValueError, match="max_expansions"):
         suggest_phrase(spark, index_1k, "spill", max_dist=2, max_expansions=3)
+
+
+def test_boosting_demotes_not_excludes(spark, index_1k):
+    """Negative-clause holders keep ranking at factor x their plain
+    score; everyone else is untouched; empty negative == plain search."""
+    from searchengine_spark.operators.boolquery import _postings_ids
+    from searchengine_spark.operators.wand import search_boosting
+
+    q, neg, f = "key value", "digest", 0.25
+    plain = search(spark, index_1k, q, k=2000).toPandas().set_index("doc_id")
+    holders = {
+        r["doc_id"] for r in _postings_ids(spark, index_1k, [neg]).collect()
+    }
+    got = search_boosting(spark, index_1k, q, neg, f, k=2000).toPandas()
+    assert set(got.doc_id) == set(plain.index)  # nothing excluded
+    for r in got.itertuples():
+        want = plain.loc[r.doc_id, "score"]
+        if r.doc_id in holders:
+            assert r.score == pytest.approx(want * f, rel=1e-12)
+        else:
+            assert r.score == want
+    assert len(set(got.doc_id) & holders) > 0  # the demotion actually hit
+
+    same = search_boosting(spark, index_1k, q, "zzznotaterm", f, k=10).toPandas()
+    assert same.equals(search(spark, index_1k, q, k=10).toPandas())
+    with pytest.raises(ValueError, match="negative_boost"):
+        search_boosting(spark, index_1k, q, neg, 0.0)
