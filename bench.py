@@ -152,6 +152,7 @@ def main() -> None:
         "redact_secrets", "gopher_repetition",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
         "curated_docs",
+        "geo_knn", "geo_grid", "geo_bbox",
     ]
     for name in bench_queries:
         timed(name, lambda name=name: QUERIES[name](spark, sf_dir).count())

@@ -1,0 +1,285 @@
+"""Geo-distance search over point columns — the Elasticsearch
+``geo_distance`` / ``geo_bounding_box`` / ``geo_grid`` query family,
+Spark-first.
+
+Distance is the haversine great-circle formula in pure JVM expressions
+(``sin``/``cos``/``asin``/``sqrt`` — whole-stage codegen, no Python in the
+hot path), bounding boxes are plain range predicates that push all the way
+into the parquet/Iceberg scan (row-group min/max pruning makes a bbox query
+IO-proportional to the box, not the corpus), and grid-cell counts are one
+map-side-combined ``groupBy`` over an integer lat/lon cell id (the
+``geohash_grid`` aggregation with exact integer arithmetic, so the DuckDB
+oracle replays it bit-identically — base-32 geohash interleaving buys
+nothing over a flat cell id when both sides are our own code).
+
+The 100 TB serving path is ``geo_build``: points written
+``partitionBy("_cell")`` on the same integer grid (Iceberg analog: a
+partition transform on ``_cell``) plus a per-cell stats sidecar (the
+partition-statistics metadata Iceberg keeps anyway). ``geo_serve_knn``
+then probes non-empty cells in ascending order of an exact per-cell
+distance lower bound (haversine to the closest point of the cell's lat/lon
+rectangle) and stops as soon as the current k-th distance ≤ the best
+unprobed cell's bound — best-first search, so the result is EXACTLY brute
+force while scanning a handful of partitions instead of the corpus. The
+driver holds the cell-stats sidecar (#non-empty cells — metadata scale)
+and k rows per probe; the bound computation is one vectorized numpy pass.
+
+The reference engine has no geo surface (`/root/reference` indexes text
+only) — this is surplus serving surface like the boolean/fuzzy family,
+following the public ES geo query contracts.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+
+
+# ---------------------------------------------------------------------------
+# distance + brute-force k-NN (the correctness baseline at any scale)
+# ---------------------------------------------------------------------------
+
+
+def haversine_km(lat1, lon1, lat2, lon2):
+    """Great-circle distance (km) as a single JVM column expression.
+
+    ``2R·asin(min(1, √(sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2))))`` — the
+    ``min(1, ·)`` clamp guards antipodal rounding (√h can exceed 1 by an
+    ulp and NaN the asin). All four inputs may be columns or literals.
+    """
+    dlat = F.radians(lat2) - F.radians(lat1)
+    dlon = F.radians(lon2) - F.radians(lon1)
+    h = (
+        F.pow(F.sin(dlat / F.lit(2.0)), 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.pow(F.sin(dlon / F.lit(2.0)), 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.least(F.lit(1.0), F.sqrt(h)))
+
+
+def geo_knn(
+    df: DataFrame,
+    qlat: float,
+    qlon: float,
+    k: int = 10,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Brute-force k nearest points to (qlat, qlon): one narrow projection
+    + ``TakeOrderedAndProject`` (per-partition heaps, k rows to the
+    driver). Deterministic ties: (distance asc, id asc). This is the exact
+    baseline the grid layout is verified against."""
+    dist = haversine_km(F.col(lat_col), F.col(lon_col), F.lit(float(qlat)), F.lit(float(qlon)))
+    return (
+        df.select(id_col, dist.alias("distance_km"))
+        .orderBy(F.col("distance_km").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def geo_bbox(
+    df: DataFrame,
+    lat_min: float,
+    lat_max: float,
+    lon_min: float,
+    lon_max: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Bounding-box filter as pushed range predicates. A box crossing the
+    antimeridian (lon_min > lon_max) splits into an OR of two ranges —
+    still a pushable predicate, still min/max-prunable."""
+    lat = (F.col(lat_col) >= float(lat_min)) & (F.col(lat_col) <= float(lat_max))
+    if lon_min <= lon_max:
+        lon = (F.col(lon_col) >= float(lon_min)) & (F.col(lon_col) <= float(lon_max))
+    else:
+        lon = (F.col(lon_col) >= float(lon_min)) | (F.col(lon_col) <= float(lon_max))
+    return df.where(lat & lon)
+
+
+# ---------------------------------------------------------------------------
+# integer grid cells (the geohash analog — exact arithmetic, SQL-portable)
+# ---------------------------------------------------------------------------
+
+
+def _grid_dims(cell_deg: float) -> tuple:
+    return int(round(180.0 / cell_deg)), int(round(360.0 / cell_deg))
+
+
+def cell_expr(lat_col, lon_col, cell_deg: float):
+    """Integer cell id ``row·n_lon + col`` with ``row = ⌊(lat+90)/deg⌋``
+    clamped so lat=+90 / lon=+180 land in the last row/col instead of a
+    phantom one. Pure int64 arithmetic on doubles the oracle holds too —
+    no float-boundary hashing risk beyond the inputs themselves."""
+    n_lat, n_lon = _grid_dims(cell_deg)
+    row = F.least(F.floor((lat_col + F.lit(90.0)) / F.lit(cell_deg)).cast("long"), F.lit(n_lat - 1))
+    col = F.least(F.floor((lon_col + F.lit(180.0)) / F.lit(cell_deg)).cast("long"), F.lit(n_lon - 1))
+    return row * F.lit(n_lon) + col
+
+
+def geo_grid_counts(
+    df: DataFrame,
+    cell_deg: float = 10.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """The ES ``geohash_grid`` aggregation on the integer grid: one
+    map-side-combined groupBy — scales to any corpus."""
+    return (
+        df.select(cell_expr(F.col(lat_col), F.col(lon_col), cell_deg).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_points"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# grid-partitioned serving layout (the 100 TB k-NN path)
+# ---------------------------------------------------------------------------
+
+
+def geo_build(
+    df: DataFrame,
+    out_dir: str,
+    cell_deg: float = 10.0,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "event_id",
+) -> None:
+    """Materialize the cell-partitioned point layout: ``points/`` written
+    ``partitionBy("_cell")`` plus a per-cell stats sidecar ``cells/``
+    (cell → n_points; the partition-statistics metadata an Iceberg table
+    keeps natively) and a ``geo.json`` manifest — the same
+    prematerialized-layout contract as ``ivf_build``/``lsh_build``."""
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    ).withColumn("_cell", cell_expr(F.col("lat"), F.col("lon"), cell_deg))
+    pts.write.mode("overwrite").partitionBy("_cell").parquet(os.path.join(out_dir, "points"))
+    (
+        pts.groupBy("_cell")
+        .agg(F.count("*").cast("long").alias("n_points"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "cells"))
+    )
+    with open(os.path.join(out_dir, "geo.json"), "w") as f:
+        json.dump({"cell_deg": cell_deg, "format": 1}, f)
+
+
+def cell_min_dists_km(cells: np.ndarray, qlat: float, qlon: float, cell_deg: float) -> np.ndarray:
+    """Exact lower bound on the distance from the query to ANY point in
+    each cell. Longitude: distance grows with the wrapped |Δλ| at any fixed
+    latitude, so the nearer cell edge (or 0 if the query's longitude falls
+    inside the cell) realizes the minimum. Latitude: for a fixed Δλ the
+    minimizing latitude is NOT the clamped query latitude — geodesics bend
+    poleward; the stationary point is ``tan φ* = tan φ₁ / cos Δλ``
+    (i.e. ``φ* = atan2(sin φ₁, cos φ₁·cos Δλ)``) — so we evaluate the
+    haversine at the stationary latitude clamped into the cell's band AND
+    at both band edges, taking the min (the distance is smooth in φ with at
+    most one interior stationary point, so these three candidates bracket
+    the true minimum). Vectorized over the cell array — one numpy pass over
+    partition metadata, never over data."""
+    n_lat, n_lon = _grid_dims(cell_deg)
+    row, col = np.divmod(np.asarray(cells, dtype=np.int64), n_lon)
+    lat_lo = row * cell_deg - 90.0
+    lat_hi = lat_lo + cell_deg
+    lon_lo = col * cell_deg - 180.0
+    lon_hi = lon_lo + cell_deg
+    inside = (lon_lo <= qlon) & (qlon <= lon_hi)
+    d_lo = np.abs(qlon - lon_lo)
+    d_lo = np.minimum(d_lo, 360.0 - d_lo)
+    d_hi = np.abs(qlon - lon_hi)
+    d_hi = np.minimum(d_hi, 360.0 - d_hi)
+    dlon = np.radians(np.where(inside, 0.0, np.minimum(d_lo, d_hi)))
+
+    phi1 = math.radians(qlat)
+    phi_star = np.arctan2(math.sin(phi1), math.cos(phi1) * np.cos(dlon))
+    cand = np.stack(
+        [
+            np.clip(np.degrees(phi_star), lat_lo, lat_hi),
+            lat_lo,
+            lat_hi,
+        ]
+    )
+
+    def _hav(lat_deg):
+        dlat = np.radians(lat_deg) - phi1
+        h = (
+            np.sin(dlat / 2.0) ** 2
+            + math.cos(phi1) * np.cos(np.radians(lat_deg)) * np.sin(dlon / 2.0) ** 2
+        )
+        return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+    return np.min([_hav(c) for c in cand], axis=0)
+
+
+def geo_serve_knn(
+    spark: SparkSession,
+    index_dir: str,
+    qlat: float,
+    qlon: float,
+    k: int = 10,
+    batch_cells: int = 16,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact k-NN through the cell layout, best-first: order the non-empty
+    cells by their exact distance lower bound (one vectorized pass over the
+    ``cells`` sidecar), probe them in batches of ``batch_cells`` via
+    partition-pruned scans, and stop as soon as the k-th best distance ≤
+    the best unprobed cell's bound — no unprobed cell can then improve the
+    top-k, so the result is EXACTLY brute force. Worst case (fewer than k
+    points within any bound) degrades to scanning every non-empty cell,
+    i.e. brute force. The driver holds the sidecar (metadata scale) and k
+    rows per probe — the bounded-collect pattern of the MMR/IVF operators.
+    """
+    import pandas as pd
+
+    with open(os.path.join(index_dir, "geo.json")) as f:
+        meta = json.load(f)
+    cell_deg = float(meta["cell_deg"])
+    cell_stats = (
+        spark.read.parquet(os.path.join(index_dir, "cells"))
+        .toPandas()
+        .sort_values("_cell")
+    )
+    cells = cell_stats["_cell"].to_numpy(dtype=np.int64)
+    bounds = cell_min_dists_km(cells, qlat, qlon, cell_deg)
+    order = np.lexsort((cells, bounds))  # bound asc, cell id tiebreak
+    cells, bounds = cells[order], bounds[order]
+
+    pts = spark.read.parquet(os.path.join(index_dir, "points"))
+    best = pd.DataFrame({"id": pd.Series(dtype="int64"), "distance_km": pd.Series(dtype="float64")})
+    i = 0
+    while i < len(cells):
+        take = slice(i, i + batch_cells)
+        probe = geo_knn(
+            pts.where(F.col("_cell").isin([int(c) for c in cells[take]])),
+            qlat, qlon, k, lat_col="lat", lon_col="lon", id_col="id",
+        ).toPandas()
+        best = (
+            pd.concat([best, probe])
+            .sort_values(["distance_km", "id"], kind="mergesort")
+            .head(k)
+        )
+        i += batch_cells
+        if len(best) >= k and (
+            i >= len(cells) or float(best["distance_km"].iloc[k - 1]) <= float(bounds[i])
+        ):
+            break
+    if stats is not None:
+        stats["cells_probed"] = min(i, len(cells))
+        stats["cells_total"] = len(cells)
+    sdf = spark.createDataFrame(
+        best.astype({"id": "int64", "distance_km": "float64"}),
+        schema="id long, distance_km double",
+    )
+    return sdf.orderBy(F.col("distance_km").asc(), F.col("id").asc())

@@ -4842,3 +4842,118 @@ ORACLES["gopher_repetition"] = (
     " COALESCE(top_2gram_frac, 0.0) AS top_2gram_frac"
     " FROM base b LEFT JOIN top USING (doc_id)"
 )
+
+
+# ---------------------------------------------------------------------------
+# geo search (operators/geo.py — ES geo_distance / geo_grid / geo_bbox)
+# ---------------------------------------------------------------------------
+
+GEO_Q = (48.85, 2.35)  # query point for the k-NN entry
+GEO_CELL_DEG = 10.0
+
+
+def _geo_events(spark, sf_dir):
+    """events + deterministic synthetic coordinates: lat/lon derived from
+    event_id through the cross-engine md5-prefix hash family (the same
+    u = md5int/2^32 construction the sampling oracles replay), so the
+    DuckDB oracle holds bit-identical doubles. The testdata carries no
+    geo columns; this is the planted-column pattern of the code-analyzer
+    and redaction entries."""
+    ulat = dedup.md5_int(F.col("event_id").cast("string"), "lat:") / F.lit(4294967296.0)
+    ulon = dedup.md5_int(F.col("event_id").cast("string"), "lon:") / F.lit(4294967296.0)
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (ulat * F.lit(180.0) - F.lit(90.0)).alias("lat"),
+        (ulon * F.lit(360.0) - F.lit(180.0)).alias("lon"),
+    )
+
+
+def q_geo_knn(spark, sf_dir):
+    """Brute-force geo_distance top-20 (haversine in JVM trig, one
+    TakeOrderedAndProject) — the exact baseline the grid layout serves."""
+    from searchengine_spark.operators import geo
+
+    res = geo.geo_knn(_geo_events(spark, sf_dir), *GEO_Q, k=20)
+    return res.select("event_id", F.round("distance_km", 6).alias("distance_km"))
+
+
+def q_geo_grid(spark, sf_dir):
+    """geohash_grid-style cell counts on the integer 10° grid — pure
+    int64 arithmetic, one map-side-combined groupBy."""
+    from searchengine_spark.operators import geo
+
+    return geo.geo_grid_counts(_geo_events(spark, sf_dir), cell_deg=GEO_CELL_DEG)
+
+
+def q_geo_bbox(spark, sf_dir):
+    """geo_bounding_box crossing the antimeridian (lon 150 → -150, the
+    OR-split branch) + per-type facet counts over the box."""
+    from searchengine_spark.operators import geo
+
+    return (
+        geo.geo_bbox(_geo_events(spark, sf_dir), 10.0, 60.0, 150.0, -150.0)
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+QUERIES["geo_knn"] = q_geo_knn
+QUERIES["geo_grid"] = q_geo_grid
+QUERIES["geo_bbox"] = q_geo_bbox
+
+
+def _geo_pts_sql() -> str:
+    ulat = _md5int_sql("'lat:' || event_id") + " / 4294967296.0"
+    ulon = _md5int_sql("'lon:' || event_id") + " / 4294967296.0"
+    return (
+        "SELECT event_id, event_type,"
+        f" ({ulat}) * CAST(180.0 AS DOUBLE) - CAST(90.0 AS DOUBLE) AS lat,"
+        f" ({ulon}) * CAST(360.0 AS DOUBLE) - CAST(180.0 AS DOUBLE) AS lon"
+        " FROM events"
+    )
+
+
+def _geo_hav_sql(qlat: float, qlon: float) -> str:
+    # mirrors geo.haversine_km op-for-op; radians spelled x/180*pi() to
+    # match Java Math.toRadians (angdeg / 180.0 * PI) bit-for-bit
+    rq_lat = f"(CAST({qlat} AS DOUBLE) / CAST(180.0 AS DOUBLE) * pi())"
+    rq_lon = f"(CAST({qlon} AS DOUBLE) / CAST(180.0 AS DOUBLE) * pi())"
+    r_lat = "(lat / CAST(180.0 AS DOUBLE) * pi())"
+    r_lon = "(lon / CAST(180.0 AS DOUBLE) * pi())"
+    h = (
+        f"pow(sin(({r_lat} - {rq_lat}) / CAST(2.0 AS DOUBLE)), 2)"
+        f" + cos({rq_lat}) * cos({r_lat})"
+        f" * pow(sin(({r_lon} - {rq_lon}) / CAST(2.0 AS DOUBLE)), 2)"
+    )
+    return (
+        f"CAST(12742.0176 AS DOUBLE)"
+        f" * asin(least(CAST(1.0 AS DOUBLE), sqrt({h})))"
+    )
+
+
+# top-20 picked in RAW distance space (the engine orders by the unrounded
+# column), rounded only for the comparison — the search_after discipline
+ORACLES["geo_knn"] = (
+    f"WITH pts AS ({_geo_pts_sql()}),"
+    f" d AS (SELECT event_id, {_geo_hav_sql(*GEO_Q)} AS dk FROM pts"
+    "   ORDER BY dk ASC, event_id ASC LIMIT 20)"
+    " SELECT event_id, round(dk, 6) AS distance_km FROM d"
+)
+
+ORACLES["geo_grid"] = (
+    f"WITH pts AS ({_geo_pts_sql()})"
+    " SELECT CAST(least(floor((lat + CAST(90.0 AS DOUBLE)) / CAST(10.0 AS DOUBLE)), 17)"
+    "   AS BIGINT) * 36"
+    " + CAST(least(floor((lon + CAST(180.0 AS DOUBLE)) / CAST(10.0 AS DOUBLE)), 35)"
+    "   AS BIGINT) AS cell,"
+    " CAST(count(*) AS BIGINT) AS n_points FROM pts GROUP BY cell"
+)
+
+ORACLES["geo_bbox"] = (
+    f"WITH pts AS ({_geo_pts_sql()})"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM pts"
+    " WHERE lat >= CAST(10.0 AS DOUBLE) AND lat <= CAST(60.0 AS DOUBLE)"
+    " AND (lon >= CAST(150.0 AS DOUBLE) OR lon <= CAST(-150.0 AS DOUBLE))"
+    " GROUP BY event_type"
+)

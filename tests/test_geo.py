@@ -1,0 +1,130 @@
+"""Geo search (operators/geo.py): brute-force haversine k-NN, bounding
+boxes (incl. the antimeridian OR-split), integer grid cells, and the
+cell-partitioned serving layout — serve ≡ brute force EXACTLY (the
+best-first lower-bound termination is exact, not approximate), with the
+probe scan partition-pruned and strictly narrower than the corpus."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import geo
+
+
+def _points_pdf(n=4000, seed=7):
+    rng = np.random.default_rng(seed)
+    # clustered around a few hubs + a uniform tail, poles and antimeridian
+    # included so the wrap/clamp branches are exercised
+    hubs = np.array([[48.85, 2.35], [-33.86, 151.21], [64.1, -21.9], [0.0, 179.5]])
+    idx = rng.integers(0, len(hubs), size=n)
+    lat = np.clip(hubs[idx, 0] + rng.normal(0, 8, n), -90, 90)
+    lon = ((hubs[idx, 1] + rng.normal(0, 12, n)) + 180) % 360 - 180
+    tail = rng.random(n) < 0.15
+    lat[tail] = rng.uniform(-90, 90, tail.sum())
+    lon[tail] = rng.uniform(-180, 180, tail.sum())
+    return pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon})
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    return spark.createDataFrame(_points_pdf()).cache()
+
+
+def _haversine_np(lat1, lon1, lat2, lon2):
+    p = math.pi / 180.0
+    dlat, dlon = (lat2 - lat1) * p, (lon2 - lon1) * p
+    h = (
+        np.sin(dlat / 2) ** 2
+        + np.cos(lat1 * p) * np.cos(lat2 * p) * np.sin(dlon / 2) ** 2
+    )
+    return 2 * geo.EARTH_RADIUS_KM * np.arcsin(np.minimum(1.0, np.sqrt(h)))
+
+
+def test_knn_matches_numpy(points):
+    pdf = _points_pdf()
+    for qlat, qlon in [(48.85, 2.35), (89.5, 10.0), (-1.0, 179.9)]:
+        got = geo.geo_knn(points, qlat, qlon, k=15).toPandas()
+        d = _haversine_np(qlat, qlon, pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+        want = (
+            pdf.assign(distance_km=d)
+            .sort_values(["distance_km", "event_id"], kind="mergesort")
+            .head(15)
+        )
+        assert list(got["event_id"]) == list(want["event_id"])
+        np.testing.assert_allclose(got["distance_km"], want["distance_km"], rtol=1e-9)
+
+
+def test_bbox_antimeridian(points):
+    pdf = _points_pdf()
+    got = set(
+        r.event_id
+        for r in geo.geo_bbox(points, -20.0, 20.0, 170.0, -170.0).select("event_id").collect()
+    )
+    mask = (
+        (pdf["lat"] >= -20) & (pdf["lat"] <= 20)
+        & ((pdf["lon"] >= 170) | (pdf["lon"] <= -170))
+    )
+    assert got == set(pdf.loc[mask, "event_id"])
+    assert got, "antimeridian hub must land points in the box"
+
+
+def test_cell_clamp_at_edges(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"event_id": [0, 1, 2], "lat": [90.0, -90.0, 0.0], "lon": [180.0, -180.0, 0.0]})
+    )
+    cells = [
+        r.c for r in df.select(geo.cell_expr(F.col("lat"), F.col("lon"), 10.0).alias("c"))
+        .orderBy("event_id").collect()
+    ]
+    # lat=90 -> last row (17), lon=180 -> last col (35); no phantom cells
+    assert cells[0] == 17 * 36 + 35
+    assert cells[1] == 0
+    assert cells[2] == 9 * 36 + 18
+
+
+def test_cell_min_dist_is_lower_bound(points):
+    """The per-cell bound never exceeds the true min distance of the
+    cell's points — the exactness of serve-kNN rests on this."""
+    pdf = _points_pdf()
+    deg = 15.0
+    n_lat, n_lon = int(180 / deg), int(360 / deg)
+    row = np.minimum(((pdf["lat"] + 90) // deg).astype(int), n_lat - 1)
+    col = np.minimum(((pdf["lon"] + 180) // deg).astype(int), n_lon - 1)
+    pdf = pdf.assign(cell=row * n_lon + col)
+    for qlat, qlon in [(48.85, 2.35), (85.0, 170.0), (-70.0, -120.0)]:
+        d = _haversine_np(qlat, qlon, pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+        true_min = pdf.assign(d=d).groupby("cell")["d"].min()
+        bounds = geo.cell_min_dists_km(true_min.index.to_numpy(), qlat, qlon, deg)
+        assert (bounds <= true_min.to_numpy() + 1e-9).all()
+
+
+@pytest.fixture(scope="module")
+def geo_layout(spark, points, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("geo") / "idx")
+    geo.geo_build(points, out, cell_deg=10.0)
+    return out
+
+
+def test_serve_equals_brute(spark, points, geo_layout):
+    for qlat, qlon in [(48.85, 2.35), (-33.9, 151.2), (89.0, -5.0), (0.0, -179.8), (40.0, 40.0)]:
+        brute = geo.geo_knn(points, qlat, qlon, k=12).toPandas()
+        served = geo.geo_serve_knn(spark, geo_layout, qlat, qlon, k=12).toPandas()
+        assert list(served["id"]) == list(brute["event_id"])
+        np.testing.assert_allclose(served["distance_km"], brute["distance_km"], rtol=1e-12)
+
+
+def test_serve_probe_is_pruned(spark, geo_layout):
+    """The probe scan carries the _cell partition filter (pruned read),
+    and a clustered query terminates after probing a strict subset of the
+    non-empty cells."""
+    pts = spark.read.parquet(f"{geo_layout}/points")
+    plan = pts.where(F.col("_cell").isin([170, 171, 172]))._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_cell" in plan
+    stats = {}
+    served = geo.geo_serve_knn(spark, geo_layout, 48.85, 2.35, k=5, batch_cells=4, stats=stats)
+    assert served.count() == 5
+    assert stats["cells_total"] > 8, "layout must have enough cells for pruning to matter"
+    assert stats["cells_probed"] < stats["cells_total"] // 2
