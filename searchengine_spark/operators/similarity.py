@@ -1217,3 +1217,235 @@ def ivfpq_serve_topk(
     return cosine_topk(
         emb, query_vec, k, meta["id_col"], meta["vec_col"], allowed=cand
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8: per-dimension scalar quantization — the THIRD compression tier next
+# to PQ/IVFPQ. float32 → one uint8 per dimension (4× smaller, vs PQ's 32×),
+# but the approximation is per-coordinate (no codebook), so recall is far
+# higher and the dequantized score needs no training at all: the layout is
+# a pure function of the corpus min/max per dimension. The standard
+# "cheap first compression" step (Faiss ScalarQuantizer QT_8bit / Lucene
+# int8 HNSW vectors) before PQ-level budgets are justified.
+# ---------------------------------------------------------------------------
+
+
+def sq8_train_bounds(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus → two dim-length lists.
+    One posexplode + groupBy(dim) agg: shuffle is dim × #partitions
+    partial rows (map-side combined), never vector-count-proportional;
+    the collect is 2·dim doubles — a few KB at any corpus size."""
+    rows = (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>"))
+                   .alias("i", "x"))
+        .groupBy("i")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train SQ8 bounds over an empty table")
+    return [r["mn"] for r in rows], [r["mx"] for r in rows]
+
+
+def sq8_encode(
+    emb: DataFrame,
+    mn: list,
+    mx: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to one uint8 per dimension → (id, codes
+    binary, nrm2 double). ``code_i = clip(floor((x_i - mn_i) / (mx_i -
+    mn_i) * 255 + 0.5), 0, 255)`` (explicit half-up — identical in
+    numpy and SQL); a constant dimension (mx == mn) encodes to 0 and
+    dequantizes to mn. ``nrm2`` is the squared L2 norm of the
+    DEQUANTIZED vector, accumulated in dimension order (the serving
+    scan needs it for cosine and must not re-read raw floats).
+    Arrow-batched narrow map, zero shuffle — the :func:`pq_encode`
+    shape."""
+    mn_a = np.asarray(mn, dtype=np.float64)
+    mx_a = np.asarray(mx, dtype=np.float64)
+    span = mx_a - mn_a
+    dim = mn_a.size
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("codes", T.BinaryType(), False),
+            T.StructField("nrm2", T.DoubleType(), False),
+        ]
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for b in batches:
+            V = np.asarray([list(v) for v in b[vec_col]], dtype=np.float64)
+            n = len(V)
+            if n:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t = np.where(span > 0, (V - mn_a) / span * 255.0, 0.0)
+                codes = np.clip(np.floor(t + 0.5), 0, 255).astype(np.uint8)
+                dq = mn_a + codes * (span / 255.0)
+                # dimension-order accumulation: same addend order as the
+                # SQL oracle's sequential list_dot_product
+                nrm2 = np.zeros(n)
+                for i in range(dim):
+                    nrm2 += dq[:, i] * dq[:, i]
+            else:
+                codes = np.empty((0, dim), dtype=np.uint8)
+                nrm2 = np.array([], dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col].astype("int64"),
+                    "codes": [c.tobytes() for c in codes],
+                    "nrm2": nrm2,
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def sq8_build(
+    spark,
+    emb: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Prematerialize the SQ8 serving layout:
+
+    * ``{out_dir}/codes`` — (id, dim-byte codes, nrm2) parquet: the table
+      a serving scan reads INSTEAD of the raw vectors (4× vs float32);
+    * ``{out_dir}/sq8.json`` — per-dim bounds, the few-KB driver artifact
+      :func:`sq8_serve_topk` turns into query-side constants.
+
+    No training, no seed: the layout is a deterministic function of the
+    corpus, so incremental appends only need a bounds-violation check."""
+    import json
+
+    mn, mx = sq8_train_bounds(emb, id_col, vec_col)
+    sq8_encode(emb, mn, mx, id_col, vec_col).write.mode("overwrite").parquet(
+        f"{out_dir}/codes"
+    )
+    meta = {
+        "dim": len(mn),
+        "mn": [float(x) for x in mn],
+        "mx": [float(x) for x in mx],
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "bytes_per_vector": len(mn),
+    }
+    tmp = os.path.join(out_dir, "sq8.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(out_dir, "sq8.json"))
+
+
+def sq8_adc_topk(
+    codes: DataFrame,
+    mn: list,
+    mx: list,
+    query_vec: list,
+    k: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over an SQ8 codes table → (id, score):
+    cosine(q, dequantize(codes)) where the dequantized value never
+    leaves a register — ``dq_i = mn_i + c_i·(span_i/255)`` is folded
+    into the dot product per dimension (the exact expression tree the
+    SQL oracle evaluates, so 6dp-rounded scores hash-match); the stored
+    ``nrm2`` supplies the row norm without re-reading raw floats.
+    Zero-norm rows are excluded (no defined cosine); a zero query
+    returns empty. Rounded 6dp, (score desc, id asc) ties."""
+    mn_a = np.asarray(mn, dtype=np.float64)
+    mx_a = np.asarray(mx, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dim = mn_a.size
+    if q.size != dim:
+        raise ValueError(f"query dim {q.size} != layout dim {dim}")
+    qn2 = 0.0
+    for x in q:  # sequential, mirroring the oracle's list_dot_product
+        qn2 += x * x
+    if qn2 == 0.0:
+        return codes.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double"
+        )
+    qn = float(np.sqrt(qn2))
+    step = (mx_a - mn_a) / 255.0  # per-dim dequantization step
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("score", T.DoubleType(), False),
+        ]
+    )
+
+    def adc(batches):
+        import pandas as pd
+
+        for b in batches:
+            n = len(b)
+            if n:
+                C = np.frombuffer(
+                    b"".join(b["codes"]), dtype=np.uint8
+                ).reshape(n, dim).astype(np.float64)
+                nrm2 = b["nrm2"].to_numpy(dtype=np.float64)
+                # dimension-order accumulation == the oracle's
+                # sequential list_dot_product(qv, dqv), with dq built
+                # by the same expression tree: mn + c·(span/255)
+                dot = np.zeros(n)
+                for i in range(dim):
+                    dot += q[i] * (mn_a[i] + C[:, i] * step[i])
+                keep = nrm2 > 0
+                sc = np.round(dot[keep] / (np.sqrt(nrm2[keep]) * qn), 6)
+                ids = b[id_col].to_numpy(dtype="int64")[keep]
+            else:
+                sc = np.array([], dtype=np.float64)
+                ids = np.array([], dtype="int64")
+            yield pd.DataFrame({id_col: ids, "score": sc})
+
+    return (
+        codes.mapInPandas(adc, out_schema)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def sq8_serve_topk(
+    spark,
+    sq8_dir: str,
+    query_vec: list,
+    k: int = 20,
+    rerank: int = 0,
+    emb: DataFrame | None = None,
+    allowed: DataFrame | None = None,
+) -> DataFrame:
+    """Serve ANN from a :func:`sq8_build` layout: load the per-dim
+    bounds, scan the codes table (raw vectors never read), optionally
+    exact-rerank the top ``rerank`` candidates against the raw
+    embeddings — the same two-stage contract as :func:`pq_serve_topk`.
+    ``allowed`` semi-joins the codes table (pre-filter semantics)."""
+    import json
+
+    with open(f"{sq8_dir}/sq8.json") as f:
+        meta = json.load(f)
+    codes = spark.read.parquet(f"{sq8_dir}/codes")
+    if allowed is not None:
+        codes = codes.join(
+            allowed.select(meta["id_col"]), meta["id_col"], "leftsemi"
+        )
+    if rerank <= 0:
+        return sq8_adc_topk(
+            codes, meta["mn"], meta["mx"], query_vec, k, meta["id_col"]
+        )
+    if emb is None:
+        raise ValueError("rerank > 0 needs the raw embeddings via emb=")
+    cand = sq8_adc_topk(
+        codes, meta["mn"], meta["mx"], query_vec, rerank, meta["id_col"]
+    ).select(meta["id_col"])
+    return cosine_topk(
+        emb, query_vec, k, meta["id_col"], meta["vec_col"], allowed=cand
+    )

@@ -1134,6 +1134,73 @@ def _ivfpq_oracle_sql() -> str:
     )
 
 
+def _sq8_layout(spark, sf_dir) -> str:
+    """Build (once per corpus CONTENT) the prematerialized SQ8 serving
+    layout — per-dim-quantized codes table + bounds artifact — under
+    /tmp; same content-keyed idempotent cache scheme as
+    :func:`_pq_layout`. SQ8 needs NO seed and NO training: the bounds
+    are the corpus per-dimension min/max, so the oracle recomputes them
+    in SQL instead of embedding literals."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(src)
+    key = f"v1:sq8:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "se_sq8_" + hashlib.md5(key.encode()).hexdigest()[:10],
+    )
+    if not os.path.exists(os.path.join(d, "sq8.json")):
+        similarity.sq8_build(spark, _t(spark, sf_dir, "embeddings"), d)
+    return d
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN, hash-gated end-to-end: every vector
+    stored as one uint8 per dimension (4× smaller than float32; the
+    cheap no-training compression tier next to PQ's 32×), top-20 by
+    cosine against the DEQUANTIZED vectors — the serving scan reads the
+    codes table plus the stored dequantized norm, never the raw floats.
+    The oracle recomputes the per-dim bounds, the half-up quantizer,
+    the dequantization, and the cosine in SQL, so a hash match verifies
+    the trained bounds, the codes table, and the ADC scan together."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    ]
+    return similarity.sq8_serve_topk(spark, _sq8_layout(spark, sf_dir), qvec, k=20)
+
+
+def _sq8_oracle_sql() -> str:
+    """Replay q_ann_sq8_topk in DuckDB: per-dim (min, max) bounds over
+    the corpus, half-up quantization ``clip(floor((x-mn)/span·255+.5),
+    0, 255)`` (a constant dim encodes to 0 and dequantizes to mn),
+    dequantize ``mn + code·span/255``, then cosine(q, dq) — the
+    dequantized vector rebuilt as a dim-ordered list so
+    ``list_dot_product``'s sequential accumulation matches the engine's
+    dimension-order loops bit-for-bit before the 6dp round."""
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),"
+        f" dims AS (SELECT unnest(range({LSH_DIM})) AS i),"
+        " x AS (SELECT vec_id, i, v[i + 1] AS x FROM e CROSS JOIN dims),"
+        " b AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY i),"
+        " dq AS (SELECT vec_id, i, mn + (CASE WHEN mx > mn THEN"
+        "     least(greatest(floor((x - mn) / (mx - mn) * 255 + 0.5), 0), 255)"
+        "   ELSE 0 END) * ((mx - mn) / 255.0) AS d"
+        "   FROM x JOIN b USING (i)),"
+        " dv AS (SELECT vec_id, list(d ORDER BY i) AS dv FROM dq GROUP BY vec_id),"
+        " q AS (SELECT v AS qv FROM e WHERE vec_id = 0)"
+        " SELECT vec_id, round(list_dot_product(dv, qv)"
+        "   / (sqrt(list_dot_product(dv, dv)) * sqrt(list_dot_product(qv, qv))),"
+        "   6) AS score"
+        " FROM dv CROSS JOIN q WHERE list_dot_product(dv, dv) > 0"
+        " ORDER BY score DESC, vec_id ASC LIMIT 20"
+    )
+
+
 HYBRID_RRF_C, HYBRID_N_EACH = 60, 20
 
 
@@ -3122,6 +3189,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_sq8_topk": q_ann_sq8_topk,
     "hybrid_rrf_topk": q_hybrid_rrf_topk,
     "score_explain": q_score_explain,
     "bm25_page2": q_bm25_page2,
@@ -3383,6 +3451,7 @@ ORACLES = {
     ),
     "ann_pq_topk": _pq_oracle_sql(),
     "ann_ivfpq_topk": _ivfpq_oracle_sql(),
+    "ann_sq8_topk": _sq8_oracle_sql(),
     "score_explain": (
         f"WITH dt AS ({SQL_DOC_TERMS}),"
         " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"

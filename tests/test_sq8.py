@@ -1,0 +1,140 @@
+"""Scalar-quantized (SQ8) ANN (similarity.sq8_*): per-dimension uint8
+quantization round-trip error bound, ADC recall vs the exact ranking,
+the serving layout + filtered/reranked serving contract, and edge cases
+(constant dimension, zero query, empty corpus)."""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def _exact_ids(emb, q, k):
+    return [r["vec_id"] for r in sim.cosine_topk(emb, q, k).collect()]
+
+
+def _q(emb, vid=0):
+    return [float(x) for x in
+            emb.where(F.col("vec_id") == vid).first()["embedding"]]
+
+
+def test_bounds_and_encode_roundtrip(spark, emb):
+    """Per-dim bounds cover the corpus; dequantization error is bounded
+    by half a quantization step per dimension (the SQ8 contract); the
+    stored nrm2 equals the dequantized vector's squared norm."""
+    mn, mx = sim.sq8_train_bounds(emb)
+    rows = emb.limit(50).collect()
+    X = np.asarray([list(r["embedding"]) for r in rows], dtype=np.float64)
+    mn_a, mx_a = np.asarray(mn), np.asarray(mx)
+    assert (X >= mn_a - 1e-12).all() and (X <= mx_a + 1e-12).all()
+    pdf = (
+        sim.sq8_encode(emb, mn, mx)
+        .toPandas()
+        .set_index("vec_id")
+        .loc[[r["vec_id"] for r in rows]]
+    )
+    span = mx_a - mn_a
+    step = np.where(span > 0, span / 255.0, 0.0)
+    C = np.stack(
+        [np.frombuffer(b, dtype=np.uint8) for b in pdf["codes"]]
+    ).astype(np.float64)
+    dq = mn_a + C * step
+    # half-up rounding to the nearest of 256 levels → ≤ step/2 error
+    assert (np.abs(dq - X) <= step / 2 + 1e-9).all()
+    nrm2 = (dq * dq).sum(axis=1)
+    assert np.allclose(pdf["nrm2"].to_numpy(), nrm2, rtol=1e-12)
+
+
+def test_adc_recall_and_rerank(spark, emb, tmp_path):
+    """8-bit per-dim quantization is nearly lossless for ranking: ADC
+    top-10 must recall ≥0.9 of the exact top-10, and the exact-rerank
+    pool covering the corpus must EQUAL the exact ranking."""
+    d = str(tmp_path / "sq8")
+    sim.sq8_build(spark, emb, d)
+    q = _q(emb)
+    exact10 = _exact_ids(emb, q, 10)
+    adc10 = [r["vec_id"] for r in
+             sim.sq8_serve_topk(spark, d, q, k=10).collect()]
+    assert len(set(adc10) & set(exact10)) >= 9
+    n = emb.count()
+    rr_all = [r["vec_id"] for r in
+              sim.sq8_serve_topk(spark, d, q, k=10, rerank=n, emb=emb).collect()]
+    assert rr_all == exact10
+
+
+def test_layout_artifacts_and_filter(spark, emb, tmp_path):
+    """Layout = codes parquet (dim bytes/vector) + bounds JSON; the
+    allowed= pre-filter restricts results without changing surviving
+    scores (same contract as every other ANN variant)."""
+    d = str(tmp_path / "sq8f")
+    sim.sq8_build(spark, emb, d)
+    meta = json.load(open(f"{d}/sq8.json"))
+    assert meta["bytes_per_vector"] == meta["dim"] == 64
+    codes = spark.read.parquet(f"{d}/codes")
+    assert codes.count() == emb.count()
+    q = _q(emb)
+    allowed = emb.where(F.col("vec_id") % 2 == 0).select("vec_id")
+    full = {r["vec_id"]: r["score"]
+            for r in sim.sq8_serve_topk(spark, d, q, k=200).collect()}
+    filt = sim.sq8_serve_topk(spark, d, q, k=10, allowed=allowed).collect()
+    assert filt and all(r["vec_id"] % 2 == 0 for r in filt)
+    for r in filt:
+        if r["vec_id"] in full:
+            assert r["score"] == full[r["vec_id"]]
+
+
+def test_edge_cases(spark, emb):
+    """Constant dimension encodes to 0 / dequantizes to mn; zero query
+    → empty result; empty corpus → loud bounds error; dim mismatch and
+    missing rerank embeddings raise."""
+    rows = [(0, [1.0, 2.0]), (1, [1.0, 3.0]), (2, [1.0, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mn, mx = sim.sq8_train_bounds(df)
+    assert mn[0] == mx[0] == 1.0
+    pdf = sim.sq8_encode(df, mn, mx).toPandas().sort_values("vec_id")
+    first_bytes = [c[0] for c in pdf["codes"]]
+    assert first_bytes == [0, 0, 0]  # constant dim → code 0 → dq = mn
+    out = sim.sq8_adc_topk(sim.sq8_encode(df, mn, mx), mn, mx,
+                           [0.0, 0.0], k=5)
+    assert out.count() == 0
+    empty = df.where(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty"):
+        sim.sq8_train_bounds(empty)
+    with pytest.raises(ValueError, match="dim"):
+        sim.sq8_adc_topk(sim.sq8_encode(df, mn, mx), mn, mx, [1.0], k=5)
+
+
+def test_matches_gate_oracle_shape(spark, emb, tmp_path):
+    """The driver-gate entry's semantics replayed locally: serve from
+    the layout, compare against a numpy replay of bounds → half-up
+    encode → dequantize → cosine, 6dp-rounded, (score desc, id asc)."""
+    d = str(tmp_path / "sq8g")
+    sim.sq8_build(spark, emb, d)
+    q = np.asarray(_q(emb), dtype=np.float64)
+    got = [(r["vec_id"], r["score"])
+           for r in sim.sq8_serve_topk(spark, d, list(q), k=20).collect()]
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    X = np.asarray([list(v) for v in pdf["embedding"]], dtype=np.float64)
+    mn = X.min(axis=0)
+    mx = X.max(axis=0)
+    span = mx - mn
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(span > 0, (X - mn) / span * 255.0, 0.0)
+    dq = mn + np.clip(np.floor(t + 0.5), 0, 255) * (span / 255.0)
+    n2 = (dq * dq).sum(axis=1)
+    keep = n2 > 0
+    cos = np.round(
+        (dq[keep] @ q) / (np.sqrt(n2[keep]) * np.sqrt(q @ q)), 6
+    )
+    ids = pdf["vec_id"].to_numpy()[keep]
+    order = np.lexsort((ids, -cos))[:20]
+    want = [(int(ids[i]), float(cos[i])) for i in order]
+    assert got == want
