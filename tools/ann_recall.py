@@ -137,6 +137,25 @@ def main() -> None:
             record("pq", {"k_centroids": kc, "rerank": rerank}, run_pq)
         codes.unpersist()
 
+    # SQ8: no training — corpus per-dim bounds, then ADC-only and
+    # exact-rerank budgets (the PQ convention: cand_frac = fraction
+    # exactly re-ranked; the ADC pass reads dim bytes/row — a 4×
+    # compressed full scan, so rerank=0 rows show 0.0%).
+    if "sq8" in methods:
+        mn, mx = sim.sq8_train_bounds(emb)
+        sq8_codes = sim.sq8_encode(emb, mn, mx).cache()
+        sq8_codes.count()
+        for rerank in (0, 50, 200):
+            def run_sq8(qv, rerank=rerank):
+                if rerank == 0:
+                    return ids(sim.sq8_adc_topk(sq8_codes, mn, mx, qv, k)), 0
+                cand = sim.sq8_adc_topk(
+                    sq8_codes, mn, mx, qv, rerank).select("vec_id")
+                return ids(sim.cosine_topk(emb, qv, k, allowed=cand)), rerank
+
+            record("sq8", {"rerank": rerank}, run_sq8)
+        sq8_codes.unpersist()
+
     # IVFPQ: one trained layout (cells + residual codebook), nprobe ×
     # rerank sweep. cand_frac counts BOTH cost sources normalized to raw
     # rows: rows whose codes the pruned ADC pass reads scaled by the
@@ -206,6 +225,8 @@ def main() -> None:
                     if c["method"] == "ivf"
                     else f"nprobe={c['nprobe']}, rerank={c['rerank']}"
                     if c["method"] == "ivfpq"
+                    else f"rerank={c['rerank']}"
+                    if c["method"] == "sq8"
                     else f"k_centroids={c['k_centroids']}, rerank={c['rerank']}"
                 ),
                 r=c["recall_at_k"], rmin=c["recall_min"], cf=c["cand_frac"],
