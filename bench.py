@@ -150,6 +150,7 @@ def main() -> None:
         "unigram_logprob", "bigram_logprob", "bpe_token_counts",
         "train_val_split", "per_source_cap", "decontaminate",
         "redact_secrets", "gopher_repetition",
+        "ccnet_buckets", "line_dedup", "url_dedup",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
         "curated_docs",
         "geo_knn", "geo_grid", "geo_bbox",
@@ -164,7 +165,7 @@ def main() -> None:
     # "cold" is deterministic run-to-run.
     import glob
 
-    for pat in ("se_ivf_*", "se_ivfadd_*", "se_lsh_*", "se_pq_*", "se_ivfpq_*", "se_pos_*",
+    for pat in ("se_ivf_*", "se_ivfadd_*", "se_lsh_*", "se_pq_*", "se_ivfpq_*", "se_sq8_*", "se_pos_*",
                 "se_idx_*", "se_tomb_*", "se_purged_*", "se_k1b_*",
                 "se_mrg_*", "se_f_*"):
         for d in glob.glob(os.path.join(tempfile.gettempdir(), pat)):
@@ -284,6 +285,8 @@ def main() -> None:
     timed("ann_pq_topk", lambda: QUERIES["ann_pq_topk"](spark, sf_dir).count())
     timed("ann_ivfpq_cold", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
     timed("ann_ivfpq_topk", lambda: QUERIES["ann_ivfpq_topk"](spark, sf_dir).count())
+    timed("ann_sq8_cold", lambda: QUERIES["ann_sq8_topk"](spark, sf_dir).count())
+    timed("ann_sq8_topk", lambda: QUERIES["ann_sq8_topk"](spark, sf_dir).count())
     timed("hybrid_rrf_topk", lambda: QUERIES["hybrid_rrf_topk"](spark, sf_dir).count())
     timed("score_explain", lambda: QUERIES["score_explain"](spark, sf_dir).count())
     timed("bm25_page2", lambda: QUERIES["bm25_page2"](spark, sf_dir).count())

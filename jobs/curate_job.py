@@ -5,13 +5,21 @@ corpus + one JSON line of per-stage survival metrics.
 Fixed stage order (each opt-in; every stage is one of the hash-gated
 operators, so the pipeline adds composition, not new semantics):
 
+  0. --dedup-lines N  cross-document repeated-line removal
+                      (textstats.dedup_lines): every copy of a line seen
+                      in >= N distinct docs is dropped before any other
+                      text stage looks at it
   1. --c4             line-level cleaning (textstats.c4_clean) — drops
                       boilerplate lines, gates lorem/brace/min-line docs
   2. --redact         PII/secret scrubbing (textstats.redact_secrets)
   3. --min-tokens N   short-document floor (textstats token count)
   4. --lang L         language filter (textstats.language_id)
   5. --dedup          exact-content dedup (first doc_id per digest wins)
-  6. --sample-by COL --sample-rates "en:0.3,de:1.0" [--sample-default R]
+  6. --ccnet H,T      CCNet perplexity gate (sampling.ccnet_buckets):
+                      bucket by corpus-LM score quantiles, drop the
+                      bottom-T tail (runs after dedup so boilerplate
+                      copies don't skew the LM)
+  7. --sample-by COL --sample-rates "en:0.3,de:1.0" [--sample-default R]
                       stratified downsampling (sampling.stratified_sample)
 
 Usage:
@@ -39,6 +47,8 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="curated parquet dir")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--dedup-lines", type=int, default=0, metavar="N",
+                    help="drop every copy of a line in >= N distinct docs")
     ap.add_argument("--c4", action="store_true",
                     help="C4 line cleaning (needs multi-line text)")
     ap.add_argument("--min-words-per-line", type=int, default=5)
@@ -51,6 +61,9 @@ def main() -> None:
                     help="keep only docs language_id classifies as LANG")
     ap.add_argument("--dedup", action="store_true",
                     help="exact-content dedup (min doc_id per digest wins)")
+    ap.add_argument("--ccnet", default=None, metavar="H,T",
+                    help="CCNet quality gate: head,tail fractions; the"
+                         " tail bucket is dropped")
     ap.add_argument("--sample-by", default=None, metavar="COL",
                     help="stratified sampling column (with --sample-rates)")
     ap.add_argument("--sample-rates", default=None, metavar="K:R,K:R",
@@ -78,6 +91,19 @@ def main() -> None:
         return frame
 
     record("input", df)
+
+    if args.dedup_lines > 0:
+        ld = textstats.dedup_lines(
+            df, min_docs=args.dedup_lines, id_col=id_col, text_col=text_col
+        )
+        df = (
+            df.drop(text_col)
+            .join(ld.select(id_col, "clean_text"), id_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+        # a projection by contract (docs emptied, never dropped)
+        if not args.no_counts:
+            stage_counts["dedup_lines"] = stage_counts["input"]
 
     if args.c4:
         cleaned = textstats.c4_clean(
@@ -131,6 +157,14 @@ def main() -> None:
         )
         df = df.join(w_first.select(id_col), id_col, "left_semi")
         df = record("dedup", df)
+
+    if args.ccnet:
+        h, _, t = args.ccnet.partition(",")
+        cb = sampling.ccnet_buckets(
+            df, head=float(h), tail=float(t), id_col=id_col, text_col=text_col
+        )
+        df = df.join(cb.where("keep").select(id_col), id_col, "left_semi")
+        df = record("ccnet", df)
 
     if args.sample_by:
         if not args.sample_rates:

@@ -26,6 +26,10 @@ pipeline (the reference engine has no counterpart — they extend the
   from explicit weights or temperature-scaled token totals (the
   Pile/LLaMA-style multinomial mix), documents taken in concatenation
   order within each source until its quota is spent.
+* :func:`ccnet_buckets` — CCNet-style perplexity bucketing: label every
+  document head/middle/tail by corpus quantiles of its LM quality score
+  (here the corpus-unigram mean log-prob stand-in), the standard
+  "keep the head, sample the middle, drop the tail" quality gate.
 """
 
 from __future__ import annotations
@@ -457,3 +461,57 @@ def source_mix(
     )
     out._source_persisted = arranged  # handle for caller to unpersist
     return out
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    head: float = 1 / 3,
+    tail: float = 1 / 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3): score
+    every document with a corpus LM, split the corpus into
+    head / middle / tail by score quantiles, keep head+middle →
+    (id, n_tokens, mean_logprob, bucket, keep).
+
+    The LM here is :func:`textstats.unigram_logprob`'s corpus-unigram
+    mean log-prob (the same cheap KenLM stand-in the quality gate uses);
+    HIGHER mean log-prob = lower perplexity = better, so the head is the
+    top ``head`` fraction and the tail the bottom ``tail`` fraction.
+    Thresholds are exact interpolated percentiles of the 6dp-rounded
+    scores (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), themselves
+    rounded to 6dp before the comparison so both engines bucket
+    identically; boundary docs (score == threshold) go to the better
+    bucket.
+
+    Shape: the scoring is unigram_logprob's two map-side-combined aggs +
+    one |V|-row join; the thresholds are ONE 1-row global agg broadcast
+    back as a lazy cross join (no driver action, the
+    :func:`textstats.unigram_logprob` Σcf policy) and the labeling is a
+    pure projection. At 100 TB the exact percentile swaps for
+    ``percentile_approx`` (mergeable sketch, one pass) exactly as in the
+    ``value_percentiles`` entry — the exact form is the oracle-checkable
+    ground truth for it.
+    """
+    if not (0 <= head <= 1 and 0 <= tail <= 1 and head + tail <= 1):
+        raise ValueError(f"head={head!r}, tail={tail!r} must be fractions summing <= 1")
+    from searchengine_spark.operators.textstats import unigram_logprob
+
+    lp = unigram_logprob(df, id_col, text_col)
+    cuts = lp.agg(
+        F.round(F.expr(f"percentile(mean_logprob, {1.0 - head!r})"), 6).alias("_t_head"),
+        F.round(F.expr(f"percentile(mean_logprob, {tail!r})"), 6).alias("_t_tail"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("_t_head"), F.lit("head"))
+        .when(F.col("mean_logprob") > F.col("_t_tail"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return lp.crossJoin(F.broadcast(cuts)).select(
+        id_col,
+        "n_tokens",
+        "mean_logprob",
+        bucket.alias("bucket"),
+        (bucket != F.lit("tail")).alias("keep"),
+    )

@@ -445,3 +445,136 @@ def tokens_with_pos(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != F.lit("")
     )
     return df.select(id_col, F.posexplode(arr).alias("pos", "term"))
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-line removal (the CCNet / RefinedWeb
+    paragraph-dedup step): any line that appears in >= ``min_docs``
+    DISTINCT documents is boilerplate (navigation chrome, cookie
+    banners, license footers) and every copy is dropped →
+    (id, clean_text, n_lines, n_removed). Documents reduced to nothing
+    come back with ``clean_text = ''`` — the caller decides whether an
+    emptied doc survives (C4's min-lines gate composes downstream).
+
+    Shape: split + posexplode (narrow), ONE groupBy on
+    ``xxhash64(line)`` — a fixed-width 8-byte shuffle key instead of raw
+    line strings — a semi-join back on the same hash, and one
+    groupBy(doc) reassembly via sorted-struct array_join. All JVM
+    expressions, zero Python. A 64-bit collision could only FALSELY drop
+    a unique line; the driver oracle groups the line STRINGS themselves,
+    so any collision at gate scale fails the hash match loudly (the
+    :func:`dedup.remove_duplicate_spans` verification posture).
+    """
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    lines = df.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("_h", F.xxhash64("line"))
+    boiler = (
+        lines.groupBy("_h")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("_h")
+    )
+    kept = lines.join(boiler, "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def canonical_url(col) -> "F.Column":
+    """Canonical form of a URL column — the normalization web pipelines
+    apply before URL-level dedup and frontier de-queueing. Every step is
+    an RE2-safe regexp or a higher-order array expression (whole-stage
+    codegen, zero shuffle, no lookaheads — replayable verbatim in any
+    regex-capable SQL engine):
+
+    1. strip the ``#fragment`` (never sent to the server);
+    2. lowercase the scheme and host (authority is case-insensitive,
+       path is NOT — ``/Path`` survives);
+    3. drop a ``www.`` host prefix and an explicit default port
+       (``http…:80`` / ``https…:443``);
+    4. split the query on the FIRST ``?`` (a literal ``?`` inside a
+       value is treated as the delimiter — the canonical form need only
+       be stable, and split-first is what both engines compute), drop
+       tracking params (``utm_*``, ``fbclid``, ``gclid``) and empty
+       params by exact name match over the ``&``-split list, rejoin;
+    5. strip one trailing ``/`` from a non-root path (before the ``?``
+       and at the end of the URL).
+    """
+    c = F.trim(col)
+    c = F.regexp_replace(c, r"#.*$", "")
+    # lowercase scheme://host[:port] only: rebuild from capture groups
+    c = F.concat(
+        F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
+        F.regexp_replace(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""),
+    )
+    c = F.regexp_replace(c, r"^([a-z0-9+.-]+://)www\.", r"$1")
+    c = F.regexp_replace(c, r"^(http://[^/:?]*):80([/?].*)?$", r"$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:?]*):443([/?].*)?$", r"$1$2")
+    # query rewrite: name-exact tracking-param filter over the & list
+    qpos = F.instr(c, "?")
+    base = F.when(qpos > 0, F.substring(c, F.lit(1), qpos - 1)).otherwise(c)
+    query = F.when(qpos > 0, F.substring(c, qpos + 1, F.length(c))).otherwise(
+        F.lit("")
+    )
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~F.regexp_extract(p, r"^([^=]*)", 1).rlike(
+            r"^(utm_.*|fbclid|gclid)$"
+        ),
+    )
+    c = F.concat(
+        base,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")),
+    )
+    c = F.regexp_replace(c, r"(.)/\?", r"$1?")
+    c = F.regexp_replace(c, r"(.)/$", r"$1")
+    return c
+
+
+def url_dedup(
+    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL-level exact dedup AFTER canonicalization → one row per
+    canonical URL: (canonical_url, canonical_id = min id, dup_count).
+    The :func:`dedup.exact_duplicates` shape (hash-groupBy, map-side
+    combined) keyed on :func:`canonical_url` instead of a content
+    digest — the cheap first dedup pass of any crawl, catching
+    http/https, www, tracking-param and trailing-slash variants of the
+    same page before content ever gets compared."""
+    return (
+        df.select(id_col, canonical_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )

@@ -5026,3 +5026,168 @@ ORACLES["geo_bbox"] = (
     " AND (lon >= CAST(150.0 AS DOUBLE) OR lon <= CAST(-150.0 AS DOUBLE))"
     " GROUP BY event_type"
 )
+
+
+# ---------------------------------------------------------------------------
+# round-5 curation additions: CCNet buckets, line dedup, URL dedup
+# ---------------------------------------------------------------------------
+
+CCNET_HEAD, CCNET_TAIL = 1 / 3, 1 / 3
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet perplexity bucketing (sampling.ccnet_buckets, Wenzek et al.
+    2020): per-doc corpus-unigram mean log-prob → head/middle/tail by
+    exact interpolated corpus percentiles (rounded 6dp before the
+    comparison so both engines bucket identically), keep = not tail."""
+    from searchengine_spark.operators import sampling
+
+    return sampling.ccnet_buckets(
+        _docs(spark, sf_dir), head=CCNET_HEAD, tail=CCNET_TAIL
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document repeated-line removal (textstats.dedup_lines — the
+    CCNet/RefinedWeb boilerplate-line dedup). The corpus is single-line,
+    so BOTH sides build the same deterministic multi-line page per doc
+    (a mostly-unique head line from the text, a shared footer on even
+    ids, a shared nav line on ids%5==0): the hash then verifies the
+    cross-doc line counting, the ALL-copies drop rule, and the
+    position-ordered reassembly. The engine shuffles xxhash64(line)
+    while the oracle groups line STRINGS — a collision fails loudly."""
+    from searchengine_spark.operators import textstats as ts
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50),
+            F.lit("\n"),
+            F.when(d % 2 == 0, F.lit("common footer line.")).otherwise(
+                F.concat(F.lit("solo "), d.cast("string"))
+            ),
+            F.when(d % 5 == 0, F.lit("\nnav menu home")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ts.dedup_lines(aug, min_docs=2)
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + URL-level dedup (textstats.canonical_url /
+    url_dedup). BOTH sides synthesize the same messy URL per doc —
+    scheme/host case, www, explicit default port, trailing slash,
+    utm_ tracking param, fragment — so the hash verifies every
+    normalization step AND the canonical grouping (variants of the same
+    (site, page, id) triple collapse to one row)."""
+    from searchengine_spark.operators import textstats as ts
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.when(d % 2 == 0, F.lit("HTTPS://WWW.")).otherwise(F.lit("https://")),
+            F.lit("site"),
+            (d % 25).cast("string"),
+            F.lit(".com"),
+            F.when(d % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/page/"),
+            (d % 7).cast("string"),
+            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.lit("?id="),
+            (d % 5).cast("string"),
+            F.lit("&utm_source=s"),
+            d.cast("string"),
+            F.when(d % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return ts.url_dedup(aug)
+
+
+QUERIES["ccnet_buckets"] = q_ccnet_buckets
+QUERIES["line_dedup"] = q_line_dedup
+QUERIES["url_dedup"] = q_url_dedup
+
+ORACLES["ccnet_buckets"] = (
+    f"WITH toks AS ({SQL_TOKENS}),"
+    " lm AS (SELECT term, count(*) AS cf FROM toks GROUP BY term),"
+    " tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS total FROM lm),"
+    " lp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    "   round(avg(ln(cf / total)), 6) AS mean_logprob"
+    "   FROM toks JOIN lm USING (term) CROSS JOIN tot GROUP BY doc_id),"
+    " cuts AS (SELECT"
+    f"   round(quantile_cont(mean_logprob, {1.0 - CCNET_HEAD!r}), 6) AS t_head,"
+    f"   round(quantile_cont(mean_logprob, {CCNET_TAIL!r}), 6) AS t_tail"
+    "   FROM lp)"
+    " SELECT doc_id, n_tokens, mean_logprob,"
+    " CASE WHEN mean_logprob >= t_head THEN 'head'"
+    "      WHEN mean_logprob > t_tail THEN 'middle'"
+    "      ELSE 'tail' END AS bucket,"
+    " (CASE WHEN mean_logprob >= t_head THEN 'head'"
+    "       WHEN mean_logprob > t_tail THEN 'middle'"
+    "       ELSE 'tail' END) <> 'tail' AS keep"
+    " FROM lp CROSS JOIN cuts"
+)
+
+ORACLES["line_dedup"] = (
+    "WITH aug AS (SELECT doc_id, substr(text, 1, 50) || chr(10)"
+    " || CASE WHEN doc_id % 2 = 0 THEN 'common footer line.'"
+    "    ELSE 'solo ' || CAST(doc_id AS VARCHAR) END"
+    " || CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'nav menu home'"
+    "    ELSE '' END AS t FROM documents),"
+    " p AS (SELECT doc_id, string_split(t, chr(10)) AS parts FROM aug),"
+    " ls AS (SELECT doc_id, parts,"
+    "   unnest(generate_series(1, len(parts))) AS pos FROM p),"
+    " lines AS (SELECT doc_id, pos, parts[pos] AS line FROM ls),"
+    " boiler AS (SELECT line FROM lines GROUP BY line"
+    "   HAVING count(DISTINCT doc_id) >= 2),"
+    " kept AS (SELECT doc_id, pos, line FROM lines"
+    "   WHERE line NOT IN (SELECT line FROM boiler)),"
+    " reb AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos)"
+    "   AS clean_text, count(*) AS n_kept FROM kept GROUP BY doc_id),"
+    " tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)"
+    " SELECT doc_id, COALESCE(clean_text, '') AS clean_text,"
+    " CAST(n_lines AS BIGINT) AS n_lines,"
+    " CAST(n_lines - COALESCE(n_kept, 0) AS BIGINT) AS n_removed"
+    " FROM tot LEFT JOIN reb USING (doc_id)"
+)
+
+ORACLES["url_dedup"] = (
+    "WITH aug AS (SELECT doc_id,"
+    " CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END"
+    " || 'site' || CAST(doc_id % 25 AS VARCHAR) || '.com'"
+    " || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END"
+    " || '/page/' || CAST(doc_id % 7 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END"
+    " || '?id=' || CAST(doc_id % 5 AS VARCHAR)"
+    " || '&utm_source=s' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END AS url"
+    " FROM documents),"
+    # canonical_url replayed step-for-step (RE2, no lookaheads)
+    " c1 AS (SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS c FROM aug),"
+    " c2 AS (SELECT doc_id,"
+    "   lower(regexp_extract(c, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1))"
+    "   || regexp_replace(c, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS c FROM c1),"
+    " c3 AS (SELECT doc_id,"
+    "   regexp_replace(c, '^([a-z0-9+.-]+://)www\\.', '\\1') AS c FROM c2),"
+    " c4 AS (SELECT doc_id,"
+    "   regexp_replace(c, '^(http://[^/:?]*):80([/?].*)?$', '\\1\\2') AS c FROM c3),"
+    " c5 AS (SELECT doc_id,"
+    "   regexp_replace(c, '^(https://[^/:?]*):443([/?].*)?$', '\\1\\2') AS c FROM c4),"
+    " q AS (SELECT doc_id, c, strpos(c, '?') AS qp FROM c5),"
+    " sp AS (SELECT doc_id,"
+    "   CASE WHEN qp > 0 THEN substr(c, 1, qp - 1) ELSE c END AS base,"
+    "   list_filter(string_split("
+    "     CASE WHEN qp > 0 THEN substr(c, qp + 1) ELSE '' END, '&'),"
+    "     p -> p <> '' AND NOT regexp_matches("
+    "       regexp_extract(p, '^([^=]*)', 1), '^(utm_.*|fbclid|gclid)$'))"
+    "   AS params FROM q),"
+    " c6 AS (SELECT doc_id, base || CASE WHEN len(params) > 0"
+    "   THEN '?' || array_to_string(params, '&') ELSE '' END AS c FROM sp),"
+    " c7 AS (SELECT doc_id,"
+    "   regexp_replace(c, '(.)/\\?', '\\1?') AS c FROM c6),"
+    " canon AS (SELECT doc_id,"
+    "   regexp_replace(c, '(.)/$', '\\1') AS c FROM c7)"
+    " SELECT c AS canonical_url, min(doc_id) AS canonical_id,"
+    " CAST(count(*) AS BIGINT) AS dup_count FROM canon GROUP BY c"
+)

@@ -1,0 +1,180 @@
+"""Round-5 curation operators: CCNet perplexity buckets
+(sampling.ccnet_buckets), cross-document repeated-line removal
+(textstats.dedup_lines), and URL canonicalization + URL-level dedup
+(textstats.canonical_url / url_dedup).
+
+The driver gate hash-verifies each on the shared corpus; these tests
+cover hand-checkable semantics the gate's random-vocab data can't —
+messy real-shaped URLs, planted boilerplate lines, bucket boundary and
+argument-validation behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import sampling
+from searchengine_spark.operators.textstats import (
+    canonical_url,
+    dedup_lines,
+    url_dedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+# ---------------------------------------------------------------------------
+# canonical_url / url_dedup
+# ---------------------------------------------------------------------------
+
+URL_CASES = [
+    # (raw, canonical)
+    ("HTTPS://WWW.Example.com:443/Path/?utm_source=x&id=1#frag",
+     "https://example.com/Path?id=1"),
+    ("https://example.com/Path?id=1", "https://example.com/Path?id=1"),
+    ("http://site.org:80/a/b/", "http://site.org/a/b"),
+    ("http://site.org/a/b", "http://site.org/a/b"),
+    # tracking params dropped wherever they sit; order of survivors kept
+    ("https://example.com/p?utm_campaign=z&id=1&fbclid=abc&b=2",
+     "https://example.com/p?id=1&b=2"),
+    # all params tracking -> no '?' at all
+    ("https://example.com/p?utm_source=x&gclid=1", "https://example.com/p"),
+    # empty params ('&&') dropped
+    ("https://example.com/p?a=1&&b=2", "https://example.com/p?a=1&b=2"),
+    # root slash survives (non-root trailing slash rule)
+    ("https://example.com/", "https://example.com"),
+    # path case is significant; host case is not
+    ("https://EXample.com/CaseSensitive", "https://example.com/CaseSensitive"),
+    # :8080 is NOT a default port; www on http; fragment-only query
+    ("http://WWW.host.net:8080/x#sec", "http://host.net:8080/x"),
+    # utm_ prefix must anchor the NAME, not a substring of the value
+    ("https://example.com/p?q=utm_source", "https://example.com/p?q=utm_source"),
+    # param named exactly like a tracking name with no value
+    ("https://example.com/p?fbclid&a=1", "https://example.com/p?a=1"),
+    # name merely starting with fbclid... is NOT dropped (exact-name rule)
+    ("https://example.com/p?fbclidx=1", "https://example.com/p?fbclidx=1"),
+]
+
+
+def test_canonical_url_cases(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(URL_CASES)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", canonical_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (raw, want) in enumerate(URL_CASES):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"
+
+
+def test_url_dedup_groups_variants(spark):
+    variants = [
+        (0, "https://example.com/Path?id=1"),
+        (1, "HTTPS://WWW.example.com:443/Path/?id=1&utm_source=x"),
+        (2, "https://example.com/Path?id=1#top"),
+        (3, "https://example.com/Other"),
+    ]
+    df = spark.createDataFrame(variants, "doc_id long, url string")
+    rows = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert rows["https://example.com/Path?id=1"]["dup_count"] == 3
+    assert rows["https://example.com/Path?id=1"]["canonical_id"] == 0
+    assert rows["https://example.com/Other"]["dup_count"] == 1
+
+
+# ---------------------------------------------------------------------------
+# dedup_lines
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_removes_all_copies(spark):
+    docs = [
+        (0, "alpha beta\ncommon footer\nunique zero"),
+        (1, "gamma delta\ncommon footer\nunique one"),
+        (2, "no boiler here\nsolo line"),
+        (3, "common footer"),  # the whole doc is boilerplate
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "alpha beta\nunique zero"
+    assert out[1]["clean_text"] == "gamma delta\nunique one"
+    assert out[0]["n_removed"] == 1 and out[0]["n_lines"] == 3
+    # untouched doc round-trips byte-identically
+    assert out[2]["clean_text"] == docs[2][1] and out[2]["n_removed"] == 0
+    # fully-boilerplate doc still present, emptied
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 1
+
+
+def test_dedup_lines_within_doc_repeat_survives(spark):
+    # the SAME line twice in ONE doc is not cross-doc boilerplate
+    docs = [(0, "dup line\ndup line\nbody"), (1, "other text")]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0]["clean_text"] == "dup line\ndup line\nbody"
+    assert out[0]["n_removed"] == 0
+
+
+def test_dedup_lines_min_docs_threshold(spark):
+    docs = [(i, "shared\nbody %d" % i) for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # threshold above the replication level -> nothing removed
+    out4 = dedup_lines(df, min_docs=4).collect()
+    assert all(r["n_removed"] == 0 for r in out4)
+    out3 = {r["doc_id"]: r for r in dedup_lines(df, min_docs=3).collect()}
+    assert all(out3[i]["clean_text"] == "body %d" % i for i in range(3))
+    with pytest.raises(ValueError):
+        dedup_lines(df, min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_fractions_and_keep(spark, docs):
+    out = sampling.ccnet_buckets(docs).cache()
+    n = out.count()
+    assert n == docs.count()
+    by = {r["bucket"]: r["count"] for r in out.groupBy("bucket").count().collect()}
+    # thirds within interpolation slack
+    assert abs(by.get("head", 0) - n / 3) <= 2
+    assert abs(by.get("tail", 0) - n / 3) <= 2
+    # keep == not tail, and bucket order follows the score order
+    assert out.where((F.col("bucket") == "tail") & F.col("keep")).count() == 0
+    assert out.where((F.col("bucket") != "tail") & ~F.col("keep")).count() == 0
+    mins = {
+        r["bucket"]: (r["lo"], r["hi"])
+        for r in out.groupBy("bucket")
+        .agg(F.min("mean_logprob").alias("lo"), F.max("mean_logprob").alias("hi"))
+        .collect()
+    }
+    assert mins["head"][0] >= mins["middle"][1] - 1e-9
+    assert mins["middle"][0] >= mins["tail"][1] - 1e-9
+    out.unpersist()
+
+
+def test_ccnet_buckets_deterministic_and_skewed_fractions(spark, docs):
+    a = sampling.ccnet_buckets(docs, head=0.1, tail=0.5).toPandas()
+    b = sampling.ccnet_buckets(docs, head=0.1, tail=0.5).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert a["bucket"].tolist() == b["bucket"].tolist()
+    n = len(a)
+    assert abs((a["bucket"] == "head").sum() - 0.1 * n) <= 2
+    assert abs((a["bucket"] == "tail").sum() - 0.5 * n) <= 2
+    with pytest.raises(ValueError):
+        sampling.ccnet_buckets(docs, head=0.7, tail=0.7)
