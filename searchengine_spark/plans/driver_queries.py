@@ -5191,3 +5191,112 @@ ORACLES["url_dedup"] = (
     " SELECT c AS canonical_url, min(doc_id) AS canonical_id,"
     " CAST(count(*) AS BIGINT) AS dup_count FROM canon GROUP BY c"
 )
+
+
+# ---------------------------------------------------------------------------
+# search-quality evaluation (operators/rankeval.py — ES _rank_eval)
+# ---------------------------------------------------------------------------
+
+RANKEVAL_K = 10
+RANKEVAL_QUERIES = {0: QTERMS, 1: ["batch", "window"]}
+
+
+def q_rank_eval(spark, sf_dir):
+    """ES _rank_eval re-expressed as one distributed job
+    (operators/rankeval.rank_eval): two fixed queries scored by the
+    shared declarative BM25 path (every scored doc, not just top-20),
+    judged by a deterministic graded rule BOTH sides derive from the
+    corpus — grade = number of DISTINCT query terms the doc uses at
+    least 3 times (tf >= 3), a rule BM25 correlates with but does not
+    equal, so the metrics land strictly between 0 and 1 —
+    then precision/recall/MRR/NDCG at k=10 per query. The hash verifies
+    the ranking window, the ES grading conventions (unjudged = 0, gains
+    2^g − 1), the judgment-pool IDCG, and every rounded metric."""
+    from searchengine_spark.operators.rankeval import rank_eval
+
+    dt = q_doc_terms(spark, sf_dir)
+    res = judg = None
+    for qid, terms in RANKEVAL_QUERIES.items():
+        scored = _bm25_topk_over(spark, sf_dir, terms, limit=None).withColumn(
+            "query_id", F.lit(qid)
+        )
+        g = (
+            dt.where(F.col("term").isin(terms) & (F.col("tf") >= 3))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term").cast("int").alias("grade"))
+            .withColumn("query_id", F.lit(qid))
+        )
+        res = scored if res is None else res.unionByName(scored)
+        judg = g if judg is None else judg.unionByName(g)
+    return rank_eval(res, judg, k=RANKEVAL_K)
+
+
+QUERIES["rank_eval"] = q_rank_eval
+
+
+def _rankeval_scored_sql(qid: int, terms) -> str:
+    qlist = ",".join(f"'{t}'" for t in terms)
+    return (
+        f"SELECT {qid} AS query_id, doc_id, round(sum(c), 6) AS score FROM ("
+        f" SELECT dt.doc_id, ln(1 + (n.n - df + 0.5) / (df + 0.5))"
+        f" * (tf * ({K1} + 1)) / (tf + {K1} * (1 - {B} + {B} * (dl / avgdl))) AS c"
+        f" FROM dt JOIN st USING (doc_id) JOIN td USING (term)"
+        f" CROSS JOIN n CROSS JOIN ad WHERE dt.term IN ({qlist})"
+        ") GROUP BY doc_id"
+    )
+
+
+def _rankeval_judg_sql(qid: int, terms) -> str:
+    qlist = ",".join(f"'{t}'" for t in terms)
+    return (
+        f"SELECT {qid} AS query_id, doc_id,"
+        f" CAST(count(DISTINCT term) AS INT) AS grade"
+        f" FROM dt WHERE term IN ({qlist}) AND tf >= 3 GROUP BY doc_id"
+    )
+
+
+ORACLES["rank_eval"] = (
+    f"WITH dt AS ({SQL_DOC_TERMS}),"
+    " st AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM dt GROUP BY doc_id),"
+    " td AS (SELECT term, count(*) AS df FROM dt GROUP BY term),"
+    " n AS (SELECT count(*) AS n FROM documents),"
+    " ad AS (SELECT avg(dl) AS avgdl FROM st),"
+    " res AS ("
+    + " UNION ALL ".join(
+        _rankeval_scored_sql(qid, terms) for qid, terms in RANKEVAL_QUERIES.items()
+    )
+    + "), rel AS ("
+    + " UNION ALL ".join(
+        _rankeval_judg_sql(qid, terms) for qid, terms in RANKEVAL_QUERIES.items()
+    )
+    + "),"
+    " top AS (SELECT query_id, doc_id, score, row_number() OVER ("
+    "   PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank"
+    f"   FROM res QUALIFY rank <= {RANKEVAL_K}),"
+    " graded AS (SELECT t.query_id, t.doc_id, t.rank,"
+    "   CAST(COALESCE(r.grade, 0) AS DOUBLE) AS g0"
+    "   FROM top t LEFT JOIN rel r USING (query_id, doc_id)),"
+    " per AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_returned,"
+    "   CAST(sum(CASE WHEN g0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_at_k,"
+    f"   round(sum(CASE WHEN g0 > 0 THEN 1.0 ELSE 0.0 END) / {RANKEVAL_K}, 6)"
+    "   AS precision_at_k,"
+    "   round(COALESCE(max(CASE WHEN g0 > 0 THEN 1.0 / rank END), 0.0), 6)"
+    "   AS mrr_at_k,"
+    "   sum((pow(2.0, g0) - 1) / log2(rank + 1.0)) AS dcg"
+    "   FROM graded GROUP BY query_id),"
+    " tot AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_total"
+    "   FROM rel GROUP BY query_id),"
+    " ideal AS (SELECT query_id,"
+    "   sum((pow(2.0, CAST(grade AS DOUBLE)) - 1) / log2(irank + 1.0)) AS idcg"
+    "   FROM (SELECT query_id, grade, row_number() OVER ("
+    "     PARTITION BY query_id ORDER BY grade DESC, doc_id ASC) AS irank"
+    f"     FROM rel) WHERE irank <= {RANKEVAL_K} GROUP BY query_id)"
+    " SELECT p.query_id, n_returned, n_rel_at_k,"
+    " CAST(COALESCE(n_rel_total, 0) AS BIGINT) AS n_rel_total, precision_at_k,"
+    " round(CASE WHEN COALESCE(n_rel_total, 0) > 0"
+    "   THEN n_rel_at_k / CAST(n_rel_total AS DOUBLE) ELSE 0.0 END, 6)"
+    " AS recall_at_k, mrr_at_k,"
+    " round(CASE WHEN COALESCE(idcg, 0.0) > 0 THEN dcg / idcg ELSE 0.0 END, 6)"
+    " AS ndcg_at_k"
+    " FROM per p LEFT JOIN tot USING (query_id) LEFT JOIN ideal USING (query_id)"
+)

@@ -1,0 +1,86 @@
+"""Search-quality evaluation (operators/rankeval.rank_eval): hand-
+computed precision/recall/MRR/NDCG vectors, the ES grading conventions
+(unjudged = 0, graded gains), cutoff and edge-case behavior."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.rankeval import rank_eval
+
+
+def _mk(spark, results, judgments):
+    r = spark.createDataFrame(results, "query_id long, doc_id long, score double")
+    j = spark.createDataFrame(judgments, "query_id long, doc_id long, grade int")
+    return r, j
+
+
+def test_hand_computed_metrics(spark):
+    # q0: ranked 10,11,12 (scores 3>2>1); rel: 10(g2), 12(g1), 99(g1, missed)
+    results = [(0, 10, 3.0), (0, 11, 2.0), (0, 12, 1.0)]
+    judg = [(0, 10, 2), (0, 12, 1), (0, 99, 1)]
+    r, j = _mk(spark, results, judg)
+    out = rank_eval(r, j, k=3).collect()[0]
+    assert out["n_returned"] == 3
+    assert out["n_rel_at_k"] == 2 and out["n_rel_total"] == 3
+    assert out["precision_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["recall_at_k"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["mrr_at_k"] == pytest.approx(1.0)  # first hit at rank 1
+    dcg = (2**2 - 1) / math.log2(2) + 0.0 + (2**1 - 1) / math.log2(4)
+    idcg = (2**2 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3) + (
+        2**1 - 1
+    ) / math.log2(4)
+    assert out["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
+
+
+def test_perfect_and_zero_rankings(spark):
+    # q0 perfect order (grades 2,1 in that order), q1 nothing relevant
+    results = [(0, 1, 9.0), (0, 2, 8.0), (1, 5, 9.0), (1, 6, 8.0)]
+    judg = [(0, 1, 2), (0, 2, 1), (1, 7, 1)]
+    r, j = _mk(spark, results, judg)
+    out = {o["query_id"]: o for o in rank_eval(r, j, k=2).collect()}
+    assert out[0]["ndcg_at_k"] == pytest.approx(1.0)
+    assert out[0]["recall_at_k"] == pytest.approx(1.0)
+    assert out[1]["precision_at_k"] == 0.0
+    assert out[1]["mrr_at_k"] == 0.0 and out[1]["ndcg_at_k"] == 0.0
+    assert out[1]["n_rel_total"] == 1  # judged but missed -> recall 0
+    assert out[1]["recall_at_k"] == 0.0
+
+
+def test_cutoff_and_tiebreak(spark):
+    # 5 results, k=2: the relevant doc at rank 3 is invisible; score tie
+    # broken by doc_id asc (20 before 21)
+    results = [(0, 20, 5.0), (0, 21, 5.0), (0, 22, 4.0)]
+    judg = [(0, 22, 1), (0, 21, 1)]
+    r, j = _mk(spark, results, judg)
+    out = rank_eval(r, j, k=2).collect()[0]
+    assert out["n_returned"] == 2
+    assert out["n_rel_at_k"] == 1  # 21 at rank 2; 22 cut off
+    assert out["mrr_at_k"] == pytest.approx(0.5)
+    # precision divides by k, not by n_returned
+    short = rank_eval(
+        spark.createDataFrame([(0, 20, 5.0)], "query_id long, doc_id long, score double"),
+        j, k=2,
+    ).collect()[0]
+    assert short["n_returned"] == 1 and short["precision_at_k"] == 0.0
+
+
+def test_unjudged_query_and_validation(spark):
+    r, j = _mk(spark, [(3, 1, 1.0)], [(0, 1, 1)])
+    out = {o["query_id"]: o for o in rank_eval(r, j, k=5).collect()}
+    assert out[3]["n_rel_total"] == 0 and out[3]["ndcg_at_k"] == 0.0
+    with pytest.raises(ValueError):
+        rank_eval(r, j, k=0)
+
+
+def test_idcg_uses_full_judgment_pool(spark):
+    # a query returning only a grade-1 doc while a grade-3 judgment
+    # exists: IDCG is computed over the JUDGMENTS, so ndcg < 1
+    results = [(0, 1, 1.0)]
+    judg = [(0, 1, 1), (0, 2, 3)]
+    r, j = _mk(spark, results, judg)
+    out = rank_eval(r, j, k=2).collect()[0]
+    dcg = (2**1 - 1) / math.log2(2)
+    idcg = (2**3 - 1) / math.log2(2) + (2**1 - 1) / math.log2(3)
+    assert out["ndcg_at_k"] == pytest.approx(dcg / idcg, abs=1e-6)
