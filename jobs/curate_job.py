@@ -19,7 +19,14 @@ operators, so the pipeline adds composition, not new semantics):
                       bucket by corpus-LM score quantiles, drop the
                       bottom-T tail (runs after dedup so boilerplate
                       copies don't skew the LM)
-  7. --sample-by COL --sample-rates "en:0.3,de:1.0" [--sample-default R]
+  6b. --gopher        full Gopher document-quality rule set
+                      (textstats.gopher_quality): word-count bounds, mean
+                      word length, symbol/bullet/ellipsis ratios,
+                      alpha-word ratio, stopword presence
+  7. --quality M.npz  fastText-style classifier gate (quality.score_quality
+                      with the trained model from tools/train_quality.py);
+                      keep docs scoring >= --quality-threshold
+  8. --sample-by COL --sample-rates "en:0.3,de:1.0" [--sample-default R]
                       stratified downsampling (sampling.stratified_sample)
 
 Usage:
@@ -64,6 +71,15 @@ def main() -> None:
     ap.add_argument("--ccnet", default=None, metavar="H,T",
                     help="CCNet quality gate: head,tail fractions; the"
                          " tail bucket is dropped")
+    ap.add_argument("--gopher", action="store_true",
+                    help="full Gopher quality rule set (keep-filter). The "
+                    "paper's thresholds target natural-language web text; "
+                    "code corpora typically fail the English-stopword rule "
+                    "wholesale — use textstats.gopher_quality(**params) "
+                    "directly to retune for other domains")
+    ap.add_argument("--quality", default=None, metavar="MODEL.npz",
+                    help="quality-classifier model from tools/train_quality.py")
+    ap.add_argument("--quality-threshold", type=float, default=0.5)
     ap.add_argument("--sample-by", default=None, metavar="COL",
                     help="stratified sampling column (with --sample-rates)")
     ap.add_argument("--sample-rates", default=None, metavar="K:R,K:R",
@@ -165,6 +181,35 @@ def main() -> None:
         )
         df = df.join(cb.where("keep").select(id_col), id_col, "left_semi")
         df = record("ccnet", df)
+
+    if args.gopher:
+        gq = textstats.gopher_quality(df, id_col=id_col, text_col=text_col)
+        df = df.join(gq.where("keep").select(id_col), id_col, "left_semi")
+        df = record("gopher", df)
+
+    if args.quality:
+        from searchengine_spark.operators import quality
+
+        w, bias, meta = quality.load_model(args.quality)
+        scored = quality.score_quality(
+            quality.hashed_features(
+                df,
+                meta["dim"],
+                bigrams=meta["bigrams"],
+                id_col=id_col,
+                text_col=text_col,
+                method=meta["method"],
+                salt=meta["salt"],
+            ),
+            weights=w,
+            bias=bias,
+            id_col=id_col,
+            threshold=args.quality_threshold,
+        )
+        df = df.join(
+            scored.where("keep").select(id_col), id_col, "left_semi"
+        )
+        df = record("quality", df)
 
     if args.sample_by:
         if not args.sample_rates:

@@ -1,0 +1,357 @@
+"""fastText-style linear quality classifier over hashed n-gram features.
+
+The canonical web-corpus curation step the big LLM pipelines all run
+(GPT-3 Appendix A, LLaMA, RedPajama, Dolma): a LINEAR classifier over
+bag-of-n-gram features scores every document "reference-like vs junk",
+and the score drives keep/drop or importance sampling. fastText
+(Joulin et al. 2016, arXiv:1607.01759) is the standard tool; its model
+is exactly (hashing-trick n-gram counts -> mean feature embedding ->
+linear layer), which a distributed engine can express natively:
+
+* **Feature extraction** (:func:`hashed_features`) is pure JVM column
+  algebra — lower/split tokens, bigrams via a ``transform(sequence)``
+  window, the hashing trick ``hash(gram) % dim`` — zero Python, fully
+  pushed, one groupBy((doc, idx)) shuffle. Two hash families, same
+  policy as :mod:`sampling`: ``xxhash64`` for production,
+  ``md5``-prefix (:func:`dedup.md5_int`) when the run must be
+  bit-reproducible by an ANSI-SQL oracle.
+* **Inference** (:func:`score_quality`) is a sparse dot product:
+  ``sigmoid(b + sum_j w_j * cnt_j / n_grams)``. With a weights ARRAY
+  broadcast into the plan (dim is bounded — 2^18 doubles is 2 MB), the
+  score is one ``aggregate`` over each doc's feature list: no join, no
+  Python, linear in corpus tokens. That is the 100 TB serving shape.
+* **Training** (:func:`train_quality`) is full-batch logistic
+  regression by gradient descent, the same distributed shape MLlib uses:
+  per epoch, broadcast the dense weight vector, one pass computes every
+  doc's margin (Arrow-batched vectorized lookup — no per-row Python),
+  a second map-side-combined groupBy(idx) reduces the gradient to at
+  most ``dim`` rows which the driver applies. The corpus is never
+  collected; driver state is O(dim), exactly like k-means centroids.
+  Epoch cost = 2 shuffles; mini-batching via :func:`sampling.hash_split`
+  composes when a full pass per step is too dear.
+
+The reference engine has no classifier — this is training-data-pipeline
+surplus (task brief), not reference parity.
+"""
+
+# NOTE: no `from __future__ import annotations` here — it stringifies the
+# pandas_udf type hints and PySpark's signature inference rejects them.
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.dedup import md5_int
+
+__all__ = [
+    "hashed_features",
+    "seeded_weights",
+    "score_quality",
+    "train_quality",
+    "save_model",
+    "load_model",
+]
+
+
+def save_model(path: str, weights: np.ndarray, bias: float, *, bigrams: bool = True,
+               method: str = "xxhash64", salt: str = "qc") -> None:
+    """Persist a trained classifier + the feature-extraction config it
+    was trained under (dim is implied by the vector length) as one npz —
+    scoring with a different hash family/salt than training silently
+    misroutes every feature, so the config travels with the weights."""
+    np.savez(
+        path,
+        weights=np.asarray(weights, dtype=np.float64),
+        bias=np.float64(bias),
+        bigrams=np.bool_(bigrams),
+        method=np.str_(method),
+        salt=np.str_(salt),
+    )
+
+
+def load_model(path: str):
+    """-> (weights, bias, meta dict with dim/bigrams/method/salt)."""
+    z = np.load(path, allow_pickle=False)
+    w = z["weights"]
+    return (
+        w,
+        float(z["bias"]),
+        {
+            "dim": int(w.shape[0]),
+            "bigrams": bool(z["bigrams"]),
+            "method": str(z["method"]),
+            "salt": str(z["salt"]),
+        },
+    )
+
+
+def _gram_array(text_col, bigrams: bool):
+    """Array of n-gram strings for one document: unigrams, plus adjacent
+    word bigrams joined by a space when ``bigrams`` (fastText
+    ``wordNgrams=2``). Pure JVM expressions."""
+    arr = F.filter(
+        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    if not bigrams:
+        return arr
+    bi = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            # sequence is ascending here because size >= 2 is guarded;
+            # element_at is 1-based
+            lambda i: F.concat(
+                F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(arr, bi)
+
+
+def _gram_idx(gram_col, dim: int, method: str, salt: str):
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(F.lit(salt), gram_col), F.lit(dim)).cast("int")
+    if method == "md5":
+        # md5_int is a non-negative 32-bit value -> plain % is safe
+        return (md5_int(gram_col, salt) % F.lit(dim)).cast("int")
+    raise ValueError(f"unknown hash method {method!r}")
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 1 << 18,
+    *,
+    bigrams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    method: str = "xxhash64",
+    salt: str = "qc",
+) -> DataFrame:
+    """Sparse hashed bag-of-n-grams: one row per (doc, feature index) —
+    ``(id_col, idx, cnt, n_grams)`` with ``cnt`` the collision-summed
+    gram count and ``n_grams`` the doc's total gram count (the fastText
+    normalizer). Docs with zero tokens produce no rows (score them with
+    the bias alone downstream if needed).
+
+    Shape: one explode + one groupBy((doc, idx)) — map-side combinable,
+    output is at most ``min(n_grams, dim)`` rows per doc.
+    """
+    grams = df.select(
+        F.col(id_col), _gram_array(F.col(text_col), bigrams).alias("_grams")
+    ).select(
+        id_col,
+        # total gram count rides along from BEFORE the explode: no window,
+        # no second shuffle — the groupBy key (doc, n_grams, idx) is
+        # functionally (doc, idx)
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.explode("_grams").alias("_gram"),
+    )
+    return grams.groupBy(
+        id_col,
+        "n_grams",
+        _gram_idx(F.col("_gram"), dim, method, salt).alias("idx"),
+    ).agg(F.count("*").alias("cnt"))
+
+
+def seeded_weights(dim: int, salt: str = "w", scale: float = 20.0) -> np.ndarray:
+    """Deterministic pseudo-random weight vector both engines can
+    recompute: ``w_j = (md5_int(j) % 2001 - 1000) / 1000 * scale / dim``-free
+    closed form — here computed driver-side with hashlib so the Spark and
+    SQL paths can instead derive it inline (see the driver entry) and the
+    numpy copy exists for :func:`score_quality`'s production path.
+
+    ``w_j = ((int(md5(salt||j)[:8], 16) % 2001) - 1000) / 1000.0 * scale``
+    """
+    import hashlib
+
+    out = np.empty(dim, dtype=np.float64)
+    for j in range(dim):
+        h = int(hashlib.md5(f"{salt}{j}".encode()).hexdigest()[:8], 16)
+        out[j] = ((h % 2001) - 1000) / 1000.0 * scale
+    return out
+
+
+def _weight_expr(idx_col, salt: str, scale: float):
+    """The same ``w_j`` as :func:`seeded_weights`, as a JVM expression
+    (md5 of the decimal index string) — lets the SQL oracle replay
+    inference bit-for-bit."""
+    h = md5_int(idx_col.cast("string"), salt)
+    return ((h % F.lit(2001)) - F.lit(1000)) / F.lit(1000.0) * F.lit(scale)
+
+
+def score_quality(
+    feats: DataFrame,
+    weights: Optional[np.ndarray] = None,
+    bias: float = 0.0,
+    *,
+    id_col: str = "doc_id",
+    seeded_salt: Optional[str] = None,
+    seeded_scale: float = 20.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Score each doc ``sigmoid(bias + sum_j w_j * cnt_j / n_grams)`` ->
+    ``(id_col, n_grams, score, keep)``, score rounded at 6 dp (gate
+    convention), ``keep = score >= threshold``.
+
+    Two weight sources:
+
+    * ``weights=`` (production): the trained dense vector is BROADCAST
+      and looked up with a vectorized Arrow-batched ``np.take`` — the
+      same O(dim)-state, zero-join shape as the trainer's margin pass
+      (a dim-sized array literal would bloat the plan instead).
+    * ``seeded_salt=`` (oracle-replayable): ``w_j`` derived inline from
+      ``md5(salt || j)`` — pure JVM — so DuckDB recomputes the
+      identical score.
+    """
+    if (weights is None) == (seeded_salt is None):
+        raise ValueError("pass exactly one of weights= or seeded_salt=")
+    if weights is not None:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        w_bc = feats.sparkSession.sparkContext.broadcast(
+            np.asarray(weights, dtype=np.float64)
+        )
+
+        @pandas_udf("double")
+        def _wlook(idx: pd.Series) -> pd.Series:
+            return pd.Series(np.take(w_bc.value, idx.to_numpy()))
+
+        w = _wlook(F.col("idx"))
+    else:
+        w = _weight_expr(F.col("idx"), seeded_salt, seeded_scale)
+    margin = F.lit(float(bias)) + F.sum("_wx")
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    return (
+        feats.withColumn("_wx", w * F.col("cnt") / F.col("n_grams"))
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            score.alias("score"),
+        )
+        .withColumn("keep", F.col("score") >= F.lit(threshold))
+    )
+
+
+def _margins(feats: DataFrame, w_bc, bias: float, id_col: str) -> DataFrame:
+    """(id_col, label, margin) for the current weights — vectorized
+    Arrow-batched lookup (np.take on the broadcast vector), then one
+    map-side-combined groupBy(doc)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _w(idx: pd.Series) -> pd.Series:
+        return pd.Series(np.take(w_bc.value, idx.to_numpy()))
+
+    return (
+        feats.withColumn("_wx", _w("idx") * F.col("cnt") / F.col("n_grams"))
+        .groupBy(id_col)
+        .agg(
+            F.first("label").alias("label"),
+            (F.lit(float(bias)) + F.sum("_wx")).alias("margin"),
+        )
+    )
+
+
+def train_quality(
+    labeled: DataFrame,
+    dim: int = 1 << 16,
+    *,
+    epochs: int = 30,
+    lr: float = 2.0,
+    l2: float = 0.0,
+    bigrams: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "label",
+    method: str = "xxhash64",
+    salt: str = "qc",
+):
+    """Full-batch distributed logistic regression on hashed n-gram
+    features. ``labeled`` needs (id_col, text_col, label_col in {0,1}).
+    Returns ``(weights ndarray[dim], bias float, history list[dict])``
+    with per-epoch mean log-loss and accuracy.
+
+    Distributed shape per epoch (the MLlib/treeAggregate pattern):
+    broadcast w (O(dim)) -> margins: one Arrow-batched lookup + one
+    groupBy(doc) -> errors join back to the cached feature rows ->
+    groupBy(idx) gradient (<= dim rows) collected to the driver. The
+    corpus is never collected; docs-side state never leaves the
+    executors. Gradient-sum float order varies run-to-run at the 1e-12
+    level (commutative up to IEEE rounding) — training is therefore
+    tolerance-deterministic, which is why the hash-gated driver entry
+    scores with SEEDED weights while training accuracy is pinned in
+    pytest with planted-separable corpora.
+    """
+    spark = labeled.sparkSession
+    feats = (
+        hashed_features(
+            labeled,
+            dim,
+            bigrams=bigrams,
+            id_col=id_col,
+            text_col=text_col,
+            method=method,
+            salt=salt,
+        )
+        .join(
+            labeled.select(id_col, F.col(label_col).cast("double").alias("label")),
+            id_col,
+        )
+        .persist()
+    )
+    n_docs = feats.select(id_col).distinct().count()
+    if n_docs == 0:
+        raise ValueError("train_quality: no documents with tokens")
+
+    w = np.zeros(dim, dtype=np.float64)
+    bias = 0.0
+    history = []
+    for _ in range(epochs):
+        w_bc = spark.sparkContext.broadcast(w)
+        m = _margins(feats, w_bc, bias, id_col)
+        # p, error, and the epoch metrics in one cached frame
+        md = m.select(
+            id_col,
+            "label",
+            (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin")))).alias("p"),
+        ).persist()
+        stats = md.agg(
+            F.avg(
+                -F.col("label") * F.log(F.greatest(F.col("p"), F.lit(1e-12)))
+                - (1 - F.col("label"))
+                * F.log(F.greatest(1 - F.col("p"), F.lit(1e-12)))
+            ).alias("loss"),
+            F.avg(
+                ((F.col("p") >= 0.5).cast("double") == F.col("label")).cast(
+                    "double"
+                )
+            ).alias("acc"),
+            F.sum(F.col("p") - F.col("label")).alias("gbias"),
+        ).collect()[0]
+        grad_rows = (
+            feats.join(
+                md.select(id_col, (F.col("p") - F.col("label")).alias("err")),
+                id_col,
+            )
+            .groupBy("idx")
+            .agg(F.sum(F.col("err") * F.col("cnt") / F.col("n_grams")).alias("g"))
+            .collect()
+        )
+        md.unpersist()
+        w_bc.destroy()
+        grad = np.zeros(dim, dtype=np.float64)
+        for r in grad_rows:
+            grad[r["idx"]] = r["g"]
+        if l2:
+            grad += l2 * w
+        w -= lr * (grad / n_docs)
+        bias -= lr * (float(stats["gbias"]) / n_docs)
+        history.append(
+            {"loss": float(stats["loss"]), "acc": float(stats["acc"])}
+        )
+    feats.unpersist()
+    return w, bias, history

@@ -578,3 +578,116 @@ def url_dedup(
             F.count("*").cast("long").alias("dup_count"),
         )
     )
+
+
+# stopword-presence list from Gopher's document filter (Rae et al. 2021
+# §A1.1: "contains at least 2 of the following English words")
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+# bullet markers Gopher's line rule recognizes (leading, post-trim)
+GOPHER_BULLETS = ["-", "*", "•", "‣", "▪"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021 §A1.1,
+    completing :func:`gopher_repetition`'s signals with the filter
+    itself) → per-doc signals + ``keep``:
+
+    - ``n_words`` in [min_words, max_words] (whitespace words, the
+      paper's unit — NOT the alnum analysis tokens);
+    - ``mean_word_len`` in [min_mean_word_len, max_mean_word_len];
+    - ``symbol_ratio`` (``#`` and ``...`` occurrences per word) <= max;
+    - ``bullet_ratio`` (lines starting with a bullet) <= max and
+      ``ellipsis_ratio`` (lines ending with ``...``/``…``) <= max;
+    - ``alpha_word_ratio`` (words containing a letter) >= min;
+    - ``n_stopwords`` (DISTINCT presence among GOPHER_STOPWORDS) >= min.
+
+    One zero-shuffle projection of higher-order array expressions — every
+    rule is JVM column algebra over the word/line arrays, so the filter
+    costs one narrow pass at any corpus size. Ratios round at 6 dp (the
+    engine/oracle grid); ``keep`` is computed on the rounded values.
+    Empty docs (0 words) fail the word-count floor and keep=false with
+    all ratios 0.
+    """
+    words = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\\s+"),
+        lambda x: x != F.lit(""),
+    )
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+        lambda x: F.trim(x) != F.lit(""),
+    )
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))
+    ) / 3 + (F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit(""))))
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin(GOPHER_BULLETS),
+        )
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    )
+    n_alpha_words = F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+    lower_words = F.transform(words, F.lower)
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    ratio = lambda num: F.when(n_words > 0, F.round(num / n_words, 6)).otherwise(
+        F.lit(0.0)
+    )
+    lratio = lambda num: F.when(n_lines > 0, F.round(num / n_lines, 6)).otherwise(
+        F.lit(0.0)
+    )
+    out = df.select(
+        id_col,
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, F.round(word_chars / n_words, 6))
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        ratio(n_hash + n_ellipsis).alias("symbol_ratio"),
+        lratio(n_bullet_lines).alias("bullet_ratio"),
+        lratio(n_ellipsis_lines).alias("ellipsis_ratio"),
+        ratio(n_alpha_words).alias("alpha_word_ratio"),
+        n_stop.cast("int").alias("n_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_ratio") <= max_bullet_ratio)
+        & (F.col("ellipsis_ratio") <= max_ellipsis_ratio)
+        & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
+        & (F.col("n_stopwords") >= min_stopwords),
+    )

@@ -5300,3 +5300,140 @@ ORACLES["rank_eval"] = (
     " AS ndcg_at_k"
     " FROM per p LEFT JOIN tot USING (query_id) LEFT JOIN ideal USING (query_id)"
 )
+
+
+# ---------------------------------------------------------------------------
+# fastText-style quality classifier (operators/quality.py)
+# ---------------------------------------------------------------------------
+
+QC_DIM = 1 << 16  # hashing-trick feature space for the gate entry
+QC_SALT = "qc"  # feature-hash salt (md5 cross-engine family)
+QC_WSALT = "qcw"  # seeded-weight salt
+QC_WSCALE = 20.0  # weight scale: spreads sigmoid scores without saturating
+
+
+def q_quality_score(spark, sf_dir):
+    """fastText-shape quality scoring (quality.score_quality): hashed
+    unigram+bigram count features (md5 cross-engine family) -> seeded
+    pseudo-random linear weights derived inline from md5(salt||idx) ->
+    sigmoid(mean feature weight) -> keep flag. The TRAINED path shares
+    every stage except the weight source (a broadcast vector whose
+    gradient-descent floats are tolerance-deterministic, pinned in
+    tests/test_quality.py); seeding the weights lets DuckDB replay the
+    full extract->hash->score pipeline bit-for-bit."""
+    from searchengine_spark.operators import quality
+
+    return quality.score_quality(
+        quality.hashed_features(
+            _docs(spark, sf_dir), QC_DIM, method="md5", salt=QC_SALT
+        ),
+        seeded_salt=QC_WSALT,
+        seeded_scale=QC_WSCALE,
+    )
+
+
+QUERIES["quality_score"] = q_quality_score
+
+ORACLES["quality_score"] = (
+    "WITH t AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    "             x -> x <> '') AS arr FROM documents),"
+    " un AS (SELECT doc_id, unnest(arr) AS gram FROM t),"
+    " bi AS (SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS gram FROM"
+    "   (SELECT doc_id, arr, unnest(generate_series(1, len(arr) - 1)) AS i"
+    "    FROM t WHERE len(arr) >= 2)),"
+    " g AS (SELECT * FROM un UNION ALL SELECT * FROM bi),"
+    " fx AS (SELECT doc_id,"
+    f"   CAST({_md5int_sql(repr(QC_SALT) + ' || gram')} % {QC_DIM} AS INT) AS idx,"
+    "   count(*) AS cnt FROM g GROUP BY doc_id, idx),"
+    " ng AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams"
+    "   FROM fx GROUP BY doc_id),"
+    " wx AS (SELECT doc_id,"
+    f"   ((({_md5int_sql(repr(QC_WSALT) + ' || CAST(idx AS VARCHAR)')})"
+    f"     % 2001) - 1000) / 1000.0 * {QC_WSCALE} * cnt AS wc"
+    "   FROM fx)"
+    " SELECT doc_id, n_grams,"
+    " round(1.0 / (1.0 + exp(-(sum(wc) / n_grams))), 6) AS score,"
+    " (round(1.0 / (1.0 + exp(-(sum(wc) / n_grams))), 6) >= 0.5) AS keep"
+    " FROM wx JOIN ng USING (doc_id) GROUP BY doc_id, n_grams"
+)
+
+
+# ---------------------------------------------------------------------------
+# full Gopher document-quality filter (textstats.gopher_quality)
+# ---------------------------------------------------------------------------
+
+# deterministic augmentation making every rule branch non-degenerate on
+# the single-line synthetic corpus (same device as gopher_repetition):
+# doc_id%4==1 gets bullet lines, ==2 gets ellipsis lines, ==3 gets an
+# English stopword sentence — BOTH engines build the identical text
+_GQ_BULLETS = "\n- bullet item one\n- bullet item two"
+_GQ_ELLIPSIS = "\nthis line trails off...\nand this one too…"
+_GQ_STOPS = "\nthe cat and the dog have been to one of that place with us"
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Full Gopher quality rule set (Rae et al. 2021 §A1.1 — word count,
+    mean word length, symbol/bullet/ellipsis ratios, alpha-word ratio,
+    stopword presence, and the composed keep flag) over deterministically
+    augmented corpus text; every signal is replayed in DuckDB."""
+    from searchengine_spark.operators import textstats as ts
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(_GQ_BULLETS)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 2, F.lit(_GQ_ELLIPSIS)).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 3, F.lit(_GQ_STOPS)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return ts.gopher_quality(docs)
+
+
+QUERIES["gopher_quality"] = q_gopher_quality
+
+def _gq_sqlstr(s: str) -> str:
+    """SQL literal with real newlines spliced as chr(10) — a raw ``\\n``
+    inside a SQL string is backslash-n, not a newline."""
+    return "'" + s.replace("'", "''").replace("\n", "' || chr(10) || '") + "'"
+
+
+ORACLES["gopher_quality"] = (
+    "WITH aug AS (SELECT doc_id, text"
+    f" || CASE WHEN doc_id % 4 = 1 THEN {_gq_sqlstr(_GQ_BULLETS)} ELSE '' END"
+    f" || CASE WHEN doc_id % 4 = 2 THEN {_gq_sqlstr(_GQ_ELLIPSIS)} ELSE '' END"
+    f" || CASE WHEN doc_id % 4 = 3 THEN {_gq_sqlstr(_GQ_STOPS)} ELSE '' END AS t"
+    " FROM documents),"
+    " l AS (SELECT doc_id, t,"
+    "   list_filter(string_split_regex(t, '\\s+'), x -> x <> '') AS words,"
+    "   list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS lines"
+    "   FROM aug),"
+    " sig AS (SELECT doc_id,"
+    "   CAST(len(words) AS BIGINT) AS n_words,"
+    "   CASE WHEN len(words) > 0 THEN round(CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE) / len(words), 6) ELSE 0.0 END AS mean_word_len,"
+    "   CASE WHEN len(words) > 0 THEN round(((length(t) - length(replace(t, '#', '')))"
+    "     + (length(t) - length(replace(t, '...', ''))) / 3"
+    "     + (length(t) - length(replace(t, '…', '')))) / CAST(len(words) AS DOUBLE), 6) ELSE 0.0 END AS symbol_ratio,"
+    "   CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines,"
+    "     x -> list_contains(['-', '*', '•', '‣', '▪'], substr(ltrim(x), 1, 1))))"
+    "     AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS bullet_ratio,"
+    "   CASE WHEN len(lines) > 0 THEN round(CAST(len(list_filter(lines,"
+    "     x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')))"
+    "     AS DOUBLE) / len(lines), 6) ELSE 0.0 END AS ellipsis_ratio,"
+    "   CASE WHEN len(words) > 0 THEN round(CAST(len(list_filter(words,"
+    "     x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(words), 6)"
+    "     ELSE 0.0 END AS alpha_word_ratio,"
+    "   CAST(len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],"
+    "     s -> list_contains(list_transform(words, w -> lower(w)), s))) AS INT)"
+    "     AS n_stopwords"
+    "   FROM l)"
+    " SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,"
+    " ellipsis_ratio, alpha_word_ratio, n_stopwords,"
+    " (n_words >= 50 AND n_words <= 100000"
+    "  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0"
+    "  AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9"
+    "  AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8"
+    "  AND n_stopwords >= 2) AS keep"
+    " FROM sig"
+)

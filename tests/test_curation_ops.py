@@ -178,3 +178,75 @@ def test_ccnet_buckets_deterministic_and_skewed_fractions(spark, docs):
     assert abs((a["bucket"] == "tail").sum() - 0.5 * n) <= 2
     with pytest.raises(ValueError):
         sampling.ccnet_buckets(docs, head=0.7, tail=0.7)
+
+
+# ---------------------------------------------------------------------------
+# full Gopher quality rule set (textstats.gopher_quality)
+# ---------------------------------------------------------------------------
+
+
+def _gq(spark, rows, **kw):
+    import pandas as pd
+
+    from searchengine_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    return {r["doc_id"]: r for r in ts.gopher_quality(df, **kw).collect()}
+
+
+def test_gopher_quality_good_doc_passes(spark):
+    text = (
+        "The quick brown fox jumps over the lazy dog and that is fine. "
+        * 10
+    )
+    r = _gq(spark, [(1, text)])[1]
+    assert r["keep"] is True
+    assert r["n_words"] == 130
+    assert r["n_stopwords"] >= 2
+    assert r["alpha_word_ratio"] == 1.0
+
+
+def test_gopher_quality_word_count_bounds(spark):
+    short = "the and of that have " * 2  # 10 words < 50
+    r = _gq(spark, [(1, short)])[1]
+    assert r["n_words"] == 10 and r["keep"] is False
+    # custom floor admits it
+    r2 = _gq(spark, [(1, short)], min_words=5)[1]
+    assert r2["keep"] is True
+
+
+def test_gopher_quality_bullet_and_ellipsis_lines(spark):
+    base = "the cat and the dog have been with us today just fine here. " * 5
+    bullets = base + "\n" + "\n".join(f"- item {i}" for i in range(20))
+    r = _gq(spark, [(1, bullets)], max_bullet_ratio=0.5)[1]
+    assert r["bullet_ratio"] == round(20 / 21, 6) and r["keep"] is False
+    dots = base + "\n" + "\n".join("to be continued..." for _ in range(9))
+    r2 = _gq(spark, [(2, dots)])[2]
+    assert r2["ellipsis_ratio"] == 0.9 and r2["keep"] is False
+
+
+def test_gopher_quality_symbol_and_alpha_rules(spark):
+    base = "the cat and the dog have been with us today just fine here. " * 5
+    hashy = base + " " + "# " * 30
+    r = _gq(spark, [(1, hashy)])[1]
+    assert r["symbol_ratio"] > 0.1 and r["keep"] is False
+    nums = base + " " + "12345 " * 30
+    r2 = _gq(spark, [(2, nums)])[2]
+    assert r2["alpha_word_ratio"] < 0.8 and r2["keep"] is False
+
+
+def test_gopher_quality_stopword_presence(spark):
+    # long, fluent-looking, but no English stopwords at all
+    text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed " * 10
+    r = _gq(spark, [(1, text)])[1]
+    assert r["n_stopwords"] == 0 and r["keep"] is False
+    # distinct presence, not occurrences: 'the' repeated counts once
+    r2 = _gq(spark, [(2, "the " * 60)])[2]
+    assert r2["n_stopwords"] == 1
+
+
+def test_gopher_quality_null_and_empty(spark):
+    rows = [(1, None), (2, ""), (3, "   \n  ")]
+    got = _gq(spark, rows)
+    for d in (1, 2, 3):
+        assert got[d]["n_words"] == 0 and got[d]["keep"] is False

@@ -1,0 +1,222 @@
+"""fastText-style quality classifier (operators/quality.py): feature
+extraction algebra, seeded-weight scoring identity vs a pure-numpy
+replica, and distributed logistic-regression training on
+planted-separable corpora (the part the hash gate can't witness because
+gradient-sum float order is only tolerance-deterministic)."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import quality
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_features(text: str, dim: int, salt: str = "qc", bigrams: bool = True):
+    """Pure-python replica of hashed_features for one doc (md5 family)."""
+    import re
+
+    toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+    grams = list(toks)
+    if bigrams and len(toks) >= 2:
+        grams += [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    out = {}
+    for g in grams:
+        idx = _md5int(salt + g) % dim
+        out[idx] = out.get(idx, 0) + 1
+    return out, len(grams)
+
+
+def test_hashed_features_matches_python_replica(spark):
+    text = "The quick brown fox jumps over the lazy dog the fox"
+    df = _mk(spark, [(1, text)])
+    rows = quality.hashed_features(df, dim=512, method="md5").collect()
+    ref, n = _py_features(text, 512)
+    got = {r["idx"]: r["cnt"] for r in rows}
+    assert got == ref
+    assert all(r["n_grams"] == n for r in rows)
+    # n_grams = unigrams + bigrams of an 11-token doc
+    assert n == 11 + 10
+
+
+def test_hashed_features_edge_docs(spark):
+    df = _mk(spark, [(1, ""), (2, "solo"), (3, "!!! ???")])
+    rows = quality.hashed_features(df, dim=64, method="md5").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # empty / punctuation-only docs produce no feature rows
+    assert 1 not in by_doc and 3 not in by_doc
+    # single-token doc: one unigram, no bigram
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_grams"] == 1
+
+
+def test_hashed_features_unigram_only(spark):
+    df = _mk(spark, [(1, "a b c")])
+    rows = quality.hashed_features(df, dim=64, method="md5", bigrams=False).collect()
+    assert sum(r["cnt"] for r in rows) == 3
+    assert rows[0]["n_grams"] == 3
+
+
+def test_hashed_features_xxhash_family(spark):
+    """Production hash family: same totals, different bucketing."""
+    df = _mk(spark, [(1, "alpha beta gamma alpha")])
+    rows = quality.hashed_features(df, dim=1 << 16, method="xxhash64").collect()
+    assert sum(r["cnt"] for r in rows) == 4 + 3
+    with pytest.raises(ValueError):
+        quality.hashed_features(df, dim=64, method="sha1").collect()
+
+
+def test_seeded_score_matches_numpy(spark):
+    """score_quality(seeded_salt=) == the numpy model: sigmoid of the
+    count-weighted mean of seeded_weights over hashed grams."""
+    dim, scale = 1024, 20.0
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark inverted index posting list compression"),
+        (3, "zzz qqq zzz qqq zzz"),
+    ]
+    df = _mk(spark, texts)
+    got = {
+        r["doc_id"]: r
+        for r in quality.score_quality(
+            quality.hashed_features(df, dim, method="md5"),
+            seeded_salt="w",
+            seeded_scale=scale,
+        ).collect()
+    }
+    w = quality.seeded_weights(dim, salt="w", scale=scale)
+    for doc_id, text in texts:
+        feats, n = _py_features(text, dim)
+        margin = sum(w[j] * c for j, c in feats.items()) / n
+        want = round(1.0 / (1.0 + math.exp(-margin)), 6)
+        assert got[doc_id]["score"] == pytest.approx(want, abs=1e-6)
+        assert got[doc_id]["keep"] == (want >= 0.5)
+        assert got[doc_id]["n_grams"] == n
+
+
+def test_trained_score_matches_numpy(spark):
+    """score_quality(weights=) — the broadcast-lookup production path —
+    agrees with the same numpy model under an arbitrary dense vector."""
+    dim = 256
+    rng = np.random.default_rng(3)
+    w = rng.normal(0.0, 1.0, dim)
+    bias = 0.25
+    text = "alpha beta gamma delta alpha beta"
+    df = _mk(spark, [(7, text)])
+    row = quality.score_quality(
+        quality.hashed_features(df, dim, method="md5"),
+        weights=w,
+        bias=bias,
+        threshold=0.6,
+    ).collect()[0]
+    feats, n = _py_features(text, dim)
+    margin = bias + sum(w[j] * c for j, c in feats.items()) / n
+    want = round(1.0 / (1.0 + math.exp(-margin)), 6)
+    assert row["score"] == pytest.approx(want, abs=1e-6)
+    assert row["keep"] == (want >= 0.6)
+
+
+def test_score_quality_arg_contract(spark):
+    df = _mk(spark, [(1, "a b")])
+    feats = quality.hashed_features(df, 64, method="md5")
+    with pytest.raises(ValueError):
+        quality.score_quality(feats)
+    with pytest.raises(ValueError):
+        quality.score_quality(feats, weights=np.zeros(64), seeded_salt="w")
+
+
+def _planted_corpus(n=200, seed=0):
+    """Separable two-class corpus: disjoint vocabularies."""
+    rng = np.random.default_rng(seed)
+    good = ["search", "engine", "spark", "index", "query", "ranking",
+            "document", "relevant", "corpus", "posting", "term", "score"]
+    junk = ["zxq", "qqqq", "xxzz", "asdfgh", "jklm", "zzzz", "qwerty", "wtrp"]
+    rows = []
+    for i in range(n):
+        vocab = good if i % 2 == 0 else junk
+        rows.append(
+            (i, " ".join(rng.choice(vocab, size=25)), 1 if i % 2 == 0 else 0)
+        )
+    return pd.DataFrame(rows, columns=["doc_id", "text", "label"])
+
+
+def test_train_separates_planted_corpus(spark):
+    pdf = _planted_corpus()
+    df = spark.createDataFrame(pdf)
+    w, b, hist = quality.train_quality(
+        df, dim=4096, epochs=12, lr=4.0, method="md5"
+    )
+    # loss decreases from the ln(2) start and accuracy reaches 1.0 on a
+    # linearly-separable disjoint-vocabulary corpus
+    assert hist[0]["loss"] == pytest.approx(math.log(2), abs=1e-9)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+    assert hist[-1]["acc"] == 1.0
+    # held-out-style check through the production scorer
+    scored = quality.score_quality(
+        quality.hashed_features(df, 4096, method="md5"), weights=w, bias=b
+    )
+    acc = (
+        scored.join(df.select("doc_id", "label"), "doc_id")
+        .select(
+            F.avg(
+                (F.col("keep").cast("int") == F.col("label")).cast("double")
+            ).alias("a")
+        )
+        .collect()[0]["a"]
+    )
+    assert acc == 1.0
+
+
+def test_train_l2_shrinks_weights(spark):
+    df = spark.createDataFrame(_planted_corpus(n=60, seed=1))
+    w0, _, _ = quality.train_quality(df, dim=512, epochs=5, lr=4.0, method="md5")
+    w2, _, _ = quality.train_quality(
+        df, dim=512, epochs=5, lr=4.0, l2=5.0, method="md5"
+    )
+    assert np.linalg.norm(w2) < np.linalg.norm(w0)
+
+
+def test_model_round_trip(tmp_path, spark):
+    """save_model/load_model preserve weights AND the feature config —
+    scoring through a reloaded model equals scoring with the originals."""
+    dim = 128
+    rng = np.random.default_rng(11)
+    w = rng.normal(size=dim)
+    p = str(tmp_path / "m.npz")
+    quality.save_model(p, w, -0.5, bigrams=False, method="md5", salt="s9")
+    w2, b2, meta = quality.load_model(p)
+    assert np.array_equal(w, w2) and b2 == -0.5
+    assert meta == {"dim": dim, "bigrams": False, "method": "md5", "salt": "s9"}
+    df = _mk(spark, [(1, "alpha beta alpha")])
+    a = quality.score_quality(
+        quality.hashed_features(df, dim, bigrams=False, method="md5", salt="s9"),
+        weights=w, bias=-0.5,
+    ).collect()[0]
+    b = quality.score_quality(
+        quality.hashed_features(
+            df, meta["dim"], bigrams=meta["bigrams"],
+            method=meta["method"], salt=meta["salt"],
+        ),
+        weights=w2, bias=b2,
+    ).collect()[0]
+    assert a == b
+
+
+def test_train_empty_corpus_raises(spark):
+    df = _mk(spark, [(1, "...")]).withColumn("label", F.lit(1))
+    with pytest.raises(ValueError):
+        quality.train_quality(df, dim=64, epochs=1)

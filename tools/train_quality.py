@@ -1,0 +1,85 @@
+"""Train the fastText-style quality classifier on a labeled parquet and
+save the model npz that ``jobs/curate_job.py --quality`` consumes.
+
+    python tools/train_quality.py --input labeled.parquet --output model.npz
+        [--dim 262144] [--epochs 30] [--lr 2.0] [--l2 0.0]
+        [--label-col label] [--no-bigrams] [--method xxhash64]
+
+``--input`` needs (doc_id, text, label in {0,1}) — the usual recipe is
+label=1 for a reference-quality sample (curated corpus, wiki, books) and
+label=0 for a random crawl sample (GPT-3 Appendix A). Prints one JSON
+line with the training history; the final epoch's accuracy is the
+train-set fit, so hold out a split (sampling.hash_split) for honest
+evaluation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--dim", type=int, default=1 << 18)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=2.0)
+    ap.add_argument("--l2", type=float, default=0.0)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--label-col", default="label")
+    ap.add_argument("--no-bigrams", action="store_true")
+    ap.add_argument("--method", default="xxhash64", choices=["xxhash64", "md5"])
+    ap.add_argument("--salt", default="qc")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    from searchengine_spark.operators import quality
+    from searchengine_spark.session import get_session
+
+    spark = get_session(
+        master=f"local[{args.cpus}]",
+        app_name="train-quality",
+        shuffle_partitions=args.cpus,
+    )
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    w, bias, history = quality.train_quality(
+        df,
+        args.dim,
+        epochs=args.epochs,
+        lr=args.lr,
+        l2=args.l2,
+        bigrams=not args.no_bigrams,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        label_col=args.label_col,
+        method=args.method,
+        salt=args.salt,
+    )
+    quality.save_model(
+        args.output, w, bias,
+        bigrams=not args.no_bigrams, method=args.method, salt=args.salt,
+    )
+    print(json.dumps({
+        "metric": "train_quality",
+        "model": args.output,
+        "dim": args.dim,
+        "epochs": args.epochs,
+        "final_loss": history[-1]["loss"],
+        "final_acc": history[-1]["acc"],
+        "wall_sec": round(time.time() - t0, 3),
+        "history": history,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
