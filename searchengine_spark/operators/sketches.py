@@ -161,3 +161,129 @@ def kmv_hash_sql(expr: str) -> str:
         + repr(KMV_DENOM)
         + " AS DOUBLE)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters with exact verification (Cormode & Muthukrishnan,
+# J. Algorithms 2005). The 100 TB shape for "which terms exceed x% of the
+# stream": a groupBy(term) at web scale shuffles |V| ~ 10^9 keys, almost
+# all of which are garbage singletons. The CMS pass instead reduces to a
+# FIXED depth x width counter grid (map-side combined: shuffle rows are
+# bounded by partitions x depth x width regardless of |V|), the grid
+# broadcasts back (a few hundred KB), and only values whose sketch
+# estimate clears the threshold enter the exact groupBy. CMS never
+# undercounts (counters only add), so the candidate set is a superset of
+# the true heavy hitters and the exact pass trims it: the OUTPUT is
+# exact — which is what makes it hash-gateable against a plain SQL
+# HAVING count(*) >= threshold, while the sketch math itself is pinned
+# by collision-forcing property tests.
+# ---------------------------------------------------------------------------
+
+
+def _cms_idx(col, d: int, width: int, salt: str):
+    """Row d's counter index for a value: md5-family hash (the
+    cross-engine salt idiom) mod width. JVM expression, no Python."""
+    from searchengine_spark.operators.dedup import md5_int
+
+    return (md5_int(col, f"{salt}{d}:") % F.lit(width)).cast("int")
+
+
+def cms_counts(values: DataFrame, col: str, depth: int = 4,
+               width: int = 8192, salt: str = "hh"):
+    """One distributed pass -> the depth x width Count-Min grid as a
+    driver-side numpy array (int64). The only shuffle is
+    groupBy((d, idx)) over at most depth*width keys, map-side combined;
+    the collect is the grid itself (bounded, like k-means centroids)."""
+    import numpy as np
+
+    rows = (
+        values.where(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cms_idx(F.col(col), d, width, salt).alias("idx"),
+                    )
+                    for d in range(depth)
+                ])
+            ).alias("s")
+        )
+        .groupBy("s.d", "s.idx")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    grid = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        grid[r["d"], r["idx"]] = r["c"]
+    return grid
+
+
+def heavy_hitters(
+    values: DataFrame,
+    col: str,
+    *,
+    min_count: int = None,
+    min_frac: float = None,
+    depth: int = 4,
+    width: int = 8192,
+    salt: str = "hh",
+) -> DataFrame:
+    """EXACT counts of every value occurring >= the threshold
+    (``min_count``, or ``ceil(min_frac * n)`` with n the non-null row
+    count) -> DataFrame(col, cnt) — computed without ever shuffling the
+    full |V| key space:
+
+    1. one CMS pass (:func:`cms_counts`) — fixed-size shuffle;
+    2. the grid broadcasts; each row's min-over-depth estimate is a
+       vectorized np.take on JVM-computed indexes (Arrow-batched, no
+       per-row Python, no join);
+    3. rows whose estimate clears the threshold (a superset of the true
+       heavy hitters — CMS never undercounts) enter the exact
+       groupBy + HAVING.
+
+    The candidate exact pass degenerates toward a full groupBy only if
+    the threshold admits most of the stream — pick min_frac so that
+    depth/width keep the expected overestimate (n * depth / width per
+    counter, e/width in the classic bound) well under the threshold.
+    """
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if (min_count is None) == (min_frac is None):
+        raise ValueError("pass exactly one of min_count= or min_frac=")
+    vals = values.where(F.col(col).isNotNull())
+    if min_frac is not None:
+        n = vals.count()
+        min_count = max(1, _math.ceil(min_frac * n))
+    grid = cms_counts(vals, col, depth, width, salt)
+    grid_bc = vals.sparkSession.sparkContext.broadcast(grid)
+    thresh = int(min_count)
+
+    def _clears_fn(idxs):
+        mat = np.stack(idxs.to_numpy())  # (batch, depth)
+        g = grid_bc.value
+        est = np.min(
+            np.stack([g[d][mat[:, d]] for d in range(g.shape[0])], axis=1),
+            axis=1,
+        )
+        return pd.Series(est >= thresh)
+
+    # this module has `from __future__ import annotations`, which would
+    # stringify inline pd.Series hints and break PySpark's signature
+    # inference — attach real types instead
+    _clears_fn.__annotations__ = {"idxs": pd.Series, "return": pd.Series}
+    _clears = pandas_udf(_clears_fn, "boolean")
+
+    idx_arr = F.array(
+        *[_cms_idx(F.col(col), d, width, salt) for d in range(depth)]
+    )
+    return (
+        vals.where(_clears(idx_arr))
+        .groupBy(col)
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= thresh)
+    )

@@ -5437,3 +5437,38 @@ ORACLES["gopher_quality"] = (
     "  AND n_stopwords >= 2) AS keep"
     " FROM sig"
 )
+
+
+# ---------------------------------------------------------------------------
+# CMS-pruned exact heavy hitters (sketches.heavy_hitters)
+# ---------------------------------------------------------------------------
+
+# 1/256: exactly representable in binary so ceil(frac * n) is the same
+# integer in Python, Spark, and DuckDB — no last-ulp threshold flips
+HH_MIN_FRAC = 0.00390625
+
+
+def q_heavy_hitter_terms(spark, sf_dir):
+    """Terms exceeding HH_MIN_FRAC of all token occurrences, computed by
+    the Count-Min-pruned exact pass (sketches.heavy_hitters): fixed
+    depth x width sketch shuffle -> broadcast grid -> Arrow-batched
+    candidate filter -> exact groupBy of the survivors only. CMS never
+    undercounts, so the output is EXACT and the oracle is a plain
+    GROUP BY ... HAVING over the same token stream."""
+    from searchengine_spark.operators import sketches
+    from searchengine_spark.operators.dedup import tokens
+
+    return sketches.heavy_hitters(
+        tokens(_docs(spark, sf_dir)), "term", min_frac=HH_MIN_FRAC
+    )
+
+
+QUERIES["heavy_hitter_terms"] = q_heavy_hitter_terms
+
+ORACLES["heavy_hitter_terms"] = (
+    f"WITH toks AS ({SQL_TOKENS}),"
+    " n AS (SELECT count(*) AS n FROM toks)"
+    " SELECT term, CAST(count(*) AS BIGINT) AS cnt"
+    " FROM toks CROSS JOIN n GROUP BY term, n"
+    f" HAVING count(*) >= ceil({HH_MIN_FRAC} * n)"
+)

@@ -106,3 +106,128 @@ def test_match_sketches_over_index(spark, index_1k):
 
     empty = match_vocab_sketch(spark, index_1k, "zzzznotaterm", k=64).collect()[0]
     assert empty["est_distinct"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# CMS-pruned exact heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def _zipf_df(spark, n=20000, v=500, seed=0):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    p = np.array([1.0 / (i + 1) for i in range(v)])
+    p /= p.sum()
+    vals = rng.choice([f"t{i}" for i in range(v)], size=n, p=p)
+    return spark.createDataFrame(pd.DataFrame({"v": vals}))
+
+
+def _exact_hh(df, thresh):
+    from pyspark.sql import functions as F
+
+    return {
+        (r["v"], r["cnt"])
+        for r in df.groupBy("v")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .where(F.col("cnt") >= thresh)
+        .collect()
+    }
+
+
+def test_heavy_hitters_equals_exact(spark):
+    import math
+
+    from searchengine_spark.operators import sketches
+
+    df = _zipf_df(spark)
+    got = {
+        (r["v"], r["cnt"])
+        for r in sketches.heavy_hitters(df, "v", min_frac=0.01).collect()
+    }
+    assert got == _exact_hh(df, math.ceil(0.01 * 20000))
+    assert got  # non-vacuous: a Zipf stream has heavy hitters
+
+
+def test_heavy_hitters_exact_under_forced_collisions(spark):
+    """width=16/depth=2 guarantees massive counter collisions (500
+    distinct values): estimates overestimate wildly, the candidate set
+    balloons, but the OUTPUT is still exact — the no-false-negative
+    property the whole design rests on."""
+    import math
+
+    from searchengine_spark.operators import sketches
+
+    df = _zipf_df(spark)
+    got = {
+        (r["v"], r["cnt"])
+        for r in sketches.heavy_hitters(
+            df, "v", min_frac=0.01, width=16, depth=2
+        ).collect()
+    }
+    assert got == _exact_hh(df, math.ceil(0.01 * 20000))
+
+
+def test_heavy_hitters_min_count_and_nulls(spark):
+    import pandas as pd
+
+    from searchengine_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": ["a"] * 5 + ["b"] * 2 + ["c"]})
+    )
+    df = df.unionByName(
+        spark.createDataFrame([(None,)], "v string")
+    )
+    got = {
+        (r["v"], r["cnt"])
+        for r in sketches.heavy_hitters(df, "v", min_count=2).collect()
+    }
+    assert got == {("a", 5), ("b", 2)}
+
+
+def test_heavy_hitters_arg_contract(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.operators import sketches
+
+    df = _zipf_df(spark, n=100, v=10)
+    with _pytest.raises(ValueError):
+        sketches.heavy_hitters(df, "v")
+    with _pytest.raises(ValueError):
+        sketches.heavy_hitters(df, "v", min_count=2, min_frac=0.1)
+
+
+def test_cms_grid_row_sums(spark):
+    """Every CMS row is a partition of the stream: each depth's counters
+    sum to the total count."""
+    from searchengine_spark.operators import sketches
+
+    df = _zipf_df(spark, n=5000, v=100)
+    grid = sketches.cms_counts(df, "v", depth=3, width=64)
+    assert grid.shape == (3, 64)
+    assert all(int(grid[d].sum()) == 5000 for d in range(3))
+
+
+def test_cms_never_undercounts(spark):
+    """Point-query property: min-over-depth estimate >= true count for
+    every value, even at collision-forcing width."""
+    import numpy as np
+
+    from searchengine_spark.operators import sketches
+    from searchengine_spark.operators.dedup import md5_int
+    from pyspark.sql import functions as F
+
+    df = _zipf_df(spark, n=5000, v=100)
+    depth, width, salt = 2, 32, "hh"
+    grid = sketches.cms_counts(df, "v", depth=depth, width=width, salt=salt)
+    truth = {r["v"]: r["c"] for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    import hashlib
+
+    for v, c in truth.items():
+        ests = []
+        for d in range(depth):
+            h = int(hashlib.md5(f"{salt}{d}:{v}".encode()).hexdigest()[:8], 16)
+            ests.append(int(grid[d, h % width]))
+        assert min(ests) >= c
