@@ -151,7 +151,8 @@ def main() -> None:
         "train_val_split", "per_source_cap", "decontaminate",
         "redact_secrets", "gopher_repetition",
         "ccnet_buckets", "line_dedup", "url_dedup", "rank_eval",
-        "quality_score", "gopher_quality", "heavy_hitter_terms",
+        "quality_score", "quality_importance", "gopher_quality",
+        "heavy_hitter_terms",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
         "curated_docs",
         "geo_knn", "geo_grid", "geo_bbox",

@@ -80,6 +80,10 @@ def main() -> None:
     ap.add_argument("--quality", default=None, metavar="MODEL.npz",
                     help="quality-classifier model from tools/train_quality.py")
     ap.add_argument("--quality-threshold", type=float, default=0.5)
+    ap.add_argument("--quality-pareto", type=float, default=None, metavar="ALPHA",
+                    help="keep by GPT-3 App. A importance resampling "
+                    "(X~Pareto(ALPHA) > 1-score) instead of the hard "
+                    "threshold; 9.0 is the paper's shape")
     ap.add_argument("--sample-by", default=None, metavar="COL",
                     help="stratified sampling column (with --sample-rates)")
     ap.add_argument("--sample-rates", default=None, metavar="K:R,K:R",
@@ -206,6 +210,10 @@ def main() -> None:
             id_col=id_col,
             threshold=args.quality_threshold,
         )
+        if args.quality_pareto is not None:
+            scored = quality.importance_sample(
+                scored, args.quality_pareto, id_col=id_col
+            )
         df = df.join(
             scored.where("keep").select(id_col), id_col, "left_semi"
         )

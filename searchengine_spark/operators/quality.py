@@ -355,3 +355,44 @@ def train_quality(
         )
     feats.unpersist()
     return w, bias, history
+
+
+def importance_sample(
+    scored: DataFrame,
+    alpha: float = 9.0,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    salt: str = "pareto",
+    method: str = "xxhash64",
+):
+    """GPT-3 Appendix A importance resampling: a doc is kept iff
+    ``X > 1 - score`` with ``X ~ Pareto(alpha)`` — high-scoring docs are
+    almost always kept, low scorers survive occasionally, so the kept
+    corpus stays diverse instead of hard-thresholded. Deterministic
+    re-expression: the Pareto draw comes from the doc's own hash,
+    ``X = (1-u)^(-1/alpha) - 1`` with u = hash(salt||id)/2^32 uniform in
+    [0,1) — reproducible run-to-run and engine-to-engine, a pure pushed
+    filter with zero shuffle (the same posture as
+    :func:`sampling.hash_split`).
+
+    Comparison is done in log space on 6-dp-rounded sides
+    (``-ln(1-u) > alpha * ln(2 - score)``, an exact monotone rewrite) so
+    the keep decision is stable against last-ulp libm differences when
+    the SQL oracle replays it. Adds ``keep`` to the scored frame.
+
+    ``method='md5'`` uses the cross-engine hash family (the oracle
+    path); ``'xxhash64'`` is the production default.
+    """
+    if method == "xxhash64":
+        u = (
+            F.pmod(F.xxhash64(F.lit(salt), F.col(id_col)), F.lit(1 << 32))
+            / F.lit(4294967296.0)
+        )
+    elif method == "md5":
+        u = md5_int(F.col(id_col).cast("string"), salt) / F.lit(4294967296.0)
+    else:
+        raise ValueError(f"unknown hash method {method!r}")
+    lhs = F.round(-F.log(F.lit(1.0) - u), 6)
+    rhs = F.round(F.lit(float(alpha)) * F.log(F.lit(2.0) - F.col(score_col)), 6)
+    return scored.withColumn("keep", lhs > rhs)

@@ -5472,3 +5472,40 @@ ORACLES["heavy_hitter_terms"] = (
     " FROM toks CROSS JOIN n GROUP BY term, n"
     f" HAVING count(*) >= ceil({HH_MIN_FRAC} * n)"
 )
+
+
+# ---------------------------------------------------------------------------
+# GPT-3 Appendix A Pareto importance resampling (quality.importance_sample)
+# ---------------------------------------------------------------------------
+
+QI_ALPHA = 9.0  # the paper's Pareto shape
+
+
+def q_quality_importance(spark, sf_dir):
+    """The full GPT-3 Appendix A filtering recipe composed end-to-end:
+    classifier score (seeded weights — the hash-gated quality_score
+    pipeline) -> keep iff X > 1 - score with X ~ Pareto(9) drawn
+    deterministically from the doc's own md5 hash. Log-space 6-dp
+    comparison keeps the decision stable across engines."""
+    from searchengine_spark.operators import quality
+
+    scored = quality.score_quality(
+        quality.hashed_features(
+            _docs(spark, sf_dir), QC_DIM, method="md5", salt=QC_SALT
+        ),
+        seeded_salt=QC_WSALT,
+        seeded_scale=QC_WSCALE,
+    )
+    return quality.importance_sample(scored, QI_ALPHA, method="md5")
+
+
+QUERIES["quality_importance"] = q_quality_importance
+
+_QI_U = _md5int_sql("'pareto' || CAST(doc_id AS VARCHAR)")
+ORACLES["quality_importance"] = (
+    f"WITH scored AS ({ORACLES['quality_score']})"
+    " SELECT doc_id, n_grams, score,"
+    f" (round(-ln(1.0 - {_QI_U} / 4294967296.0), 6)"
+    f" > round({QI_ALPHA} * ln(2.0 - score), 6)) AS keep"
+    " FROM scored"
+)

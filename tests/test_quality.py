@@ -220,3 +220,51 @@ def test_train_empty_corpus_raises(spark):
     df = _mk(spark, [(1, "...")]).withColumn("label", F.lit(1))
     with pytest.raises(ValueError):
         quality.train_quality(df, dim=64, epochs=1)
+
+
+def test_importance_sample_monotone_and_deterministic(spark):
+    """Per-doc Pareto draw is a pure function of (salt, id): raising a
+    doc's score can only turn keep on, never off; repeated runs agree."""
+    import pandas as pd
+
+    ids = list(range(300))
+    lo = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "score": [0.1] * len(ids)})
+    )
+    hi = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ids, "score": [0.95] * len(ids)})
+    )
+    klo = {r["doc_id"]: r["keep"] for r in quality.importance_sample(lo).collect()}
+    khi = {r["doc_id"]: r["keep"] for r in quality.importance_sample(hi).collect()}
+    assert all(khi[d] for d in ids if klo[d])  # monotone in score
+    assert sum(khi.values()) > sum(klo.values())
+    again = {r["doc_id"]: r["keep"] for r in quality.importance_sample(lo).collect()}
+    assert again == klo
+
+
+def test_importance_sample_rate_matches_pareto(spark):
+    """Keep probability is P(X > 1-s) = (2-s)^-alpha for X~Pareto(alpha):
+    the empirical rate over many hash draws must sit near it."""
+    import pandas as pd
+
+    n, s, alpha = 4000, 0.6, 9.0
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n), "score": [s] * n})
+    )
+    kept = quality.importance_sample(df, alpha).where("keep").count()
+    want = (2.0 - s) ** (-alpha)
+    assert abs(kept / n - want) < 0.01  # ~±3 sigma at n=4000
+
+
+def test_importance_sample_hash_families(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(50), "score": [0.5] * 50})
+    )
+    a = quality.importance_sample(df, method="md5").where("keep").count()
+    b = quality.importance_sample(df, method="xxhash64").where("keep").count()
+    assert 0 <= a <= 50 and 0 <= b <= 50
+    with _pytest.raises(ValueError):
+        quality.importance_sample(df, method="sha1")
