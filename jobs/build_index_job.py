@@ -25,10 +25,11 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True,
-                    help="parquet path, table name with --format iceberg, "
-                         "or newline-delimited JSON with --format jsonl")
+                    help="parquet/orc path, table name with --format "
+                         "iceberg, newline-delimited JSON with --format "
+                         "jsonl, or quoted-multiline CSV with --format csv")
     ap.add_argument("--format", default="parquet",
-                    choices=["parquet", "iceberg", "jsonl"])
+                    choices=["parquet", "orc", "iceberg", "jsonl", "csv"])
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--range-width", type=int, default=None)
     ap.add_argument("--n-groups", type=int, default=4)

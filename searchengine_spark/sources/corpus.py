@@ -146,6 +146,7 @@ def read_corpus(spark, path: str, format: str = "parquet"):
 
     * ``parquet`` — directory or file path (the sandbox stand-in for
       the production Iceberg table);
+    * ``orc`` — the other columnar interchange format, same validation;
     * ``iceberg`` — catalog table name via ``spark.read.table``;
     * ``jsonl`` — newline-delimited JSON, one document object per line
       (``.jsonl`` / ``.json.gz`` / any codec Spark decompresses
@@ -158,7 +159,10 @@ def read_corpus(spark, path: str, format: str = "parquet"):
       JSON semantics — rows with a null ``content`` surface downstream
       (sha256 malformed → fsck red), not here, because a
       null-scan validation pass over 100 TB is not an acceptable
-      default read cost.
+      default read cost;
+    * ``csv`` — header + quoted-multiline + backslash-escape (the shape
+      Spark's own csv writer emits for code content), same explicit
+      schema and FAILFAST posture as jsonl.
 
     Columnar formats (parquet/iceberg) are validated to carry all five
     columns — loudly listing what's missing — and every format returns
@@ -167,6 +171,8 @@ def read_corpus(spark, path: str, format: str = "parquet"):
 
     if format == "parquet":
         df = spark.read.parquet(path)
+    elif format == "orc":
+        df = spark.read.orc(path)
     elif format == "iceberg":
         df = spark.read.table(path)
     elif format == "jsonl":
@@ -174,9 +180,30 @@ def read_corpus(spark, path: str, format: str = "parquet"):
             [T.StructField(c, T.StringType()) for c in CORPUS_COLUMNS]
         )
         df = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    elif format == "csv":
+        # same explicit-schema / FAILFAST posture as jsonl. Source code
+        # carries embedded newlines, quotes, and commas, so the read is
+        # header + quoted-multiline with backslash escaping — the shape
+        # `df.write.csv(..., header=True, escape='\\')` produces. The
+        # multiLine option disables per-line splitting, which costs input
+        # parallelism on huge single files — ship many part files (any
+        # distributed writer already does) and partition-granularity
+        # parallelism is back.
+        schema = T.StructType(
+            [T.StructField(c, T.StringType()) for c in CORPUS_COLUMNS]
+        )
+        df = (
+            spark.read.schema(schema)
+            .option("mode", "FAILFAST")
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", "\\")
+            .csv(path)
+        )
     else:
         raise ValueError(
-            f"unknown corpus format {format!r} (parquet | iceberg | jsonl)"
+            f"unknown corpus format {format!r} "
+            "(parquet | orc | iceberg | jsonl | csv)"
         )
     missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
     if missing:

@@ -81,7 +81,39 @@ def test_jsonl_corpus_reads_and_builds_identically(spark, tmp_path):
     with pytest.raises(ValueError, match="missing required columns"):
         read_corpus(spark, pq_bad, format="parquet")
     with pytest.raises(ValueError, match="unknown corpus format"):
-        read_corpus(spark, pq, format="orc")
+        read_corpus(spark, pq, format="xml")
+
+
+def test_csv_and_orc_corpus_read_identically(spark, tmp_path):
+    """read_corpus(format='csv'/'orc'): the same rows round-trip through
+    Spark's own writers — csv exercises quoted multiline content
+    (source code carries newlines, quotes, commas) and orc the columnar
+    path — and land identical to the parquet read."""
+    from searchengine_spark.sources.corpus import corpus_pdf, read_corpus
+
+    pdf = corpus_pdf(60, seed=13)
+    # make the csv escaping non-trivial beyond real code content
+    pdf.loc[0, "content"] = 'line1\nline2 "quoted", comma\n\ttab'
+    want = sorted(map(tuple, pdf.itertuples(index=False)))
+
+    csv_dir = str(tmp_path / "corpus_csv")
+    spark.createDataFrame(pdf).write.csv(
+        csv_dir, header=True, escape="\\",
+        # the csv WRITER trims field whitespace by default — leading
+        # "7% " style content must survive the round trip
+        ignoreLeadingWhiteSpace=False, ignoreTrailingWhiteSpace=False,
+    )
+    got_csv = sorted(
+        map(tuple, read_corpus(spark, csv_dir, format="csv").collect())
+    )
+    assert got_csv == want
+
+    orc_dir = str(tmp_path / "corpus_orc")
+    spark.createDataFrame(pdf).write.orc(orc_dir)
+    got_orc = sorted(
+        map(tuple, read_corpus(spark, orc_dir, format="orc").collect())
+    )
+    assert got_orc == want
 
 
 def test_doc_map_sha_integrity(spark, index_1k, oracle_1k):
