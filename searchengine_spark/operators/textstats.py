@@ -691,3 +691,63 @@ def gopher_quality(
         & (F.col("alpha_word_ratio") >= min_alpha_word_ratio)
         & (F.col("n_stopwords") >= min_stopwords),
     )
+
+
+def collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level collocation extraction by pointwise mutual
+    information (Church & Hanks 1990) over adjacent word pairs —
+    the classic phrase-mining pass (``new york``, ``machine learning``)
+    used to decide which bigrams deserve single-token treatment in a
+    tokenizer vocabulary. → top-``k`` rows
+    ``(w1, w2, c12, pmi)`` with ``pmi = ln((c12/Nb) / ((c1/Nu)(c2/Nu)))``
+    and ``c12 >= min_count`` (rare-pair PMI explodes; the floor is the
+    standard guard), ranked pmi desc then (w1, w2) asc — fully
+    deterministic.
+
+    Shape: one bigram explode + groupBy(pair), one unigram groupBy, two
+    broadcast one-row totals, two keyed joins on word — all map-side
+    combinable, bounded by |V| and |V²∩corpus|, then a global top-k
+    (TakeOrdered). No corpus-sized state anywhere.
+    """
+    toks = tokens(df, id_col, text_col)
+    uni = toks.groupBy("term").agg(F.count("*").alias("c1"))
+    nu = uni.agg(F.sum("c1").cast("double").alias("_nu"))
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        tokens_with_pos(df, id_col, text_col)
+        .withColumn("nxt", F.lead("term").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select(F.col("term").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    nb = bi.agg(F.sum("c12").cast("double").alias("_nb"))
+    return (
+        bi.where(F.col("c12") >= min_count)
+        .join(uni.select(F.col("term").alias("w1"), F.col("c1").alias("cw1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c1").alias("cw2")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("_nb"))
+                    / ((F.col("cw1") / F.col("_nu")) * (F.col("cw2") / F.col("_nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )

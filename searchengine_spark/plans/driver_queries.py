@@ -5509,3 +5509,44 @@ ORACLES["quality_importance"] = (
     f" > round({QI_ALPHA} * ln(2.0 - score), 6)) AS keep"
     " FROM scored"
 )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (textstats.collocations)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN, COLLOC_K = 5, 40
+
+
+def q_collocations(spark, sf_dir):
+    """Top-k adjacent-pair collocations by PMI (Church & Hanks 1990)
+    with a min-count floor — the phrase-mining pass of a tokenizer/
+    vocabulary pipeline. Deterministic ordering (pmi desc, pair asc);
+    the oracle replays counts, totals, and the log-ratio in SQL."""
+    from searchengine_spark.operators import textstats as ts
+
+    return ts.collocations(_docs(spark, sf_dir), COLLOC_MIN, COLLOC_K)
+
+
+QUERIES["collocations"] = q_collocations
+
+ORACLES["collocations"] = (
+    "WITH t AS (SELECT doc_id,"
+    " list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),"
+    "             x -> x <> '') AS arr FROM documents),"
+    " uni AS (SELECT w1, count(*) AS c1 FROM"
+    "   (SELECT unnest(arr) AS w1 FROM t) GROUP BY w1),"
+    " nu AS (SELECT CAST(sum(c1) AS DOUBLE) AS nu FROM uni),"
+    " b AS (SELECT arr[i] AS w1, arr[i + 1] AS w2 FROM"
+    "   (SELECT arr, unnest(generate_series(1, len(arr) - 1)) AS i"
+    "    FROM t WHERE len(arr) >= 2)),"
+    " bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b GROUP BY w1, w2),"
+    " nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM bi)"
+    " SELECT bi.w1, bi.w2, c12,"
+    " round(ln((c12 / nb) / ((u1.c1 / nu) * (u2.c1 / nu))), 6) AS pmi"
+    " FROM bi JOIN uni u1 ON bi.w1 = u1.w1 JOIN uni u2 ON bi.w2 = u2.w1"
+    " CROSS JOIN nb CROSS JOIN nu"
+    f" WHERE c12 >= {COLLOC_MIN}"
+    " ORDER BY pmi DESC, bi.w1 ASC, bi.w2 ASC"
+    f" LIMIT {COLLOC_K}"
+)

@@ -250,3 +250,48 @@ def test_gopher_quality_null_and_empty(spark):
     got = _gq(spark, rows)
     for d in (1, 2, 3):
         assert got[d]["n_words"] == 0 and got[d]["keep"] is False
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (textstats.collocations)
+# ---------------------------------------------------------------------------
+
+
+def test_collocations_planted_pair_ranks_first(spark):
+    """'san francisco' appears only as an adjacent pair; filler words
+    pair up randomly — the planted collocation's PMI must rank #1."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_spark.operators import textstats as ts
+
+    rng = np.random.default_rng(2)
+    filler = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(filler, size=30))
+        words[10:10] = ["san", "francisco"]
+        rows.append((i, " ".join(words)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    top = ts.collocations(df, min_count=5, k=5).collect()
+    assert (top[0]["w1"], top[0]["w2"]) == ("san", "francisco")
+    assert top[0]["c12"] == 60
+    assert top[0]["pmi"] > top[1]["pmi"]
+
+
+def test_collocations_min_count_floor_and_determinism(spark):
+    import pandas as pd
+
+    from searchengine_spark.operators import textstats as ts
+
+    # "rare pair" occurs twice: below the floor of 3 it must not appear
+    text = "a b c d " * 10 + "rare pair rare pair"
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, text)], columns=["doc_id", "text"])
+    )
+    got = {(r["w1"], r["w2"]) for r in ts.collocations(df, min_count=3, k=50).collect()}
+    assert ("rare", "pair") not in got
+    assert ("a", "b") in got
+    r1 = ts.collocations(df, min_count=1, k=50).collect()
+    r2 = ts.collocations(df, min_count=1, k=50).collect()
+    assert r1 == r2
