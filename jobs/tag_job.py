@@ -1,0 +1,58 @@
+"""Dolma-style tagger job: derive per-document attribute columns once,
+write them as a parquet sidecar, and let downstream mixes filter by
+policy over the (tiny) attribute table instead of re-reading the corpus.
+
+  spark-submit --py-files dist/searchengine_spark.zip jobs/tag_job.py \
+      --input /data/documents.parquet --output /data/attributes \
+      --taggers lexical,lang,fingerprint,gopher \
+      [--quality-model model.npz]   # adds quality_score/quality_keep
+
+Prints one JSON line: row count, attribute columns, wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--taggers", default="lexical,lang,fingerprint")
+    ap.add_argument("--quality-model", default=None, metavar="MODEL.npz")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    args = ap.parse_args()
+
+    from searchengine_spark.operators.tagging import tag_documents
+    from searchengine_spark.session import get_session
+
+    spark = get_session(app_name="searchengine-tag")
+    t0 = time.time()
+    taggers = [t.strip() for t in args.taggers.split(",") if t.strip()]
+    if args.quality_model and "quality" not in taggers:
+        taggers.append("quality")
+    df = spark.read.parquet(args.input)
+    attrs = tag_documents(
+        df,
+        taggers,
+        quality_model=args.quality_model,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    attrs.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    print(json.dumps({
+        "output": args.output,
+        "n_docs": written.count(),
+        "columns": written.columns,
+        "wall_sec": round(time.time() - t0, 3),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

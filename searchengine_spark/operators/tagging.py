@@ -1,0 +1,140 @@
+"""Dolma-style document tagging: attributes as data, filtering as policy.
+
+The architecture used by the open LLM-corpus pipelines (Dolma's
+tagger/mixer split, RedPajama-v2's quality-signal files): instead of
+each curation run re-deriving signals and filtering in place, TAGGERS
+run once over the corpus and write a per-document ATTRIBUTE table
+(quality score, lexical stats, language, fingerprint, Gopher rule
+signals, ...); downstream MIXES are then cheap joins + policy
+predicates over the attribute sidecar, reproducible and auditable —
+changing a threshold re-reads kilobyte-wide attributes, not terabytes
+of text.
+
+:func:`tag_documents` composes the repo's hash-gated signal operators
+into one wide frame keyed by doc id; ``jobs/tag_job.py`` is the
+spark-submit surface that writes it as parquet next to the corpus.
+Every tagger is one of the independently oracle-verified operators, so
+the composition adds plumbing, not new semantics — the ``doc_attributes``
+driver entry hash-gates the composed join itself.
+
+Scale shape: each tagger is a bounded aggregation or narrow projection
+(their individual 100 TB postures hold unchanged); the composition is
+left joins on the id spine — co-partitioned by the join key after the
+first shuffle, and the output is one row per doc of scalar attributes,
+orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tagger name -> (builder, column renames applied after)
+AVAILABLE_TAGGERS = ("lexical", "lang", "fingerprint", "gopher", "quality")
+
+
+def tag_documents(
+    df: DataFrame,
+    taggers: Iterable[str] = ("lexical", "lang", "fingerprint"),
+    *,
+    quality_model: Optional[str] = None,
+    quality_seeded_salt: Optional[str] = None,
+    quality_seeded_scale: float = 20.0,
+    quality_dim: int = 1 << 18,
+    quality_method: str = "xxhash64",
+    quality_salt: str = "qc",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One wide attribute row per document for the requested taggers.
+
+    * ``lexical`` — token stats (n_tokens, n_distinct, avg_token_len,
+      stop_ratio, lexical_quality);
+    * ``lang`` — heuristic language id (pred_lang);
+    * ``fingerprint`` — whitespace-normalized 64-bit content hash (fp);
+    * ``gopher`` — the full Gopher rule signals, keep as gopher_keep;
+    * ``quality`` — fastText-style classifier score (quality_score,
+      quality_keep): pass ``quality_model=`` (an npz from
+      tools/train_quality.py) or ``quality_seeded_salt=`` (the
+      oracle-replayable seeded-weight path).
+
+    The spine is the fingerprint of every input row (total — no doc is
+    dropped); token-derived taggers contribute null attributes for
+    token-less docs, which is the honest value. Unknown tagger names
+    raise rather than silently tag less than asked.
+    """
+    from searchengine_spark.operators import quality as qmod
+    from searchengine_spark.operators import textstats as ts
+
+    taggers = list(taggers)
+    unknown = [t for t in taggers if t not in AVAILABLE_TAGGERS]
+    if unknown:
+        raise ValueError(
+            f"unknown taggers {unknown}; available: {list(AVAILABLE_TAGGERS)}"
+        )
+
+    out = df.select(id_col).distinct()
+    if "fingerprint" in taggers:
+        out = out.join(ts.fingerprint(df, id_col, text_col), id_col, "left")
+    if "lexical" in taggers:
+        out = out.join(
+            ts.token_stats(df, id_col, text_col).withColumnRenamed(
+                "quality", "lexical_quality"
+            ),
+            id_col,
+            "left",
+        )
+    if "lang" in taggers:
+        out = out.join(ts.language_id(df, id_col, text_col), id_col, "left")
+    if "gopher" in taggers:
+        out = out.join(
+            ts.gopher_quality(df, id_col=id_col, text_col=text_col)
+            .withColumnRenamed("keep", "gopher_keep"),
+            id_col,
+            "left",
+        )
+    if "quality" in taggers:
+        if (quality_model is None) == (quality_seeded_salt is None):
+            raise ValueError(
+                "quality tagger needs exactly one of quality_model= "
+                "or quality_seeded_salt="
+            )
+        feats = qmod.hashed_features(
+            df,
+            quality_dim,
+            id_col=id_col,
+            text_col=text_col,
+            method=quality_method,
+            salt=quality_salt,
+        )
+        if quality_model is not None:
+            w, bias, meta = qmod.load_model(quality_model)
+            feats = qmod.hashed_features(
+                df,
+                meta["dim"],
+                bigrams=meta["bigrams"],
+                id_col=id_col,
+                text_col=text_col,
+                method=meta["method"],
+                salt=meta["salt"],
+            )
+            scored = qmod.score_quality(feats, weights=w, bias=bias, id_col=id_col)
+        else:
+            scored = qmod.score_quality(
+                feats,
+                seeded_salt=quality_seeded_salt,
+                seeded_scale=quality_seeded_scale,
+                id_col=id_col,
+            )
+        out = out.join(
+            scored.select(
+                id_col,
+                F.col("score").alias("quality_score"),
+                F.col("keep").alias("quality_keep"),
+            ),
+            id_col,
+            "left",
+        )
+    return out

@@ -5550,3 +5550,40 @@ ORACLES["collocations"] = (
     " ORDER BY pmi DESC, bi.w1 ASC, bi.w2 ASC"
     f" LIMIT {COLLOC_K}"
 )
+
+
+# ---------------------------------------------------------------------------
+# Dolma-style composed tagging (operators/tagging.py, jobs/tag_job.py)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_attributes(spark, sf_dir):
+    """The tagger/mixer composition: fingerprint + lexical stats +
+    language id + seeded classifier score joined into one attribute row
+    per document (tagging.tag_documents — the Dolma architecture:
+    attributes as data, filtering as downstream policy). Each signal is
+    independently hash-gated; this entry gates the composed join."""
+    from searchengine_spark.operators.tagging import tag_documents
+
+    return tag_documents(
+        _docs(spark, sf_dir),
+        ("fingerprint", "lexical", "lang", "quality"),
+        quality_seeded_salt=QC_WSALT,
+        quality_seeded_scale=QC_WSCALE,
+        quality_dim=QC_DIM,
+        quality_method="md5",
+        quality_salt=QC_SALT,
+    )
+
+
+QUERIES["doc_attributes"] = q_doc_attributes
+
+ORACLES["doc_attributes"] = (
+    f"SELECT f.doc_id, f.fp, t.n_tokens, t.n_distinct, t.avg_token_len,"
+    " t.stop_ratio, t.quality AS lexical_quality, l.pred_lang,"
+    " q.score AS quality_score, q.keep AS quality_keep"
+    f" FROM ({ORACLES['fingerprint']}) f"
+    f" LEFT JOIN ({ORACLES['text_quality']}) t USING (doc_id)"
+    f" LEFT JOIN ({_langid_sql()}) l USING (doc_id)"
+    f" LEFT JOIN ({ORACLES['quality_score']}) q USING (doc_id)"
+)

@@ -1,0 +1,80 @@
+"""Dolma-style tagging composition (operators/tagging.py): every doc
+keeps a spine row, token-less docs tag as null, unknown taggers fail
+loudly, and the trained-model quality path plugs in."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from searchengine_spark.operators import quality, tagging
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "spark index posting compression dictionary"),
+        (3, "!!! ..."),  # tokenizes to nothing
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_tag_documents_spine_and_nulls(spark):
+    out = {
+        r["doc_id"]: r
+        for r in tagging.tag_documents(
+            _docs(spark), ("fingerprint", "lexical", "lang")
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # no doc dropped
+    assert out[1]["pred_lang"] == "en"
+    assert out[2]["pred_lang"] == "und"
+    assert out[1]["n_tokens"] == 9
+    # token-less doc: fingerprint still present, token attrs null
+    assert out[3]["fp"] is not None
+    assert out[3]["n_tokens"] is None and out[3]["pred_lang"] is None
+
+
+def test_tag_documents_gopher_and_seeded_quality(spark):
+    out = tagging.tag_documents(
+        _docs(spark),
+        ("gopher", "quality"),
+        quality_seeded_salt="w",
+    ).collect()
+    cols = set(out[0].asDict())
+    assert {"gopher_keep", "n_words", "quality_score", "quality_keep"} <= cols
+    by = {r["doc_id"]: r for r in out}
+    assert by[1]["n_words"] == 9
+    assert 0.0 <= by[1]["quality_score"] <= 1.0
+
+
+def test_tag_documents_trained_model(tmp_path, spark):
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=256)
+    p = str(tmp_path / "m.npz")
+    quality.save_model(p, w, 0.1, method="md5")
+    out = tagging.tag_documents(
+        _docs(spark), ("quality",), quality_model=p
+    ).collect()
+    scores = {r["doc_id"]: r["quality_score"] for r in out}
+    # matches scoring through the library path directly
+    direct = {
+        r["doc_id"]: r["score"]
+        for r in quality.score_quality(
+            quality.hashed_features(_docs(spark), 256, method="md5"),
+            weights=w,
+            bias=0.1,
+        ).collect()
+    }
+    assert {k: v for k, v in scores.items() if v is not None} == direct
+
+
+def test_tag_documents_contracts(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError, match="unknown taggers"):
+        tagging.tag_documents(df, ("lexical", "nope"))
+    with pytest.raises(ValueError, match="exactly one"):
+        tagging.tag_documents(df, ("quality",))
+    with pytest.raises(ValueError, match="exactly one"):
+        tagging.tag_documents(
+            df, ("quality",), quality_model="x.npz", quality_seeded_salt="w"
+        )
