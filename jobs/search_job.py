@@ -70,6 +70,13 @@ def main() -> None:
     ap.add_argument("--hybrid-n-each", type=int, default=100,
                     help="per-leg top-N fed to the fuse")
     ap.add_argument("--rrf-c", type=int, default=60)
+    ap.add_argument("--fusion", default="rrf",
+                    choices=["rrf", "minmax", "zscore"],
+                    help="hybrid fuse: rank-based RRF (robust default) or "
+                    "score-calibrated normalization "
+                    "(fusion.normalized_fuse — preserves score gaps)")
+    ap.add_argument("--fusion-weights", default="1.0,1.0", metavar="WB,WC",
+                    help="bm25,cosine leg weights for --fusion minmax/zscore")
     ap.add_argument("--min-should-match", type=int, default=0, metavar="M",
                     help="with --bool: a doc must match at least M of the "
                     "free (SHOULD) clauses — each bare word or expansion "
@@ -453,9 +460,17 @@ def main() -> None:
         )
         for q in queries:
             bm = search(spark, args.index_dir, q, k=args.hybrid_n_each)
-            fused = fusion.rrf_fuse([bm, cos], k=args.k, c=args.rrf_c)
+            if args.fusion == "rrf":
+                fused = fusion.rrf_fuse([bm, cos], k=args.k, c=args.rrf_c)
+                score_col = "rrf"
+            else:
+                wts = [float(x) for x in args.fusion_weights.split(",")]
+                fused = fusion.normalized_fuse(
+                    [bm, cos], weights=wts, k=args.k, method=args.fusion
+                )
+                score_col = "fused"
             hits = [
-                {"doc_id": r["doc_id"], "rrf": r["rrf"]}
+                {"doc_id": r["doc_id"], score_col: r[score_col]}
                 for r in fused.collect()
             ]
             if args.with_meta:

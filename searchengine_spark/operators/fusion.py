@@ -135,3 +135,85 @@ def rescore(
         .orderBy(F.desc(score_col), F.asc(id_col))
         .limit(k)
     )
+
+
+def normalized_fuse(
+    rankings: list[DataFrame],
+    weights: list[float] | None = None,
+    k: int = 10,
+    method: str = "minmax",
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_list_rows: int = 100_000,
+) -> DataFrame:
+    """Score-calibrated fusion (the ES retriever ``normalizer``
+    alternative to RRF): each leg's scores are normalized onto a common
+    scale, then combined as a weighted sum → ``(id_col, fused)`` top-k.
+
+    * ``method='minmax'`` — (s − min)/(max − min) per leg, onto [0, 1];
+      a constant leg (max == min) normalizes to 1.0 for every doc it
+      ranked (it expresses presence, not order);
+    * ``method='zscore'`` — (s − mean)/stddev per leg; a constant leg
+      contributes 0.
+
+    Unlike RRF this preserves score GAPS — a leg that is confident about
+    its #1 moves the fusion more than one that barely orders its list —
+    at the price of sensitivity to each leg's score distribution (the
+    reason RRF stays the robust default). Ids absent from a leg
+    contribute nothing for it; arithmetic runs on 6-dp-rounded scores so
+    the fuse is replayable by the SQL oracle; fused score rounds to 6 dp
+    with ties broken by id.
+
+    Plan shape: per leg one bounded global-window pass for the leg
+    statistics (the ``max_list_rows`` guard from :func:`rrf_fuse`
+    applies — legs are top-N lists, never corpora), then one
+    groupBy(id) over ≤ Σ leg sizes rows.
+    """
+    if not rankings:
+        raise ValueError("normalized_fuse needs at least one ranking")
+    if method not in ("minmax", "zscore"):
+        raise ValueError(f"unknown normalization method {method!r}")
+    if weights is None:
+        weights = [1.0] * len(rankings)
+    if len(weights) != len(rankings):
+        raise ValueError(
+            f"{len(rankings)} rankings but {len(weights)} weights"
+        )
+    contribs = []
+    for r, wt in zip(rankings, weights):
+        w_all = Window.partitionBy()
+        s = F.round(F.col(score_col), 6)
+        # boundedness guard, same zero-extra-job shape as rrf_fuse
+        rank = F.row_number().over(
+            Window.orderBy(F.desc(s), F.asc(F.col(id_col)))
+        )
+        guard = F.when(
+            rank > max_list_rows,
+            F.raise_error(
+                F.lit(
+                    f"normalized_fuse input exceeds max_list_rows="
+                    f"{max_list_rows}; fuse bounded top-N lists"
+                )
+            ).cast("double"),
+        )
+        if method == "minmax":
+            mn, mx = F.min(s).over(w_all), F.max(s).over(w_all)
+            norm = F.when(mx == mn, F.lit(1.0)).otherwise((s - mn) / (mx - mn))
+        else:
+            mu, sd = F.avg(s).over(w_all), F.stddev_pop(s).over(w_all)
+            norm = F.when(sd == 0, F.lit(0.0)).otherwise((s - mu) / sd)
+        contribs.append(
+            r.select(
+                F.col(id_col),
+                guard.otherwise(F.lit(float(wt)) * norm).alias("_contrib"),
+            )
+        )
+    u = contribs[0]
+    for nxt in contribs[1:]:
+        u = u.unionByName(nxt)
+    return (
+        u.groupBy(id_col)
+        .agg(F.round(F.sum("_contrib"), 6).alias("fused"))
+        .orderBy(F.desc("fused"), F.asc(id_col))
+        .limit(k)
+    )

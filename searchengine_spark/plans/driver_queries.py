@@ -5587,3 +5587,48 @@ ORACLES["doc_attributes"] = (
     f" LEFT JOIN ({_langid_sql()}) l USING (doc_id)"
     f" LEFT JOIN ({ORACLES['quality_score']}) q USING (doc_id)"
 )
+
+
+# ---------------------------------------------------------------------------
+# score-calibrated hybrid fusion (fusion.normalized_fuse)
+# ---------------------------------------------------------------------------
+
+HYB_W_BM25, HYB_W_COS, HYB_K = 0.7, 0.3, 15
+
+
+def q_hybrid_norm_topk(spark, sf_dir):
+    """Min-max-normalized weighted fusion of the BM25 and cosine-tfidf
+    top-20 legs (fusion.normalized_fuse — the ES 'normalizer' retriever
+    shape that preserves score gaps, vs RRF's rank-only robustness).
+    Both legs are themselves hash-gated entries; the oracle replays leg
+    SQL + normalization + weighted sum."""
+    from searchengine_spark.operators.fusion import normalized_fuse
+
+    return normalized_fuse(
+        [
+            QUERIES["bm25_topk"](spark, sf_dir),
+            QUERIES["cosine_topk_docs"](spark, sf_dir),
+        ],
+        weights=[HYB_W_BM25, HYB_W_COS],
+        k=HYB_K,
+    )
+
+
+QUERIES["hybrid_norm_topk"] = q_hybrid_norm_topk
+
+ORACLES["hybrid_norm_topk"] = (
+    f"WITH la AS ({ORACLES['bm25_topk']}),"
+    f" lb AS ({ORACLES['cosine_topk_docs']}),"
+    " na AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0"
+    f"   ELSE (score - mn) / (mx - mn) END * {HYB_W_BM25} AS c FROM"
+    "   (SELECT doc_id, score, min(score) OVER () AS mn,"
+    "    max(score) OVER () AS mx FROM la)),"
+    " nb AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0"
+    f"   ELSE (score - mn) / (mx - mn) END * {HYB_W_COS} AS c FROM"
+    "   (SELECT doc_id, score, min(score) OVER () AS mn,"
+    "    max(score) OVER () AS mx FROM lb))"
+    " SELECT doc_id, round(sum(c), 6) AS fused"
+    " FROM (SELECT * FROM na UNION ALL SELECT * FROM nb)"
+    " GROUP BY doc_id ORDER BY fused DESC, doc_id ASC"
+    f" LIMIT {HYB_K}"
+)

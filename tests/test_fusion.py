@@ -119,3 +119,80 @@ def test_rescore_guards(spark):
         fusion.rescore(p, s, query_weight=-1)
     with pytest.raises(Exception, match="max_window_rows"):
         fusion.rescore(p, s, max_window_rows=1).collect()
+
+
+# ---------------------------------------------------------------------------
+# normalized_fuse (score-calibrated fusion)
+# ---------------------------------------------------------------------------
+
+
+def _leg(spark, rows):
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "score"])
+    )
+
+
+def test_normalized_fuse_minmax_hand_computed(spark):
+    from searchengine_spark.operators.fusion import normalized_fuse
+
+    a = _leg(spark, [(1, 10.0), (2, 5.0), (3, 0.0)])   # norm: 1, .5, 0
+    b = _leg(spark, [(2, 2.0), (3, 4.0)])              # norm: 0, 1
+    got = {
+        r["doc_id"]: r["fused"]
+        for r in normalized_fuse([a, b], weights=[0.5, 0.5], k=10).collect()
+    }
+    assert got == {1: 0.5, 2: 0.25, 3: 0.5}
+
+
+def test_normalized_fuse_constant_leg_and_zscore(spark):
+    from searchengine_spark.operators.fusion import normalized_fuse
+
+    const = _leg(spark, [(1, 3.0), (2, 3.0)])
+    var = _leg(spark, [(1, 1.0), (2, 2.0)])
+    got = {
+        r["doc_id"]: r["fused"]
+        for r in normalized_fuse([const, var], k=10).collect()
+    }
+    # constant minmax leg contributes presence (1.0) to both
+    assert got[2] == 2.0 and got[1] == 1.0
+    z = {
+        r["doc_id"]: r["fused"]
+        for r in normalized_fuse([const, var], method="zscore", k=10).collect()
+    }
+    # constant zscore leg contributes 0; var leg z-scores are ±1
+    assert z[2] == 1.0 and z[1] == -1.0
+
+
+def test_normalized_fuse_score_gaps_change_order_vs_rrf(spark):
+    """The point of calibration: leg A is CONFIDENT about doc 1 (huge
+    gap), leg B mildly prefers doc 2 — rank-only RRF ties them, the
+    normalized fuse keeps A's confidence."""
+    from searchengine_spark.operators.fusion import normalized_fuse, rrf_fuse
+
+    a = _leg(spark, [(1, 100.0), (2, 1.0), (3, 0.9)])
+    b = _leg(spark, [(2, 1.02), (1, 1.0), (3, 0.98)])
+    nf = normalized_fuse([a, b], k=1).collect()[0]["doc_id"]
+    assert nf == 1
+    rr = rrf_fuse([a, b], k=3).collect()
+    # both got one rank-1 and one rank-2: RRF scores doc 1 == doc 2
+    scores = {r["doc_id"]: r["rrf"] for r in rr}
+    assert scores[1] == scores[2]
+
+
+def test_normalized_fuse_contracts(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.operators.fusion import normalized_fuse
+
+    leg = _leg(spark, [(1, 1.0)])
+    with _pytest.raises(ValueError):
+        normalized_fuse([])
+    with _pytest.raises(ValueError):
+        normalized_fuse([leg], weights=[1.0, 2.0])
+    with _pytest.raises(ValueError):
+        normalized_fuse([leg], method="softmax")
+    with _pytest.raises(Exception, match="max_list_rows"):
+        big = _leg(spark, [(i, float(i)) for i in range(30)])
+        normalized_fuse([big], max_list_rows=10).collect()
