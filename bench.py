@@ -155,6 +155,7 @@ def main() -> None:
         "heavy_hitter_terms", "collocations", "doc_attributes",
         "hybrid_norm_topk",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
+        "search_snippets_idx",
         "curated_docs",
         "geo_knn", "geo_grid", "geo_bbox",
     ]

@@ -70,6 +70,10 @@ def main() -> None:
     ap.add_argument("--hybrid-n-each", type=int, default=100,
                     help="per-leg top-N fed to the fuse")
     ap.add_argument("--rrf-c", type=int, default=60)
+    ap.add_argument("--snippets", type=int, default=0, metavar="W",
+                    help="attach a +/-W-token snippet per hit from the "
+                    "source-store sidecar (index-only; requires "
+                    "docstore.build_source_store on this index)")
     ap.add_argument("--fusion", default="rrf",
                     choices=["rrf", "minmax", "zscore"],
                     help="hybrid fuse: rank-based RRF (robust default) or "
@@ -738,6 +742,29 @@ def main() -> None:
     by_q: dict = {i: [] for i in range(len(queries))}
     for r in rows:
         by_q[r["query_id"]].append({"doc_id": r["doc_id"], "score": r["score"]})
+    if args.snippets:
+        # index-only: requires the source-store sidecar
+        # (docstore.build_source_store); read scoped to the <= k hit ids
+        import re as _re
+
+        from searchengine_spark.operators.snippets import attach_snippets_store
+
+        for i, q in enumerate(queries):
+            if not by_q[i]:
+                continue
+            terms = _re.findall(r"[a-z0-9]+", q.lower())
+            hitdf = spark.createDataFrame(
+                [(h["doc_id"], h["score"]) for h in by_q[i]],
+                "doc_id long, score double",
+            )
+            snips = {
+                r["doc_id"]: r["snippet"]
+                for r in attach_snippets_store(
+                    spark, args.index_dir, hitdf, terms, width=args.snippets
+                ).collect()
+            }
+            for h in by_q[i]:
+                h["snippet"] = snips.get(h["doc_id"])
     if args.with_meta:
         _attach_meta(spark, args.index_dir, list(by_q.values()))
     for i, q in enumerate(queries):

@@ -386,6 +386,14 @@ def purge_deleted(spark: SparkSession, index_dir: str) -> list[int]:
     if _pos.has_positions(index_dir):
         _purge_positions(spark, index_dir, dead, dead_grps, range_width)
 
+    # 8b. source-store sidecar: affected group partitions rewritten
+    # without the dead docs' text rows (a purged doc's content must not
+    # remain servable from the index)
+    from searchengine_spark.operators import docstore as _ds
+
+    if _ds.has_source(index_dir):
+        _ds.purge_source(spark, index_dir, dead, dead_grps)
+
     # 9. tombstones served their purpose (kept until every derived
     # structure is rebuilt: a crash anywhere above re-runs the purge
     # against the same delete set — every step is idempotent)

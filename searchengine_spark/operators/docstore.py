@@ -1,0 +1,160 @@
+"""Index-resident document store sidecar — the ``_source`` analog.
+
+The main index deliberately stores no text: doc_map carries metadata,
+postings carry term statistics, and text-consuming features (snippets,
+phrase verification without positions) late-materialize against the
+corpus table. That is the right default at 100 TB — but a serving tier
+often cannot see the corpus (different cluster, different ACL, object
+store egress cost), and ES-style engines solve it by storing ``_source``
+in the index. This sidecar is that opt-in: one parquet table
+``source/`` of ``(grp, rng, doc_id, text)`` sharded exactly like the
+postings (same range_width / group_width from the manifest), so
+
+* snippets and any text-consuming read serve INDEX-ONLY — the store is
+  scoped by a broadcast semi-join on the hit ids, and the ``rng``
+  column prunes row groups the same way the postings scan does;
+* lifecycle operations keep their contracts: ``purge_deleted`` rewrites
+  the affected group partitions without the dead docs' rows (same
+  idempotent dynamic-partition-overwrite shape as every other purge
+  step), and a compaction that appends docs refreshes with
+  ``build_source_store(groups=[...])`` — the positions sidecar's
+  refresh idiom.
+
+Cost honesty: the store duplicates the corpus bytes inside the index
+(parquet-compressed text). That is the same trade ES makes with
+``_source`` — pay storage to make the index self-contained. Indexes
+without the sidecar lose nothing: every consumer falls back to the
+corpus-df path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _meta_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "_source_meta.json")
+
+
+def has_source(index_dir: str) -> bool:
+    return os.path.exists(_meta_path(index_dir))
+
+
+def build_source_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    groups: list[int] | None = None,
+) -> None:
+    """Build (or selectively refresh) the source store from ``docs``
+    (must carry the index's assigned doc ids — join doc_map on the
+    natural key to get them). ``groups=`` limits the write to those
+    commit groups via dynamic partition overwrite (the compaction
+    refresh hook); everything else is untouched."""
+    from searchengine_spark.operators.index_build import grp_expr
+    from searchengine_spark.plans.manifest import Manifest
+
+    man = Manifest(index_dir)
+    range_width = man.scalars["range_width"]
+    group_width = man.scalars["group_width"]
+    rng = (F.col(id_col) / F.lit(range_width)).cast("int")
+    out = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).cast("string").alias("text"),
+        rng.alias("rng"),
+    ).withColumn("grp", grp_expr(F.col("rng"), group_width))
+    if groups is not None:
+        out = out.where(F.col("grp").isin([int(g) for g in groups]))
+    (
+        out.repartition("grp")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("grp")
+        .parquet(os.path.join(index_dir, "source"))
+    )
+    with open(_meta_path(index_dir), "w") as f:
+        json.dump({"range_width": range_width, "group_width": group_width}, f)
+
+
+def read_source(
+    spark: SparkSession,
+    index_dir: str,
+    ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text) from the store; with ``ids`` the read is scoped by
+    a semi-join whose small side broadcasts AND a pushed ``rng`` IN
+    predicate derived from the ids (row-group pruning — the k-row hit
+    case never scans the store)."""
+    if not has_source(index_dir):
+        raise FileNotFoundError(
+            f"{index_dir} has no source store; build_source_store first "
+            "(or pass the corpus df to the text-consuming operator)"
+        )
+    with open(_meta_path(index_dir)) as f:
+        range_width = json.load(f)["range_width"]
+    src = spark.read.parquet(os.path.join(index_dir, "source"))
+    if ids is None:
+        return src.select("doc_id", "text")
+    id_rows = ids.select(id_col).distinct()
+    rngs = [
+        r[0]
+        for r in id_rows.select(
+            (F.col(id_col) / F.lit(range_width)).cast("int")
+        ).distinct().collect()
+    ]
+    return (
+        src.where(F.col("rng").isin(rngs))
+        .join(
+            F.broadcast(id_rows.withColumnRenamed(id_col, "doc_id")),
+            "doc_id",
+            "leftsemi",
+        )
+        .select("doc_id", "text")
+    )
+
+
+def purge_source(spark: SparkSession, index_dir: str, dead: DataFrame,
+                 dead_grps) -> None:
+    """Rewrite affected group partitions without the dead docs' rows —
+    the purge lifecycle hook. Staged write + per-partition directory
+    swap (the _purge_positions pattern): Spark cannot overwrite the
+    parquet partitions it is lazily reading, and the swap keeps the
+    operation idempotent — a crash leaves either the old or the new
+    partition in place and re-running the purge is safe."""
+    import glob
+    import shutil
+
+    dead_grps = sorted(int(g) for g in dead_grps)
+    src_dir = os.path.join(index_dir, "source")
+    tmp = os.path.join(index_dir, "source_purge_tmp")
+
+    def swap():
+        for g in dead_grps:
+            # a group whose survivors are empty produces no tmp dir:
+            # the partition simply disappears
+            if not os.path.exists(f"{tmp}/grp={g}"):
+                shutil.rmtree(f"{src_dir}/grp={g}", ignore_errors=True)
+        for d in sorted(glob.glob(f"{tmp}/grp=*")):
+            dest = os.path.join(src_dir, os.path.basename(d))
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(d, dest)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if os.path.exists(f"{tmp}/_SUCCESS"):
+        swap()  # crashed after a complete staged write: finish the swap
+        return
+    shutil.rmtree(tmp, ignore_errors=True)
+    survivors = (
+        spark.read.parquet(src_dir)
+        .where(F.col("grp").isin(dead_grps))
+        .join(F.broadcast(dead.select("doc_id")), "doc_id", "left_anti")
+    )
+    survivors.write.partitionBy("grp").parquet(tmp)
+    swap()

@@ -75,3 +75,28 @@ def attach_snippets(
         id_col, snippet_col(text_col, terms, width).alias("snippet")
     )
     return hits.join(snip, id_col, "left")
+
+
+def attach_snippets_store(
+    spark,
+    index_dir: str,
+    hits: DataFrame,
+    terms: list[str],
+    width: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`attach_snippets` served INDEX-ONLY from the source-store
+    sidecar (operators/docstore.py) — no corpus table in sight: the
+    store read is scoped to the hit ids (broadcast semi-join + pushed
+    rng pruning), so the text touched is ≤ k rows regardless of corpus
+    size. Raises FileNotFoundError when the index carries no store
+    (build_source_store is the opt-in; the corpus-df path above remains
+    the default)."""
+    from searchengine_spark.operators.docstore import read_source
+
+    scoped = read_source(spark, index_dir, hits.select(id_col), id_col=id_col)
+    snip = scoped.select(
+        F.col("doc_id").alias(id_col),
+        snippet_col("text", terms, width).alias("snippet"),
+    )
+    return hits.join(F.broadcast(snip), id_col, "left")

@@ -1612,7 +1612,7 @@ def _packed_layout(spark, sf_dir) -> str:
 
     src = f"{sf_dir.rstrip('/')}/documents.parquet"
     st = os.stat(src)
-    key = f"v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
+    key = f"v3:{sf_dir}:{st.st_mtime_ns}:{st.st_size}"
     d = os.path.join(
         tempfile.gettempdir(),
         "se_idx_" + hashlib.md5(key.encode()).hexdigest()[:10],
@@ -1622,6 +1622,7 @@ def _packed_layout(spark, sf_dir) -> str:
     ):
         import shutil
 
+        from searchengine_spark.operators.docstore import build_source_store
         from searchengine_spark.operators.positions import build_positions
 
         shutil.rmtree(d, ignore_errors=True)
@@ -1629,13 +1630,14 @@ def _packed_layout(spark, sf_dir) -> str:
         build_index(spark, corpus, d, n_groups=2, analyzer="raw")
         # fully-loaded layout: the positional sidecar rides along so the
         # phrase clause of the boolean entry (and purge's positional
-        # rewrite) run against a real packed index
+        # rewrite) run against a real packed index, and the source store
+        # makes text-consuming reads (snippets) index-only
         dm = spark.read.parquet(f"{d}/doc_map").select("doc_id", "path")
-        build_positions(
-            spark,
-            corpus.select("path", F.col("content").alias("text")).join(dm, "path"),
-            d,
-        )
+        docs_txt = corpus.select(
+            "path", F.col("content").alias("text")
+        ).join(dm, "path")
+        build_positions(spark, docs_txt, d)
+        build_source_store(spark, docs_txt.select("doc_id", "text"), d)
     return d
 
 
@@ -5632,3 +5634,41 @@ ORACLES["hybrid_norm_topk"] = (
     " GROUP BY doc_id ORDER BY fused DESC, doc_id ASC"
     f" LIMIT {HYB_K}"
 )
+
+
+# ---------------------------------------------------------------------------
+# index-only snippets via the source-store sidecar (operators/docstore.py)
+# ---------------------------------------------------------------------------
+
+
+def q_search_snippets_idx(spark, sf_dir):
+    """search_snippets served INDEX-ONLY: the packed layout carries the
+    source-store sidecar (the ES _source analog), so BM25 top-k + the
+    ±5-token snippet window read nothing but the index — the serving
+    tier needs no corpus access. Same oracle as search_snippets: the
+    store must reproduce the corpus text exactly."""
+    from searchengine_spark.operators.snippets import attach_snippets_store
+    from searchengine_spark.operators.wand import search
+
+    layout = _packed_layout(spark, sf_dir)
+    hits = search(spark, layout, " ".join(QTERMS), k=60)
+    snip = attach_snippets_store(
+        spark, layout, hits, QTERMS, width=SNIPPET_WIDTH
+    )
+    dm = spark.read.parquet(f"{layout}/doc_map").select(
+        "doc_id", F.substring("path", 5, 30).cast("long").alias("orig_id")
+    )
+    return (
+        snip.join(dm, "doc_id")
+        .select(
+            F.col("orig_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "snippet",
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+QUERIES["search_snippets_idx"] = q_search_snippets_idx
+ORACLES["search_snippets_idx"] = ORACLES["search_snippets"]

@@ -1,0 +1,88 @@
+"""Source-store sidecar (operators/docstore.py): round trip, scoped
+reads, index-only snippets identity vs the corpus-df path, and the
+purge lifecycle contract (a purged doc's text must stop being
+servable)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import docstore
+from searchengine_spark.operators.index_build import build_index
+from searchengine_spark.operators.snippets import (
+    attach_snippets,
+    attach_snippets_store,
+)
+from searchengine_spark.operators.wand import search
+from searchengine_spark.sources.corpus import corpus_pdf
+
+
+@pytest.fixture(scope="module")
+def stored_idx(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dsidx") / "idx")
+    pdf = corpus_pdf(200, seed=21)
+    docs = spark.createDataFrame(pdf)
+    build_index(spark, docs, d, range_width=64, n_groups=2)
+    dm = spark.read.parquet(f"{d}/doc_map").select("doc_id", "path")
+    docs_txt = docs.select("path", F.col("content").alias("text")).join(
+        dm, "path"
+    ).select("doc_id", "text")
+    docstore.build_source_store(spark, docs_txt, d)
+    return d, docs_txt
+
+
+def test_round_trip_and_scoped_read(spark, stored_idx):
+    d, docs_txt = stored_idx
+    assert docstore.has_source(d)
+    full = {r["doc_id"]: r["text"] for r in docstore.read_source(spark, d).collect()}
+    want = {r["doc_id"]: r["text"] for r in docs_txt.collect()}
+    assert full == want
+    ids = spark.createDataFrame([(3,), (7,)], "doc_id long")
+    scoped = {r["doc_id"]: r["text"] for r in docstore.read_source(spark, d, ids).collect()}
+    assert scoped == {3: want[3], 7: want[7]}
+
+
+def test_snippets_store_equals_corpus_path(spark, stored_idx):
+    d, docs_txt = stored_idx
+    hits = search(spark, d, "fast key order", k=10)
+    terms = ["fast", "key", "order"]
+    via_store = {
+        r["doc_id"]: (r["score"], r["snippet"])
+        for r in attach_snippets_store(spark, d, hits, terms).collect()
+    }
+    via_corpus = {
+        r["doc_id"]: (r["score"], r["snippet"])
+        for r in attach_snippets(hits, docs_txt, terms).collect()
+    }
+    assert via_store == via_corpus and via_store
+
+
+def test_missing_store_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError, match="no source store"):
+        docstore.read_source(spark, str(tmp_path / "noidx"))
+
+
+def test_purge_removes_dead_text(spark, tmp_path):
+    from searchengine_spark.operators.deletion import delete_docs, purge_deleted
+
+    d = str(tmp_path / "idx")
+    docs = spark.createDataFrame(corpus_pdf(120, seed=22))
+    build_index(spark, docs, d, range_width=32, n_groups=2)
+    dm = spark.read.parquet(f"{d}/doc_map").select("doc_id", "path")
+    docs_txt = docs.select("path", F.col("content").alias("text")).join(
+        dm, "path"
+    ).select("doc_id", "text")
+    docstore.build_source_store(spark, docs_txt, d)
+    # materialize before the purge: purge swaps doc_map's files out from
+    # under the lazy docs_txt plan
+    all_ids = {r["doc_id"] for r in docs_txt.collect()}
+
+    dead = [5, 9, 64]
+    delete_docs(
+        spark, d, spark.createDataFrame([(i,) for i in dead], "doc_id long")
+    )
+    purge_deleted(spark, d)
+    left = {r["doc_id"] for r in docstore.read_source(spark, d).collect()}
+    assert left == all_ids - set(dead)
+    # scoped read of a dead id returns nothing rather than stale text
+    ids = spark.createDataFrame([(5,)], "doc_id long")
+    assert docstore.read_source(spark, d, ids).count() == 0
