@@ -97,6 +97,15 @@ def read_source(
             f"{index_dir} has no source store; build_source_store first "
             "(or pass the corpus df to the text-consuming operator)"
         )
+    stale = stale_source_groups(index_dir)
+    if stale:
+        # serving silently would omit newly ingested docs' text — refuse
+        # loudly, the positions-sidecar staleness contract
+        raise ValueError(
+            f"source store is STALE for groups {stale} (docs ingested "
+            "after the store was built); run docstore.refresh_source over "
+            "the post-ingest corpus"
+        )
     with open(_meta_path(index_dir)) as f:
         range_width = json.load(f)["range_width"]
     src = spark.read.parquet(os.path.join(index_dir, "source"))
@@ -118,6 +127,43 @@ def read_source(
         )
         .select("doc_id", "text")
     )
+
+
+def refresh_source(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[int]:
+    """Rebuild the groups ``streaming.ingest.compact`` marked stale
+    (``source_stale_groups`` — compaction can't rebuild them itself: its
+    merged doc_terms no longer carry raw text). ``docs`` is the
+    POST-ingest corpus with index doc ids. Returns the rebuilt group ids
+    and clears the marker — the positions-sidecar refresh contract."""
+    from searchengine_spark.plans.manifest import Manifest
+
+    man = Manifest(index_dir)
+    stale = sorted(set(man.scalars.get("source_stale_groups", [])))
+    if stale:
+        build_source_store(
+            spark, docs, index_dir, id_col=id_col, text_col=text_col,
+            groups=stale,
+        )
+        man.set_scalars(source_stale_groups=[])
+    return stale
+
+
+def stale_source_groups(index_dir: str) -> list[int]:
+    """Groups whose stored text is missing newly ingested docs; empty =
+    the store is current."""
+    from searchengine_spark.plans.manifest import Manifest
+
+    try:
+        return sorted(set(Manifest(index_dir).scalars.get(
+            "source_stale_groups", [])))
+    except FileNotFoundError:
+        return []
 
 
 def purge_source(spark: SparkSession, index_dir: str, dead: DataFrame,

@@ -444,6 +444,18 @@ def compact(spark: SparkSession, index_dir: str, n_groups: int | None = None) ->
             | set(range(first_new_grp, n_groups_total))
         )
         man.set_scalars(positions_stale_groups=stale)
+    # source-store sidecar (if built): same obligation shape — stored text
+    # is immutable per doc, so only groups holding NEW docs go stale;
+    # docstore.refresh_source rebuilds them from the post-ingest corpus
+    from searchengine_spark.operators.docstore import has_source
+
+    if first_new_doc is not None and has_source(index_dir):
+        first_new_grp = (first_new_doc // range_width) // group_width
+        stale = sorted(
+            set(man.scalars.get("source_stale_groups", []))
+            | set(range(first_new_grp, n_groups_total))
+        )
+        man.set_scalars(source_stale_groups=stale)
     # persist the cosine-refresh obligation BEFORE batch statuses flip: a
     # crash during the long postings/cosine rebuilds below would otherwise
     # leave the rerun with first_new_doc=None and an empty invalidation

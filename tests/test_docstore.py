@@ -86,3 +86,58 @@ def test_purge_removes_dead_text(spark, tmp_path):
     # scoped read of a dead id returns nothing rather than stale text
     ids = spark.createDataFrame([(5,)], "doc_id long")
     assert docstore.read_source(spark, d, ids).count() == 0
+
+
+def test_compact_marks_store_stale_and_refresh(spark, tmp_path):
+    """Ingest lifecycle: compaction records the store-refresh obligation
+    (stored text is immutable, only new-doc groups go stale), stale
+    reads REFUSE loudly, refresh_source rebuilds exactly the stale
+    groups and new docs' text becomes servable."""
+    import os
+
+    from searchengine_spark.plans.manifest import Manifest
+    from searchengine_spark.streaming import ingest as ing
+
+    def docs_df(lo, hi):
+        rows = [
+            (f"org/r{i}", f"f{i}.py", "c" * 40, "python",
+             f"word{i} alpha beta gamma delta")
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "repo string, path string, commit string, lang string, content string",
+        )
+
+    idx = f"{tmp_path}/idx"
+    os.makedirs(idx)
+    ing.ingest_batch(spark, docs_df(0, 600), 0, idx)
+    ing.compact(spark, idx, n_groups=3)
+
+    def corpus_with_ids():
+        dm = spark.read.parquet(f"{idx}/doc_map").select(
+            "doc_id", "repo", "path", "commit"
+        )
+        all_docs = docs_df(0, Manifest(idx).scalars["n_docs"])
+        return all_docs.join(dm, ["repo", "path", "commit"]).select(
+            "doc_id", F.col("content").alias("text")
+        )
+
+    docstore.build_source_store(spark, corpus_with_ids(), idx)
+
+    ing.ingest_batch(spark, docs_df(600, 700), 1, idx)
+    ing.compact(spark, idx)
+    stale = docstore.stale_source_groups(idx)
+    assert stale, "compaction must record the store-refresh obligation"
+    assert len(stale) < Manifest(idx).scalars["n_groups"], "selective"
+    with pytest.raises(ValueError, match="STALE"):
+        docstore.read_source(spark, idx)
+
+    full = corpus_with_ids().cache()
+    rebuilt = docstore.refresh_source(spark, full, idx)
+    assert rebuilt == stale
+    assert docstore.stale_source_groups(idx) == []
+    got = {r["doc_id"]: r["text"] for r in docstore.read_source(spark, idx).collect()}
+    want = {r["doc_id"]: r["text"] for r in full.collect()}
+    assert got == want and len(want) == 700
+    full.unpersist()
