@@ -75,3 +75,33 @@ def test_fsck_green_on_tombstoned_index(spark, index_1k, tmp_path):
     purge_deleted(spark, idx)
     rc, fails = _run(idx)
     assert rc == 0 and fails == [], fails
+
+
+def test_fsck_source_store_check(spark, tmp_path):
+    """An index with the source-store sidecar passes; dropping a doc's
+    text row fails the 1:1 check (a missing row would silently break
+    index-only snippets for that doc)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.docstore import build_source_store
+    from searchengine_spark.operators.index_build import build_index
+    from searchengine_spark.sources.corpus import corpus_pdf
+
+    d = str(tmp_path / "sidx")
+    docs = spark.createDataFrame(corpus_pdf(80, seed=31))
+    build_index(spark, docs, d, range_width=32, n_groups=2)
+    dm = spark.read.parquet(f"{d}/doc_map").select("doc_id", "path")
+    docs_txt = docs.select("path", F.col("content").alias("text")).join(
+        dm, "path"
+    ).select("doc_id", "text")
+    build_source_store(spark, docs_txt, d)
+    rc, fails = _run(d)
+    assert rc == 0 and fails == []
+
+    src = spark.read.parquet(f"{d}/source").toPandas()
+    src = src[src["doc_id"] != 5]
+    shutil.rmtree(f"{d}/source")
+    spark.createDataFrame(src).write.partitionBy("grp").parquet(f"{d}/source")
+    rc, fails = _run(d)
+    assert rc == 1
+    assert "source store ≡ doc_map ids (1:1)" in fails

@@ -255,9 +255,42 @@ def main() -> None:
             check("positions rows decode + invariants", (badp or 0) == 0,
                   f"{badp} bad rows")
 
+    # source-store sidecar (if present): exactly one text row per doc_map
+    # id — tombstoned docs KEEP their row until purge (eligibility-only
+    # contract), so the invariant is equality with doc_map, not with the
+    # live set. A stale store (pending refresh_source) is noted, not
+    # failed: the obligation is recorded and reads already refuse.
+    from searchengine_spark.operators.docstore import (
+        has_source,
+        stale_source_groups,
+    )
+
+    if has_source(d):
+        stale_src = stale_source_groups(d)
+        if stale_src:
+            print(f"note: source store stale for groups {stale_src} "
+                  "(docstore.refresh_source pending; reads refuse)")
+        else:
+            src = spark.read.parquet(f"{d}/source").select("doc_id")
+            dup_src = (
+                src.groupBy("doc_id").count().where("count > 1").count()
+            )
+            missing_src = (
+                dm.select("doc_id").join(src, "doc_id", "left_anti").count()
+            )
+            orphan_src = (
+                src.join(dm.select("doc_id"), "doc_id", "left_anti").count()
+            )
+            check(
+                "source store ≡ doc_map ids (1:1)",
+                dup_src == 0 and missing_src == 0 and orphan_src == 0,
+                f"{dup_src} dup / {missing_src} missing / {orphan_src} orphan",
+            )
+
     leftovers = [
         p for pat in ("doc_terms_merge_tmp", "doc_terms_purge_tmp",
-                      "positions_purge_tmp", "doc_map.tmp", "doc_map.old",
+                      "positions_purge_tmp", "source_purge_tmp",
+                      "doc_map.tmp", "doc_map.old",
                       "fold_map.prev", "tombstones.tmp")
         for p in glob.glob(f"{d}/{pat}")
     ]
