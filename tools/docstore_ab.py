@@ -1,0 +1,174 @@
+"""A/B: snippet attachment through the source-store sidecar vs the
+corpus-table path, on the 800k-doc scaling index — the serving evidence
+for operators/docstore.py.
+
+Interleaved over ``--passes`` rounds (the only trustworthy A/B shape on
+this sandbox), asserting both paths return IDENTICAL (doc_id, snippet)
+sets per query. Also records the store's one-time build wall and
+on-disk size next to the corpus parquet size (the storage price of an
+index-only serving tier).
+
+    python tools/docstore_ab.py [--index /tmp/se_scaling_idx_32]
+        [--corpus /tmp/se_scaling_corpus_800000_7] [--passes 3]
+        [--json-out BENCH/docstore_800k.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = [
+    "fast key order",
+    "result flag parse",
+    "merge group shard",
+    "customer query value data",
+]
+
+
+def input_bytes_total(spark):
+    """Cumulative file-scan input bytes across all stages, from the same
+    AppStatusStore the build manifest snapshots (best-effort)."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        jvm = sc._jvm
+        stages = store.stageList(
+            jvm.java.util.ArrayList(), False, False,
+            sc._gateway.new_array(jvm.double, 0), jvm.java.util.ArrayList(),
+        )
+        total = 0
+        for i in range(stages.size()):
+            total += stages.apply(i).inputBytes()
+        return total
+    except Exception:
+        return None
+
+
+def dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default="/tmp/se_scaling_idx_32")
+    ap.add_argument("--corpus", default="/tmp/se_scaling_corpus_800000_7")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--json-out",
+                    default=os.path.join(REPO, "BENCH", "docstore_800k.json"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import docstore
+    from searchengine_spark.operators.snippets import (
+        attach_snippets,
+        attach_snippets_store,
+    )
+    from searchengine_spark.operators.wand import search
+    from searchengine_spark.session import get_session
+
+    load_start = round(os.getloadavg()[0], 2)
+    spark = get_session(master="local[32]", app_name="docstore-ab",
+                        shuffle_partitions=32)
+    spark.createDataFrame([(1,)], "x int").mapInPandas(lambda it: it, "x int").count()
+
+    dm = spark.read.parquet(f"{args.index}/doc_map").select("doc_id", "path")
+    docs_txt = (
+        spark.read.parquet(args.corpus)
+        .select("path", F.col("content").alias("text"))
+        .join(dm, "path")
+        .select("doc_id", "text")
+    )
+
+    build_sec = None
+    if not docstore.has_source(args.index):
+        t0 = time.time()
+        docstore.build_source_store(spark, docs_txt, args.index)
+        build_sec = round(time.time() - t0, 3)
+
+    # measure the TEXT-FETCH stage in isolation, the way the serving job
+    # actually runs it (search_job --snippets collects hits first, then
+    # attaches): hits are materialized untimed, both paths start from the
+    # same literal k-row frame — the timed work is store-pruned-read vs
+    # corpus-scan-join only
+    wall = {"store": [], "corpus": []}
+    scan = {"store": 0, "corpus": 0}
+    for _ in range(args.passes):
+        for q in QUERIES:
+            terms = q.split()
+            rows = search(spark, args.index, q, k=args.k).collect()
+            hitdf = spark.createDataFrame(
+                [(r["doc_id"], r["score"]) for r in rows],
+                "doc_id long, score double",
+            )
+            b0 = input_bytes_total(spark)
+            t0 = time.time()
+            via_store = {
+                (r["doc_id"], r["snippet"])
+                for r in attach_snippets_store(
+                    spark, args.index, hitdf, terms
+                ).collect()
+            }
+            wall["store"].append(time.time() - t0)
+            b1 = input_bytes_total(spark)
+            if b0 is not None and b1 is not None:
+                scan["store"] += b1 - b0
+            t0 = time.time()
+            via_corpus = {
+                (r["doc_id"], r["snippet"])
+                for r in attach_snippets(hitdf, docs_txt, terms).collect()
+            }
+            wall["corpus"].append(time.time() - t0)
+            b2 = input_bytes_total(spark)
+            if b1 is not None and b2 is not None:
+                scan["corpus"] += b2 - b1
+            assert via_store == via_corpus, f"path divergence for {q!r}"
+
+    out = {
+        "metric": "docstore_snippets_800k",
+        "index": args.index,
+        "passes": args.passes,
+        "queries": QUERIES,
+        "store_p50_sec": round(sorted(wall["store"])[len(wall["store"]) // 2], 4),
+        "corpus_p50_sec": round(sorted(wall["corpus"])[len(wall["corpus"]) // 2], 4),
+        "store_best_sec": round(min(wall["store"]), 4),
+        "corpus_best_sec": round(min(wall["corpus"]), 4),
+        "store_build_sec": build_sec,
+        # the 100 TB differentiator: bytes the text-fetch SCANS — wall
+        # time is scheduling-floor-bound at this corpus size, but the
+        # corpus leg's scan grows with the corpus while the store leg's
+        # stays proportional to the hits' row groups
+        "store_scan_bytes_per_query": (
+            round(scan["store"] / (args.passes * len(QUERIES)))
+            if scan["store"] else None
+        ),
+        "corpus_scan_bytes_per_query": (
+            round(scan["corpus"] / (args.passes * len(QUERIES)))
+            if scan["corpus"] else None
+        ),
+        "store_bytes": dir_bytes(os.path.join(args.index, "source")),
+        "corpus_bytes": dir_bytes(args.corpus),
+        "results_identical": True,
+        "ambient_load_start": load_start,
+        "ambient_load_end": round(os.getloadavg()[0], 2),
+    }
+    with open(args.json_out, "w") as f:
+        json.dump(out, f)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
