@@ -72,7 +72,11 @@ def build_source_store(
     if groups is not None:
         out = out.where(F.col("grp").isin([int(g) for g in groups]))
     (
+        # sorted within partitions so parquet row-group min/max stats on
+        # (rng, doc_id) make the hit-scoped pushed IN read prune to the
+        # few row groups actually holding the requested ids
         out.repartition("grp")
+        .sortWithinPartitions("rng", "doc_id")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("grp")
@@ -87,11 +91,14 @@ def read_source(
     index_dir: str,
     ids: DataFrame | None = None,
     id_col: str = "doc_id",
+    max_ids: int = 100_000,
 ) -> DataFrame:
-    """(doc_id, text) from the store; with ``ids`` the read is scoped by
-    a semi-join whose small side broadcasts AND a pushed ``rng`` IN
-    predicate derived from the ids (row-group pruning — the k-row hit
-    case never scans the store)."""
+    """(doc_id, text) from the store; with ``ids`` (a BOUNDED hit list —
+    the k-row serving case by contract, loudly refused above
+    ``max_ids``) the id set is collected and pushed as a ``doc_id IN``
+    scan predicate: with the layout sorted on (rng, doc_id), parquet
+    row-group stats prune the read to the handful of row groups holding
+    the requested docs — one job, no join, no store-sized scan."""
     if not has_source(index_dir):
         raise FileNotFoundError(
             f"{index_dir} has no source store; build_source_store first "
@@ -111,20 +118,18 @@ def read_source(
     src = spark.read.parquet(os.path.join(index_dir, "source"))
     if ids is None:
         return src.select("doc_id", "text")
-    id_rows = ids.select(id_col).distinct()
-    rngs = [
-        r[0]
-        for r in id_rows.select(
-            (F.col(id_col) / F.lit(range_width)).cast("int")
-        ).distinct().collect()
+    id_list = [
+        r[0] for r in ids.select(id_col).distinct().limit(max_ids + 1).collect()
     ]
-    return (
-        src.where(F.col("rng").isin(rngs))
-        .join(
-            F.broadcast(id_rows.withColumnRenamed(id_col, "doc_id")),
-            "doc_id",
-            "leftsemi",
+    if len(id_list) > max_ids:
+        raise ValueError(
+            f"read_source ids exceed max_ids={max_ids}; the scoped read "
+            "is for bounded hit lists — read the full store (ids=None) "
+            "and join for corpus-sized consumers"
         )
+    rngs = sorted({int(i) // range_width for i in id_list})
+    return (
+        src.where(F.col("rng").isin(rngs) & F.col("doc_id").isin(id_list))
         .select("doc_id", "text")
     )
 
