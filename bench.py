@@ -155,7 +155,6 @@ def main() -> None:
         "heavy_hitter_terms", "collocations", "doc_attributes",
         "hybrid_norm_topk",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
-        "search_snippets_idx",
         "curated_docs",
         "geo_knn", "geo_grid", "geo_bbox",
     ]
@@ -185,6 +184,12 @@ def main() -> None:
     # serving path (WAND over the prebuilt layout)
     timed("bm25_packed_cold", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
     timed("bm25_topk_packed", lambda: QUERIES["bm25_topk_packed"](spark, sf_dir).count())
+    # store-backed snippets ride the packed layout just built (warm path;
+    # running it in the early loop would cold-build the layout twice)
+    timed(
+        "search_snippets_idx",
+        lambda: QUERIES["search_snippets_idx"](spark, sf_dir).count(),
+    )
     # sharded-build-then-merge lifecycle: cold = 2 shard builds + merge
     # (id offsets + global-stage rebuild, NO re-tokenize); warm = the
     # same WAND serving path as any other index

@@ -96,15 +96,15 @@ def _gram_array(text_col, bigrams: bool):
     )
     if not bigrams:
         return arr
+    # zip_with over two shifted slices, NOT transform(sequence) +
+    # element_at: the positional-lookup form evaluates ~13x slower at
+    # sf0.1 (measured 18 s -> 1.4 s for the full explode+groupBy pass)
     bi = F.when(
         F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(arr) - 1),
-            # sequence is ascending here because size >= 2 is guarded;
-            # element_at is 1-based
-            lambda i: F.concat(
-                F.element_at(arr, i), F.lit(" "), F.element_at(arr, i + 1)
-            ),
+        F.zip_with(
+            F.slice(arr, 1, F.size(arr) - 1),
+            F.slice(arr, 2, F.size(arr) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(arr, bi)
