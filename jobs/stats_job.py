@@ -1,0 +1,41 @@
+"""Corpus statistics report: one spark-submit job, one JSON line — the
+pre-flight numbers for pointing a training pipeline or an index build at
+a corpus (doc/token/vocab counts, length percentiles, language spread,
+exact-duplicate fraction).
+
+  spark-submit --py-files dist/searchengine_spark.zip jobs/stats_job.py \
+      --input /data/documents.parquet [--id-col doc_id] [--text-col text]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    args = ap.parse_args()
+
+    from searchengine_spark.operators.textstats import corpus_stats
+    from searchengine_spark.session import get_session
+
+    spark = get_session(app_name="searchengine-stats")
+    t0 = time.time()
+    row = corpus_stats(
+        spark.read.parquet(args.input),
+        id_col=args.id_col,
+        text_col=args.text_col,
+    ).collect()[0]
+    out = row.asDict()
+    out["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

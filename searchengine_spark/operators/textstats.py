@@ -751,3 +751,70 @@ def collocations(
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(k)
     )
+
+
+def corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-row corpus summary — the numbers a data engineer asks for
+    before pointing a training run (or an index build) at a corpus:
+    ``(n_docs, n_empty_docs, n_tokens, n_terms, avgdl, p50_dl, p95_dl,
+    n_langs, n_distinct_contents, dup_frac)``.
+
+    * token numbers use the SQL-portable analysis tokenizer;
+    * ``p50/p95`` are exact interpolated percentiles of doc length
+      (Spark ``percentile`` ≡ DuckDB ``quantile_cont``; swap
+      ``percentile_approx`` at 100 TB — the ``value_percentiles``
+      posture);
+    * ``n_distinct_contents``/``dup_frac`` count exact duplicates by
+      content digest (md5 here — cross-engine; production would use
+      the sha256 the index stores);
+    * ``n_langs`` is the heuristic language-id spread.
+
+    Shape: one tokens explode feeding two map-side-combined aggs
+    (per-doc dl, then the one-row summary), a distinct-digest agg, and
+    the langid agg — every stage bounded, nothing corpus-sized on the
+    driver. Floats round at 6 dp (gate grid).
+    """
+    toks = tokens(df, id_col, text_col)
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    dl_stats = dl.agg(
+        F.count("*").alias("_docs_with_tokens"),
+        F.sum("dl").cast("long").alias("n_tokens"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.round(F.expr("percentile(dl, 0.5)"), 6).alias("p50_dl"),
+        F.round(F.expr("percentile(dl, 0.95)"), 6).alias("p95_dl"),
+    )
+    vocab = toks.agg(F.count_distinct("term").cast("long").alias("n_terms"))
+    base = df.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct(F.md5(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_distinct_contents"),
+    )
+    langs = language_id(df, id_col, text_col).agg(
+        F.count_distinct("pred_lang").cast("int").alias("n_langs")
+    )
+    return (
+        base.crossJoin(F.broadcast(dl_stats))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(langs))
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("_docs_with_tokens"))
+            .cast("long")
+            .alias("n_empty_docs"),
+            "n_tokens",
+            "n_terms",
+            "avgdl",
+            "p50_dl",
+            "p95_dl",
+            "n_langs",
+            "n_distinct_contents",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct_contents"))
+                / F.col("n_docs"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

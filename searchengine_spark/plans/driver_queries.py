@@ -5698,3 +5698,43 @@ _rest = [k for k in QUERIES if k not in _R5_ROTATED and k not in _R5_NEW]
 QUERIES = {
     k: QUERIES[k] for k in (*_R5_ROTATED, *_R5_NEW, *_rest)
 }
+
+
+# ---------------------------------------------------------------------------
+# one-row corpus statistics (textstats.corpus_stats, jobs/stats_job.py)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_stats(spark, sf_dir):
+    """The pre-flight corpus report as one hash-gated row: doc/token/
+    vocab counts, exact interpolated length percentiles, language
+    spread, exact-duplicate fraction."""
+    from searchengine_spark.operators import textstats as ts
+
+    return ts.corpus_stats(_docs(spark, sf_dir))
+
+
+QUERIES["corpus_stats"] = q_corpus_stats
+
+ORACLES["corpus_stats"] = (
+    f"WITH toks AS ({SQL_TOKENS}),"
+    " dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),"
+    " ds AS (SELECT count(*) AS docs_with_tokens,"
+    "   CAST(sum(dl) AS BIGINT) AS n_tokens,"
+    "   round(avg(dl), 6) AS avgdl,"
+    "   round(quantile_cont(dl, 0.5), 6) AS p50_dl,"
+    "   round(quantile_cont(dl, 0.95), 6) AS p95_dl FROM dl),"
+    " v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_terms FROM toks),"
+    " b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+    "   CAST(count(DISTINCT md5(COALESCE(text, ''))) AS BIGINT)"
+    "   AS n_distinct_contents FROM documents),"
+    f" lg AS (SELECT CAST(count(DISTINCT pred_lang) AS INT) AS n_langs"
+    f"   FROM ({_langid_sql()}))"
+    " SELECT n_docs,"
+    " CAST(n_docs - docs_with_tokens AS BIGINT) AS n_empty_docs,"
+    " n_tokens, n_terms, avgdl, p50_dl, p95_dl, n_langs,"
+    " n_distinct_contents,"
+    " round((n_docs - n_distinct_contents) / CAST(n_docs AS DOUBLE), 6)"
+    " AS dup_frac"
+    " FROM b CROSS JOIN ds CROSS JOIN v CROSS JOIN lg"
+)

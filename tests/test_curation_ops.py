@@ -295,3 +295,33 @@ def test_collocations_min_count_floor_and_determinism(spark):
     r1 = ts.collocations(df, min_count=1, k=50).collect()
     r2 = ts.collocations(df, min_count=1, k=50).collect()
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# corpus_stats (one-row summary)
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_stats_hand_computed(spark):
+    import pandas as pd
+
+    from searchengine_spark.operators import textstats as ts
+
+    rows = [
+        (1, "the cat and the dog"),        # 5 tokens
+        (2, "the cat and the dog"),        # exact duplicate
+        (3, "alpha beta"),                 # 2 tokens
+        (4, ""),                           # empty
+        (5, None),                         # null
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    r = ts.corpus_stats(df).collect()[0]
+    assert r["n_docs"] == 5 and r["n_empty_docs"] == 2
+    assert r["n_tokens"] == 12
+    assert r["n_terms"] == 6  # the cat and dog alpha beta
+    # 3 distinct contents: the duplicated sentence, "alpha beta", and
+    # ""/None collapsing to the empty string
+    assert r["n_distinct_contents"] == 3
+    assert r["dup_frac"] == 0.4
+    assert r["avgdl"] == 4.0  # (5+5+2)/3 over docs WITH tokens
+    assert r["p50_dl"] == 5.0
