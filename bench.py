@@ -153,7 +153,7 @@ def main() -> None:
         "ccnet_buckets", "line_dedup", "url_dedup", "rank_eval",
         "quality_score", "quality_importance", "gopher_quality",
         "heavy_hitter_terms", "collocations", "doc_attributes",
-        "hybrid_norm_topk", "corpus_stats",
+        "hybrid_norm_topk", "corpus_stats", "doc_keywords",
         "phrase_match", "phrase_topk", "more_like_this", "search_snippets",
         "curated_docs",
         "geo_knn", "geo_grid", "geo_bbox",

@@ -5738,3 +5738,40 @@ ORACLES["corpus_stats"] = (
     " AS dup_frac"
     " FROM b CROSS JOIN ds CROSS JOIN v CROSS JOIN lg"
 )
+
+
+# ---------------------------------------------------------------------------
+# per-doc keyword extraction: top-k tf-idf terms (window over the A7 vectors)
+# ---------------------------------------------------------------------------
+
+KEYWORDS_K = 3
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Keyphrase extraction, the cheap corpus-statistical tier: each
+    document's top-KEYWORDS_K terms by the reference tf-idf weighting
+    (ties: weight desc, term asc — fully deterministic). One window over
+    the A7 vectors; the per-doc keyword table is what tag-style
+    pipelines join as a 'topics' attribute."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        q_tfidf(spark, sf_dir)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KEYWORDS_K)
+        .select("doc_id", F.col("rank").cast("int").alias("rank"), "term", "tfidf")
+    )
+
+
+QUERIES["doc_keywords"] = q_doc_keywords
+
+ORACLES["doc_keywords"] = (
+    f"WITH v AS ({ORACLES['tfidf']})"
+    " SELECT doc_id, CAST(rank AS INT) AS rank, term, tfidf FROM ("
+    "   SELECT doc_id, term, tfidf, row_number() OVER ("
+    "     PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank FROM v)"
+    f" WHERE rank <= {KEYWORDS_K}"
+)

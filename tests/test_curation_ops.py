@@ -325,3 +325,20 @@ def test_corpus_stats_hand_computed(spark):
     assert r["dup_frac"] == 0.4
     assert r["avgdl"] == 4.0  # (5+5+2)/3 over docs WITH tokens
     assert r["p50_dl"] == 5.0
+
+
+def test_doc_keywords_ranks_discriminative_terms(spark, tmp_path):
+    """The per-doc keyword pick must prefer a term unique to the doc
+    over corpus-wide filler (idf does the work), with deterministic
+    tie order."""
+    import pandas as pd
+
+    from searchengine_spark.plans import driver_queries as dq
+
+    rows = [(i, f"special{i} common common common") for i in range(6)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    out = dq.QUERIES["doc_keywords"](spark, sf).collect()
+    top1 = {r["doc_id"]: r["term"] for r in out if r["rank"] == 1}
+    assert top1 == {i: f"special{i}" for i in range(6)}
