@@ -205,6 +205,10 @@ def main() -> None:
                     help="per-document term statistics (the ES "
                     "_termvectors API): every canonical term of DOC_ID "
                     "with in-doc tf and corpus df; needs no --query")
+    ap.add_argument("--analyze", action="store_true",
+                    help="the ES _analyze API: print how this index's "
+                    "analyzer (+ stemming, from the manifest) tokenizes "
+                    "each --query text — terms with counts, no search")
     ap.add_argument("--with-meta", action="store_true",
                     help="attach doc_map metadata (repo, path, commit, "
                     "lang) to every hit — one pushed doc_id IN scan over "
@@ -220,6 +224,34 @@ def main() -> None:
 
     from searchengine_spark.plans.manifest import resolve_index_dir
     from searchengine_spark.session import get_session
+
+    if args.analyze:
+        # ES _analyze parity: show exactly how THIS index tokenizes text —
+        # analyzer + stemming read from the manifest so the output is what
+        # the query parser and the build both produced. Pure driver-side,
+        # no Spark session.
+        from searchengine_spark.operators.tokenize import analyzer_fn
+        from searchengine_spark.plans.manifest import Manifest
+
+        d = resolve_index_dir(args.index_dir) if args.index_dir else None
+        if d is None:
+            raise SystemExit("--analyze needs --index-dir (the analyzer "
+                             "and stemming flags live in its manifest)")
+        s = Manifest(d).scalars
+        fn = analyzer_fn(s.get("analyzer", "reference"))
+        for q in queries:
+            counts = fn(q)
+            if s.get("stemming"):
+                from searchengine_spark.functions.stemmer import stem_terms
+
+                counts = stem_terms(counts)
+            print(json.dumps({
+                "text": q,
+                "analyzer": s.get("analyzer", "reference"),
+                "stemming": bool(s.get("stemming")),
+                "terms": dict(sorted(counts.items())),
+            }))
+        return
 
     if bool(args.shard) == bool(args.index_dir):
         raise SystemExit("give exactly one of --index-dir or --shard (2+)")

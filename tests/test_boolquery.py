@@ -1091,3 +1091,27 @@ def test_match_percentiles(spark, index_1k):
         bq.match_percentiles(spark, index_1k, "fast", percents=(50, 50))
     empty = bq.match_percentiles(spark, index_1k, "zzzunseen").collect()
     assert len(empty) == 1 and all(v is None for v in empty[0])
+
+
+def test_analyze_cli_is_sparkless(index_1k):
+    """--analyze (the ES _analyze parity surface) prints the index's own
+    tokenization — reference quirks included — without starting Spark."""
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    p = subprocess.run(
+        [sys.executable, os.path.join(repo, "jobs", "search_job.py"),
+         "--index-dir", index_1k, "--analyze",
+         "--query", "The costs are $3,500,000 at 35% #CamelCase"],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert p.returncode == 0, p.stderr[-800:]
+    out = _json.loads(p.stdout.strip().splitlines()[-1])
+    assert out["analyzer"] == "reference"
+    assert out["terms"]["3.5m$"] == 1
+    assert out["terms"]["35%"] == 1
+    assert "CAMEL" in out["terms"] and "#camelcase" in out["terms"]
